@@ -1,0 +1,282 @@
+"""Join operators: broadcast, shuffle, outer, semi/anti, theta/range,
+as-of, and the multiway flagship (SURVEY.md §2.2).
+
+The reference has no joins at all (absence verified across
+/root/reference/ingest_data.py:1-174); this is the extended engine
+surface.
+
+Scale strategy per join:
+- ``join_broadcast``: dims bounded by domain size (region=5, nation=25)
+  are broadcast explicitly — no shuffle of the big side, ever.
+- ``join_shuffle``: orders⋈lineitem is a true shuffle join on the key;
+  AQE handles skew splitting at runtime.
+- ``join_theta_range``: non-equi joins are quadratic in general; we
+  join against a *bounded static band table* (broadcast nested-loop
+  over 5 rows) so cost stays linear in the fact table.
+- ``join_asof``: implemented as union + window ("last non-null event
+  before me"), which is ONE shuffle on the join key and a sorted
+  window — linear and fully JVM-side, unlike the naive
+  inequality-join + groupBy-max which explodes quadratically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import dec_sum, register
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name, r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension equi-join with explicit broadcast of both dims."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "right"
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_nationkey", "n_name", "r_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "join_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large fact⋈fact equi-join (sort-merge/shuffle-hash under AQE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+    ON c.nk = s.nk
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations with customers but no
+    suppliers and vice versa survive with zero-filled counts)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (IN) and LEFT ANTI (NOT EXISTS) in one labeled result."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, cond, "left_semi").agg(
+        F.lit("with_orders").alias("grp"), F.count("*").alias("n")
+    )
+    anti = cust.join(orders, cond, "left_anti").agg(
+        F.lit("without_orders").alias("grp"), F.count("*").alias("n")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('xs', 0.0, 1.0), ('s', 1.0, 10.0), ('m', 10.0, 50.0),
+               ('l', 50.0, 200.0), ('xl', 200.0, 1e9)
+    )
+    SELECT b.band,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM bands b
+    LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join of the fact table against a bounded
+    band dimension. The band side is 5 rows → broadcast nested-loop,
+    cost linear in `events` at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("xs", 0.0, 1.0), ("s", 1.0, 10.0), ("m", 10.0, 50.0),
+         ("l", 50.0, 200.0), ("xl", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        F.broadcast(bands)
+        .join(events, (events.value >= bands.lo) & (events.value < bands.hi), "left")
+        .groupBy("band")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(epoch_us((SELECT max(e.ts) FROM events e
+                          WHERE e.user_id = o.o_custkey
+                            AND e.ts <= o.o_orderdate)) AS BIGINT) AS last_event_us
+    FROM orders o
+    WHERE o.o_custkey < 150
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order of a user, the latest event at-or-
+    before the order timestamp.
+
+    Implementation: tag events (kind=0) and probe rows (kind=1), union,
+    then one window per user ordered by (ts, kind) taking the running
+    ``last(event_ts, ignorenulls)``. Exactly one shuffle on user_id and
+    a sort — linear at 100 TB, no inequality-join blowup. Events sort
+    before probes at equal ts so ts==orderdate matches (<= semantics).
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    events = load_table(spark, sf_dir, "events")
+
+    probes = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("at_ts"),
+        F.lit(1).alias("kind"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+        F.lit(None).cast("timestamp_ntz").alias("event_ts"),
+    )
+    builds = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("at_ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("ts").alias("event_ts"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("at_ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = probes.unionByName(builds).withColumn(
+        "last_event", F.last("event_ts", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.unix_micros(F.col("last_event").cast("timestamp")).alias("last_event_us"),
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q5-shaped 5-way star join.
+
+    region/nation broadcast (bounded dims); customer⋈orders⋈lineitem
+    shuffle on their keys. The region filter prunes before the joins
+    (Catalyst pushes it through the broadcast), so at 100 TB only the
+    matching 2/5 of the pipeline flows into the big joins.
+    """
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )

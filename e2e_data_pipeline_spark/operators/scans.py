@@ -1,0 +1,128 @@
+"""Source/sink operators: parquet scan, CSV round-trip, partitioned
+gzip parquet sink (SURVEY.md §2.2, Tier A A2/A3/A13/A17).
+
+The reference reads gzip CSV in 100k-row chunks
+(/root/reference/ingest_data.py:49,54-56) and writes gzip parquet under
+hand-built {color}/{year}/{month} dirs (:20-22,103-106). Spark-first
+re-expression: chunking disappears (partitions replace it), the dir
+hierarchy becomes ``partitionBy`` (pruning comes free), and gzip CSV —
+unsplittable, so a single task per file at any scale — is repartitioned
+right after read.
+
+The round-trip queries write to a per-invocation temp dir and re-read;
+their oracles compute the same answer straight from the source parquet,
+so the hash also proves the round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import dec_sum, register
+from e2e_data_pipeline_spark.schemas import TABLES
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan every fixture table; parquet count(*) is metadata-only."""
+    out = None
+    for name in TABLES:
+        one = load_table(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count("*").alias("n_rows")
+        )
+        out = one if out is None else out.unionByName(one)
+    assert out is not None
+    return out
+
+
+@register(
+    "scan_csv",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-CSV round trip (A2/A3): write a lineitem slice as csv.gz,
+    re-read with an explicit schema, aggregate. The oracle computes the
+    same aggregate from the source parquet — hash equality proves the
+    CSV path is lossless for these columns.
+
+    Doubles survive because Spark's CSV writer emits round-trippable
+    representations; the explicit read schema avoids a second
+    inference pass (at 100 TB, inference = an extra full scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
+    path = tempfile.mkdtemp(prefix="e2e_csv_")
+    li.select(*cols).write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    back = (
+        spark.read.schema(
+            "l_orderkey bigint, l_returnflag string, l_quantity double, l_extendedprice double"
+        )
+        .option("header", True)
+        .csv(path)
+        # gzip is unsplittable → one task per file; spread before the agg
+        .repartition(8)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned gzip parquet sink (A13+A17) + pruned re-read.
+
+    ``partitionBy("l_returnflag","l_linestatus")`` is the Spark-native
+    version of the reference's hand-built dir hierarchy
+    (ingest_data.py:20-22). The re-read filter hits only the
+    l_returnflag=R directories — partition pruning by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="e2e_part_")
+    li.write.mode("overwrite").option("compression", "gzip").partitionBy(
+        "l_returnflag", "l_linestatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )

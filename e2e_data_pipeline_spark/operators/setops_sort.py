@@ -1,0 +1,91 @@
+"""Sort/limit and set-operation operators (SURVEY.md §2.2).
+
+Scale notes: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+each task keeps a k-row heap and the driver merges per-partition
+top-ks; no global sort materializes. Ties are broken by the unique key
+so the returned SET is deterministic (the driver's hash is
+order-insensitive, but the *membership* of a LIMIT must not flap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price (deterministic tie-break on the key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT 'union_distinct' AS grp, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION ALL
+    SELECT 'union_all' AS grp, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) vs UNION ALL of two customer slices, labeled."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.where(F.col("c_acctbal") > 7500).select("c_custkey")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    distinct = (
+        rich.union(building).distinct().select(F.lit("union_distinct").alias("grp"), "c_custkey")
+    )
+    union_all = rich.union(building).select(F.lit("union_all").alias("grp"), "c_custkey")
+    return distinct.unionByName(union_all)
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS grp, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except' AS grp, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT of key sets, labeled in one result."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    orderers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    inter = rich.intersect(orderers).select(F.lit("intersect").alias("grp"), "c_custkey")
+    exc = rich.subtract(orderers).select(F.lit("except").alias("grp"), "c_custkey")
+    return inter.unionByName(exc)
