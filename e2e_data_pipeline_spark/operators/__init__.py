@@ -17,6 +17,11 @@ from e2e_data_pipeline_spark.operators import (  # noqa: E402,F401
     aggregates,
     windows,
     setops_sort,
+    scalar_functions,
+    llm_text,
+    llm_dedup,
+    llm_similarity,
+    llm_multimodal,
 )
 
 __all__ = ["QUERIES", "ORACLES", "register"]

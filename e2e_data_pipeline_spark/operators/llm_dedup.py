@@ -1,0 +1,222 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.2, north star BASELINE.json:6): exact dedup, exact
+shingle-Jaccard near-dup (oracle-checkable), MinHash-LSH near-dup
+(the 100 TB scale path), and SimHash.
+
+Scale design:
+- ``dedup_exact`` groups on an md5 of normalized text, not the text
+  itself — shuffle keys are 16 bytes regardless of document size.
+- ``dedup_near`` (exact Jaccard) pair-joins docs through shared
+  shingles; it is the *verification* variant. Linear-at-scale is
+  ``dedup_near_lsh``: MinHash signatures + band-bucket join — only
+  candidates sharing a band bucket are compared, O(n·bands) not O(n²).
+- Unit tests (tests/test_llm_ops.py) assert LSH recall against the
+  exact variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+NEAR_DUP_THRESHOLD = 0.6
+SHINGLE_K = 3
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+        FROM documents
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(length(norm_text) AS INT) AS text_len
+    FROM norm
+    GROUP BY norm_text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest doc_id per
+    group, report copy counts. Grouping key is the md5 fingerprint (16
+    bytes shuffled per doc, not the document body)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("fp"),
+            F.length(norm).alias("text_len"),
+        )
+        .groupBy("fp", "text_len")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies", "text_len")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token k-shingles per doc via posexplode + window lead —
+    the same construction the oracle SQL uses, so sets match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("shingle"),
+        F.lead("tok", SHINGLE_K - 1).over(w).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    return sh.select("doc_id", "shingle").distinct()
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+               lead(tok, {SHINGLE_K - 1}) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+          >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (shingle → inverted
+    pair join → Jaccard ≥ threshold). Quadratic in the worst case —
+    this is the oracle-checkable reference; the scale path is
+    ``dedup_near_lsh`` below."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+@register("dedup_near_lsh")  # approximate → rows-only check
+def dedup_near_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs — the linear scale path.
+
+    shingle → HashingTF sparse vector → MinHashLSH signatures →
+    approxSimilarityJoin bucket join. Only same-bucket pairs are
+    compared, so cost is O(n·hashTables), not O(n²). Jaccard distance
+    threshold matches 1 - NEAR_DUP_THRESHOLD. Nondeterministic hash
+    seeds are pinned. Recall vs the exact variant is unit-tested.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _shingles(spark, sf_dir)
+    doc_shingles = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(doc_shingles).where(
+        F.size("shingles") > 0
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=1 - NEAR_DUP_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (F.lit(1) - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )
+
+
+@register("dedup_simhash")  # hash-construction specific → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) per document + bucket sizes on the top 16 bits.
+
+    Classic near-dup sketch: per token, a 64-bit hash (xxhash64 —
+    JVM-side, deterministic seed); the simhash bit b is 1 iff more
+    token hashes have bit b set than unset. Implemented with one
+    explode + one groupBy over bit-majority sums — linear, no pairwise
+    work. Hamming-close simhashes ⇒ likely near-dups; bucketing on a
+    bit prefix gives the LSH-style candidate generation at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    # majority vote per bit: sum(+1/-1) per (doc, bit) — expressed as 64
+    # per-bit conditional sums in one aggregation (no 64-way explode).
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0) * (1 << b))
+        for b in range(63)  # bit 63 omitted: keep the value positive
+    )
+    out = agg.select("doc_id", simhash.alias("simhash"))
+    return out.withColumn(
+        "bucket16", F.shiftright(F.col("simhash"), 47)
+    )

@@ -1,0 +1,157 @@
+"""Multimodal-column operators (SURVEY.md §2.2, north star
+BASELINE.json:6): joining text-derived, vector-derived and relational
+columns, plus the binary-payload plumbing for image/audio/video-style
+data.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked deterministic fake behind ``mapInPandas`` — but the
+Spark-side plumbing (binary column, typed metadata struct schema,
+Arrow batch shape, partition-preserving narrow execution) is real and
+tested (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.llm_similarity import sq_norm
+from e2e_data_pipeline_spark.operators.registry import register
+
+
+@register(
+    "multimodal_cols",
+    oracle="""
+    WITH joined AS (
+        SELECT d.lang,
+               e.label,
+               len(string_split(d.text, ' ')) AS n_tok,
+               d.n_chars,
+               round(sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT lang,
+           label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           round(CAST(SUM(CAST(l2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_l2_norm
+    FROM joined
+    GROUP BY lang, label
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings (doc_id = vec_id, inner — the id ranges
+    diverge at sf0.1 per FIXTURES.md) combining text stats with vector
+    norms per (lang, label).
+
+    Norms are rounded per-row then DECIMAL-summed for the average —
+    exact parity despite float input."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(F.sqrt(sq_norm(F.col("embedding"))), 6)
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "lang",
+        "label",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        "n_chars",
+        norm.alias("l2"),
+    )
+    return joined.groupBy("lang", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.round(
+            F.sum(F.col("l2").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-payload pipeline (decode stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def _decode_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode' of binary payloads.
+
+    REAL decode (PIL/ffmpeg) is unavailable in this container — the
+    dimensions below are a deterministic fake derived from the payload
+    bytes. The mapInPandas mechanics (iterator-of-batches in/out,
+    schema contract, no driver involvement) are exactly what a real
+    decoder would use; swap the body, keep the plumbing.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(
+            lambda b: int.from_bytes(b[:8].ljust(8, b"\0"), "little") % (1 << 62)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n_bytes.astype("int32"),
+                # deterministic fake "decode": dimensions from content
+                "width": (checksum % 1920 + 1).astype("int32"),
+                "height": (checksum % 1080 + 1).astype("int32"),
+                "n_frames": (n_bytes % 300 + 1).astype("int32"),
+                "checksum": checksum.astype("int64"),
+            }
+        )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract a binary media column via mapInPandas.
+
+    Input contract: columns (doc_id long, media_type string,
+    payload binary). Narrow op: partitioning is preserved, batches
+    stream through Arrow without materializing a partition.
+    """
+    return df.mapInPandas(_decode_media_batches, schema=MEDIA_META_SCHEMA)
+
+
+@register("multimodal_binary")  # binary plumbing demo → rows-only check
+def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binary pipeline on synthesized payloads: documents'
+    text encoded as binary 'media' → mapInPandas decode → metadata
+    aggregation. Proves schema/Arrow/batch plumbing without codecs."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    meta = decode_media(media)
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )

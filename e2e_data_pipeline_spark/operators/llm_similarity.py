@@ -1,0 +1,225 @@
+"""Similarity-search operators over the embedding column
+(SURVEY.md §2.2, PAPERS.md top-k similarity): exact brute-force cosine
+top-k (oracle-checkable) and an LSH-bucketed approximate variant (the
+scale path), plus embedding-cosine near-duplicate pairs.
+
+Scale design: brute force is O(queries × corpus) — fine when the query
+set is small and broadcast (top-k per query via per-group window, no
+global sort). For corpus×corpus at 100 TB, ``sim_topk_lsh`` buckets by
+random-hyperplane sign bits so only same-bucket candidates are scored
+(multi-probe over the exact-match bucket here; more probes = more
+recall, still linear).
+
+Float determinism: dot products are sequential left-folds over
+``zip_with`` (matches DuckDB's ``list_sum`` order); cosines are
+rounded to 6 digits BEFORE ranking so rank boundaries can't straddle
+a ulp; ties break on the candidate id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+# DuckDB twin of dot(): positional list_transform over range(1, dim+1).
+_ORACLE_DOT = """list_sum(list_transform(range(1, 65),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"""
+_ORACLE_SQ = """list_sum(list_transform({t}.embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               c.label  AS neighbor_label,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    The query side is filtered then broadcast: every executor scores
+    its corpus partition locally and the per-group window keeps k rows
+    — no corpus shuffle, no global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+    )
+
+
+@register("sim_topk_lsh")  # approximate → rows-only check
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k — the corpus×corpus scale path.
+
+    Random-hyperplane (SimHash-for-cosine) signatures: deterministic
+    pseudo-hyperplanes built from xxhash64(component-index, seed) signs
+    — no numpy state on executors, pure codegen. Candidates = corpus
+    vectors sharing the query's bucket; exact cosine re-rank inside the
+    bucket. Recall vs ``sim_topk`` is unit-tested (multi-probe would
+    lift it further; single-probe keeps the demo linear and simple).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 2^6 = 64 buckets: sized so local-test corpora (500-2000 vectors)
+    # keep ~10-30 vectors per bucket. At real scale this would grow
+    # with corpus size (more planes → smaller buckets → fewer exact
+    # comparisons), traded against recall / number of probes.
+    n_planes = 6
+
+    def bucket(col: Column) -> Column:
+        # plane p weight for dim i = sign bit of xxhash64(i * 1000003 + p)
+        # → deterministic, identical on every executor.
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    col,
+                    F.sequence(F.lit(0), F.size(col) - 1),
+                    lambda x, i: x.cast("double")
+                    * F.when(
+                        F.xxhash64(i * F.lit(1000003) + F.lit(p)).bitwiseAND(1) == 1,
+                        1.0,
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1).cast("long")).otherwise(0) * (1 << p))
+        return sum(bits)
+
+    with_bucket = emb.withColumn("bucket", bucket(F.col("embedding")))
+    queries = with_bucket.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(
+            corpus,
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= TOP_K
+    )
+
+
+@register(
+    "sim_neardup_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < c.vec_id
+        WHERE q.vec_id < 200 AND c.vec_id < 200
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+    """,
+)
+def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35; the fixture corpus has no true
+    embedding dups — max pairwise cosine ≈ 0.45 — so the threshold is
+    set where pairs exist) over a
+    bounded slice — the exact oracle-checkable variant of embedding
+    dedup. The all-pairs scale path is sim_topk_lsh's bucketing."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("e_a"), F.col("e_b"))
+                / (F.sqrt(sq_norm(F.col("e_a"))) * F.sqrt(sq_norm(F.col("e_b")))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.35)
+    )

@@ -1,0 +1,217 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.2 + north star BASELINE.json:6): corpus stats, token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All token math happens JVM-side with built-in string/array/higher-order
+functions — at 100 TB these run inside whole-stage codegen with zero
+Python. Tokenization is whitespace + a regex token family
+(``regexp_count``), both of which the oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens (fixture text is single-space word soup)."""
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language (integer sums → exact parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens())
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]{5,}')) AS INT) AS n_long_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document: whitespace tokens, regex (BPE-ish
+    pre-tokenizer family) tokens, unique tokens, long tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens()).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z0-9]+")).alias("n_re_tokens"),
+        F.size(F.array_distinct(tokens())).alias("n_unique_tokens"),
+        F.col("n_chars"),
+        F.regexp_count("text", F.lit(r"[a-z0-9]{5,}")).alias("n_long_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '), x -> length(x) <= 2)) AS n_short,
+               CASE WHEN list_contains(string_split(text, ' '), 'dup')
+                    THEN 1 ELSE 0 END AS has_dup_marker
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tok AS INT) AS n_tokens,
+           CAST(n_chars AS DOUBLE) / n_tok AS avg_token_len,
+           CAST(n_uniq AS DOUBLE) / n_tok AS lexical_diversity,
+           CAST(n_short AS DOUBLE) / n_tok AS short_token_ratio,
+           CAST(has_dup_marker AS INT) AS has_dup_marker,
+           (CAST(n_uniq AS DOUBLE) / n_tok) * (1 - CAST(n_short AS DOUBLE) / n_tok)
+               AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token-length stats, lexical diversity,
+    short-token (stopword-proxy) ratio, composite score. Ratios are
+    int/int→double — exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_short = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    diversity = n_uniq.cast("double") / n_tok
+    short_ratio = n_short.cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        diversity.alias("lexical_diversity"),
+        short_ratio.alias("short_token_ratio"),
+        F.array_contains(toks, "dup").cast("int").alias("has_dup_marker"),
+        (diversity * (F.lit(1) - short_ratio)).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\\b(the|a|row|key)\\b')) AS s_en,
+               len(regexp_extract_all(text, '\\b(data|table|column)\\b')) AS s_de,
+               len(regexp_extract_all(text, '\\b(merge|join|scan)\\b')) AS s_fr,
+               len(regexp_extract_all(text, '\\b(fast|slow|big|small)\\b')) AS s_es,
+               len(regexp_extract_all(text, '\\b(spark|query|batch)\\b')) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS guessed_lang,
+           CAST(s_en + s_de + s_fr + s_es + s_zh AS INT) AS marker_hits
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token scoring (n-gram-heuristic shape).
+
+    The fixture corpus shares one vocabulary across langs, so accuracy
+    is noise — the point is the *operator*: per-language marker counts
+    and a deterministic argmax with a fixed tie order, entirely in
+    codegen'd regex counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    markers = {
+        "en": r"\b(the|a|row|key)\b",
+        "de": r"\b(data|table|column)\b",
+        "fr": r"\b(merge|join|scan)\b",
+        "es": r"\b(fast|slow|big|small)\b",
+        "zh": r"\b(spark|query|batch)\b",
+    }
+    scores = {k: F.regexp_count("text", F.lit(v)) for k, v in markers.items()}
+    s = scores
+    guess = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    total = sum(scores.values(), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess.alias("guessed_lang"),
+        total.cast("int").alias("marker_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text, grouped.
+    (The rolling/shingle fingerprint variant is dedup_near's shingle
+    pipeline; this is the whole-document hash used by exact dedup at
+    scale — shuffle keys become 16-byte hashes instead of full texts.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

@@ -1,0 +1,246 @@
+"""Scalar function families (SURVEY.md §2.2 ``fn_*``).
+
+Generalizes the reference's only scalar transform — the conditional
+timestamp cast at /root/reference/ingest_data.py:67-76 — into the full
+built-in function surface. Everything here is a narrow transformation
+(no shuffle) evaluated inside whole-stage codegen; these are the
+expressions that must NEVER become Python UDFs in the hot path.
+
+Cross-engine parity notes (hard-won, keep in mind when editing):
+- ``round(x, d>0)`` on doubles with short decimal representations is a
+  rounding-boundary trap (Spark rounds the shortest decimal repr,
+  DuckDB the binary value) — only round *messy* values (ln, norms),
+  never 2-decimal prices at coarser scales.
+- Spark ``ceil``/``floor`` return BIGINT, DuckDB return DOUBLE — cast
+  in the oracle.
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``isodow`` is 1=Monday. We
+  emit ISO day-of-week as ``weekday()+1``.
+- Spark ``cast(double AS int)`` truncates, DuckDB *rounds* — only cast
+  integral-valued doubles (l_quantity) or TRUNC explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 4) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', p_type) AS brand_type,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           trim('  ' || p_name || ' ') AS trimmed
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, concat, split,
+    regexp_extract, replace, trim."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_epoch95,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (A7 generalized): extract, trunc, diff, last_day."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        # ISO day-of-week (1=Mon..7=Sun): Spark weekday() is 0=Mon.
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch95"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("order_quarter"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000) AS abs_delta,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(l_extendedprice) AS price_round0,
+           round(ln(l_extendedprice + 1), 6) AS ln_price,
+           sqrt(l_quantity) AS sqrt_qty,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS mod97,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-exact; ln is rounded (libm last-ulp
+    drift across engines); pow is expressed as x*x (exact)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 1000).alias("abs_delta"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        F.round(price, 0).alias("price_round0"),
+        F.round(F.log(price + 1), 6).alias("ln_price"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 97).alias("mod97"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           label,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(list_min(embedding) AS DOUBLE) AS min_component,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component,
+           (len(list_filter(embedding, x -> x < 0)) > 0) AS has_negative,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order family over the embedding vectors:
+    size, element access, min/max, exists, filter-count, and an L2 norm
+    via ``aggregate`` (sequential fold — matches DuckDB's list_sum
+    order; result rounded to absorb any fold-order ulp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    sq_sum = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(e).alias("dim"),
+        F.element_at(e, 1).cast("double").alias("first_component"),
+        F.array_min(e).cast("double").alias("min_component"),
+        F.array_max(e).cast("double").alias("max_component"),
+        F.exists(e, lambda x: x < 0).alias("has_negative"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props is a JSON object string,
+    not a struct) + aggregation by the extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "fn_cast_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           (o_orderstatus = 'F') AS is_final,
+           CASE o_orderstatus WHEN 'F' THEN 'final'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'pending' END AS status_name,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_str,
+           (o_totalprice > 200000) AS is_big,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending-null') AS status_or_default
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def fn_cast_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast + CASE family (A6/A7 generalized): string→int parse,
+    boolean expressions, simple CASE, double→decimal, date→string,
+    NULLIF/COALESCE."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    status = F.col("o_orderstatus")
+    return orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        (status == "F").alias("is_final"),
+        F.when(status == "F", "final")
+        .when(status == "O", "open")
+        .otherwise("pending")
+        .alias("status_name"),
+        # decimal exercised, then back to double: pandas/duckdb surface
+        # DECIMAL as object-Decimal vs float64, which breaks hashing.
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+        F.col("o_orderdate").cast("date").cast("string").alias("orderdate_str"),
+        (F.col("o_totalprice") > 200000).alias("is_big"),
+        F.coalesce(F.nullif(status, F.lit("P")), F.lit("pending-null")).alias(
+            "status_or_default"
+        ),
+    )

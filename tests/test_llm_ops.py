@@ -1,0 +1,98 @@
+"""Unit tests for the LLM-data operators that the hash oracle can't
+fully check: LSH recall vs the exact variant, SimHash properties,
+approx-distinct accuracy, and the multimodal binary plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.operators import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every exact near-dup pair (Jaccard >= 0.6) should be recalled by
+    the MinHash-LSH candidate join at >= 80%."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_near_lsh"](spark, SF_SMALL).collect()
+    }
+    assert exact, "fixture should contain near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(exact)} exact pairs)"
+
+
+def test_simhash_near_dup_pairs_are_close(spark):
+    """Exact near-dup pairs should have closer simhashes (hamming)
+    than random pairs on average."""
+    sim = {
+        r.doc_id: r.simhash
+        for r in QUERIES["dedup_simhash"](spark, SF_SMALL).collect()
+    }
+    near = [
+        (r.doc_a, r.doc_b) for r in QUERIES["dedup_near"](spark, SF_SMALL).collect()
+    ]
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    near_d = [hamming(sim[a], sim[b]) for a, b in near]
+    ids = sorted(sim)
+    rand_d = [hamming(sim[ids[i]], sim[ids[-(i + 1)]]) for i in range(50)]
+    assert sum(near_d) / len(near_d) < sum(rand_d) / len(rand_d)
+
+
+def test_sim_topk_lsh_subset_of_exact_ranking(spark):
+    """LSH top-k hits must be genuine neighbors: every (query,
+    neighbor) it returns must appear in the exact brute-force scoring
+    with the same cosine."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in QUERIES["sim_topk"](spark, SF_SMALL).collect()
+    }
+    lsh_rows = QUERIES["sim_topk_lsh"](spark, SF_SMALL).collect()
+    assert lsh_rows, "LSH should return candidates at sf0.001"
+    hits = [r for r in lsh_rows if (r.query_id, r.neighbor_id) in exact]
+    for r in hits:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_approx_count_distinct_accuracy(spark):
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_approx"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, f"{k}: approx {approx[k]} vs exact {n}"
+
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    from e2e_data_pipeline_spark.operators.llm_multimodal import (
+        MEDIA_META_SCHEMA,
+        decode_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-one")), (2, "video", bytearray(b"pp"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = decode_media(df)
+    assert out.schema == MEDIA_META_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_bytes == len(b"payload-one")
+    assert 1 <= rows[1].width <= 1920 and 1 <= rows[1].height <= 1080
+    again = {r.doc_id: r for r in decode_media(df).collect()}
+    assert rows[1].checksum == again[1].checksum
