@@ -22,6 +22,8 @@ from e2e_data_pipeline_spark.operators import (  # noqa: E402,F401
     llm_dedup,
     llm_similarity,
     llm_multimodal,
+    streaming_ops,
+    udfs,
 )
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,125 @@
+"""Registry entries for the streaming operators (SURVEY.md §2.2).
+
+Each key runs the shared transform from
+:mod:`e2e_data_pipeline_spark.streaming.core` in BATCH mode — that is
+what the DuckDB oracle hash-checks. The same transforms run under
+``readStream`` in tests/test_streaming.py and must produce identical
+results (batch≡stream parity), which is why the batch answer doubles
+as the streaming golden answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+from e2e_data_pipeline_spark.streaming import core
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{_TS_FMT}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS w,
+               value
+        FROM events
+    )
+    SELECT strftime(w, '{_TS_FMT}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window emulated in SQL: a 10-min window sliding by 5
+    assigns each event to exactly the 5-min bucket and that bucket
+    minus 5 minutes."""
+    return core.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap); oracle is the classic
+    gaps-and-islands emulation. Session end = last event + gap, and a
+    gap of exactly 30:00 starts a new session (matches session_window's
+    half-open [start, last+gap) semantics)."""
+    return core.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once dedup: re-delivered events (every
+    3rd) dropped by event_id. The oracle is just `events` — dedup of
+    exact redeliveries must reproduce the original stream."""
+    return core.watermark_dedup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return core.static_join_enrich(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

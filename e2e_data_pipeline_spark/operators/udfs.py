@@ -1,0 +1,144 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2).
+
+UDFs are the slow path by design — everything that CAN be a built-in
+expression elsewhere in this engine IS one. These operators exist to
+prove the extension mechanics with the fast variants of each kind:
+
+- ``udf_scalar``: Arrow-batched pandas UDF (vectorized transfer,
+  10-100x over row-at-a-time Python UDFs).
+- ``udaf_grouped``: pandas GROUPED_AGG UDAF.
+- ``udtf_explode``: Python UDTF (Spark 4 table function, one row in →
+  many out).
+
+Each has an exact SQL oracle: the Python bodies implement
+SQL-replicable semantics on purpose so the oracle hash still applies
+to the UDF *path* (serialization, batching, null handling), not just
+the math.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import register
+
+
+def make_normalize_text():
+    """Deterministic text normalizer UDF: trim, lowercase, collapse
+    runs of whitespace — semantically identical to the SQL
+    regexp_replace(lower(trim(x)), '\\s+', ' ').
+
+    Built lazily: pandas_udf parses its return type through the active
+    SparkSession, so construction must happen after session startup.
+    """
+
+    @pandas_udf("string")
+    def normalize_text(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    return normalize_text
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS INT)
+               AS norm_len
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF on the normalizer."""
+    normalize_text = make_normalize_text()
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation as pandas GROUPED_AGG UDAFs.
+
+    Integer sum is exact; median over ints is deterministic in both
+    engines (midpoint of two ints is an exact .0/.5 double).
+    """
+
+    @pandas_udf("long")
+    def total_chars(s: pd.Series) -> int:
+        return int(s.sum())
+
+    @pandas_udf("double")
+    def median_chars(s: pd.Series) -> float:
+        return float(s.median())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        total_chars("n_chars").alias("total_chars"),
+        median_chars("n_chars").alias("median_chars"),
+    )
+
+
+class BigramGenerator:
+    """UDTF: one document row → one row per token bigram. The SQL twin
+    is the window-lead construction (see dedup_near's shingles).
+    Wrapped with ``udtf(...)`` lazily inside udtf_explode (return-type
+    parsing needs an active session)."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        toks = text.split(" ")
+        for i in range(len(toks) - 1):
+            yield i, f"{toks[i]} {toks[i + 1]}"
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(pos - 1 AS INT) AS pos,
+           concat_ws(' ', tok, lead(tok, 1) OVER w) AS bigram
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, 1) OVER w IS NOT NULL
+    """,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: bigram generation per document."""
+    spark.udtf.register("bigrams", udtf(BigramGenerator, returnType="pos: int, bigram: string"))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM udtf_documents d, LATERAL bigrams(d.text) b
+        WHERE d.doc_id < 50
+        """
+    )

@@ -1,0 +1,21 @@
+from e2e_data_pipeline_spark.streaming.core import (
+    EVENTS_RAW_SCHEMA,
+    load_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    sliding_counts,
+    static_join_enrich,
+    tumbling_counts,
+    watermark_dedup,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "load_events_stream",
+    "run_stream_to_memory",
+    "sessionize",
+    "sliding_counts",
+    "static_join_enrich",
+    "tumbling_counts",
+    "watermark_dedup",
+]

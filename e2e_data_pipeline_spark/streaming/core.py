@@ -1,0 +1,195 @@
+"""Structured-Streaming operators with batch/stream parity
+(SURVEY.md §2.2 streaming block).
+
+Design: every operator is a plain ``DataFrame -> DataFrame`` transform
+written once against the unified Dataset API. Batch execution
+(``spark.read`` → the transform) is what the DuckDB oracle checks;
+streaming execution (``spark.readStream`` → the same transform →
+memory sink, availableNow trigger) is asserted equal to the batch
+answer in tests/test_streaming.py. That batch≡stream property is
+Structured Streaming's core guarantee, and it's what lets a 100 TB
+backfill and the live pipeline share one code path.
+
+Watermarks: the transforms accept a ``watermark`` argument used only
+when the input is streaming — event-time watermarks bound the state
+store (without one, windowed state grows forever on an unbounded
+stream). The reference's closest analog is its manual 100k-row
+micro-batch loop (/root/reference/ingest_data.py:54-85) — the same
+bounded-memory concern, solved by the engine here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Raw parquet schema of events (ts is int64 nanos — see session.py).
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source, explicit schema).
+
+    ts becomes TimestampType (not NTZ): event-time watermarks require
+    TIMESTAMP. With the session pinned to UTC the wall-clock values
+    match the batch catalog's TIMESTAMP_NTZ exactly, and every
+    transform output formats timestamps to strings, so batch/stream
+    parity is unaffected by the internal type difference.
+    """
+    # glob (not the bare file path): the file source requires basePath
+    # to be a directory, and with a glob it resolves to sf_dir.
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parq*"
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# Transforms (shared batch/stream)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-5-minute tumbling window counts/sums by event_type."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly two windows)."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact-distinct is not a streaming-capable aggregate;
+            # a decimal sum keeps the oracle exact in both modes
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Spark's ``session_window`` end = last event + gap; the oracle
+    emulates with gaps-and-islands (lag → new-session flag → running
+    session id) and max(ts)+30min.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def watermark_dedup(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once by event_id over an at-least-once stream.
+
+    The input is made deliberately redundant (every 3rd event is
+    re-delivered) and deduplicated on event_id. Streaming mode uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state store is
+    bounded by the watermark horizon instead of growing forever.
+    Duplicate rows are byte-identical, so keep-any semantics are
+    deterministic.
+    """
+    redelivered = events.unionByName(events.where(F.col("event_id") % 3 == 0))
+    if watermark:
+        redelivered = redelivered.withWatermark("ts", watermark)
+        deduped = redelivered.dropDuplicatesWithinWatermark(["event_id"])
+    else:
+        deduped = redelivered.dropDuplicates(["event_id"])
+    return deduped.select("event_id", "user_id", "event_type", "value")
+
+
+def static_join_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream⋈static enrichment: events joined to the customer dim
+    (user_id = c_custkey), aggregated by market segment. The static
+    side is broadcast every micro-batch — the canonical dimension-join
+    shape for streams."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming harness
+# ---------------------------------------------------------------------------
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink contents as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+    return spark.table(name)
