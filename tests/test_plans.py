@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the scale properties we designed for must
+be visible in the optimized plans, not just claimed in docstrings.
+Guards against regressions that stay correct but stop scaling (a lost
+pushdown or a join that silently degrades to cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+
+from e2e_data_pipeline_spark.operators import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "filter_ne")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "Not(EqualTo(l_quantity,0.0))" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "filter_ne")
+    # only the 5 projected columns may be read
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_tax" not in read and "l_shipdate" not in read
+
+
+def test_dimension_joins_are_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multiway_join_pushes_region_filter(spark):
+    plan = plan_of(spark, "join_multiway")
+    assert "In(r_name, [ASIA,EUROPE])" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_orderdate(spark):
+    plan = plan_of(spark, "join_multiway")
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+
+
+def test_theta_join_is_broadcast_not_cartesian(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_window_not_global_sort(spark):
+    plan = plan_of(spark, "win_topk_per_group")
+    # per-group rank limit: WindowGroupLimit pushes k into the sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_sort_limit_is_take_ordered(spark):
+    plan = plan_of(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in plan  # k-heap per partition, no full sort
+
+
+def test_grouped_agg_has_partial_phase(spark):
+    plan = plan_of(spark, "agg_groupby")
+    # map-side combine: a HashAggregate below the Exchange
+    lines = plan.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l]
+    assert agg_idx and ex_idx
+    assert max(agg_idx) > min(ex_idx), "expected partial aggregate below the shuffle"
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "sim_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_groupby", "join_shuffle", "filter_ne", "win_rank"]
+)
+def test_whole_stage_codegen_active(spark, name):
+    # AQE wraps the pre-execution plan in AdaptiveSparkPlan, which hides
+    # codegen subtrees until runtime; assert on the static plan instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES[name](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
