@@ -9,6 +9,7 @@ DataFrame and the parquet scan only materializes what survives.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,18 +19,76 @@ from e2e_data_pipeline_spark.schemas import TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# path -> (total row groups, total bytes); parquet footers are immutable
+# for the read-only fixtures, so one driver-side read per path suffices.
+_LAYOUT_CACHE: dict[str, tuple[int, int]] = {}
+
+# Below this size a rebalance shuffle costs more than it recovers.
+_REBALANCE_MIN_BYTES = 4 << 20
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(row groups, bytes) across the file or directory at ``path``.
+
+    Row groups bound parquet scan parallelism: Spark splits files by
+    byte ranges, but every split that contains no row-group midpoint
+    yields an empty task, so a 1-row-group file scans on 1 core no
+    matter the split config.
+    """
+    if path in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[path]
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    size = sum(os.path.getsize(f) for f in files)
+    _LAYOUT_CACHE[path] = (groups, size)
+    return _LAYOUT_CACHE[path]
+
+
+def _maybe_rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition iff the file layout under-parallelizes.
+
+    CPU-heavy map/partial-agg pipelines (no early shuffle of their own)
+    inherit the scan's task count. At production scale a table has far
+    more row groups than the cluster has cores, so this is a no-op; it
+    only fires for the pathological layout (few huge row groups — e.g.
+    a single-file export, or the reference's unsplittable gzip CSV per
+    /root/reference/ingest_data.py:49, where pandas reads one stream).
+    Catalyst still pushes filters and column pruning below the
+    round-robin exchange, so the scan stays minimal (tests/test_plans).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    groups, size = _parquet_layout(path)
+    if groups < max(2, cores // 2) and size >= _REBALANCE_MIN_BYTES:
+        return df.repartition(cores)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, parallelize_scan: bool = False
+) -> DataFrame:
     """Scan one fixture table as a DataFrame.
 
     The schema is *not* passed to ``spark.read.schema(...)`` on purpose:
     parquet already carries its own schema, and supplying a slightly
     different one (e.g. TIMESTAMP vs TIMESTAMP_NTZ) would force a
     rebase/convert. We validate against :data:`TABLES` instead.
+
+    ``parallelize_scan=True`` opts a CPU-heavy consumer (partial
+    aggregation, decimal arithmetic, per-row UDF work — anything with
+    no early shuffle of its own) into :func:`_maybe_rebalance`. Leave
+    it off for queries that shuffle immediately anyway (joins, window
+    functions): they regain parallelism at their own exchange, and an
+    extra round-robin shuffle would only add a stage.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {sorted(TABLES)}")
@@ -45,6 +104,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if parallelize_scan:
+        df = _maybe_rebalance(spark, df, table_path(sf_dir, name))
     return df
 
 

@@ -70,7 +70,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (grouped sums/averages/count)."""
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = load_table(spark, sf_dir, "lineitem", parallelize_scan=True).where(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

@@ -83,6 +83,25 @@ def test_sim_topk_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_rebalanced_agg_keeps_pushdown(spark):
+    # agg_groupby opts into the layout-aware post-scan rebalance; the
+    # shipdate filter and column pruning must still reach the scan
+    # below the round-robin exchange.
+    plan = plan_of(spark, "agg_groupby")
+    assert "LessThanOrEqual(l_shipdate,2001-09-02" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_rebalance_noop_for_small_tables(spark):
+    # Small dims must not pay a rebalance shuffle (size gate).
+    from e2e_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    df = load_table(spark, SF_SMALL, "nation", parallelize_scan=True)
+    assert "Repartition" not in df._jdf.queryExecution().logical().toString()
+
+
 @pytest.mark.parametrize(
     "name", ["agg_groupby", "join_shuffle", "filter_ne", "win_rank"]
 )
