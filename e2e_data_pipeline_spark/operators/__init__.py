@@ -17,6 +17,7 @@ from e2e_data_pipeline_spark.operators import (  # noqa: E402,F401
     aggregates,
     windows,
     setops_sort,
+    relational_ext,
     scalar_functions,
     llm_text,
     llm_dedup,

@@ -1,0 +1,386 @@
+"""Extended relational operators beyond the SURVEY.md §2 core tables.
+
+The reference pipeline's surface ends at filter/cast/append
+(/root/reference/ingest_data.py:29-38,78); a production analytics
+engine also needs reshaping (pivot/unpivot), subqueries, percentiles,
+sampling, upserts, and data-quality profiling. Each query here keeps
+the two invariants of the registry: scale-safe plan shape (no
+driver-side collection, shuffles only on real keys) and exact DuckDB
+oracle parity (decimal-summed floats, deterministic arithmetic only).
+
+Scale notes per operator live in the docstrings; the common theme is
+that everything is a single groupBy/join pipeline Catalyst can push
+filters through — nothing materializes intermediate results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import dec_avg, dec_sum, register
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (status columns per returnflag).
+
+    The pivot values are enumerated explicitly — with an explicit value
+    list Spark skips the extra distinct-collection job it otherwise
+    runs to discover them, which at 100 TB is a full extra scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dec_sum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (one row per part per numeric metric).
+
+    ``DataFrame.unpivot`` is a zero-shuffle narrow transform — each
+    input row expands in place, so it scales linearly with no exchange.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "subq_scalar_corr",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): rows below half
+    their part's average quantity.
+
+    Implemented as a window aggregate over the part key rather than a
+    self-join: one shuffle on ``l_partkey`` serves both the per-part
+    average and the regrouping, where the literal subquery translation
+    would scan and shuffle lineitem twice. The average uses the same
+    decimal-exact construction as the oracle so the `<` comparison sees
+    bit-identical doubles in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    return (
+        li.withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            dec_sum("l_extendedprice").alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use the
+    standard (n-1)*p linear interpolation, so results agree bitwise
+    (rounded to 6 to absorb any last-ulp drift). Exact percentile sorts
+    within each group; at 100 TB switch callers to
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — the
+    exact form is the oracle-checkable baseline.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_revenue,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 100 < 5
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample via multiplicative hashing.
+
+    ``df.sample()`` is seed-dependent per partition-split and therefore
+    not reproducible across engines or even across repartitionings; a
+    key-hash predicate gives a stable sample that (a) pushes down to
+    the scan as a plain filter — no shuffle, no extra pass — and (b)
+    selects the *same* rows on any engine, which is what a training-
+    data pipeline needs for held-out splits. Knuth's multiplicative
+    constant decorrelates the sample from key locality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where((F.col("o_orderkey") * F.lit(2654435761)) % 100 < 5)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            dec_sum("o_totalprice").alias("sampled_revenue"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT o_orderkey,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+    )
+    SELECT COALESCE(t.o_orderkey, d.o_orderkey) AS o_orderkey,
+           COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN d.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM orders t
+    FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) emulation: full outer join + coalesce.
+
+    The reference only ever appends (`if_exists="append"`,
+    /root/reference/ingest_data.py:78,121); incremental pipelines also
+    need update-or-insert. Without a transactional table format this is
+    the canonical Spark formulation: one shuffle on the merge key, and
+    AQE turns it into a broadcast join whenever the delta is small —
+    the common case for incremental loads.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # Price bump in DECIMAL, not DOUBLE: round(x*1.05, 2) on doubles
+    # lands on half-cent boundaries where IEEE rounding diverges
+    # between engines; decimal multiply+round is exact everywhere.
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.05").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice")
+    )
+    updates = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", bumped
+    )
+    inserts = orders.where(F.col("o_orderpriority") == "2-HIGH").select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    delta = updates.unionByName(inserts)
+    t, d = orders.alias("t"), delta.alias("d")
+    return t.join(d, F.col("t.o_orderkey") == F.col("d.o_orderkey"), "full").select(
+        F.coalesce("t.o_orderkey", "d.o_orderkey").alias("o_orderkey"),
+        F.coalesce("d.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("d.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "dq_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS null_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_values,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_props
+    FROM events
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: the reference's pre-load quality metric
+    (zero-passenger count, /root/reference/ingest_data.py:32,36)
+    generalized to a one-pass multi-column audit.
+
+    Everything folds into a single partial-aggregate pass — null
+    counts, domain cardinality, range violations, and JSON parse
+    failures ride one scan with map-side combine, so profiling 100 TB
+    costs one read.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("user_id")).alias("null_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_values"
+        ),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.sum(
+            F.when(F.get_json_object("props", "$.k").isNull(), 1).otherwise(0)
+        ).alias("bad_props"),
+    )
+
+
+@register(
+    "agg_string",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg).
+
+    ``collect_list`` order is partition-dependent, so the list is
+    sorted before joining — the only way an agg-to-string is
+    deterministic on a distributed engine.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "seq_explode",
+    oracle="""
+    SELECT r.r_name, g.q AS quarter, CAST(r.r_regionkey * 10 + g.q AS BIGINT) AS bucket
+    FROM region r
+    CROSS JOIN generate_series(1, 4) AS g(q)
+    """,
+)
+def seq_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation: sequence + explode (generate_series / UNNEST).
+
+    Explode of a bounded literal sequence is a narrow transform — each
+    task expands its own rows, no exchange. This is the scalable way to
+    densify (e.g. emit one row per period per entity) versus joining
+    against a materialized calendar table.
+    """
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        "r_name",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("quarter"),
+        "r_regionkey",
+    ).select(
+        "r_name",
+        F.col("quarter").cast("long").alias("quarter"),
+        (F.col("r_regionkey") * 10 + F.col("quarter")).cast("long").alias("bucket"),
+    )
+
+
+@register(
+    "win_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    One shuffle on the partition key serves all four functions (single
+    Window node). The ORDER BY carries the key as a tiebreaker so rank
+    ties cannot differ between engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
