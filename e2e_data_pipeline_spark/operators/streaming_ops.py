@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from e2e_data_pipeline_spark.catalog import load_table
 from e2e_data_pipeline_spark.operators.registry import register
-from e2e_data_pipeline_spark.streaming import core
+from e2e_data_pipeline_spark.streaming import core, stateful
 
 _TS_FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -123,3 +123,23 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running stats folded across micro-batches with integer-cent state.
+    This batch twin is the golden answer the streaming run must equal
+    (asserted in tests/test_streaming.py); the oracle replays the same
+    cents arithmetic in SQL."""
+    return stateful.running_user_stats_batch(load_table(spark, sf_dir, "events"))
