@@ -280,3 +280,55 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffle join via key salting.
+
+    A hot join key (one user producing a large share of events) pins
+    its entire partition onto one task in a plain shuffle join. Salting
+    splits it: the fact side extends its key with ``salt =
+    xxhash64(row id) % N`` (varies *within* a key, so a hot key spreads
+    over N partitions), and the dim side is replicated once per salt
+    value with a bounded ``explode(sequence(...))`` — an N-way
+    amplification of the *small* side only. The join result is
+    row-identical to the unsalted join (hash-checked by the oracle,
+    which knows nothing about salt). AQE's skew-join split handles
+    moderate skew automatically; explicit salting is the deterministic
+    heavy-hammer for pathological keys, and this operator keeps the
+    technique exercised end-to-end.
+
+    ``shuffle_hash``/``merge`` hints pin the shuffle-join path so the
+    demonstration can't silently degrade to a broadcast (where salting
+    would be pointless).
+    """
+    n_salts = 8
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    joined = events.hint("shuffle_hash").join(
+        customer,
+        (events["user_id"] == customer["c_custkey"])
+        & (events["salt"] == customer["salt"]),
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )

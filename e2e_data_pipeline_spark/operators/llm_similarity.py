@@ -223,3 +223,82 @@ def sim_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.35)
     )
+
+
+@register("sim_topk_ivf")  # approximate → rows-only check
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-probing scale
+    path, complementary to ``sim_topk_lsh``'s hashing.
+
+    Coarse quantizer: K deterministic seed centroids (the K lowest
+    corpus vec_ids outside the query range — kmeans++-style training
+    would drift between runs, and the fixture corpus is isotropic
+    enough that seed vectors partition it usefully). Every corpus
+    vector is assigned to its nearest centroid (one broadcast of K
+    tiny centroid rows, linear scoring, argmax per vector); each query
+    probes its P nearest cells and exact-scores only those cells'
+    members — at 100 TB with K = sqrt(N) cells and P probes this
+    scores ~P·N/K vectors per query instead of N.
+
+    Recall vs the exact ``sim_topk`` is unit-tested
+    (tests/test_llm_ops.py); more probes trade compute for recall.
+    """
+    n_cells = 16
+    n_probes = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + n_cells)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+
+    def nearest_cells(side: DataFrame, id_col: str, emb_col: str, keep: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            emb_col,
+            "cent_id",
+            F.round(
+                dot(F.col(emb_col), F.col("cent_emb"))
+                / (
+                    F.sqrt(sq_norm(F.col(emb_col)))
+                    * F.sqrt(sq_norm(F.col("cent_emb")))
+                ),
+                6,
+            ).alias("cent_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("cent_sim"), "cent_id")
+        return (
+            scored.withColumn("cell_rn", F.row_number().over(w))
+            .where(F.col("cell_rn") <= keep)
+            .select(id_col, emb_col, F.col("cent_id").alias("cell"))
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus_cells = nearest_cells(corpus, "neighbor_id", "c_emb", 1)
+    query_probes = nearest_cells(queries, "query_id", "q_emb", n_probes)
+
+    scored = (
+        F.broadcast(query_probes)
+        .join(
+            corpus_cells,
+            (query_probes["cell"] == corpus_cells["cell"])
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+                6,
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= TOP_K
+    )

@@ -126,3 +126,61 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("l_extendedprice").alias("sum_price"),
     )
+
+
+@register(
+    "sink_bucketed",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + shuffle-free co-located join.
+
+    Both sides are written ``bucketBy(8, <join key>)`` into session
+    tables, so every bucket i of orders joins only bucket i of
+    lineitem: the sort-merge join reads both pre-hashed layouts and
+    needs NO Exchange, and the following groupBy on the same key reuses
+    the bucketing too (asserted in tests/test_plans.py). This is the
+    at-rest answer to repeated large-fact joins at 100 TB — pay the
+    hash-write once, skip the shuffle on every subsequent join. The
+    ``merge`` hints pin sort-merge so a broadcast can't mask the
+    demonstration at test scale.
+    """
+    path = tempfile.mkdtemp(prefix="e2e_bucketed_")
+    n_buckets = 8
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    for df, name, key in (
+        (orders, "bkt_orders", "o_orderkey"),
+        (li, "bkt_lineitem", "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{path}/{name}")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders").hint("merge")
+    l = spark.table("bkt_lineitem").hint("merge")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        o.join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )

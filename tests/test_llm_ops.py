@@ -96,3 +96,26 @@ def test_multimodal_decode_schema_and_determinism(spark):
     assert 1 <= rows[1].width <= 1920 and 1 <= rows[1].height <= 1080
     again = {r.doc_id: r for r in decode_media(df).collect()}
     assert rows[1].checksum == again[1].checksum
+
+
+def test_sim_topk_ivf_subset_of_exact_ranking(spark):
+    """IVF hits must be real neighbors (present in the exact ranking)
+    and recall of the exact top-k should clear a useful floor at 4/16
+    probe coverage."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    exact_topk = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk"](spark, SF_SMALL).collect()
+    }
+    ivf_rows = QUERIES["sim_topk_ivf"](spark, SF_SMALL).collect()
+    assert ivf_rows, "IVF should return candidates at sf0.001"
+    per_query = {}
+    for r in ivf_rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rows in per_query.items():
+        assert len(rows) <= 5
+    recall = len({(r.query_id, r.neighbor_id) for r in ivf_rows} & exact_topk) / len(
+        exact_topk
+    )
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"

@@ -83,6 +83,24 @@ def test_sim_topk_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    # Both sides bucketed by the join key: sort-merge join AND the
+    # following same-key groupBy must run without any hash exchange.
+    plan = plan_of(spark, "sink_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    # The salted join must shuffle on (key, salt), not the bare key —
+    # that's the property that splits a hot key across partitions.
+    plan = plan_of(spark, "join_skew_salted")
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("salt" in l and "user_id" in l for l in exchanges)
+    assert "CartesianProduct" not in plan
+
+
 def test_rebalanced_agg_keeps_pushdown(spark):
     # agg_groupby opts into the layout-aware post-scan rebalance; the
     # shipdate filter and column pruning must still reach the scan
