@@ -18,6 +18,7 @@ from e2e_data_pipeline_spark.operators import (  # noqa: E402,F401
     windows,
     setops_sort,
     relational_ext,
+    timeseries,
     scalar_functions,
     llm_text,
     llm_dedup,
