@@ -155,3 +155,120 @@ def multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("scale", T.DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target: int = 256) -> DataFrame:
+    """Resize decoded media to fit a ``target`` bounding box,
+    preserving aspect ratio.
+
+    Stub note: with no codec in the container only the dimension
+    arithmetic is real; a real implementation would transform pixel
+    buffers in the same Arrow batches. Narrow op — no shuffle, one
+    row in → one row out.
+
+    Input contract: the MEDIA_META_SCHEMA columns (decode_media
+    output).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            longest = pdf[["width", "height"]].max(axis=1)
+            scale = (target / longest).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": (pdf["width"] * scale).round().clip(lower=1).astype("int32"),
+                    "height": (pdf["height"] * scale).round().clip(lower=1).astype("int32"),
+                    "n_frames": pdf["n_frames"],
+                    "checksum": pdf["checksum"],
+                    "scale": scale.astype("float64"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video row — the
+    one-row→many-rows expansion a video pipeline needs, done inside
+    the Arrow batch (no explode of a materialized array, no shuffle).
+
+    Frame 'content' is a deterministic function of (checksum,
+    frame_idx) standing in for the absent codec; row-expansion shape,
+    schema contract, and batch streaming are the real thing.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_sum = [], [], []
+            for doc_id, n_frames, checksum in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["checksum"]
+            ):
+                for idx in range(0, int(n_frames), every_n):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_sum.append((int(checksum) * 31 + idx) % (1 << 62))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_checksum": pd.Series(out_sum, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+@register("multimodal_pipeline")  # stubbed decode → rows-only check
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media pipeline: synthesize binary payloads → decode →
+    aspect-preserving resize → frame sampling (video only) → per-type
+    stats. Three chained mapInPandas stages stay in one narrow
+    whole-stage pipeline — at 100 TB each partition streams its
+    batches through all three without a shuffle or a driver hop."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    resized = resize_media(decode_media(media))
+    frames = sample_frames(resized.where(F.col("media_type") == "video"))
+    frame_stats = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled_frames")
+    )
+    return (
+        resized.join(frame_stats, "doc_id", "left")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.sum(F.coalesce("n_sampled_frames", F.lit(0))).alias("total_frames"),
+        )
+    )

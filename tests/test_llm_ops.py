@@ -119,3 +119,56 @@ def test_sim_topk_ivf_subset_of_exact_ranking(spark):
         exact_topk
     )
     assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    from e2e_data_pipeline_spark.operators.llm_multimodal import (
+        decode_media,
+        resize_media,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "image", b"x" * 4096), (2, "video", b"y" * 1000)],
+        "doc_id long, media_type string, payload binary",
+    )
+    decoded = decode_media(df)
+    out = {r.doc_id: r for r in resize_media(decoded, target=256).collect()}
+    src = {r.doc_id: r for r in decoded.collect()}
+    for doc_id, r in out.items():
+        s = src[doc_id]
+        assert max(r.width, r.height) <= 256 or r.scale == 1.0
+        # aspect ratio preserved within integer-rounding tolerance
+        assert abs((r.width / r.height) / (s.width / s.height) - 1) < 0.15
+        assert 0 < r.scale <= 1.0
+
+
+def test_frame_sampling_counts(spark):
+    from e2e_data_pipeline_spark.operators.llm_multimodal import (
+        decode_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "video", b"v" * 123), (2, "video", b"w" * 299)],
+        "doc_id long, media_type string, payload binary",
+    )
+    decoded = decode_media(df)
+    n_frames = {r.doc_id: r.n_frames for r in decoded.collect()}
+    sampled = sample_frames(decoded, every_n=30).collect()
+    per_doc = {}
+    for r in sampled:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in per_doc.items():
+        expected = list(range(0, n_frames[doc_id], 30))
+        assert sorted(idxs) == expected
+
+
+def test_multimodal_pipeline_rows(spark):
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    rows = {r.media_type: r for r in QUERIES["multimodal_pipeline"](spark, SF_SMALL).collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    assert rows["video"].total_frames > 0
+    assert rows["image"].total_frames == 0
+    assert rows["image"].max_width <= 256 and rows["video"].max_height <= 256
