@@ -178,3 +178,62 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 15)
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND(sx / n, 6) AS mean_price,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_price_qty
+    FROM m
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second moments: stddev and correlation, exact.
+
+    Built-in ``stddev``/``corr`` accumulate doubles in partition order,
+    so their low digits differ run-to-run and engine-to-engine. Here
+    the raw moments (Σx, Σx², Σxy, …) are DECIMAL sums — the products
+    of 2-decimal prices and integer-ish quantities are exactly
+    representable, so every sum is exact and order-insensitive — and
+    the closed forms combine them identically in both engines. This is
+    also the scale story: moments are one map-side-combinable pass,
+    and the final arithmetic is per-group constant work.
+    """
+    li = load_table(spark, sf_dir, "lineitem", parallelize_scan=True)
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_price_qty"),
+    )

@@ -89,3 +89,48 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = rich.intersect(orderers).select(F.lit("intersect").alias("grp"), "c_custkey")
     exc = rich.subtract(orderers).select(F.lit("except").alias("grp"), "c_custkey")
     return inter.unionByName(exc)
+
+
+@register(
+    "sort_nulls",
+    oracle="""
+    WITH v AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT 'nulls_first' AS grp, c_custkey, bal FROM (
+        SELECT * FROM v ORDER BY bal ASC NULLS FIRST, c_custkey LIMIT 30
+    )
+    UNION ALL
+    SELECT 'nulls_last' AS grp, c_custkey, bal FROM (
+        SELECT * FROM v ORDER BY bal DESC NULLS LAST, c_custkey LIMIT 30
+    )
+    """,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering through a LIMIT.
+
+    Engines disagree on default null placement (Spark: nulls first for
+    ASC; DuckDB: nulls last) — silent drift that only bites when a
+    limit selects different rows. Both directions are pinned explicitly
+    here; the limit makes the ordering semantics observable to the
+    order-insensitive hash.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    first = (
+        cust.orderBy(F.col("bal").asc_nulls_first(), "c_custkey")
+        .limit(30)
+        .select(F.lit("nulls_first").alias("grp"), "c_custkey", "bal")
+    )
+    last = (
+        cust.orderBy(F.col("bal").desc_nulls_last(), "c_custkey")
+        .limit(30)
+        .select(F.lit("nulls_last").alias("grp"), "c_custkey", "bal")
+    )
+    return first.unionByName(last)

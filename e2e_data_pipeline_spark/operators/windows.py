@@ -131,3 +131,43 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(epoch(ts) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-hour count and
+    sum at every event.
+
+    RANGE frames bound by *value distance* (here epoch seconds), not
+    row count — the correct semantics for irregular event streams,
+    where ROWS BETWEEN N would cover a variable time span. One shuffle
+    on user_id; the frame scan is linear per partition (Spark keeps a
+    sliding aggregate, not a re-scan per row).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ has no direct long cast; via TIMESTAMP in the UTC-pinned
+    # session this is exactly DuckDB's epoch(naive ts).
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch_s).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "sum_last_hour"
+        ),
+    )
