@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ARBITRARY data, not just the fixtures — the cross-engine determinism
+arguments the oracle hash relies on.
+
+Each test generates small inputs, builds a DataFrame, and checks the
+invariant under the operations that vary at scale (partitioning,
+ordering), since those are exactly what a 1000-executor cluster
+randomizes.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# Two-decimal "money" doubles: the fixture domain for prices/values.
+money = st.integers(min_value=-(10**7), max_value=10**7).map(lambda c: c / 100.0)
+
+_SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(values=st.lists(money, min_size=1, max_size=200), parts=st.integers(1, 8))
+@settings(**_SETTINGS)
+def test_decimal_sum_invariant_under_partitioning(spark, values, parts):
+    """dec_sum must equal the exact Decimal sum for ANY partitioning —
+    the property that makes the oracle hash reproducible. A raw double
+    sum does NOT have this property; decimal summation does."""
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
+    got = df.agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")
+    ).collect()[0].s
+    expect = float(sum(Decimal(str(v)).quantize(Decimal("0.01")) for v in values))
+    assert got == expect
+
+
+@given(keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=300, unique=True))
+@settings(**_SETTINGS)
+def test_hash_sample_is_partitioning_invariant(spark, keys):
+    """The systematic key-hash sample must select the same keys no
+    matter how the data is partitioned (df.sample would not)."""
+    pred = (F.col("k") * F.lit(2654435761)) % 100 < 5
+
+    def sample(parts: int) -> set:
+        df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(parts)
+        return {r.k for r in df.where(pred).collect()}
+
+    assert sample(1) == sample(7)
+
+
+@given(
+    n_rows=st.integers(1, 100),
+    hot_share=st.integers(0, 80),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, n_rows, hot_share):
+    """Salting must be result-invariant for any skew profile: the
+    salted fact⋈dim join returns exactly the plain join's rows,
+    including for a pathological hot key."""
+    n_salts = 4
+    # hot_share% of rows share key 0; the rest spread over 10 keys
+    facts = [
+        (i, (0 if i * 100 < hot_share * n_rows else i % 10) + 1)
+        for i in range(n_rows)
+    ]
+    fact = spark.createDataFrame(facts, "row_id long, k long")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 11)], "k long, label string")
+
+    plain = {
+        (r.row_id, r.label)
+        for r in fact.join(dim, "k").select("row_id", "label").collect()
+    }
+    salted_fact = fact.withColumn(
+        "salt", F.pmod(F.xxhash64("row_id"), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted = {
+        (r.row_id, r.label)
+        for r in salted_fact.join(salted_dim, ["k", "salt"])
+        .select("row_id", "label")
+        .collect()
+    }
+    assert salted == plain
+
+
+@given(
+    updates=st.lists(st.integers(0, 30), max_size=15, unique=True),
+    inserts=st.lists(st.integers(100, 130), max_size=15, unique=True),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_invariants(spark, updates, inserts):
+    """Full-outer-join MERGE emulation: output keys are unique, every
+    target key survives, every insert key appears, and actions are
+    consistent with membership."""
+    target = spark.createDataFrame([(k, 1.0) for k in range(31)], "k long, v double")
+    delta = spark.createDataFrame(
+        [(k, 2.0) for k in updates] + [(k, 3.0) for k in inserts], "k long, v double"
+    )
+    t, d = target.alias("t"), delta.alias("d")
+    merged = t.join(d, F.col("t.k") == F.col("d.k"), "full").select(
+        F.coalesce("t.k", "d.k").alias("k"),
+        F.coalesce("d.v", "t.v").alias("v"),
+        F.when(F.col("t.k").isNull(), "insert")
+        .when(F.col("d.k").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    rows = merged.collect()
+    ks = [r.k for r in rows]
+    assert len(ks) == len(set(ks)), "merge output must have unique keys"
+    assert set(ks) == set(range(31)) | set(inserts)
+    for r in rows:
+        if r.k in inserts:
+            assert r.action == "insert" and r.v == 3.0
+        elif r.k in updates:
+            assert r.action == "update" and r.v == 2.0
+        else:
+            assert r.action == "keep" and r.v == 1.0
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_exact_dedup_idempotent_and_minimal(spark, texts):
+    """Exact dedup invariants on arbitrary text: output has no
+    duplicate normalized texts, keeps the minimum doc_id per group,
+    and is idempotent."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("norm").orderBy("doc_id")
+    deduped = (
+        df.withColumn("norm", norm)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out = deduped.collect()
+    norms = [r.norm for r in out]
+    assert len(norms) == len(set(norms))
+    # minimal representative: no earlier doc_id shares the norm
+    firsts = {}
+    for r in df.withColumn("norm", norm).collect():
+        firsts.setdefault(r.norm, r.doc_id)
+    for r in out:
+        assert r.doc_id == firsts[r.norm]
