@@ -184,3 +184,75 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(ts_us) AS BIGINT) AS min_ts_us
+    FROM (
+        SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip: write events as JSONL, re-read with an
+    explicit schema, aggregate. The oracle computes the same answer
+    from the source parquet, so the hash proves the round-trip is
+    lossless.
+
+    Timestamps travel as epoch-microsecond longs — JSON has no
+    timestamp type, and string formatting would make the round-trip
+    depend on parser defaults. The re-read pins an explicit schema:
+    schema inference on JSON is a full extra pass at scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("ts").cast("timestamp").cast("long") * 1_000_000
+         + F.date_format("ts", "SSSSSS").cast("long")).alias("ts_us"),
+    )
+    path = tempfile.mkdtemp(prefix="e2e_jsonl_")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, ts_us long"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+        F.min("ts_us").alias("min_ts_us"),
+    )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other columnar at-rest format Spark ships
+    natively): write lineitem as zlib ORC, re-read, aggregate. Same
+    pushdown/pruning machinery as parquet — ReadSchema and
+    PushedFilters work identically — so a parquet-first pipeline can
+    interoperate with ORC lakes without operator changes."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="e2e_orc_")
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )
