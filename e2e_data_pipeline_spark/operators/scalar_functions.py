@@ -244,3 +244,57 @@ def fn_cast_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_or_default"
         ),
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0 THEN CAST(ROUND(c_acctbal, 2) AS VARCHAR)
+                    WHEN c_custkey % 4 = 1 THEN 'n/a'
+                    WHEN c_custkey % 4 = 2 THEN ''
+                    ELSE NULL END AS raw_val
+        FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(TRY_CAST(raw_val AS DOUBLE)) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN raw_val IS NOT NULL
+                          AND TRY_CAST(raw_val AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(SUM(CAST(COALESCE(TRY_CAST(raw_val AS DOUBLE), 0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed
+    FROM raw
+    """,
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casts over dirty input: TRY_CAST yields NULL instead of
+    failing the job on malformed values.
+
+    At 100 TB a hard CAST means one bad record kills a multi-hour job;
+    try_cast + a malformed-count metric (the reference's data-quality
+    pattern, /root/reference/ingest_data.py:32,36, applied to parsing)
+    is the production idiom: quarantine and count, don't crash.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    raw = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.round("c_acctbal", 2).cast("string"),
+        )
+        .when(F.col("c_custkey") % 4 == 1, "n/a")
+        .when(F.col("c_custkey") % 4 == 2, "")
+        .otherwise(None)
+        .alias("raw_val"),
+    )
+    parsed = F.col("raw_val").try_cast("double")
+    return raw.agg(
+        F.count("*").alias("n_rows"),
+        F.count(parsed).alias("n_parsed"),
+        F.sum(
+            F.when(F.col("raw_val").isNotNull() & parsed.isNull(), 1).otherwise(0)
+        ).alias("n_malformed"),
+        F.sum(F.coalesce(parsed, F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_parsed"),
+    )
