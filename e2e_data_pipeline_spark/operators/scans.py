@@ -121,7 +121,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.write.mode("overwrite").option("compression", "gzip").partitionBy(
         "l_returnflag", "l_linestatus"
     ).parquet(path)
-    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    # Pin the schema on re-read: a fully-filtered (or empty-input)
+    # write leaves no part files, and schema inference over an empty
+    # directory throws — the schema must never depend on data arriving.
+    back = spark.read.schema(li.schema).parquet(path).where(
+        F.col("l_returnflag") == "R"
+    )
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
         dec_sum("l_extendedprice").alias("sum_price"),
