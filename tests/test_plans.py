@@ -101,6 +101,36 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_is_linear_not_quadratic(spark):
+    # The as-of join must be the union+window formulation (one shuffle
+    # on the key), never an inequality join, which plans as a nested
+    # loop and explodes quadratically.
+    plan = plan_of(spark, "join_asof")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_has_no_cartesian(spark):
+    # Grid generation must come from per-key bounds (explode), not a
+    # calendar cross join against the fact table.
+    plan = plan_of(spark, "ts_gapfill")
+    assert "Generate" in plan  # explode of the per-key bounds sequence
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    # GROUPING SETS must expand in one pass — exactly one lineitem
+    # scan node, with the Expand operator doing the set duplication.
+    import re
+
+    plan = plan_of(spark, "agg_grouping_sets")
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scan_nodes) == 1
+    assert "Expand" in plan
+
+
 def test_rebalanced_agg_keeps_pushdown(spark):
     # agg_groupby opts into the layout-aware post-scan rebalance; the
     # shipdate filter and column pruning must still reach the scan
