@@ -275,3 +275,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(arg_max(o_orderkey, ROUND(o_totalprice, 2)) AS BIGINT) AS biggest_order,
+           CAST(arg_min(o_orderkey, ROUND(o_totalprice, 2)) AS BIGINT) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (max_by / min_by, DuckDB arg_max/
+    arg_min): the key of the extreme row without a self-join or window
+    — one partial-aggregable pass, where the rank-then-filter
+    formulation costs a full shuffle+sort.
+
+    Caveat pinned by this query: ties on the ordering value make
+    max_by nondeterministic in both engines; the fixture's rounded
+    2-decimal prices are unique per priority group (asserted by the
+    hash staying green), and production use should order by a
+    tie-broken struct instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.round("o_totalprice", 2)
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", price).alias("biggest_order"),
+        F.min_by("o_orderkey", price).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )

@@ -171,3 +171,42 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_last_hour"
         ),
     )
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+           CAST(last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS last_order,
+           CAST(nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value navigation.
+
+    The trap this query pins: last_value over the DEFAULT frame
+    (unbounded-preceding → current-row) is just "current row" — the
+    correct lifetime-last needs an explicit unbounded-following frame.
+    Both engines share that default, so the oracle also documents the
+    required frame. One shuffle serves all three functions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(base).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
