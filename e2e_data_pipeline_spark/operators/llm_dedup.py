@@ -220,3 +220,126 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "bucket16", F.shiftright(F.col("simhash"), 47)
     )
+
+
+@register(
+    "dedup_cluster",
+    # The pair-generation CTEs below MUST stay textually in sync with
+    # dedup_near's oracle — both derive the same Jaccard >= threshold
+    # edge set.
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+               lead(tok, {SHINGLE_K - 1}) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs0 p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common)
+              >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    labeled AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labeled
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    Jaccard pair graph, labels = min doc_id per component.
+
+    Pairwise dedup under-deletes: if A~B and B~C but A!~C, pair-wise
+    keep-lowest retains both A and C even though all three are one
+    duplicate cluster. Components fix that — one representative per
+    cluster.
+
+    Implementation is iterative label propagation (the Pregel shape):
+    every vertex starts as its own label; each round takes the min of
+    its neighbors' labels; converged when no label changes. This is
+    the sanctioned driver-side loop — each iteration is a fully
+    distributed join+aggregate, the loop count is the component
+    *diameter* (tiny for dup clusters), and ``localCheckpoint``
+    truncates the growing lineage each round, which is what keeps
+    iterative DataFrame algorithms planable at scale. The oracle
+    computes the same fixpoint declaratively with a recursive CTE.
+    """
+    dup_pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = dup_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        dup_pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # bound = max component diameter we tolerate
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["label"], F.coalesce("nmin", labels["label"])).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
