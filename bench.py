@@ -51,11 +51,17 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed passes, keep the per-query minimum: the machine shares
+    # cores with other processes, and min-of-N isolates the engine's
+    # cost from scheduler noise better than a single sample.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
