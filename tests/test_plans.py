@@ -101,6 +101,21 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_sink_reread_prunes_partitions(spark):
+    # The re-read after the partitioned write must prune directories:
+    # the l_returnflag=R filter shows up as a PartitionFilter, and the
+    # partition columns must NOT appear in the data ReadSchema.
+    plan = plan_of(spark, "sink_parquet_partitioned")
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("l_returnflag" in l and "R" in l for l in part_lines)
+    read = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    ][0]
+    assert "l_returnflag" not in read
+
+
 def test_asof_join_is_linear_not_quadratic(spark):
     # The as-of join must be the union+window formulation (one shuffle
     # on the key), never an inequality join, which plans as a nested

@@ -88,3 +88,71 @@ def test_static_join_parity(spark):
         output_mode="complete",
     )
     _assert_same(batch, stream)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Late-data semantics, demonstrated rather than assumed: an event
+    older than the persisted watermark is DROPPED by the windowed
+    streaming aggregation (its window already finalized in append
+    mode), while the same event in a batch run lands in its window.
+    Two availableNow runs share one checkpoint, which also proves
+    watermark state survives restarts."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def windowed(df):
+        return (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("win"), "n")
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: only the file sink supports resuming
+        # from a checkpoint, which is the restart being demonstrated.
+        stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
+            str(src) + "/*"
+        )
+        q = (
+            windowed(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.schema("win string, n long").parquet(out_dir).collect()
+        return {r.win: r.n for r in rows}
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("a", [(t(10, 0), 1), (t(12, 0), 1)])
+    out1 = run()
+    # watermark after run1 = 12:00 - 10min; the 10:00 window finalized
+    assert out1 == {"10:00": 1}
+
+    write_file("b", [(t(10, 5), 2), (t(12, 30), 2)])  # 10:05 is LATE
+    out2 = run()  # cumulative file-sink contents
+    # late 10:05 dropped — the 10:00 window count did NOT change; the
+    # 12:00 window finalizes now that the watermark passed it
+    assert out2.get("10:00") == 1
+    assert out2.get("12:00") == 1
+
+    # batch over the same files counts the late event: 10:00 window = 2
+    batch = windowed(spark.read.parquet(str(src) + "/*"))
+    bmap = {r.win: r.n for r in batch.collect()}
+    assert bmap["10:00"] == 2
