@@ -298,3 +298,57 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_parsed"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey & 255 AS BIGINT) AS low_byte,
+           CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(p_partkey, 21845) AS BIGINT) AS xored,
+           CAST(p_partkey << 2 AS BIGINT) AS shifted_l,
+           CAST(p_partkey >> 3 AS BIGINT) AS shifted_r,
+           CAST(~p_partkey AS BIGINT) AS inverted
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/not — the primitives behind
+    bitmap indexes, flag columns, and hash mixing (e.g. the SimHash
+    and LSH operators in llm_dedup/llm_similarity)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    k = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bitwise_not(k).alias("inverted"),
+    )
+
+
+@register(
+    "fn_hash_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (md5 / sha-256): content-addressed ids
+    and dedup fingerprints that must agree across engines and
+    languages — unlike engine-internal hashes (xxhash64, DuckDB hash())
+    which are implementation details and never portable."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
