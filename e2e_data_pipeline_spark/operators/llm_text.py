@@ -215,3 +215,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+@register(
+    "text_editdist",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+               lead(tok, 2) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.6
+    )
+    SELECT c.doc_a,
+           c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+           ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / GREATEST(length(da.text), length(db.text)), 6) AS edit_sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+)
+def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of near-duplicate candidates:
+    Levenshtein distance + normalized similarity per candidate pair.
+
+    Edit distance is O(len_a * len_b) per pair — never run it all-pairs.
+    The scale recipe shown here: a cheap set-similarity candidate
+    filter (the shingle-Jaccard pair graph, linear via its inverted
+    index) feeds the expensive character-exact check, so the quadratic
+    kernel only ever sees the tiny candidate set. Both engines define
+    levenshtein identically (unit insert/delete/substitute).
+    """
+    from e2e_data_pipeline_spark.operators.llm_dedup import dedup_near
+
+    cand = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
