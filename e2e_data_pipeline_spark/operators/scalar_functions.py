@@ -352,3 +352,47 @@ def fn_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 91 DAY, '%Y-%m-%d') AS due_91d,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+           strftime(o_orderdate - INTERVAL 1 YEAR, '%Y-%m-%d') AS minus_1y,
+           CAST((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS INT)
+               AS months_to_1998,
+           strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_36h
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: day/month/year/hour offsets and month
+    distances. Month addition clamps to month-end identically in both
+    engines (Jan 31 + 1 month = Feb 28/29); the month distance uses the
+    calendar-component formula rather than Spark's fractional
+    ``months_between``, which has no portable SQL twin.
+
+    The day offset is 91 (not 90) deliberately: DuckDB's interval
+    equality treats 1 month as 30 days, so INTERVAL 90 DAY and
+    INTERVAL 3 MONTH compare equal and its constant deduplication
+    folds one onto the other when both appear in a query — 90-day and
+    3-month columns silently come back identical. 91 days dodges the
+    collision; caught by the oracle hash."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    d = F.col("o_orderdate")
+    fmt_d = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        fmt_d(d + F.expr("INTERVAL 91 DAYS")).alias("due_91d"),
+        fmt_d(F.add_months(d, 3)).alias("plus_3mo"),
+        fmt_d(F.add_months(d, -12)).alias("minus_1y"),
+        ((F.lit(1998) - F.year(d)) * 12 + (F.lit(1) - F.month(d)))
+        .cast("int")
+        .alias("months_to_1998"),
+        F.date_format(d + F.expr("INTERVAL 36 HOURS"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_36h"
+        ),
+    )
