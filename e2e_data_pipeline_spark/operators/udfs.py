@@ -142,3 +142,72 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "udaf_cogroup",
+    oracle="""
+    SELECT COALESCE(o.uid, e.uid) AS user_id,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.revenue, 0) AS DOUBLE) AS revenue,
+           COALESCE(e.n_events, 0) AS n_events,
+           CAST(COALESCE(e.sum_value, 0) AS DOUBLE) AS sum_value
+    FROM (SELECT o_custkey AS uid,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders WHERE o_custkey < 150 GROUP BY o_custkey) o
+    FULL JOIN
+         (SELECT user_id AS uid,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events WHERE user_id < 150 GROUP BY user_id) e
+    ON o.uid = e.uid
+    """,
+)
+def udaf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped pandas transform: ``groupBy().cogroup().applyInPandas``
+    aligns BOTH tables' rows for one key into one Python call — the
+    escape hatch for per-entity logic that needs both sides at once
+    (custom matching, per-user reconciliation) without a pre-join.
+
+    One shuffle per side on the key, then Arrow batches per key into
+    pandas. Money sums ride integer cents inside Python so the result
+    is exact and order-insensitive (same trick as the stateful
+    operator); the oracle is the equivalent relational FULL JOIN of
+    two aggregates.
+    """
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 150)
+        .select(F.col("o_custkey").alias("user_id"), "o_totalprice")
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 150)
+        .select("user_id", "value")
+    )
+
+    def reconcile(key, odf: pd.DataFrame, edf: pd.DataFrame):
+        rev_c = int((odf["o_totalprice"] * 100).round().astype("int64").sum())
+        val_c = int((edf["value"] * 100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(odf)],
+                "revenue": [rev_c / 100.0],
+                "n_events": [len(edf)],
+                "sum_value": [val_c / 100.0],
+            }
+        )
+
+    return (
+        orders.groupBy("user_id")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema="user_id long, n_orders long, revenue double, "
+            "n_events long, sum_value double",
+        )
+    )
