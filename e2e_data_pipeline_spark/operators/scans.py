@@ -261,3 +261,31 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("l_quantity").alias("sum_qty"),
     )
+
+
+# The SAME ANSI text runs on Spark SQL and DuckDB: the engine's SQL
+# front-end is dialect-portable for the core relational surface.
+_SQL_INTERFACE_QUERY = """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_interface", oracle=_SQL_INTERFACE_QUERY)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: the engine's tables registered as views and
+    queried with a raw ANSI string — ``spark.sql`` hands the text to
+    the same Catalyst pipeline the DataFrame API feeds, so pushdown/
+    broadcast/AQE all apply identically. The oracle is the IDENTICAL
+    query text, which doubles as a dialect-portability check for the
+    core relational surface."""
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE_QUERY)
