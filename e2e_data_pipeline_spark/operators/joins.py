@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import dec_sum, register
+from e2e_data_pipeline_spark.operators.registry import dec, dec_avg, dec_sum, register
 
 
 @register(
@@ -383,6 +383,199 @@ def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
+    )
+
+
+@register(
+    "join_q13_custdist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) per_customer
+    GROUP BY c_count
+    """,
+)
+def join_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N qualifying orders, including N=0.
+
+    The join-side predicate lives in the OUTER join condition (not a
+    WHERE, which would turn the outer join inner) — customers whose
+    every order is urgent still appear with c_count=0. Two aggregations
+    with different keys: the first shuffles on c_custkey, the second is
+    a near-free re-agg of one row per customer on the tiny c_count
+    domain. At 100 TB the left join is the only real shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "join_q18_big_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def join_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total
+    quantity exceeds a threshold, with their customer.
+
+    The IN-subquery is a left-semi join against a pre-aggregated
+    (HAVING) lineitem — the aggregate shrinks lineitem to one row per
+    order BEFORE the semi join, and the >250 filter keeps ~1% of those,
+    so the probe side of the semi join is tiny and AQE broadcasts it.
+    The final agg reuses the l_orderkey shuffle partitioning.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, cust.c_custkey == F.col("o_custkey"))
+        .join(li, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "join_q19_disjunct",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def join_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): OR-of-ANDs predicate
+    spanning both join sides.
+
+    Catalyst factors the disjunction: the part-only half
+    (brand ∈ {1,2,3}) and the lineitem-only half (quantity ∈ [1,40])
+    are inferred and PUSHED INTO EACH SCAN, so both inputs shrink
+    before the join even though no single conjunct applies globally.
+    The mixed residual evaluates post-join. part stays broadcast-size
+    after its pushed filter at any scale factor.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 40))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .where(pred)
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_q22_dormant",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c, pos
+    WHERE c.c_acctbal > pos.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): well-funded
+    customers dormant since 2000, per market segment.
+
+    The scalar subquery (average positive balance) is a 1-row aggregate
+    cross-joined back in — Spark broadcasts it, so the comparison is a
+    map-side filter, not a shuffle. The NOT EXISTS is a left-anti join
+    on c_custkey against date-filtered orders (the date predicate
+    pushes to the scan: at 100 TB the anti join reads only the recent
+    partitions). The average is DECIMAL-summed on both engines: a raw
+    double avg would drift in the last ulp and flip boundary rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(dec_avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
     )
 
 

@@ -165,6 +165,55 @@ def test_rebalance_noop_for_small_tables(spark):
     assert "Repartition" not in df._jdf.queryExecution().logical().toString()
 
 
+def test_disjunctive_predicate_factored_into_both_scans(spark):
+    # Q19's OR-of-ANDs spans lineitem and part; Catalyst must factor
+    # the single-table halves out of the disjunction and push them into
+    # EACH scan (quantity range → lineitem, brand/size → part), leaving
+    # only the mixed residual on the join.
+    plan = plan_of(spark, "join_q19_disjunct")
+    li_scans = [l for l in plan.splitlines()
+                if "PushedFilters" in l and "l_quantity" in l]
+    part_scans = [l for l in plan.splitlines()
+                  if "PushedFilters" in l and "p_brand" in l]
+    assert li_scans, "quantity disjunction not pushed to lineitem scan"
+    assert part_scans, "brand disjunction not pushed to part scan"
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_probes_aggregated_side(spark):
+    # The HAVING-subquery must plan as a LeftSemi join whose build side
+    # is the pre-aggregated lineitem (shrunk before the join), not a
+    # row-level semi join against raw lineitem.
+    plan = plan_of(spark, "join_q18_big_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_condition_pushes_to_inner_side(spark):
+    # The priority predicate lives in the OUTER join's ON clause; it
+    # must still push into the orders (inner-side) scan — filtering the
+    # preserved side would be wrong, filtering the null-producing side
+    # is free.
+    plan = plan_of(spark, "join_q13_custdist")
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "o_orderpriority" in l]
+    assert pushed, "join-condition predicate not pushed to orders scan"
+    read = [l for l in plan.splitlines()
+            if "ReadSchema" in l and "c_custkey" in l][0]
+    assert "c_name" not in read and "c_acctbal" not in read
+
+
+def test_q22_anti_join_reads_filtered_orders(spark):
+    # Dormancy anti join: the date cutoff must reach the orders scan
+    # (at real scale that is the partition-pruning path), and the
+    # scalar-average comparison must not force a join on the fact side.
+    plan = plan_of(spark, "join_q22_dormant")
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "o_orderdate" in l]
+    assert any("2000-01-01" in l for l in pushed)
+    assert "LeftAnti" in plan
+
+
 @pytest.mark.parametrize(
     "name", ["agg_groupby", "join_shuffle", "filter_ne", "win_rank"]
 )
