@@ -384,3 +384,58 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+        WHERE user_id < 50
+    ), kept AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr_value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) AS BIGINT) AS valid_to_us,
+           (LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM kept
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history builder: collapse a
+    change stream into validity intervals, the standard warehouse
+    pattern for tracking attribute history.
+
+    Pass 1 drops rows whose tracked attribute equals the previous row's
+    (lag); pass 2 closes each surviving interval with the next change's
+    timestamp (lead), leaving the open row as current. Both windows
+    shuffle on user_id only — the second pass reuses the first's
+    partitioning, so the whole build is ONE shuffle plus two sorted
+    window scans regardless of scale. No self-join against the history
+    table, which is how hand-written SCD2 SQL usually goes quadratic."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    closed = kept.withColumn("valid_to", F.lead("ts").over(w))
+    return closed.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )

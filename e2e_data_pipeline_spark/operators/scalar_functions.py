@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import register
+from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 
 
 @register(
@@ -395,4 +395,68 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d + F.expr("INTERVAL 36 HOURS"), "yyyy-MM-dd HH:mm:ss").alias(
             "plus_36h"
         ),
+    )
+
+
+@register(
+    "fn_struct_map",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS qty_finished,
+           CAST(COUNT(DISTINCT l_linestatus) AS INT) AS n_statuses,
+           COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+           + COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+               AS qty_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: STRUCT and MAP construction, field access,
+    and key lookup, with a flat (hash-comparable) final projection.
+
+    Pivots per-status quantity sums into a ``map<string,double>`` via
+    ``map_from_entries(collect_list(struct(...)))``, looks keys up with
+    ``element_at`` (NULL for absent keys, like SQL conditional
+    aggregation), counts keys with ``size``, and re-packs the two
+    lookups into a struct whose fields are added back out. The map
+    stays bounded by the l_linestatus domain (2 values), so the
+    collect_list is per-group tiny at any scale. The oracle expresses
+    the same pivot as CASE-WHEN conditional aggregation — the two
+    formulations are semantically identical, which is the point: the
+    nested-type pipeline must not drift from plain SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_status = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("qty")
+    )
+    mapped = per_status.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linestatus", "qty"))
+        ).alias("m")
+    )
+    looked_up = mapped.select(
+        "l_returnflag",
+        F.element_at("m", F.lit("O")).alias("qty_open"),
+        F.element_at("m", F.lit("F")).alias("qty_finished"),
+        F.size(F.map_keys("m")).alias("n_statuses"),
+    ).withColumn(
+        "pair",
+        F.struct(F.col("qty_open").alias("o"), F.col("qty_finished").alias("f")),
+    )
+    return looked_up.select(
+        "l_returnflag",
+        "qty_open",
+        "qty_finished",
+        "n_statuses",
+        (
+            F.coalesce(F.col("pair.o"), F.lit(0.0))
+            + F.coalesce(F.col("pair.f"), F.lit(0.0))
+        ).alias("qty_total"),
     )

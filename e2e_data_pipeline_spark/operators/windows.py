@@ -210,3 +210,64 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
     )
+
+
+@register(
+    "win_distinct_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%d') AS shipdate,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_parts_so_far
+    FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey, l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM lineitem
+        WHERE l_suppkey < 10
+    ) flagged
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an aggregate Spark (and
+    most engines) cannot express directly as ``count(distinct) OVER``.
+
+    Two-pass window formulation: (1) flag the first occurrence of each
+    (supplier, part) pair with a row_number over the pair, (2) running
+    sum of the flags per supplier. Two shuffles — (supplier, part) then
+    (supplier) — which is the minimum for this formulation, and each is
+    linear in the input. No per-row set materialization, which is what
+    a naive collect_set-over-window would do (O(n·k) memory per
+    partition)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 10)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    first_seen = F.when(
+        F.row_number()
+        .over(Window.partitionBy("l_suppkey", "l_partkey").orderBy(*order))
+        == 1,
+        1,
+    ).otherwise(0)
+    running = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.withColumn("first_seen", first_seen)
+        .withColumn(
+            "distinct_parts_so_far",
+            F.sum("first_seen").over(running).cast("long"),
+        )
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
+            "distinct_parts_so_far",
+        )
+    )
