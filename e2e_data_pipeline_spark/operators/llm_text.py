@@ -11,7 +11,7 @@ Python. Tokenization is whitespace + a regex token family
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
@@ -289,4 +289,75 @@ def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("edit_sim"),
         )
+    )
+
+
+@register(
+    "corpus_pipeline",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND n_chars BETWEEN 60 AND 10000
+          AND len(string_split(text, ' ')) >= 15
+    ), canon AS (
+        SELECT *,
+               list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                              'string_agg', ' ') AS bow_key
+        FROM kept
+    ), dedup AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY bow_key ORDER BY doc_id
+            ) AS rn
+            FROM canon
+        ) ranked WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM dedup
+    GROUP BY lang
+    """,
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE declarative plan:
+    language filter → quality gate → canonical dedup → corpus stats.
+    The composition query — each stage exists standalone
+    (text_langid / text_quality / dedup_exact / text_stats), this
+    proves they pipeline without materialization barriers.
+
+    Dedup canonicalizes to the sorted distinct-token bag, so documents
+    that differ only by token order or repetition collapse (the
+    fixture's near-dups by construction). The Spark side shuffles a
+    16-byte md5 of the bag, never the document body; the lang/quality
+    filters run before the shuffle, so at 100 TB the expensive exchange
+    sees only surviving documents. Stages fuse into: scan+filter →
+    one hash shuffle (dedup window) → one aggregation — three stages
+    total regardless of scale factor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = docs.where(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(60, 10000)
+        & (F.size(toks) >= 15)
+    )
+    bow_key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+    )
+    w = Window.partitionBy("bow_fp").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("bow_fp", bow_key)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return dedup.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
     )

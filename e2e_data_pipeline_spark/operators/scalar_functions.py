@@ -460,3 +460,49 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("pair.f"), F.lit(0.0))
         ).alias("qty_total"),
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_big,
+           len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS all_flat,
+           CAST(list_max(embedding) AS DOUBLE) AS max_comp,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * 0.5)), 6) AS half_sum
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: lambda filter/exists/forall,
+    transform + fold, and element extrema — all JVM-side (whole-stage
+    codegen), zero Python in the loop.
+
+    The fold runs on doubles in array order in both engines and the
+    O(1)-magnitude result is rounded to 6 digits to absorb fold-order
+    ulp drift (casting components to DECIMAL instead trips the
+    double→decimal rounding divergence: Spark rounds the shortest
+    decimal repr, DuckDB the binary value — see module header). At
+    scale this is the pattern for any per-row vector reduction (norms,
+    quantization stats): no UDF, no Arrow transfer, no shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    half_sum = F.round(
+        F.aggregate(
+            F.transform(e, lambda x: x.cast("double") * 0.5),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 2.0).alias("has_big"),
+        F.forall(e, lambda x: F.abs(x) < 10.0).alias("all_flat"),
+        F.array_max(e).cast("double").alias("max_comp"),
+        half_sum.alias("half_sum"),
+    )

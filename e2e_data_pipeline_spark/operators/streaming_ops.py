@@ -143,3 +143,29 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_streaming.py); the oracle replays the same
     cents arithmetic in SQL."""
     return stateful.running_user_stats_batch(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_to_convert
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view'
+      AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream conversion attribution (purchase within 1h of a
+    view by the same user). Batch twin of
+    :func:`e2e_data_pipeline_spark.streaming.core.stream_stream_conversions`;
+    the streaming run with two watermarked sides is asserted equal in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return core.stream_stream_conversions(ev, ev)

@@ -5,6 +5,7 @@ from e2e_data_pipeline_spark.streaming.core import (
     sessionize,
     sliding_counts,
     static_join_enrich,
+    stream_stream_conversions,
     tumbling_counts,
     watermark_dedup,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "sessionize",
     "sliding_counts",
     "static_join_enrich",
+    "stream_stream_conversions",
     "tumbling_counts",
     "watermark_dedup",
 ]

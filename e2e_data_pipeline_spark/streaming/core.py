@@ -167,6 +167,53 @@ def static_join_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_conversions(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream⋈stream join: attribute each purchase to the views by the
+    same user in the preceding hour (conversion attribution).
+
+    Both inputs are the events stream filtered by type. In streaming
+    mode BOTH sides carry watermarks and the join condition bounds
+    event-time distance — that pair is what lets Spark expire join
+    state: a buffered view can be dropped once the purchase-side
+    watermark passes view_ts + 1h, so state is bounded by the
+    (watermark + window) horizon instead of growing with the stream.
+    Inner join with a time bound runs in append mode, which is also
+    why the batch twin is hash-identical: every emitted pair is final.
+    """
+    if watermark:
+        views = views.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    v = views.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user"])
+        & (p["purchase_ts"] > v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("us_to_convert"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming harness
 # ---------------------------------------------------------------------------

@@ -230,3 +230,14 @@ def test_whole_stage_codegen_active(spark, name):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in plan
     assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    # Both window passes partition on user_id; the plan must contain
+    # exactly ONE hash exchange — the lead window reuses the lag
+    # window's partitioning (and its sort, filter permitting).
+    import re
+
+    plan = plan_of(spark, "scd2_history")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, f"expected 1 exchange, plan has {len(exchanges)}"

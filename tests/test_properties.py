@@ -155,3 +155,51 @@ def test_exact_dedup_idempotent_and_minimal(spark, texts):
         firsts.setdefault(r.norm, r.doc_id)
     for r in out:
         assert r.doc_id == firsts[r.norm]
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """SCD2 semantic invariants on real data: per user, exactly one
+    open (is_current) interval; closed intervals chain contiguously
+    (each valid_to equals the next valid_from); values actually change
+    at every boundary."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["scd2_history"](spark, SF_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.valid_from_us)
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to_us is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.attr_value != b.attr_value
+
+
+def test_running_distinct_final_equals_exact_count(spark):
+    """The last running value per supplier must equal the exact
+    COUNT(DISTINCT part) for that supplier."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    running = QUERIES["win_distinct_running"](spark, SF_SMALL)
+    finals = {
+        r.l_suppkey: r.distinct_parts_so_far
+        for r in running.orderBy("l_suppkey", "shipdate", "l_orderkey",
+                                 "l_linenumber").collect()
+    }  # dict keeps the LAST row per supplier
+    exact = {
+        r.l_suppkey: r.n
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_suppkey") < 10)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert finals == exact

@@ -156,3 +156,22 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     batch = windowed(spark.read.parquet(str(src) + "/*"))
     bmap = {r.win: r.n for r in batch.collect()}
     assert bmap["10:00"] == 2
+
+
+def test_stream_stream_join_parity(spark):
+    """Inner stream⋈stream join with time bounds and watermarks on both
+    sides must emit exactly the batch join's pairs (append mode — every
+    pair is final once emitted)."""
+    from e2e_data_pipeline_spark.streaming import stream_stream_conversions
+
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = stream_stream_conversions(ev, ev)
+    s1 = load_events_stream(spark, SF_SMALL)
+    s2 = load_events_stream(spark, SF_SMALL)
+    stream = run_stream_to_memory(
+        spark,
+        stream_stream_conversions(s1, s2, watermark="1 hour"),
+        "t_ss_join",
+        output_mode="append",
+    )
+    _assert_same(batch, stream)
