@@ -506,3 +506,33 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(e).cast("double").alias("max_comp"),
         half_sum.alias("half_sum"),
     )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS ordinal,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY): one row per token
+    WITH its 1-based position — the ordinality is what plain explode
+    loses and what sequence models need (position-aware n-grams,
+    truncation at max context length). The oracle zips two parallel
+    ``unnest`` calls (DuckDB's zip semantics for multiple unnests in
+    one SELECT), which is the portable ordinality emulation. Generate
+    is narrow — no shuffle; row expansion happens inside the scan's
+    stage at any scale."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("ordinal"),
+        "tok",
+    )

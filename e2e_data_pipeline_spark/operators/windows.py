@@ -271,3 +271,53 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_parts_so_far",
         )
     )
+
+
+@register(
+    "win_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(
+             (l_extendedprice
+              - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w))
+             / sqrt(
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w
+                 - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w)
+                 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w)),
+             6) AS price_z
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-scaling pattern
+    for ML pipelines, as an unbounded window so each row keeps its
+    identity (no join back to a stats table).
+
+    The moments (Σx, Σx², n) accumulate in DECIMAL over the window —
+    exact, order-insensitive — and the z closed form is evaluated on
+    doubles with the IDENTICAL expression tree in the oracle, so both
+    engines round the same value (same construction as agg_stats,
+    windowed). One shuffle on the group key; the unbounded frame means
+    Spark computes each partition's aggregate once, not per-row."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    w = Window.partitionBy("l_returnflag")
+    price = F.col("l_extendedprice")
+    pdec = price.cast("decimal(18,2)")
+    n = F.count("*").over(w)
+    s = F.sum(pdec).over(w).cast("double")
+    ss = F.sum(pdec * pdec).over(w).cast("double")
+    mean = s / n
+    z = F.round((price - mean) / F.sqrt(ss / n - mean * mean), 6)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        z.alias("price_z"),
+    )
