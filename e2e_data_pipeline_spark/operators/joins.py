@@ -523,7 +523,7 @@ def join_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pred)
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+            dec_sum(revenue, 4).alias("revenue"),
         )
     )
 

@@ -339,25 +339,32 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash shuffle (dedup window) → one aggregation — three stages
     total regardless of scale factor.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    # Tokenize ONCE: the array feeds the quality gate, the dedup key,
+    # and the post-shuffle token count — stages across the exchange
+    # can't share the subexpression unless it's a real column.
     kept = docs.where(
         F.col("lang").isin("en", "de", "fr")
         & F.col("n_chars").between(60, 10000)
-        & (F.size(toks) >= 15)
+        & (F.size("toks") >= 15)
     )
     bow_key = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(toks)), " ").cast("binary")
+        F.array_join(F.array_sort(F.array_distinct(F.col("toks"))), " ").cast(
+            "binary"
+        )
     )
     w = Window.partitionBy("bow_fp").orderBy("doc_id")
     dedup = (
-        kept.withColumn("bow_fp", bow_key)
+        kept.select("doc_id", "lang", "source", "n_chars",
+                    F.size("toks").alias("n_toks"), bow_key.alias("bow_fp"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
     )
     return dedup.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )

@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.catalog import load_table, register_views
 from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 from e2e_data_pipeline_spark.schemas import TABLES
 
@@ -285,7 +285,5 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast/AQE all apply identically. The oracle is the IDENTICAL
     query text, which doubles as a dialect-portability check for the
     core relational surface."""
-    from e2e_data_pipeline_spark.catalog import register_views
-
     register_views(spark, sf_dir)
     return spark.sql(_SQL_INTERFACE_QUERY)

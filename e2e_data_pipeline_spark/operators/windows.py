@@ -281,14 +281,14 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
              (l_extendedprice
               - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
                  / COUNT(*) OVER w))
-             / sqrt(
+             / sqrt(greatest(
                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                           * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
                  / COUNT(*) OVER w
                  - (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
                     / COUNT(*) OVER w)
                  * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-                    / COUNT(*) OVER w)),
+                    / COUNT(*) OVER w), 0.0)),
              6) AS price_z
     FROM lineitem
     WHERE l_orderkey % 20 = 0
@@ -304,8 +304,11 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, order-insensitive — and the z closed form is evaluated on
     doubles with the IDENTICAL expression tree in the oracle, so both
     engines round the same value (same construction as agg_stats,
-    windowed). One shuffle on the group key; the unbounded frame means
-    Spark computes each partition's aggregate once, not per-row."""
+    windowed). The variance clamps at 0 (``greatest``) so a constant
+    partition yields NULL in both engines (sqrt(0) → x/0 → NULL;
+    DuckDB would otherwise *raise* on a -1ulp negative variance). One
+    shuffle on the group key; the unbounded frame means Spark computes
+    each partition's aggregate once, not per-row."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
     w = Window.partitionBy("l_returnflag")
     price = F.col("l_extendedprice")
@@ -314,7 +317,9 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.sum(pdec).over(w).cast("double")
     ss = F.sum(pdec * pdec).over(w).cast("double")
     mean = s / n
-    z = F.round((price - mean) / F.sqrt(ss / n - mean * mean), 6)
+    z = F.round(
+        (price - mean) / F.sqrt(F.greatest(ss / n - mean * mean, F.lit(0.0))), 6
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
