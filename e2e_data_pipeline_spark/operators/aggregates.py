@@ -332,3 +332,30 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
     )
+
+
+@register("agg_sketch_merge")  # sketch-based → rows-only check (no oracle SQL)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable cardinality sketches (Apache DataSketches HLL):
+    build one sketch per (day, event_type) cell, then MERGE the binary
+    sketches across days per event_type and estimate.
+
+    This two-level shape is the 100 TB pattern the plain
+    ``approx_count_distinct`` can't express: the per-cell sketches are
+    a materializable intermediate (e.g., a daily rollup table), and any
+    coarser cardinality — weekly, monthly, all-time — comes from
+    merging those few-KB binaries WITHOUT rescanning raw events.
+    Accuracy floor vs exact distinct is asserted in
+    tests/test_llm_ops.py; the driver records a rows-only check
+    (estimates are not SQL-portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_daily_sketches"),
+        )
+    )

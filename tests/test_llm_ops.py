@@ -172,3 +172,29 @@ def test_multimodal_pipeline_rows(spark):
     assert rows["video"].total_frames > 0
     assert rows["image"].total_frames == 0
     assert rows["image"].max_width <= 256 and rows["video"].max_height <= 256
+
+
+def test_sketch_merge_accuracy_floor(spark):
+    """Merged daily HLL sketches must estimate per-type distinct users
+    within 5% of exact (lgK=14 gives ~0.4% RSE; 5% is a loose floor
+    that still catches a broken merge)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["agg_sketch_merge"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, est in approx.items():
+        assert abs(est - exact[etype]) <= max(1, 0.05 * exact[etype])

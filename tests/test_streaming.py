@@ -175,3 +175,38 @@ def test_stream_stream_join_parity(spark):
         output_mode="append",
     )
     _assert_same(batch, stream)
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """The canonical exactly-once sink pattern: foreachBatch writes
+    each micro-batch to a path KEYED BY batchId with overwrite mode, so
+    a replayed batch (failure between sink write and checkpoint commit)
+    overwrites its own previous attempt instead of duplicating rows.
+    Here we simulate the replay by writing every batch twice."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        target = f"{out}/batch_id={batch_id}"
+        # First attempt, then a simulated post-failure replay of the
+        # same (batch_id, data): overwrite makes the second write a
+        # no-op for correctness.
+        batch_df.write.mode("overwrite").parquet(target)
+        batch_df.write.mode("overwrite").parquet(target)
+
+    stream = load_events_stream(spark, SF_SMALL).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    batch = load_table(spark, SF_SMALL, "events")
+    assert written.count() == batch.count()
+    assert written.select(F.countDistinct("event_id")).first()[0] == batch.count()
