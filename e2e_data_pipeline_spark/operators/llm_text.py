@@ -368,3 +368,75 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH contacts AS (
+        SELECT c_custkey,
+               c_name || ' reach me at '
+                 || lower(replace(c_name, '#', '')) || '@example.com'
+                 || ' or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                 || '.' || CAST((c_custkey * 7) % 256 AS VARCHAR) AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(contact,
+                 '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+               '\\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+             '10\\.0\\.[0-9]+\\.[0-9]+', '[IP]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(contact, '\\+1-555-[0-9]{4}')) AS INT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(contact, '10\\.0\\.[0-9]+\\.[0-9]+')) AS INT)
+               AS n_ips
+    FROM contacts
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard scrub pass before text enters a
+    training corpus: regex-mask emails, phone numbers, and IPs, and
+    count what was masked (the count feeds DQ dashboards / rejection
+    thresholds).
+
+    The contact strings are built deterministically FROM fixture
+    columns so the masking machinery itself is oracle-checkable
+    end-to-end (fixture documents contain no PII by construction).
+    Pure narrow projection — regex evaluation inside whole-stage
+    codegen, no shuffle, linear at any scale. Patterns are shared
+    Java-regex/RE2 syntax (char classes, bounded quantifiers — no
+    lookaround, which RE2 lacks)."""
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" reach me at "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("c_custkey") * 7) % 256).cast("string"),
+    )
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"\+1-555-[0-9]{4}"
+    ip = r"10\.0\.[0-9]+\.[0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(contact, email, "[EMAIL]"), phone, "[PHONE]"
+        ),
+        ip,
+        "[IP]",
+    )
+    return cust.select(
+        "c_custkey",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(contact, F.lit(email)).alias("n_emails"),
+        F.regexp_count(contact, F.lit(phone)).alias("n_phones"),
+        F.regexp_count(contact, F.lit(ip)).alias("n_ips"),
+    )
