@@ -14,6 +14,7 @@ from e2e_data_pipeline_spark.operators import (  # noqa: E402,F401
     scans,
     filters,
     joins,
+    tpch_extra,
     aggregates,
     windows,
     setops_sort,

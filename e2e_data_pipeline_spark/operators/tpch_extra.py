@@ -1,0 +1,548 @@
+"""Remaining TPC-H query shapes (Q4, Q7, Q8, Q9, Q11, Q12, Q14, Q15,
+Q16, Q21), adapted to the fixture schema.
+
+The reference has no joins or aggregations at all (absence verified
+across /root/reference/ingest_data.py:1-174); these extend the Tier B
+engine surface with the classic decision-support shapes not already
+covered by ``joins.py`` (Q3/Q5/Q10/Q13/Q18/Q19/Q22),
+``aggregates.py`` (Q1), and ``relational_ext.py`` (Q17).
+
+Fixture adaptations (the synthetic schema lacks ``partsupp``,
+``l_commitdate``/``l_receiptdate``/``l_shipmode``, and TPC-H nation
+names — see FIXTURES.md):
+
+- Q4's "late commit" predicate becomes ``l_shipdate > o_orderdate +
+  60 days`` (same EXISTS-with-correlated-inequality shape).
+- Q9's supply cost becomes ``p_retailprice * l_quantity`` (same
+  profit-expression shape over the same 6-table join).
+- Q11/Q16's partsupp aggregations run over ``lineitem`` as the
+  part⋈supplier bridge (same value-threshold / distinct-supplier
+  shapes).
+- Q12's ship modes become ``l_returnflag`` classes; Q21's "multi-
+  supplier wait" uses returnflag 'R' as the failure marker.
+- Nation literals use the fixtures' NATION_k names.
+
+Scale notes per query are on each docstring; the common themes:
+bounded dims broadcast, date/segment filters push into scans before
+any join, per-order/per-supplier pre-aggregation shrinks fact tables
+before semi/anti joins, and scalar thresholds travel as broadcast
+1-row frames (map-side filter, never a shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.registry import dec, dec_sum, register
+
+def _revenue():
+    # Built lazily: constructing a Column requires an active SparkContext,
+    # which doesn't exist at import time.
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+@register(
+    "join_q4_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders in one quarter
+    with at least one line shipped 60+ days after ordering, counted per
+    priority.
+
+    The EXISTS is a LEFT SEMI join with a correlated inequality
+    residual: equi-condition on the order key drives the shuffle, the
+    date comparison evaluates as a residual inside the join — never a
+    cartesian expansion. The quarter filter prunes orders before the
+    join, so at 100 TB the semi join probes one quarter, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "join_q7_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, ship_year
+    """,
+)
+def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations, by direction and ship year.
+
+    nation joins broadcast twice under different aliases (25 rows
+    each); the nation-pair disjunction evaluates after both broadcasts
+    — Catalyst pushes the per-side halves (n_name ∈ {3,7}) into each
+    broadcast join's build side, so the big fact rows that survive are
+    only those touching the two nations. supplier⋈lineitem⋈orders⋈
+    customer shuffle on their natural keys; the 2-year shipdate filter
+    pushes to the lineitem scan.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        supp.join(li, li.l_suppkey == supp.s_suppkey)
+        .join(orders, orders.o_orderkey == F.col("l_orderkey"))
+        .join(cust, cust.c_custkey == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(dec_sum(_revenue(), 4).alias("revenue"))
+    )
+
+
+@register(
+    "join_q8_mktshare",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY order_year
+    """,
+)
+def join_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    ECONOMY-part revenue sold into ASIA, per year.
+
+    The widest star in the suite — 8 tables. All four dims (part after
+    its type filter, supplier, nation×2, region) broadcast; the three
+    fact tables shuffle on their keys. The share is a ratio of two
+    decimal-exact sums computed in ONE aggregation pass over the joined
+    rows (conditional numerator), not two scans. The final division is
+    a deterministic O(groups) double op, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    national = F.when(F.col("supp_nation") == "NATION_5", _revenue()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n2_rkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (dec_sum(national, 4) / dec_sum(_revenue(), 4)).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "join_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity
+                    AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, order_year
+    """,
+)
+def join_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on 'red' parts per
+    supplier nation per year, with ``p_retailprice * l_quantity`` as
+    the cost term (the fixtures have no partsupp/supplycost).
+
+    The LIKE filter shrinks part before its broadcast; the profit
+    expression is computed per-row and DECIMAL-cast BEFORE the sum so
+    parallel reduction order can't drift the double result. No filter
+    on orders: the orders join exists only to supply the year, so it
+    stays a pure key shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
+        )
+        .agg(dec_sum(profit, 4).alias("profit"))
+    )
+
+
+@register(
+    "join_q11_important",
+    oracle="""
+    WITH natl AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value FROM natl
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(value) * 1.5 FROM natl)
+    """,
+)
+def join_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose shipped value
+    through ASIA-region suppliers exceeds a fraction of that region's
+    total (lineitem stands in for partsupp; see module docstring; the
+    filter is a region, not Q11's single nation, so the supplier set is
+    non-empty at every fixture scale factor).
+
+    The per-part aggregate is computed once and reused for both the
+    output AND the global threshold — in Spark the reuse is explicit
+    (one DataFrame object, two consumers), and the 1-row threshold
+    crosses back as a broadcast, making the HAVING a map-side filter.
+    Never a self-join of the aggregate against itself. The cutoff is
+    relative (1.5× the mean per-part value), not Q11's fixed fraction:
+    a fixed fraction of the total goes to zero rows as the part count
+    scales, while a mean multiple selects the heavy tail at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    natl = (
+        li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("l_partkey")
+        .agg(dec_sum("l_extendedprice").alias("value"))
+    )
+    threshold = natl.agg(
+        (dec_sum("value") / F.count("value") * F.lit(1.5)).alias("cutoff")
+    )
+    return (
+        natl.crossJoin(F.broadcast(threshold))
+        .where(F.col("value") > F.col("cutoff"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "join_q12_priority_class",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority): lines shipped in one
+    year classified by order priority, per return-flag class (the
+    fixtures have no l_shipmode; l_returnflag plays its role).
+
+    One shuffle join on the order key, then conditional aggregation —
+    the two CASE sums share a single pass; no per-priority scans. The
+    year filter pushes to the lineitem scan and prunes before the join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "join_q14_promo",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def join_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO parts' share of one
+    month's revenue, as a percentage.
+
+    part joins un-filtered (the CASE needs every part's type), so no
+    explicit broadcast hint — AQE decides from the runtime size, and at
+    100 TB an unfiltered part may exceed the broadcast threshold where
+    a forced hint would OOM the driver. The month filter prunes
+    lineitem at the scan. Numerator and denominator come from one
+    aggregation pass; both are decimal-exact before the final O(1)
+    double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .agg(
+            (F.lit(100.0) * dec_sum(promo, 4) / dec_sum(_revenue(), 4)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "join_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    revenue in one quarter.
+
+    The per-supplier aggregate is computed once; the scalar max comes
+    back as a broadcast 1-row frame and the equality filter runs
+    map-side (no global sort, no window over an unpartitioned frame —
+    both would serialize on one task at scale). Revenue values are
+    decimal-exact doubles, so the equality comparison is bit-safe in
+    both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(_revenue(), 4).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "join_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def join_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    suppliers shipping selected part classes, excluding flagged
+    suppliers (negative balance stands in for Q16's complaint filter;
+    lineitem stands in for partsupp).
+
+    The brand/size filters shrink part before broadcast; the exclusion
+    list (supplier keys with negative balance) is a LEFT ANTI broadcast
+    join — at any scale the flagged-supplier set is bounded by the
+    supplier dim. COUNT(DISTINCT) expands to a two-phase distinct-then-
+    count under AQE with partial aggregation; no extra handling needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "join_q21_sole_blame",
+    oracle="""
+    WITH order_stats AS (
+        SELECT l_orderkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                          THEN l_suppkey END) AS BIGINT) AS n_supp_ret
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l
+    JOIN order_stats os ON os.l_orderkey = l.l_orderkey
+    JOIN orders o       ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s     ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND os.n_supp > 1
+      AND os.n_supp_ret = 1
+    GROUP BY s.s_name
+    """,
+)
+def join_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers
+    solely responsible for returns on finalized multi-supplier orders
+    (returnflag 'R' stands in for the receipt-past-commit predicate).
+
+    Q21's textbook form is EXISTS + NOT EXISTS self-joins on lineitem —
+    three passes over the biggest table. Here both correlated
+    subqueries collapse into ONE per-order aggregation (distinct
+    suppliers, distinct returning suppliers) that joins back on the
+    order key, so lineitem is scanned twice and shuffled on one key;
+    the per-order stats frame is orders-sized, not lineitem-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_ret"),
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        returned.join(
+            stats.where((F.col("n_supp") > 1) & (F.col("n_supp_ret") == 1)),
+            "l_orderkey",
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )

@@ -203,6 +203,47 @@ def test_q13_outer_join_condition_pushes_to_inner_side(spark):
     assert "c_name" not in read and "c_acctbal" not in read
 
 
+def test_q4_semi_join_with_inequality_residual(spark):
+    # The EXISTS must plan as LeftSemi driven by the order-key equi
+    # condition (never a cartesian product for the date inequality),
+    # with the quarter filter pushed into the orders scan.
+    plan = plan_of(spark, "join_q4_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "o_orderdate" in l]
+    assert any("1996-01-01" in l for l in pushed)
+
+
+def test_q7_aliased_nation_broadcasts_twice(spark):
+    # nation joins the pipeline twice under different aliases; both
+    # must broadcast, and the 2-year shipdate range must reach the
+    # lineitem scan.
+    plan = plan_of(spark, "join_q7_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, "shipdate range not pushed to lineitem scan"
+
+
+def test_q15_scalar_max_broadcasts_no_global_sort(spark):
+    # The MAX(total_revenue) threshold must come back as a broadcast
+    # 1-row frame — not a window over an unpartitioned frame (single
+    # task) and not a global sort.
+    plan = plan_of(spark, "join_q15_top_supplier")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q21_per_order_stats_replace_self_joins(spark):
+    # The EXISTS + NOT EXISTS pair must collapse into one per-order
+    # aggregation joined back on the key: expect hash aggregates over
+    # l_orderkey and no cartesian/broadcast-nested-loop blowup.
+    plan = plan_of(spark, "join_q21_sole_blame")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # orders-status filter applied as semi join
+
+
 def test_q22_anti_join_reads_filtered_orders(spark):
     # Dormancy anti join: the date cutoff must reach the orders scan
     # (at real scale that is the partition-pruning path), and the
