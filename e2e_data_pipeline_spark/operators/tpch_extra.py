@@ -1,5 +1,5 @@
-"""Remaining TPC-H query shapes (Q4, Q7, Q8, Q9, Q11, Q12, Q14, Q15,
-Q16, Q21), adapted to the fixture schema.
+"""Remaining TPC-H query shapes (Q2, Q4, Q6, Q7, Q8, Q9, Q11, Q12,
+Q14, Q15, Q16, Q20, Q21), adapted to the fixture schema.
 
 The reference has no joins or aggregations at all (absence verified
 across /root/reference/ingest_data.py:1-174); these extend the Tier B
@@ -15,9 +15,11 @@ names — see FIXTURES.md):
   60 days`` (same EXISTS-with-correlated-inequality shape).
 - Q9's supply cost becomes ``p_retailprice * l_quantity`` (same
   profit-expression shape over the same 6-table join).
-- Q11/Q16's partsupp aggregations run over ``lineitem`` as the
-  part⋈supplier bridge (same value-threshold / distinct-supplier
-  shapes).
+- Q2/Q11/Q16/Q20's partsupp aggregations run over ``lineitem`` as the
+  part⋈supplier bridge (same value-threshold / distinct-supplier /
+  min-cost / excess-stock shapes); Q2's supply cost is the minimum
+  observed ``l_extendedprice`` per (part, supplier) and Q20's
+  "availqty" is the supplier's shipped-quantity share of the part.
 - Q12's ship modes become ``l_returnflag`` classes; Q21's "multi-
   supplier wait" uses returnflag 'R' as the failure marker.
 - Nation literals use the fixtures' NATION_k names.
@@ -545,4 +547,211 @@ def join_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
+
+
+@register(
+    "join_q2_mincost",
+    oracle="""
+    WITH costs AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice) AS supply_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_type, c.supply_cost
+    FROM costs c
+    JOIN part p     ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10
+      AND c.supply_cost = (SELECT MIN(c2.supply_cost) FROM costs c2
+                           WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def join_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for small parts, the
+    EUROPE-region supplier(s) offering the lowest cost, with supplier
+    detail columns (lineitem stands in for partsupp, MIN(l_extendedprice)
+    per (part, supplier) for ps_supplycost; see module docstring).
+
+    Q2's correlated MIN subquery becomes a window MIN over the part key
+    on the ALREADY-AGGREGATED per-(part, supplier) frame — partsupp-
+    sized, not lineitem-sized, and partitioned by part key, so the
+    window never serializes. MIN of doubles is order-insensitive and
+    exact, making the equality filter bit-safe across engines. The
+    region filter broadcasts through nation into the supplier probe
+    before the big aggregation; the part-size filter shrinks part
+    before its broadcast join.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"), "left_semi")
+    )
+    costs = (
+        li.join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("min_cost", F.min("supply_cost").over(w)).where(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), part.p_partkey == best.l_partkey)
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            "supply_cost",
+        )
+    )
+
+
+@register(
+    "agg_q6_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): revenue that would
+    have been gained by eliminating small discounts on small-quantity
+    lines in one year — a pure scan-filter-aggregate, zero joins.
+
+    This is the canonical pushdown showcase: all three predicates reach
+    the Parquet scan (`PushedFilters` in the plan), only the four
+    referenced columns are read (`ReadSchema`), and the aggregation is
+    a partial-then-final sum with no group keys — one shuffle of one
+    row per task. At 100 TB this query is I/O-bound by design; with
+    date-partitioned or row-group-sorted data the scan itself prunes.
+    The discount bounds 0.05/0.07 compare against binary doubles
+    identically in both engines (no decimal cast of the COLUMN — only
+    the product is decimal-summed).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_q20_excess",
+    oracle="""
+    WITH supp_part AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_total AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(supp_qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM supp_part
+        GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM supp_part sp
+        JOIN part_total pt ON pt.l_partkey = sp.l_partkey
+        JOIN part p        ON p.p_partkey = sp.l_partkey
+        WHERE p.p_name LIKE '%red%'
+          AND sp.supp_qty > 0.5 * pt.total_qty
+    )
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            JOIN region ON r_regionkey = n_regionkey
+                            WHERE r_name = 'ASIA')
+    """,
+)
+def join_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): ASIA-region suppliers
+    who shipped a dominant share (>50%) of some 'red' part's yearly
+    volume — the excess-stock predicate with shipped-quantity share
+    standing in for ps_availqty (no partsupp in the fixtures).
+
+    Q20's nested IN chain becomes two semi joins over pre-aggregated
+    frames: lineitem collapses to (part, supplier) quantity sums FIRST
+    (one shuffle on the compound key), the per-part total reuses that
+    frame with a second, strictly smaller aggregation, and the share
+    predicate evaluates after a part-key join between two partsupp-
+    sized frames. Quantity sums are decimal-exact before the double
+    ratio compare (×0.5 is a power-of-two scale — bit-exact), so the
+    strict inequality cannot straddle engines. Supplier receives the
+    qualifying-supplier set as a broadcast LEFT SEMI.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    supp_part = li.groupBy("l_partkey", "l_suppkey").agg(
+        dec_sum("l_quantity", 2).alias("supp_qty")
+    )
+    part_total = supp_part.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        dec_sum("supp_qty", 2).alias("total_qty")
+    )
+    qualifying = (
+        supp_part.join(part_total, supp_part.l_partkey == F.col("pt_partkey"))
+        .join(F.broadcast(part), part.p_partkey == supp_part.l_partkey, "left_semi")
+        .where(F.col("supp_qty") > F.lit(0.5) * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    ).select("n_nationkey")
+    return (
+        supp.join(
+            F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(asia_nations),
+            supp.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
     )
