@@ -287,3 +287,67 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     core relational surface."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_INTERFACE_QUERY)
+
+
+@register(
+    "sink_jdbc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC round-trip (Tier A A8/A9/A11) against Spark's bundled
+    embedded Derby: schema-only DDL from the frame header (the
+    reference's ``df.head(n=0).to_sql(if_exists='replace')``,
+    ingest_data.py:52), parallel batched append (the 100k-row chunk
+    loop at ingest_data.py:54-85, collapsed to one ``write``), then a
+    PARTITIONED read-back (ingest_data.py:100's chunked
+    ``read_sql_table``, as numPartitions concurrent range cursors).
+    The oracle aggregates the source parquet directly, so the hash
+    proves the DB round-trip is lossless.
+
+    Scale notes: the append runs one connection per partition with
+    ``batchsize`` rows per round-trip — against a server-grade RDBMS
+    the same code fans out across executors; writers are coalesced to
+    bound connection count. The read-back partitions on the integer
+    key with real min/max bounds so every cursor carries an equal key
+    range (a single unpartitioned cursor is the 100 TB anti-pattern).
+    """
+    from e2e_data_pipeline_spark.sources.jdbc import (
+        jdbc_reader,
+        jdbc_schema_only_ddl,
+        jdbc_writer,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    db_dir = tempfile.mkdtemp(prefix="e2e_derby_")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jdbc_schema_only_ddl(orders, url, "orders_rt", **driver).save()
+    jdbc_writer(orders.coalesce(8), url, "orders_rt", **driver).save()
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # zero-row input: nothing to range-partition
+        back = jdbc_reader(spark, url, "orders_rt", **driver).load()
+    else:
+        back = jdbc_reader(
+            spark,
+            url,
+            "orders_rt",
+            partition_column="o_orderkey",
+            lower_bound=int(bounds["lo"]),
+            upper_bound=int(bounds["hi"]) + 1,
+            num_partitions=8,
+            **driver,
+        ).load()
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("revenue"),
+    )
