@@ -536,3 +536,51 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("ordinal"),
         "tok",
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the ``props`` JSON
+    string ONCE into an open VARIANT value, then extract typed fields
+    with ``variant_get`` path expressions — the modern alternative to
+    per-field ``get_json_object`` re-parsing (compare ``fn_json``).
+
+    At scale this is the right shape for ragged JSON: one parse per
+    row regardless of how many fields are later plucked, binary
+    (shredded) storage in shuffle/cache instead of strings, and
+    missing paths yield NULL instead of failing — the quarantine
+    behavior a 100 TB ingest needs. DuckDB has no VARIANT; the oracle
+    extracts the same paths from the JSON text, which must agree
+    because extraction is type-exact on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.missing", "int").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+    )

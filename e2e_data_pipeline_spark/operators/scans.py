@@ -351,3 +351,40 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice").alias("revenue"),
     )
+
+
+@register(
+    "scan_xml",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via Spark 4's NATIVE xml data source (no external
+    package): write nation as row-tagged XML, re-read with an explicit
+    schema, aggregate. The oracle aggregates the source parquet, so the
+    hash proves losslessness.
+
+    XML is an interop/ingest format, not an at-rest analytics format:
+    row-tag parsing is CPU-bound and the format is unsplittable only
+    per-file (Spark parallelizes across files). The re-read pins an
+    explicit schema — XML schema inference is an extra full pass at
+    scale. A real pipeline lands XML once, converts to parquet, and
+    never scans it twice.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="e2e_xml_")
+    nation.write.mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).xml(path)
+    back = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "rowTag", "nation"
+    ).xml(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
