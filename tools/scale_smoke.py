@@ -73,6 +73,17 @@ def build_inflated(spark, n: int) -> str:
                 for col in c.columns:
                     if col in SHIFTS:
                         c = c.withColumn(col, F.col(col) + F.lit(i * SHIFTS[col]))
+                if t == "documents" and i > 0:
+                    # Tenant-disjoint TEXT too: suffix every token so the
+                    # shingle space is disjoint across copies while the
+                    # within-tenant Jaccard structure is untouched.
+                    # Without this, every doc gains n-1 identical
+                    # cross-tenant twins and any pairwise text op's edge
+                    # set grows quadratically BY CONSTRUCTION — a harness
+                    # artifact, not engine superlinearity.
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1_t{i}")
+                    )
                 parts.append(c)
             copies = parts[0]
             for p in parts[1:]:
