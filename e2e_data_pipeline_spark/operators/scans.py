@@ -388,3 +388,45 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@register(
+    "source_python_ds",
+    oracle="""
+    SELECT CAST(i % 16 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(x % 100000 AS DOUBLE) / 100.0
+                    AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(x % 997) AS BIGINT) AS sum_user,
+           CAST(MAX(x % 997) AS BIGINT) AS max_user
+    FROM (
+        SELECT i, (1103515245 * i + 12345) % 2147483648 AS x
+        FROM (SELECT unnest(range(0, 100000)) AS i)
+    )
+    GROUP BY bucket
+    """,
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource connector (Spark 4 datasource API): the
+    Spark-first re-expression of the reference's hand-rolled HTTP fetch
+    + 100k-row chunk loop (ingest_data.py:16-26,54-56). The source
+    declares a schema and fixed-size ``InputPartition`` ranges; the
+    engine schedules one reader task per range on the executors — the
+    chunk loop becomes declarative partitioning (see
+    sources/python_ds.py).
+
+    Every emitted row is a pure LCG function of its index, so the
+    DuckDB oracle reproduces the stream exactly from ``range()`` — an
+    exact cross-engine correctness check for a CONNECTOR, not just a
+    query. sf-independent by design: connectors have no scale factor.
+    """
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("synthetic_events").option("rows", "100000").load()
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("value").alias("sum_value"),
+        F.sum("user_id").alias("sum_user"),
+        F.max("user_id").alias("max_user"),
+    )

@@ -1,0 +1,89 @@
+"""Custom Python DataSource connector (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's only custom "source" is a hand-rolled HTTP fetch +
+chunked CSV iterator (/root/reference/ingest_data.py:16-26 download,
+:54-56 100k-row chunk loop) — imperative, single-threaded, driver-bound.
+The Spark-first re-expression of "a source the engine doesn't ship" is
+the Python DataSource API: declare a schema, split the input into
+``InputPartition``s, and let the engine schedule one reader task per
+partition on the executors. The chunk loop becomes ``partitions()``;
+parallelism, retries, and downstream pushdown come from the engine.
+
+``SyntheticEventsDataSource`` is the in-sandbox stand-in for a remote
+feed (no network here): a deterministic LCG event generator. Every row
+is a pure function of its index, so (a) any partition can be produced
+independently on any executor — the property a real remote connector
+needs for ranged/resumable fetches — and (b) a SQL oracle can reproduce
+the stream bit-for-bit from ``range()``, giving the connector an exact
+cross-engine correctness check (rare for connectors).
+
+Scale notes: ``partitions()`` emits fixed-size ranges, so the source
+scales out to any executor count without skew; per-row state is O(1)
+and nothing touches the driver. A real HTTP source would map each
+partition to a byte-range / page request the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# LCG constants (glibc's rand): x = (A*i + C) mod M. Any fixed affine
+# map works — what matters is that both engines compute it exactly in
+# 64-bit integer arithmetic.
+_A = 1103515245
+_C = 12345
+_M = 2_147_483_648  # 2^31
+
+DEFAULT_ROWS = 100_000
+DEFAULT_ROWS_PER_PARTITION = 12_500
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo = lo
+        self.hi = hi
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", DEFAULT_ROWS))
+        self.per_part = int(
+            options.get("rowsPerPartition", DEFAULT_ROWS_PER_PARTITION)
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        # Fixed-size ranges: the engine schedules one task per range, so
+        # parallelism = ceil(rows / per_part) regardless of cluster size.
+        return [
+            _RangePartition(lo, min(lo + self.per_part, self.rows))
+            for lo in range(0, self.rows, self.per_part)
+        ] or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.lo, partition.hi):
+            x = (_A * i + _C) % _M
+            yield (
+                i,  # event_id
+                x % 997,  # user_id
+                float(x % 100_000) / 100.0,  # value: exact 2-dp double
+                i % 16,  # bucket
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, value double, bucket int"
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register all custom Python data sources."""
+    spark.dataSource.register(SyntheticEventsDataSource)

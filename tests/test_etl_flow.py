@@ -103,3 +103,35 @@ def test_jdbc_builders_configured(spark):
         spark, url, "trips", partition_column="k", lower_bound=0, upper_bound=10
     )
     assert r is not None
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Python DataSource (sources/python_ds.py) must split
+    into the declared fixed-size ranges and produce identical rows on
+    re-read (a pure function of the index — the resumable-fetch
+    property a real remote connector needs)."""
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("rowsPerPartition", "250")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    first = df.orderBy("event_id").limit(5).collect()
+    again = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("rowsPerPartition", "250")
+        .load()
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    )
+    assert first == again
+    row0 = first[0]
+    x = (1103515245 * 0 + 12345) % 2_147_483_648
+    assert row0.user_id == x % 997 and row0.bucket == 0
