@@ -25,7 +25,12 @@ partition to a byte-range / page request the same way.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # LCG constants (glibc's rand): x = (A*i + C) mod M. Any fixed affine
 # map works — what matters is that both engines compute it exactly in
@@ -70,8 +75,45 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+def _lcg_rows(lo: int, hi: int) -> list[tuple]:
+    # A LIST, not a generator: the simple stream reader prefetches rows
+    # on the driver and pickles them to executors, so batches must be
+    # materialized and small (bounded by rowsPerBatch).
+    out = []
+    for i in range(lo, hi):
+        x = (_A * i + _C) % _M
+        out.append((i, x % 997, float(x % 100_000) / 100.0, i % 16))
+    return out
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same LCG feed: the offset is just
+    the next row index, so a checkpoint restart resumes mid-stream
+    exactly — the reference's manual ``while True / next(chunk)`` loop
+    (ingest_data.py:59-85) with durable, engine-managed progress
+    instead of in-process iterator state."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", DEFAULT_ROWS))
+        self.batch = int(options.get("rowsPerBatch", DEFAULT_ROWS_PER_PARTITION))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.rows)
+        return _lcg_rows(lo, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Deterministic replay for recovery: any offset range can be
+        # regenerated — the property that makes the source exactly-once.
+        return _lcg_rows(int(start["i"]), int(end["i"]))
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)``."""
+    """``spark.read.format("synthetic_events").option("rows", N)`` —
+    batch and micro-batch stream over one deterministic feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -82,6 +124,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register_python_sources(spark) -> None:

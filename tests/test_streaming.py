@@ -210,3 +210,41 @@ def test_foreachbatch_idempotent_sink(spark, tmp_path):
     batch = load_table(spark, SF_SMALL, "events")
     assert written.count() == batch.count()
     assert written.select(F.countDistinct("event_id")).first()[0] == batch.count()
+
+
+def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The custom Python DataSource's stream reader (sources/python_ds
+    .py) must drain the bounded feed across RESTARTS: each availableNow
+    run picks up from the committed offset, and the union of all runs
+    equals the batch read — offsets are durable and replay is
+    deterministic (exactly-once)."""
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    opts = {"rows": "1000", "rowsPerBatch": "250"}
+    got = []
+
+    def sink(df, _bid):
+        got.extend(df.collect())
+
+    runs = 0
+    for _ in range(8):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .options(**opts)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        runs += 1
+        if len(got) >= 1000:
+            break
+    assert len(got) == 1000
+    assert runs > 1  # offsets resumed across restarts, not one big read
+    batch = (
+        spark.read.format("synthetic_events").options(**opts).load().collect()
+    )
+    assert sorted(got) == sorted(batch)
