@@ -282,3 +282,46 @@ def test_scd2_windows_share_one_shuffle(spark):
     plan = plan_of(spark, "scd2_history")
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, f"expected 1 exchange, plan has {len(exchanges)}"
+
+
+def test_q6_predicates_push_to_scan_and_schema_prunes(spark):
+    """Q6 is the pushdown showcase: all three predicates must reach the
+    parquet scan and only the four referenced columns may be read."""
+    plan = plan_of(spark, "agg_q6_forecast")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_partkey" not in read
+
+
+def test_q2_window_min_no_cartesian(spark):
+    """Q2's correlated MIN must be a window over the aggregated
+    (part, supplier) frame — never a self-join blowup or cartesian."""
+    plan = plan_of(spark, "join_q2_mincost")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_joins_no_cartesian(spark):
+    """Q20's nested-IN chain must compile to semi joins over the
+    pre-aggregated quantity frames."""
+    plan = plan_of(spark, "join_q20_excess")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_python_ds_partition_count_scales_with_rows(spark):
+    """The custom connector's declared ranges must drive task
+    parallelism (no single-cursor scan)."""
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "100000")
+        .option("rowsPerPartition", "12500")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
