@@ -148,3 +148,148 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "win_funnel_path",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER w AS last_view_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    pass2 AS (
+        SELECT user_id, event_type, last_view_ts, ts,
+               max(CASE WHEN event_type = 'click'
+                        AND ts - last_view_ts <= INTERVAL 4 HOUR
+                        THEN ts END) OVER w AS last_click_ts
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click'
+                        AND ts - last_view_ts <= INTERVAL 4 HOUR
+                        THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND ts - last_click_ts <= INTERVAL 4 HOUR
+                        THEN 1 ELSE 0 END) AS s3
+        FROM pass2 GROUP BY user_id
+    )
+    SELECT CAST(s1 + s2 + s3 AS INT) AS funnel_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY funnel_depth
+    """,
+)
+def win_funnel_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequential funnel (MATCH_RECOGNIZE-lite): how far
+    each user gets through view → click(≤4h later) → purchase(≤4h
+    after that click) IN ORDER, as a depth histogram — the
+    product-analytics conversion pattern every event pipeline needs.
+
+    Two chained window passes share ONE partitioning and sort (user_id;
+    ts, event_id) — Catalyst plans a single shuffle + sort with two
+    Window nodes, so a funnel over 100 TB of events costs the same as
+    one running sum. "Strictly earlier" uses a ROWS … 1 PRECEDING
+    frame over a DETERMINISTIC total order (ts with event_id tiebreak)
+    — row-order, not timestamp-inequality, so equal timestamps cannot
+    drift between engines. The 4-hour conversion deadline compares
+    interval subtraction identically on both sides; step k counts only
+    if step k-1 completed strictly earlier and recently enough, so the
+    depth is monotone by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap = F.expr("INTERVAL 4 HOUR")
+    p1 = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    click_ok = (F.col("event_type") == "click") & (
+        F.col("ts") - F.col("last_view_ts") <= gap
+    )
+    p2 = p1.withColumn(
+        "last_click_ts", F.max(F.when(click_ok, F.col("ts"))).over(w)
+    )
+    purchase_ok = (F.col("event_type") == "purchase") & (
+        F.col("ts") - F.col("last_click_ts") <= gap
+    )
+    per_user = p2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(click_ok, 1).otherwise(0)).alias("s2"),
+        F.max(F.when(purchase_ok, 1).otherwise(0)).alias("s3"),
+    )
+    return (
+        per_user.select(
+            (F.col("s1") + F.col("s2") + F.col("s3")).cast("int").alias("funnel_depth")
+        )
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar_hour, value,
+               first_value(value) OVER w AS open_v,
+               last_value(value)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS close_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
+                     ORDER BY ts, event_id)
+    )
+    SELECT user_id, bar_hour,
+           min(open_v)  AS open,
+           max(value)   AS high,
+           min(value)   AS low,
+           min(close_v) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM ordered
+    GROUP BY user_id, bar_hour
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars: per (user, hour) open/high/low/close/volume — the
+    classic time-series downsampling shape (financial bars, sensor
+    rollups, metric pre-aggregation).
+
+    Open/close are first/last in a DETERMINISTIC total order (ts,
+    event_id) via one window whose partitioning equals the subsequent
+    groupBy key, so the exchange is shared: one shuffle total. The
+    last_value frame is pinned to UNBOUNDED FOLLOWING explicitly (the
+    default frame stops at CURRENT ROW — the classic trap, same as
+    win_first_last_nth). High/low/volume are plain order-insensitive
+    aggregates; volume is decimal-summed for cross-engine exactness.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bar_hour", F.date_trunc("hour", "ts")
+    )
+    wb = Window.partitionBy("user_id", "bar_hour").orderBy("ts", "event_id")
+    ordered = ev.withColumn(
+        "open_v", F.first("value").over(wb)
+    ).withColumn(
+        "close_v",
+        F.last("value").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    return ordered.groupBy("user_id", "bar_hour").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        F.count("*").alias("n_events"),
+        dec_sum("value").alias("volume"),
+    )

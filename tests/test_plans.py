@@ -325,3 +325,34 @@ def test_python_ds_partition_count_scales_with_rows(spark):
         .load()
     )
     assert df.rdd.getNumPartitions() == 8
+
+
+def _n_exchange_nodes(plan: str) -> int:
+    # formatted explain lists every node twice (tree + details); count
+    # unique "(k) Exchange" detail headers instead.
+    import re
+
+    return len(set(re.findall(r"^\((\d+)\) Exchange", plan, re.M)))
+
+
+def test_funnel_two_windows_share_one_shuffle(spark):
+    """Both funnel window passes AND the per-user aggregation partition
+    on user_id — one exchange serves all three; the only other exchange
+    is the O(4)-row depth histogram."""
+    plan = plan_of(spark, "win_funnel_path")
+    assert _n_exchange_nodes(plan) == 2, plan
+    # no re-shuffle between the two Window nodes: they appear back to
+    # back in the tree with only the shared sort below.
+    import re
+
+    tree = plan.split("\n\n")[0]
+    win_lines = [i for i, l in enumerate(tree.splitlines()) if "Window" in l]
+    between = tree.splitlines()[win_lines[0] : win_lines[-1]]
+    assert not any("Exchange" in l for l in between), plan
+
+
+def test_ohlc_window_shares_groupby_exchange(spark):
+    """The OHLC window partitions on the same (user, hour) key as the
+    final groupBy, so one exchange serves both."""
+    plan = plan_of(spark, "ts_ohlc_bars")
+    assert _n_exchange_nodes(plan) == 1, plan
