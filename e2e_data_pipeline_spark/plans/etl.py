@@ -10,7 +10,8 @@ Reference stage → this flow:
 | chunked pd.read_csv gzip (:49,54-56)  A2/A3 | one spark.read.csv; gzip is  |
 |                                             | unsplittable → repartition   |
 | passenger_count != 0 filter (:34)      A4   | .where (pushed to scan)      |
-| pre/post metric counts (:32,36)        A5   | conditional-sum aggregate    |
+| pre/post metric counts (:32,36)        A5   | Observation on the write     |
+|                                             | pass (zero extra scans)      |
 | column-existence guard (:67-70)        A6   | set(cols) <= df.columns      |
 | to_datetime casts (:71-76)             A7   | F.to_timestamp withColumns   |
 | head(0).to_sql DDL / append loop (:52,78)   | jdbc_schema_only_ddl/_writer |
@@ -37,7 +38,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.sources import (
@@ -80,14 +81,38 @@ def clean(df: DataFrame) -> DataFrame:
 
 
 def quality_metrics(df: DataFrame) -> dict[str, int]:
-    """A5: the reference's pre-filter data-quality count (rows with
-    passenger_count == 0), one aggregate, no collect loop."""
+    """A5 as a standalone aggregate (kept for ad-hoc use): rows with
+    passenger_count == 0, one aggregate, no collect loop. The flow
+    itself uses :func:`observe_ingest` instead — zero extra passes."""
     if FILTER_COLUMN not in df.columns:
         return {"zero_passenger_rows": 0}
     row = df.agg(
         F.sum(F.when(F.col(FILTER_COLUMN).isin(0), 1).otherwise(0)).alias("z")
     ).collect()[0]
     return {"zero_passenger_rows": int(row.z or 0)}
+
+
+def observe_ingest(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """A5 + A10, Spark-first: attach an ``Observation`` so the row
+    count and the zero-passenger data-quality metric are collected
+    DURING whatever action consumes the frame — at 100 TB an input is
+    scanned once, not re-counted per metric. The reference pays two
+    extra passes for its prints (ingest_data.py:32,36); this pays
+    zero."""
+    obs = Observation("ingest")
+    zero = (
+        F.sum(F.when(F.col(FILTER_COLUMN).isin(0), 1).otherwise(0))
+        if FILTER_COLUMN in df.columns
+        else F.lit(0)
+    )
+    return (
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            zero.alias("zero_passenger_rows"),
+        ),
+        obs,
+    )
 
 
 def main_flow(
@@ -122,8 +147,7 @@ def main_flow(
         .csv(staged)
         .repartition(32)  # gzip csv = 1 task until repartitioned
     )
-    rows_in = raw.count()
-    metrics = quality_metrics(raw)
+    raw, ingest_obs = observe_ingest(raw)
     timings["scan"] = time.time() - t0
 
     t0 = time.time()
@@ -138,6 +162,10 @@ def main_flow(
     write_parquet_partitioned(
         cleaned, out_path, partition_cols=["taxi_color", "year", "month"]
     )
+    # The write was the only pass: metrics piggybacked on it.
+    ingest_metrics = ingest_obs.get
+    rows_in = int(ingest_metrics["rows_in"])
+    metrics = {"zero_passenger_rows": int(ingest_metrics["zero_passenger_rows"] or 0)}
     timings["clean_write"] = time.time() - t0
 
     if jdbc_url:  # pragma: no cover - no DB in sandbox
