@@ -440,3 +440,54 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(contact, F.lit(phone)).alias("n_phones"),
         F.regexp_count(contact, F.lit(ip)).alias("n_ips"),
     )
+
+
+@register(
+    "text_topterms",
+    oracle="""
+    WITH tf AS (
+        SELECT lang,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, term,
+               CAST(COUNT(*) AS BIGINT) AS term_freq
+        FROM tf GROUP BY lang, term
+    ),
+    ranked AS (
+        SELECT lang, term, term_freq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY term_freq DESC, term ASC) AS rank
+        FROM counts
+    )
+    SELECT lang, term, term_freq, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by corpus frequency — the vocabulary /
+    stopword-list builder every corpus pipeline starts from.
+
+    Tokens explode then aggregate on (lang, term) with map-side partial
+    combine, so the shuffle carries vocabulary-sized partials, never raw
+    token streams. The ranking window partitions the ALREADY-AGGREGATED
+    vocab frame by language — bounded input regardless of corpus size.
+    Ties break on the term itself, making top-k deterministic across
+    engines (rank by bare count is ambiguous). For an unbounded key
+    space (e.g. n-grams) the scale path swaps the window for
+    per-partition partial top-k; for natural-language vocab the window
+    input is small and exact wins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("term_freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "term", "term_freq", "rank")
+    )
