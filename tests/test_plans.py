@@ -356,3 +356,43 @@ def test_ohlc_window_shares_groupby_exchange(spark):
     final groupBy, so one exchange serves both."""
     plan = plan_of(spark, "ts_ohlc_bars")
     assert _n_exchange_nodes(plan) == 1, plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """Spark injects a runtime bloom filter (bloom_filter_agg on the
+    filtered build side, might_contain on the probe scan) for selective
+    shuffle joins — the semi-join-reduction mechanism that prunes probe
+    I/O at 100 TB. Fixture tables sit under the size thresholds, so the
+    test lowers them to prove the mechanism is available and wired; at
+    production scale the stock thresholds (10 GB scan side) fire on
+    their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (
+            spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
