@@ -430,3 +430,35 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("sum_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# Same LATERAL text on both engines: correlated per-row subqueries with
+# ORDER BY ... LIMIT are dialect-portable too, not just flat SPJ+agg.
+_SQL_LATERAL_QUERY = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@register("sql_lateral_topk", oracle=_SQL_LATERAL_QUERY)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front-end: top-2
+    orders per rich customer, written as the per-row dependent
+    subquery users port from warehouse SQL. Spark decorrelates the
+    LATERAL + LIMIT into a window-rank under the hood (never a
+    per-row re-execution), so the text that *reads* row-at-a-time
+    *executes* as one shuffle — exactly the property that makes
+    lift-and-shift SQL safe at 100 TB. Deterministic tie-break
+    (o_totalprice DESC, o_orderkey) keeps the LIMIT 2 row set
+    identical across engines. The oracle is the IDENTICAL text.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_QUERY)
