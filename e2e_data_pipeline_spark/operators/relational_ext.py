@@ -439,3 +439,45 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 <
+          CASE lang WHEN 'zh' THEN 100 WHEN 'en' THEN 50 ELSE 10 END
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class keep fractions
+    (keep all zh, half of en, 10% of the rest) via the same
+    multiplicative key-hash as ``sample_hash`` — the class-rebalancing
+    step of training-data curation (upweight rare languages, downsample
+    dominant ones).
+
+    ``df.sampleBy()`` is seed-and-partitioning dependent; the hash
+    predicate selects the SAME rows on any engine and any layout, and
+    it's a plain pushable filter — no shuffle, no extra pass, and the
+    per-class fraction is a CASE on the stratum column evaluated
+    row-side. At 100 TB this is a scan-time row filter with zero
+    coordination.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frac = (
+        F.when(F.col("lang") == "zh", 100)
+        .when(F.col("lang") == "en", 50)
+        .otherwise(10)
+    )
+    return (
+        docs.where((F.col("doc_id") * F.lit(2654435761)) % 100 < frac)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )

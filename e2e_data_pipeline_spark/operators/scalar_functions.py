@@ -584,3 +584,54 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               concat('https://', source, '.example.com/docs/',
+                      CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+        FROM documents
+    )
+    SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           min(regexp_extract(url, '//[^/]+(/[^?#]*)', 1)) AS first_path,
+           min(regexp_extract(url, '[?&]lang=([^&#]*)', 1)) AS first_lang
+    FROM urls
+    GROUP BY host
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host / path / query parameter) — the log- and
+    crawl-processing staple. Spark side uses the BUILT-IN ``parse_url``
+    (JVM, codegen-friendly — never a Python UDF for this); DuckDB has
+    no parse_url, so the oracle is the regexp semantic twin, which also
+    pins the exact host/path/param semantics the regex must honor.
+    URLs are synthesized deterministically from fixture columns (no
+    network anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = docs.select(F.col("doc_id"), url.alias("url"))
+    return (
+        with_url.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("path").alias("first_path"),
+            F.min("lang_param").alias("first_lang"),
+        )
+    )
