@@ -631,3 +631,71 @@ def join_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS es_us
+        FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(a.es_us - b.es_us)) AS BIGINT) AS sum_gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(a.es_us - b.es_us) <= 300000000
+    GROUP BY type_a, type_b
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join at scale: co-occurring event pairs (same
+    user, within 5 minutes), binned. A raw ``|t_a - t_b| <= 300s``
+    predicate has no equi-key, so engines fall back to nested-loop —
+    quadratic and unshardable. The scale formulation buckets time into
+    interval-width bins, explodes ONE side into its 3 candidate bins
+    (b-1, b, b+1), and equi-joins on (user, bin) with the exact
+    interval predicate as a residual — a plain shuffle hash join whose
+    cost is linear in rows x local bin density. Each qualifying pair
+    matches exactly once (the probe row's single bin occurs once in
+    the build row's candidate list). Timestamps travel as exact
+    epoch-microsecond longs on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    width = 300_000_000  # 5 minutes in microseconds
+    es_us = (
+        F.col("ts").cast("timestamp").cast("long") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("long")
+    )
+    base = ev.select(
+        "event_id", "user_id", "event_type", es_us.alias("es_us")
+    ).withColumn("bin", (F.col("es_us") / width).cast("long"))
+    left = base.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("event_type").alias("type_a"),
+        F.col("es_us").alias("es_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin_j"),
+    )
+    right = base.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id"),
+        F.col("event_type").alias("type_b"),
+        F.col("es_us").alias("es_b"),
+        F.col("bin").alias("bin_j"),
+    )
+    # Equi-join on BOTH (user, bin): a hot time bin spreads across
+    # users instead of collapsing into one shuffle partition.
+    pairs = left.join(right, ["user_id", "bin_j"], "inner").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("es_a") - F.col("es_b")) <= width)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.abs(F.col("es_a") - F.col("es_b"))).alias("sum_gap_us"),
+    )

@@ -396,3 +396,17 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark):
+    """The binned interval join must plan as an equi hash/sort-merge
+    join on (user, bin) — never a nested loop, which is what the raw
+    interval predicate degenerates to."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # hash join driven by the (user, bin) equi keys; at fixture size the
+    # build side broadcasts, at scale the same keys drive the shuffle.
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    key_lines = [l for l in plan.splitlines() if "keys" in l.lower()]
+    assert any("user_id" in l and "bin_j" in l for l in key_lines), plan
