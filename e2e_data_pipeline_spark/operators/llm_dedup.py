@@ -343,3 +343,130 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS shingle,
+               lead(tok, {SHINGLE_K - 1}) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    benchmark AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id < 10
+    ),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN benchmark b ON s.shingle = b.shingle
+        WHERE s.doc_id >= 10
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM documents d
+    LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    WHERE d.doc_id >= 10
+    GROUP BY d.lang
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token k-shingle with a held-out benchmark set (here: docs 0-9 play
+    the benchmark) — the standard leakage guard before pretraining.
+
+    The benchmark shingle set is DISTINCT and bounded (benchmarks are
+    small), so it broadcasts; contamination detection is then a
+    broadcast semi join on the exploded corpus shingles — linear in
+    corpus size, never a pairwise comparison. Shingling reuses the
+    exact construction of ``dedup_near``, so both oracles stay in
+    textual sync. Output is a per-language contamination audit.
+    """
+    sh = _shingles(spark, sf_dir)
+    benchmark = sh.where(F.col("doc_id") < 10).select("shingle").distinct()
+    contaminated = (
+        sh.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(benchmark), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") >= 10)
+    flagged = docs.join(
+        contaminated.withColumn("is_contaminated", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_clean"),
+        F.sum(
+            F.when(F.col("is_contaminated").isNotNull(), 1).otherwise(0)
+        ).alias("n_contaminated"),
+    )
+
+
+@register(
+    "corpus_shard_pack",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(floor((cum_tokens - 1) / 512) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sized
+    GROUP BY lang, shard
+    """,
+)
+def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing: assign documents to ~512-token training shards
+    per language by cumulative token count in a deterministic order —
+    how a corpus becomes fixed-budget sequence-packing shards.
+
+    One window (running token sum per language over doc_id order) and
+    one integer division: a single shuffle, no sequential driver loop —
+    the greedy bin-packing loop every single-node implementation uses
+    does not distribute, while cumulative-quota assignment gives the
+    same bounded-overflow shards declaratively. Integer token counts →
+    exact cross-engine parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        sized.withColumn(
+            "shard", F.floor((F.col("cum_tokens") - 1) / 512).cast("long")
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
