@@ -103,3 +103,66 @@ def running_user_stats_batch(events: DataFrame) -> DataFrame:
             (F.max(cents) / 100.0).alias("max_value"),
         )
     )
+
+
+class UserStatsProcessor:
+    """Second-generation stateful operator (Spark 4
+    ``transformWithStateInPandas``): the same per-user cents fold as
+    :func:`_update_user_stats`, expressed as a ``StatefulProcessor``
+    with an explicit typed ValueState handle.
+
+    vs ``applyInPandasWithState``: state is a named, schema'd handle
+    (composable — an operator can hold several), timers replace the
+    single timeout conf, and the state store must be RocksDB (the
+    disk-backed store that holds beyond-memory state at scale).
+    Declared lazily in :func:`running_user_stats_tws` so importing this
+    module never requires the StatefulProcessor base class.
+    """
+
+
+def _make_processor():
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total_c, max_c = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                n += len(pdf)
+                total_c += int(cents.sum())
+                max_c = max(max_c, int(cents.max()) if len(cents) else 0)
+            self._state.update((n, total_c, max_c))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total_c / 100.0],
+                    "max_value": [max_c / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _Processor()
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas twin of
+    :func:`running_user_stats` (requires the RocksDB state store
+    provider on the session)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_processor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

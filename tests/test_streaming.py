@@ -248,3 +248,61 @@ def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
         spark.read.format("synthetic_events").options(**opts).load().collect()
     )
     assert sorted(got) == sorted(batch)
+
+
+def test_transform_with_state_parity(spark, tmp_path):
+    """The second-generation stateful API (transformWithStateInPandas
+    + RocksDB state store) must produce the same final snapshots as
+    the batch groupBy golden answer — same contract as
+    test_stateful_custom_operator_parity, newer machinery.
+
+    Spark's transformWithState driver worker imports protobuf; this
+    sandbox doesn't ship it (and installs are out of scope), so the
+    test import-gates. The operator itself (streaming/stateful.py
+    running_user_stats_tws) is plain DataFrame API and runs wherever
+    protobuf exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from e2e_data_pipeline_spark.streaming import load_events_stream
+    from e2e_data_pipeline_spark.streaming.stateful import (
+        running_user_stats_batch,
+        running_user_stats_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        snapshots = {}
+
+        def sink(df, _bid):
+            for r in df.collect():
+                snapshots[r["user_id"]] = r
+
+        q = (
+            running_user_stats_tws(load_events_stream(spark, SF_SMALL))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        batch = running_user_stats_batch(
+            load_table(spark, SF_SMALL, "events")
+        ).collect()
+        assert len(batch) == len(snapshots)
+        for r in batch:
+            s = snapshots[r["user_id"]]
+            assert (s["n_events"], s["total_value"], s["max_value"]) == (
+                r["n_events"],
+                r["total_value"],
+                r["max_value"],
+            )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
