@@ -359,3 +359,25 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_daily_sketches"),
         )
     )
+
+
+@register("agg_approx_percentile")  # approximate → rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of order value
+    per priority class — the scale path for quantiles, next to the
+    exact `agg_percentile`.
+
+    Exact percentiles need a full sort per group; the GK sketch is a
+    bounded-size, mergeable summary built map-side, so quantiles over
+    100 TB cost one normal aggregation. `accuracy=10000` bounds rank
+    error at 1/10000 of the group — asserted against the exact
+    interpolated percentile in tests/test_llm_ops.py, not via the hash
+    oracle (sketch internals are implementation-defined).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.count("*").alias("n_orders"),
+    )

@@ -198,3 +198,25 @@ def test_sketch_merge_accuracy_floor(spark):
     assert set(approx) == set(exact)
     for etype, est in approx.items():
         assert abs(est - exact[etype]) <= max(1, 0.05 * exact[etype])
+
+
+def test_approx_percentile_accuracy(spark):
+    """GK-sketch percentiles must sit within 2% relative error of the
+    exact interpolated percentiles at fixture scale."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    approx = {
+        r.o_orderpriority: r.approx_pcts
+        for r in QUERIES["agg_approx_percentile"](spark, SF_SMALL).collect()
+    }
+    exact = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", F.lit([0.5, 0.9, 0.99])).alias("pcts"))
+        .collect()
+    )
+    for r in exact:
+        for a, e in zip(approx[r.o_orderpriority], r.pcts):
+            assert abs(a - e) / e < 0.02, (r.o_orderpriority, a, e)
