@@ -302,3 +302,75 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).where(
         F.col("rn") <= TOP_K
     )
+
+
+@register("sim_quantize_int8")  # approximate → rows-only check
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization for similarity search: per-vector
+    symmetric scale (127/max|x|), int8 codes, integer dot products
+    rescaled back to approximate cosine — 4× less memory bandwidth
+    than float32, the standard first compression step before ANN
+    serving.
+
+    Quantization is a narrow higher-order transform (no UDF, no
+    shuffle); scoring mirrors `sim_topk`'s broadcast-queries pattern.
+    Integer dots are EXACT given the codes, so the only error is the
+    rounding itself — top-5 recall vs the float path is asserted in
+    tests/test_llm_ops.py. Rows-only oracle: rounding semantics of
+    float→int differ across engines by design.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    quantized = emb.select(
+        "vec_id",
+        "label",
+        (F.lit(127.0) / absmax).alias("scale"),
+        F.transform(
+            "embedding", lambda x: F.round(x * (F.lit(127.0) / absmax)).cast("int")
+        ).alias("codes"),
+    )
+    queries = quantized.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("scale").alias("q_scale"),
+    )
+    corpus = quantized.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("codes").alias("c_codes"),
+        F.col("scale").alias("c_scale"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_codes", "c_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q_norm = F.sqrt(
+        F.aggregate(
+            F.transform("q_codes", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    c_norm = F.sqrt(
+        F.aggregate(
+            F.transform("c_codes", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(int_dot / (q_norm * c_norm), 6).alias("cosine_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q8"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+    )

@@ -220,3 +220,20 @@ def test_approx_percentile_accuracy(spark):
     for r in exact:
         for a, e in zip(approx[r.o_orderpriority], r.pcts):
             assert abs(a - e) / e < 0.02, (r.o_orderpriority, a, e)
+
+
+def test_int8_quantized_topk_recall(spark):
+    """int8-quantized cosine top-5 must recover >= 80% of the exact
+    float top-5 per query (64-dim symmetric quantization loses little
+    ranking fidelity)."""
+    exact = {}
+    for r in QUERIES["sim_topk"](spark, SF_SMALL).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in QUERIES["sim_quantize_int8"](spark, SF_SMALL).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exact.keys() == quant.keys()
+    recalls = [
+        len(exact[q] & quant[q]) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
