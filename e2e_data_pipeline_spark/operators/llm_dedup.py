@@ -327,14 +327,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # Labels are non-increasing per vertex (least of old and
+        # neighbor-min), so "no vertex changed" ⟺ "sum of labels
+        # unchanged" — a two-stage O(1)-row aggregate on the already-
+        # materialized frame, far cheaper than the equi-join diff count
+        # it replaces (one fewer shuffle per iteration).
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        prev_sum = getattr(labels, "_lp_sum", None)
+        if prev_sum is None:
+            prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        labels._lp_sum = new_sum
+        if new_sum == prev_sum:
             break
 
     w = Window.partitionBy("label")
