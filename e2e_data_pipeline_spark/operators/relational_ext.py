@@ -481,3 +481,55 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@register(
+    "fn_contiguous_ids",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS sample_id
+    FROM documents
+    """,
+)
+def fn_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based sample ids in global key order — what a
+    training pipeline needs to address examples by index. The naive
+    ``row_number() OVER (ORDER BY key)`` collapses to a single
+    partition (the classic scale trap); this is the distributed
+    two-pass construction:
+
+    1. range-repartition by the key and PIN the layout with
+       ``localCheckpoint`` (both passes must see identical partitions);
+    2. collect per-partition counts — #partitions rows, the one
+       sanctioned driver-side step — and prefix-sum them into offsets;
+    3. ``sample_id = offset[pid] + (row_number within partition) - 1``,
+       a fully parallel per-partition window.
+
+    Range partitions are ordered by key, so within-partition order +
+    offsets reproduce the exact global row_number the oracle computes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_parts = 8
+    rp = docs.repartitionByRange(n_parts, "doc_id").localCheckpoint()
+    with_pid = rp.withColumn("pid", F.spark_partition_id())
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if not offsets:  # zero-row input: no partitions observed
+        offsets = {0: 0}
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    return with_pid.select(
+        "doc_id",
+        "lang",
+        (
+            offset_map[F.col("pid")] + F.row_number().over(w) - 1
+        ).cast("long").alias("sample_id"),
+    )

@@ -635,3 +635,49 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lang_param").alias("first_lang"),
         )
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type)
+                    ELSE p_type END AS p_type_mixed,
+               p_retailprice
+        FROM part
+    )
+    SELECT lower(p_type_mixed) AS type_key,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM mixed
+    GROUP BY type_key
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4): group mixed-case categories
+    under the UTF8_LCASE collation — equality, joins, and GROUP BY
+    honor the collation natively instead of wrapping every reference
+    in lower() (which blocks stats and sometimes pushdown).
+
+    The fixtures are clean-cased, so a deterministic mixed-case column
+    is derived first (even keys lowercased). The emitted group key is
+    normalized with lower() because the collation's representative
+    value is first-encountered — correct but nondeterministic —
+    while the GROUPING itself runs on the collated column. DuckDB has
+    no column collations; the oracle is the lower() semantic twin.
+    """
+    part = load_table(spark, sf_dir, "part")
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.lower("p_type")
+    ).otherwise(F.col("p_type"))
+    return (
+        part.select(mixed.alias("p_type_mixed"), "p_retailprice")
+        .groupBy(F.collate("p_type_mixed", "UTF8_LCASE").alias("ck"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            dec_sum("p_retailprice").alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("ck")).alias("type_key"), "n_parts", "total_price"
+        )
+    )
