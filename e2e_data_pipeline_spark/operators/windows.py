@@ -143,7 +143,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WINDOW w AS (
         PARTITION BY user_id
-        ORDER BY CAST(epoch(ts) AS BIGINT)
+        ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,
@@ -160,7 +160,10 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     # NTZ has no direct long cast; via TIMESTAMP in the UTC-pinned
-    # session this is exactly DuckDB's epoch(naive ts).
+    # session this truncates to whole seconds. The oracle must floor
+    # the same way (epoch_us // 1e6): DuckDB's CAST(epoch(ts) AS
+    # BIGINT) ROUNDS the fractional second, shifting RANGE-frame
+    # membership at exact hour boundaries (first seen at sf0.1).
     epoch_s = F.col("ts").cast("timestamp").cast("long")
     w = Window.partitionBy("user_id").orderBy(epoch_s).rangeBetween(-3600, 0)
     return ev.select(
