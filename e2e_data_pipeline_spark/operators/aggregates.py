@@ -381,3 +381,57 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(strftime(date_trunc('day', ts), '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY event_type, day
+    UNION ALL
+    SELECT event_type, '<all>' AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via bitmaps — the exact
+    counterpart to `agg_sketch_merge`'s HLL: per-(type, day, bucket)
+    bitmaps built map-side (`bitmap_construct_agg` over bit positions),
+    OR-merged across buckets, then popcounted. Unlike COUNT(DISTINCT),
+    the bitmaps are mergeable state: daily rollups can be combined into
+    weekly/monthly counts WITHOUT re-touching raw data, and unlike HLL
+    the answer is exact. Cost model: dense ids → bounded bitmap bytes
+    per bucket; the shuffle carries bitmaps, never raw ids. The oracle
+    is plain COUNT(DISTINCT) — the bitmap path must agree exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            day,
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    daily = per_bucket.groupBy("event_type", "day").agg(
+        F.sum(F.bitmap_count("bm")).alias("distinct_users")
+    )
+    # Re-aggregation: OR-merge the DAILY bitmap state into an all-days
+    # rollup — raw events are never touched again. Buckets partition
+    # the id space, so popcounts add across buckets after the merge.
+    total = (
+        per_bucket.groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("distinct_users"))
+        .withColumn("day", F.lit("<all>"))
+    )
+    return daily.unionByName(total.select("event_type", "day", "distinct_users"))
