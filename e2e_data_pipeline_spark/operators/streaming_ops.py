@@ -169,3 +169,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return core.stream_stream_conversions(ev, ev)
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT day, event_type, n_events, sum_value,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY day
+                                     ORDER BY n_events DESC, event_type) AS rank
+        FROM counts
+    )
+    WHERE rank <= 2
+    """,
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-2 event types per day window. Window-rank is
+    not streamable, so the pipeline splits exactly where a production
+    one does: the per-(window, type) aggregation runs IN the stream
+    (bounded state under a watermark), and the rank runs downstream on
+    the aggregate — days × types rows, volume-independent. Batch mode
+    composes the same two stages; streaming parity is asserted in
+    tests/test_streaming.py.
+    """
+    return core.rank_topk(
+        core.daily_type_counts(load_table(spark, sf_dir, "events"))
+    )

@@ -240,3 +240,42 @@ def run_stream_to_memory(
         q.stop()
         raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
     return spark.table(name)
+
+
+def daily_type_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-(day window, event_type) counts — the streamable half of
+    windowed top-k. Window-rank is not a streaming-capable operation,
+    so trending-item pipelines aggregate in the stream and rank on the
+    (tiny) aggregate downstream — see :func:`rank_topk`."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def rank_topk(day_counts: DataFrame, k: int = 2) -> DataFrame:
+    """Batch post-step: top-k event types per day by count (tie-broken
+    by type). Runs on the aggregated frame — days × types rows — so
+    its cost is independent of stream volume."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        day_counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

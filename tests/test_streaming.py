@@ -306,3 +306,21 @@ def test_transform_with_state_parity(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_window_topk_parity(spark):
+    """Streamed daily counts + downstream rank must equal the batch
+    composition (stream_window_topk's two-stage split)."""
+    from e2e_data_pipeline_spark.streaming.core import (
+        daily_type_counts,
+        rank_topk,
+    )
+
+    batch = rank_topk(daily_type_counts(load_table(spark, SF_SMALL, "events")))
+    streamed_counts = run_stream_to_memory(
+        spark,
+        daily_type_counts(load_events_stream(spark, SF_SMALL), watermark="1 hour"),
+        "t_window_topk",
+        output_mode="complete",
+    )
+    _assert_same(batch, rank_topk(streamed_counts))
