@@ -699,3 +699,49 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.abs(F.col("es_a") - F.col("es_b"))).alias("sum_gap_us"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               NULLIF(CAST(json_extract(props, '$.k') AS INT) % 10, 0) AS k
+        FROM events
+    ),
+    a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a
+          FROM keyed WHERE event_id % 2 = 0 GROUP BY k),
+    b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b
+          FROM keyed WHERE event_id % 2 = 1 GROUP BY k)
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    reconciliation pipelines need when "key absent" is itself a
+    category (here: a JSON field, nulled for one residue class).
+
+    Both sides pre-aggregate to per-key counts BEFORE the join, so the
+    null-safe comparison runs on bounded frames — at 100 TB you
+    null-safe-join aggregates, not raw rows, because every NULL row
+    lands in ONE shuffle partition (NULL has a single hash): the
+    pre-aggregation is also the skew defense.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 10, F.lit(0)
+    ).alias("k")
+    keyed = ev.select("event_id", k)
+    a = (
+        keyed.where(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        keyed.where(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
