@@ -435,3 +435,49 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.lit("<all>"))
     )
     return daily.unionByName(total.select("event_type", "day", "distinct_users"))
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_count
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY n DESC, c_mktsegment) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent market segment
+    per nation, ties broken lexicographically. Built-in ``mode()`` is
+    free to return ANY maximal value (engine/partitioning dependent) —
+    useless under a cross-engine hash; count-then-argmax with an
+    explicit tiebreak is the portable construction. Two aggregations,
+    both with map-side partials; the argmax runs on the counts frame
+    (nations × segments), which is bounded by the category product,
+    not the row count.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    # min_by over (-n, segment): structs compare lexicographically, so
+    # the minimum is (highest n, then lexicographically first segment).
+    return (
+        counts.groupBy("c_nationkey")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("c_mktsegment").alias("mode_segment"),
+                    F.col("n").alias("mode_count"),
+                ),
+                F.struct((-F.col("n")).alias("neg_n"), F.col("c_mktsegment")),
+            ).alias("m")
+        )
+        .select("c_nationkey", "m.*")
+    )

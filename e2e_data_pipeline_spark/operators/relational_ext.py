@@ -533,3 +533,79 @@ def fn_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             offset_map[F.col("pid")] + F.row_number().over(w) - 1
         ).cast("long").alias("sample_id"),
     )
+
+
+@register(
+    "dq_referential",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema, one labeled row per edge — the pre-load contract
+    check a warehouse runs before publishing a snapshot.
+
+    Each edge is a LEFT ANTI join + count. Dimension-sided edges
+    broadcast the dim; the two fact⋈fact edges shuffle on the key like
+    any equi-join. The five audits are independent Spark jobs unioned
+    into one frame — at scale you'd run them as one pass per fact table
+    (this shape keeps each edge's plan independently inspectable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def orphans(label, child, parent, cond, broadcast_parent):
+        p = F.broadcast(parent) if broadcast_parent else parent
+        return child.join(p, cond, "left_anti").agg(
+            F.lit(label).alias("fk"), F.count("*").alias("n_orphans")
+        )
+
+    return (
+        orphans(
+            "lineitem->orders", li, orders, li.l_orderkey == orders.o_orderkey, False
+        )
+        .unionByName(
+            orphans(
+                "orders->customer", orders, cust,
+                orders.o_custkey == cust.c_custkey, False,
+            )
+        )
+        .unionByName(
+            orphans(
+                "customer->nation", cust, nation,
+                cust.c_nationkey == nation.n_nationkey, True,
+            )
+        )
+        .unionByName(
+            orphans("lineitem->part", li, part, li.l_partkey == part.p_partkey, True)
+        )
+        .unionByName(
+            orphans(
+                "lineitem->supplier", li, supp,
+                li.l_suppkey == supp.s_suppkey, True,
+            )
+        )
+    )

@@ -293,3 +293,65 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_sum("value").alias("volume"),
     )
+
+
+@register(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS run_key
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, run_key, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(strftime(MIN(d), '%Y-%m-%d') AS VARCHAR) AS streak_start
+        FROM runs GROUP BY user_id, run_key
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = (SELECT MAX(len) FROM streaks s2
+                                WHERE s2.user_id = streaks.user_id)
+                    THEN streak_start END) AS first_best_start
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands shape (retention/engagement analytics).
+
+    The classic trick: for consecutive days, ``day − row_number`` is
+    constant, so each island collapses to one group key with NO
+    self-join and no iteration. One shuffle for the window, a
+    same-key aggregation on top, and a per-user argmax over the
+    (user × islands) frame — every stage linear. Ties on streak
+    length resolve to the EARLIEST streak start, pinned on both
+    engines (max_by alone would be nondeterministic).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "run_key", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "run_key").agg(
+        F.count("*").alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.min_by(
+            F.col("streak_start"),
+            F.struct((-F.col("len")).alias("neg"), F.col("streak_start")),
+        ).alias("first_best_start"),
+    )
