@@ -462,3 +462,59 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_QUERY)
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_discount
+        FROM lineitem WHERE l_linenumber = 1
+    ),
+    v2 AS (
+        SELECT l_orderkey, l_quantity, l_discount
+        FROM lineitem WHERE l_linenumber = 2
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pre_evolution,
+           CAST(SUM(CAST(COALESCE(l_discount, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_discount
+    FROM unioned
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet lake: snapshot v1 lacks a column
+    that snapshot v2 added; ``mergeSchema`` reconciles them on read and
+    back-fills v1 rows with NULL — the additive-evolution contract
+    every long-lived dataset relies on.
+
+    ``mergeSchema`` costs a footer read per file at planning time, so
+    production tables pin the merged schema in a catalog instead of
+    re-merging every query — here it demonstrates the read-side
+    guarantee. Writers only ADD columns (never retype), keeping old
+    files readable forever. The oracle reproduces the merge
+    relationally (NULL-extended UNION), so the hash proves NULL
+    back-fill semantics exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="e2e_evolve_")
+    li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_quantity"
+    ).write.mode("overwrite").parquet(f"{path}/v1")
+    li.where(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_quantity", "l_discount"
+    ).write.mode("overwrite").parquet(f"{path}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v1", f"{path}/v2"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0)).alias(
+            "n_pre_evolution"
+        ),
+        dec_sum(F.coalesce("l_discount", F.lit(0))).alias("sum_discount"),
+    )
