@@ -203,3 +203,118 @@ def test_running_distinct_final_equals_exact_count(spark):
         .collect()
     }
     assert finals == exact
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=200, unique=True),
+    parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_contiguous_ids_are_a_sorted_permutation(spark, keys, parts):
+    """fn_contiguous_ids' two-pass construction must produce exactly
+    0..n-1 in global key order for ANY input partitioning — the
+    property the per-partition offsets scheme must preserve."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long").repartition(
+        parts
+    )
+    n_range = 4
+    rp = df.repartitionByRange(n_range, "doc_id").localCheckpoint()
+    with_pid = rp.withColumn("pid", F.spark_partition_id())
+    sizes = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    out = with_pid.select(
+        "doc_id",
+        (omap[F.col("pid")] + F.row_number().over(w) - 1).alias("sample_id"),
+    ).collect()
+    by_key = sorted(out, key=lambda r: r.doc_id)
+    assert [r.sample_id for r in by_key] == list(range(len(keys)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # user
+            st.integers(0, 3600 * 6),   # epoch seconds within 6h
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(**_SETTINGS)
+def test_binned_interval_join_equals_naive_theta(spark, rows):
+    """join_range_binned's bin-explode construction must produce
+    EXACTLY the naive |Δt| ≤ width theta-join pair set for arbitrary
+    event layouts (each qualifying pair matched once, none missed)."""
+    width = 300
+    data = [(i, u, t) for i, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, u long, t long")
+    naive = {
+        (a_id, b_id)
+        for a_id, a_u, a_t in data
+        for b_id, b_u, b_t in data
+        if a_u == b_u and a_id < b_id and abs(a_t - b_t) <= width
+    }
+    base = df.withColumn("bin", (F.col("t") / width).cast("long"))
+    left = base.select(
+        F.col("id").alias("id_a"), F.col("u"), F.col("t").alias("t_a"),
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)).alias("bin_j"),
+    )
+    right = base.select(
+        F.col("id").alias("id_b"), F.col("u"), F.col("t").alias("t_b"),
+        F.col("bin").alias("bin_j"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in left.join(right, ["u", "bin_j"])
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.abs(F.col("t_a") - F.col("t_b")) <= width))
+        .collect()
+    }
+    assert got == naive
+
+
+@given(
+    tokens=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_shard_pack_bounded_overflow(spark, tokens):
+    """corpus_shard_pack's cumulative-quota assignment: every shard's
+    token total stays under quota + its last doc's size (bounded
+    overflow), shards are contiguous in doc order, and totals add up."""
+    quota = 64
+    data = [(i, n) for i, n in enumerate(tokens)]
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = (
+        df.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("shard", F.floor((F.col("cum") - 1) / quota))
+        .collect()
+    )
+    per_shard = {}
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        per_shard.setdefault(r.shard, []).append(r)
+    shard_ids = sorted(per_shard)
+    # contiguity in doc order
+    seen = []
+    for s in shard_ids:
+        seen.extend(r.doc_id for r in per_shard[s])
+    assert seen == sorted(seen)
+    # bounded overflow: a shard's total < quota + its FIRST doc's size
+    # (the first doc is the boundary-straddler; oversized docs get
+    # their own overflowing shard)
+    for s in shard_ids:
+        total = sum(r.n_tokens for r in per_shard[s])
+        assert total < quota + per_shard[s][0].n_tokens
+    assert sum(tokens) == sum(r.n_tokens for r in packed)
