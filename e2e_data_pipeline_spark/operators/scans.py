@@ -518,3 +518,59 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dec_sum(F.coalesce("l_discount", F.lit(0))).alias("sum_discount"),
     )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)
+               AS n_clean,
+           CAST(COUNT(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+               AS n_quarantined,
+           CAST(SUM(CASE WHEN o_orderkey % 10 <> 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS clean_revenue
+    FROM orders
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine (PERMISSIVE mode): a CSV where every
+    10th row carries a corrupted numeric field is read with an explicit
+    schema + ``columnNameOfCorruptRecord`` — broken rows survive as
+    NULL-typed rows with the raw line captured for quarantine, clean
+    rows parse normally, and NOTHING crashes. The ingest contract at
+    100 TB: one bad line in a billion must not kill the job (the
+    alternatives — FAILFAST / DROPMALFORMED — abort or silently lose
+    data).
+
+    The corruption is injected deterministically (key % 10 == 0), so
+    the oracle reproduces clean/quarantined counts and the clean-rows
+    aggregate from the source table exactly.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # Corrupt the price field of every 10th row, then serialize as CSV.
+    dirty = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("p"),
+    )
+    path = tempfile.mkdtemp(prefix="e2e_dirty_")
+    dirty.write.mode("overwrite").csv(path)
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_quarantined"),
+        dec_sum(
+            F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))
+        ).alias("clean_revenue"),
+    )
