@@ -135,3 +135,42 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     row0 = first[0]
     x = (1103515245 * 0 + 12345) % 2_147_483_648
     assert row0.user_id == x % 997 and row0.bucket == 0
+
+
+def test_cli_entry_point(tmp_path):
+    """A18 CLI parity: the flow's __main__ argparse path (the
+    reference's `python ingest_data.py --output_dir ...`,
+    ingest_data.py:145-157) must run the whole flow in a fresh
+    process."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "green_tripdata_2019-11.csv.gz")
+    _make_taxi_csv(src, "lpep", n=120)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "e2e_data_pipeline_spark.plans.etl",
+            "--source_url",
+            f"file://{src}",
+            "--output_dir",
+            out_dir,
+            "--taxi_color",
+            "green",
+            "--year",
+            "2019",
+            "--month",
+            "11",
+        ],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "EtlResult" in res.stdout
+    assert os.path.isdir(f"{out_dir}/curated/taxi_color=green/year=2019/month=11")
