@@ -481,3 +481,71 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_nationkey", "m.*")
     )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(user_id AS DECIMAL(18,0))
+                        * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS syy
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n*sxy - sx*sy)
+               / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_xy,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx))*sx) / n AS intercept
+    FROM s
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept per group, computed
+    from EXACT decimal sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) with the closed forms evaluated on doubles via the identical
+    expression tree on both engines. The built-in ``corr``/``regr_*``
+    aggregates are NOT cross-engine deterministic (each engine folds
+    doubles in its own order); decimal accumulation is exact and
+    order-insensitive, so this is bit-reproducible — the same
+    construction as agg_stats/win_zscore, extended to two variables.
+
+    Scale: one partial-aggregate shuffle carrying 6 numbers per group
+    — the map-side-combine shape; sufficient statistics are also
+    mergeable across batches/streams by construction. The decimal
+    products stay far from DECIMAL(38) overflow at any realistic group
+    size (Σxy < 1e13 per 1e9 rows at these magnitudes).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.col("value").cast("decimal(18,2)")
+    y = F.col("user_id").cast("decimal(18,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    corr = cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    slope = cov_n / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return g.select(
+        "event_type",
+        "n",
+        corr.alias("corr_xy"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -329,3 +329,55 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         z.alias("price_z"),
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    WITH fr AS (
+        SELECT user_id, event_id,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        FROM events
+        WHERE user_id < 20 AND value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           (arr[(len(arr)+1)//2] + arr[len(arr)//2+1]) / 2 AS mov_med
+    FROM fr
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 7-row frame per user — the
+    robust-smoothing primitive (outlier-resistant trend) that moving
+    averages can't provide. No engine exposes a median window over a
+    ROWS frame directly (Spark rejects ``median() OVER (... ROWS)``),
+    so both sides build the SAME order statistic explicitly: sorted
+    frame array, then the identical two-middle-element formula — for
+    odd frames the two indices coincide and (x+x)/2 == x exactly, so
+    no interpolation noise. The index arithmetic floors on BOTH
+    engines (Spark's int cast truncates; the oracle uses ``//`` —
+    DuckDB's ``CAST(4.5 AS INT)`` would round half away from zero).
+    ``value IS NOT NULL`` is pinned on both sides because Spark's
+    collect_list drops NULLs while DuckDB's list() keeps them.
+
+    Scale: one shuffle on user_id + per-partition sort (the same cost
+    as any window); the k=7 frame sort is O(k log k) per row — a
+    constant — and the frame array never leaves the executor.
+    The user_id bound caps oracle output; the plan is scale-free.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20) & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    m = F.size(arr)
+    med = (
+        F.element_at(arr, ((m + 1) / 2).cast("int"))
+        + F.element_at(arr, (m / 2 + 1).cast("int"))
+    ) / F.lit(2)
+    return ev.select("user_id", "event_id", med.alias("mov_med"))
