@@ -549,3 +549,71 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(least(floor(value / 10), 50) AS INT) AS bin,
+               value
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    h AS (
+        SELECT event_type, bin,
+               CAST(bin * 10 AS INT) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY event_type, bin
+    )
+    SELECT event_type, bin, bin_lo, n, sum_value,
+           n / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+    FROM h
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group with an overflow clamp and
+    per-group share — the distribution-profiling primitive for
+    training-data audits (detects value drift/spikes without a sort).
+    Binning is spelled as explicit arithmetic (``least(floor(v/10),
+    50)``) rather than an engine histogram built-in, so both engines
+    evaluate the identical IEEE expression; the share divides exact
+    BIGINT counts, and the per-bin sum uses the DECIMAL construction
+    (registry.dec_sum rationale).
+
+    Scale: groupBy on (group, bin) is bounded at |groups|×52 cells —
+    pure map-side combine; the share's window runs over that tiny
+    aggregate, never over raw rows. No sort, no quantile state,
+    mergeable across batches.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bin_col = F.least(F.floor(F.col("value") / 10), F.lit(50)).cast("int")
+    h = (
+        ev.select("event_type", bin_col.alias("bin"), "value")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 10).cast("int").alias("bin_lo"),
+            "n",
+            "sum_value",
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy("event_type"))
+    return h.select(
+        "event_type",
+        "bin",
+        "bin_lo",
+        "n",
+        "sum_value",
+        (F.col("n") / total.cast("double")).alias("share"),
+    )
