@@ -94,16 +94,22 @@ def load_table(
         raise KeyError(f"unknown fixture table {name!r}; known: {sorted(TABLES)}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) surfaced as int64 nanos (see
-        # session.py nanosAsLong note). Truncate ns→us — exactly what
-        # DuckDB does when it casts the column to TIMESTAMP — and keep
-        # it NTZ so no session-timezone shift applies.
+        # ts generation varies: parquet TIMESTAMP(NANOS) surfaces as
+        # int64 nanos under nanosAsLong (see session.py note) and must
+        # be truncated ns→us — exactly what DuckDB does when it casts
+        # the column to TIMESTAMP; TIMESTAMP(MICROS) already arrives as
+        # a timestamp and only needs the NTZ pin so no session-timezone
+        # shift applies. Branch on the dtype actually read.
         # `div` (integer division) — a plain `/` goes through DOUBLE,
         # which cannot represent ~1.7e18 ns exactly and corrupts the
         # low microseconds.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     if parallelize_scan:
         df = _maybe_rebalance(spark, df, table_path(sf_dir, name))
     return df

@@ -617,3 +617,90 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         (F.col("n") / total.cast("double")).alias("share"),
     )
+
+
+@register(
+    "agg_countmin_freq",
+    oracle="""
+    WITH keyed AS (
+        SELECT concat(event_type, ':', CAST(user_id % 50 AS VARCHAR)) AS k
+        FROM events
+    ),
+    depths AS (SELECT UNNEST([0, 1, 2, 3]) AS depth),
+    cms AS (
+        SELECT depth,
+               CAST(concat('0x', substr(md5(concat(CAST(depth AS VARCHAR), ':', k)), 1, 8))
+                    AS BIGINT) % 64 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed, depths
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS true_count FROM keyed GROUP BY k
+    ),
+    probe AS (
+        SELECT t.k, t.true_count, d.depth,
+               CAST(concat('0x', substr(md5(concat(CAST(d.depth AS VARCHAR), ':', t.k)), 1, 8))
+                    AS BIGINT) % 64 AS bucket
+        FROM truth t, depths d
+    )
+    SELECT p.k,
+           MIN(c.cnt) AS est_count,
+           CAST(MIN(p.true_count) AS BIGINT) AS true_count,
+           MIN(c.cnt) - MIN(p.true_count) AS overestimate
+    FROM probe p
+    JOIN cms c ON c.depth = p.depth AND c.bucket = p.bucket
+    GROUP BY p.k
+    """,
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, built and probed as an
+    explicit (depth x width) counter table — the mergeable
+    heavy-hitter primitive for unbounded key spaces.
+
+    The sketch is d=4 rows x w=64 buckets: each event lands in one
+    bucket per depth (4x row expansion BEFORE the partial aggregate,
+    so the shuffle carries at most 256 cells per map task, same
+    map-side-combine property as any groupBy). Estimates are
+    min-over-depths of the bucket counters; CMS guarantees
+    est >= true, so ``overestimate`` is provably >= 0 — the query
+    output self-validates the sketch bound, and the exact hash oracle
+    checks both sides compute the identical sketch.
+
+    The seeded bucket hash is the engine-portable 32-bit md5 prefix:
+    Spark ``conv(substr(md5(seed:key),1,8),16,10)`` == DuckDB
+    ``CAST('0x'||substr(md5(seed:key),1,8) AS BIGINT)``. At 100 TB the
+    sketch stays 256 cells no matter the key cardinality; the probe
+    join is an equi-join against those 256 rows (broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events", parallelize_scan=True)
+    k = F.concat(
+        F.col("event_type"), F.lit(":"), (F.col("user_id") % 50).cast("string")
+    )
+    keyed = ev.select(k.alias("k"))
+    depths = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3)))
+
+    def bucket(depth_col, key_col):
+        seeded = F.concat(depth_col.cast("string"), F.lit(":"), key_col)
+        h = F.conv(F.substring(F.md5(seeded.cast("binary")), 1, 8), 16, 10)
+        return (h.cast("long") % 64).alias("bucket")
+
+    expanded = keyed.select("k", depths.alias("depth"))
+    cms = (
+        expanded.select("depth", bucket(F.col("depth"), F.col("k")))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = keyed.groupBy("k").agg(F.count("*").alias("true_count"))
+    probe = truth.select(
+        "k", "true_count", depths.alias("depth")
+    ).select("k", "true_count", "depth", bucket(F.col("depth"), F.col("k")))
+    return (
+        probe.join(F.broadcast(cms), ["depth", "bucket"])
+        .groupBy("k")
+        .agg(
+            F.min("cnt").alias("est_count"),
+            F.min("true_count").alias("true_count"),
+            (F.min("cnt") - F.min("true_count")).alias("overestimate"),
+        )
+    )

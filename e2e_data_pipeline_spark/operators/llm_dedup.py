@@ -474,3 +474,90 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               concat('https://',
+                      CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                      '.Example.COM',
+                      CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+                      '/docs/', CAST(doc_id % 40 AS VARCHAR),
+                      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+                      CASE WHEN doc_id % 4 = 0
+                           THEN concat('?utm_source=feed&id=', CAST(doc_id % 40 AS VARCHAR))
+                           ELSE concat('?id=', CAST(doc_id % 40 AS VARCHAR)) END
+               ) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               concat(
+                   lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)),
+                   regexp_replace(
+                       regexp_extract(url, '//[^/?#]+(/[^?#]*)', 1), '/$', ''),
+                   '?id=',
+                   regexp_extract(url, '[?&]id=([^&#]*)', 1)
+               ) AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: collapse case-varied hosts, default
+    ports, trailing slashes, and utm_* tracking params to one
+    canonical form, then pick one representative per canonical URL —
+    the first pass of every crawl-dedup pipeline (exact-text dedup
+    misses these trivially-different duplicates).
+
+    Messy URLs are synthesized deterministically from fixture columns
+    (the fn_url_parse pattern — no network). Canonicalization is a
+    chain of built-in regexps (JVM, codegen) with IDENTICAL patterns
+    on both engines: lowercase host without port, port+slash-stripped
+    path, tracking params dropped keeping only ``id``. The dedup
+    itself is one groupBy on the canonical key; at 100 TB the key is a
+    short string (not the full document), and min(doc_id) is the
+    deterministic representative choice (same as dedup_exact).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 40).cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), (d % 40).cast("string"))),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"https?://([^/:?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"//[^/?#]+(/[^?#]*)", 1), r"/$", ""
+        ),
+        F.lit("?id="),
+        F.regexp_extract("url", r"[?&]id=([^&#]*)", 1),
+    )
+    return (
+        raw.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

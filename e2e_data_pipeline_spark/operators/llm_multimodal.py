@@ -272,3 +272,83 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_sampled_frames", F.lit(0))).alias("total_frames"),
         )
     )
+
+
+@register(
+    "multimodal_manifest",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id,
+               md5(text) AS fingerprint,
+               unhex(repeat(md5(text), 1 + CAST(doc_id % 5 AS INT))) AS payload
+        FROM documents
+    ),
+    manifest AS (
+        SELECT doc_id, fingerprint,
+               CAST(concat('0x', substr(md5(concat('shard:', fingerprint)), 1, 8))
+                    AS BIGINT) % 16 AS shard,
+               CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        FROM blobs
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           min(concat('blobs/', CAST(shard AS VARCHAR), '/', fingerprint, '.bin'))
+               AS first_path
+    FROM manifest
+    GROUP BY shard
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed blob manifest: opaque binary payloads hashed
+    into a fixed shard layout with per-shard size accounting — how a
+    multimodal pipeline plans its blob-store layout (images/audio
+    land at ``blobs/<shard>/<fingerprint>.bin``; the table keeps only
+    the pointer + metadata, never the bytes, in the hot path).
+
+    Payloads are deterministic fake media (md5-derived bytes of
+    varying length — no codecs in the container), but the binary
+    column, byte-length accounting, and portable shard hash (seeded
+    md5-prefix, same as agg_countmin_freq) are the real plumbing. The
+    aggregate is 16 rows regardless of corpus size; at 100 TB the
+    manifest write is a partitionBy(shard) sink and stays balanced
+    because the shard key is a uniform hash, never a skewed natural
+    key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    payload = F.unhex(F.repeat(fp, (F.lit(1) + F.col("doc_id") % 5).cast("int")))
+    blobs = docs.select(
+        "doc_id", fp.alias("fingerprint"), payload.alias("payload")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("fingerprint")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    manifest = blobs.select(
+        "doc_id",
+        "fingerprint",
+        shard.alias("shard"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    return manifest.groupBy("shard").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min(
+            F.concat(
+                F.lit("blobs/"),
+                F.col("shard").cast("string"),
+                F.lit("/"),
+                F.col("fingerprint"),
+                F.lit(".bin"),
+            )
+        ).alias("first_path"),
+    )

@@ -491,3 +491,63 @@ def text_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("lang", "term", "term_freq", "rank")
     )
+
+
+@register(
+    "text_ngram_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT lang,
+               unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks
+    ),
+    counts AS (
+        SELECT lang, concat(w1, ' ', w2) AS bigram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        FROM counts
+    )
+    SELECT lang, bigram, n, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram statistics per language: top-3 most frequent
+    bigrams — the n-gram LM / collocation building block next to
+    text_topterms' unigrams.
+
+    Bigrams are formed with ``zip_with(tokens[:-1], tokens[1:])`` — a
+    narrow JVM higher-order transform, no self-join and no window over
+    raw tokens. The count aggregate partial-combines map-side, and the
+    final top-3 window runs over the tiny (lang, bigram) aggregate.
+    The oracle zips position-wise with DuckDB's parallel-unnest trick
+    (two unnests in one SELECT advance in lockstep — the fn_posexplode
+    ordinality pattern, over offset list slices).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("lang", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.select(
+            "lang", "bigram", "n", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+    )

@@ -609,3 +609,43 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "sample_cap_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 30
+    """,
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap: keep at most K=30 documents per language,
+    chosen by deterministic hash order — the training-data move that
+    caps any one domain/language/host at a fixed budget without a
+    global sort or a seed-dependent ``sample()``.
+
+    The multiplicative hash (same Knuth constant as sample_hash) gives
+    an engine-portable, repartition-invariant shuffle of each group;
+    row_number over (hash, key) picks the same K members anywhere.
+    Output is bounded by K x |groups| regardless of input size, and
+    the only shuffle is the window's partitionBy(lang). At 100 TB the
+    rank-filter pushes through: Spark's WindowGroupLimit stops each
+    group after K rows before the full sort materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 30)
+    )

@@ -574,3 +574,39 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt").isNull(), F.col("o_totalprice"))
         ).alias("clean_revenue"),
     )
+
+
+@register(
+    "scan_text",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+           min(line) AS first_line
+    FROM (
+        SELECT concat(lang, CHR(9), text) AS line FROM documents
+    )
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source round-trip: write one tab-prefixed line per
+    document via the ``text`` sink, re-read with ``spark.read.text``,
+    aggregate. The oracle computes the same answer from the source
+    parquet — the hash proves the line round-trip is lossless.
+
+    The text source is the raw-corpus workhorse (one row per line,
+    single ``value`` column, splittable when uncompressed) — exactly
+    how a crawl dump or log directory enters a training pipeline
+    before any structure is imposed. The fixture texts contain no
+    newlines, the one precondition of line-oriented storage.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("lang"), F.lit("\t"), F.col("text")).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="e2e_text_")
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min("value").alias("first_line"),
+    )

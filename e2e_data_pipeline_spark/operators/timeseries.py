@@ -355,3 +355,137 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct((-F.col("len")).alias("neg"), F.col("streak_start")),
         ).alias("first_best_start"),
     )
+
+
+@register(
+    "ts_interp_linear",
+    oracle="""
+    WITH bounded AS (
+        SELECT user_id, ts, value FROM events WHERE user_id < 12
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        FROM bounded GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM bounded GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.h, hy.hour_value
+        FROM grid g
+        LEFT JOIN hourly hy ON hy.user_id = g.user_id AND hy.h = g.h
+    ),
+    ctx AS (
+        SELECT user_id, h, hour_value,
+               last_value(hour_value IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN hour_value IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS prev_h,
+               first_value(hour_value IGNORE NULLS) OVER wn AS next_v,
+               first_value(CASE WHEN hour_value IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS next_h
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE WHEN hour_value IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+           CASE WHEN hour_value IS NOT NULL THEN hour_value
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(epoch_us(h) // 1000000 - epoch_us(prev_h) // 1000000 AS DOUBLE)
+                        / CAST(epoch_us(next_h) // 1000000 - epoch_us(prev_h) // 1000000 AS DOUBLE))
+           END AS interp_value
+    FROM ctx
+    """,
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto an hourly grid (the lerp sibling of
+    ts_gapfill's forward fill — sensor/metrics resampling).
+
+    Same output-proportional grid as ts_gapfill, then two symmetric
+    unbounded windows recover the bracketing observations: last
+    non-null (value, hour) looking back, first non-null looking
+    forward. The lerp is closed-form O(1) per row on doubles and the
+    expression tree is written identically in the oracle, so IEEE
+    arithmetic agrees bit-for-bit (the win_zscore/fn_array pattern —
+    fold exactness comes from the DECIMAL hourly sums, not from
+    rounding the result). Edge rows with no left (right) bracket take
+    the nearest observation — extrapolation is clamped.
+
+    One shuffle on user_id serves the bounds, the join, and both
+    windows; the sort is shared between wp/wn (same ordering key).
+    Boundary timestamps are exact hour marks, so the epoch arithmetic
+    (Spark's truncating timestamp→long cast vs DuckDB epoch_us//1e6)
+    is integral on both engines.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 12)
+        .select("user_id", "ts", "value")
+    )
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        dec_sum("value").alias("hour_value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hv = F.col("hour_value")
+    obs_h = F.when(hv.isNotNull(), F.col("h"))
+    ctx = j.select(
+        "user_id",
+        "h",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("hour_value", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("next_h"),
+    )
+
+    def sec(c: str):
+        # NTZ → TIMESTAMP → long truncates, matching DuckDB
+        # epoch_us(ts) // 1000000 (see CLAUDE.md time-arithmetic note).
+        return F.col(c).cast("timestamp").cast("long")
+
+    frac = (sec("h") - sec("prev_h")).cast("double") / (
+        sec("next_h") - sec("prev_h")
+    ).cast("double")
+    interp = (
+        F.when(hv.isNotNull(), hv)
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("h", _FMT).alias("hour_start"),
+        F.when(hv.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("interpolated"),
+        interp.alias("interp_value"),
+    )

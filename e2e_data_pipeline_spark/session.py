@@ -38,10 +38,13 @@ def get_spark(app_name: str = "e2e-data-pipeline-spark") -> SparkSession:
         # = false). Read them as TIMESTAMP_NTZ so no session-timezone
         # shift is ever applied — matches DuckDB's naive TIMESTAMP.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark's vectorized reader rejects outright. Read nanos as
-        # int64 and derive a microsecond timestamp in the catalog
-        # (matches DuckDB, which truncates ns→us on read).
+        # Some fixture generations store events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+        # outright. Read nanos as int64 and derive a microsecond
+        # timestamp in the catalog (matches DuckDB, which truncates
+        # ns→us on read). Harmless when the fixture ships MICROS — the
+        # conf only affects NANOS columns, and catalog.load_table
+        # branches on the dtype actually read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))

@@ -1,5 +1,4 @@
 from e2e_data_pipeline_spark.streaming.core import (
-    EVENTS_RAW_SCHEMA,
     load_events_stream,
     run_stream_to_memory,
     sessionize,
@@ -11,7 +10,6 @@ from e2e_data_pipeline_spark.streaming.core import (
 )
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "load_events_stream",
     "run_stream_to_memory",
     "sessionize",

@@ -23,13 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Raw parquet schema of events (ts is int64 nanos — see session.py).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream (file source, explicit schema).
 
@@ -38,13 +31,19 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the batch catalog's TIMESTAMP_NTZ exactly, and every
     transform output formats timestamps to strings, so batch/stream
     parity is unaffected by the internal type difference.
+
+    The file source needs an explicit schema; probe it from a batch
+    read of the same files, since the fixture generation has shipped
+    ts both as parquet TIMESTAMP(NANOS) (int64 nanos under the
+    nanosAsLong conf) and as TIMESTAMP(MICROS) (a real timestamp).
     """
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # glob (not the bare file path): the file source requires basePath
     # to be a directory, and with a glob it resolves to sf_dir.
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parq*"
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(probe).parquet(f"{sf_dir}/events.parq*")
+    if probe["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------
