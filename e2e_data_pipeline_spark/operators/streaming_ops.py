@@ -204,3 +204,26 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.rank_topk(
         core.daily_type_counts(load_table(spark, sf_dir, "events"))
     )
+
+
+@register(
+    "stream_latest_state",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, ts) AS last_value,
+           arg_max(event_type, ts) AS last_event_type,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_changes
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction: one current row per user from an
+    unbounded change stream (the streaming twin is update-mode — each
+    micro-batch emits only keys that changed; state stays O(keys)).
+    Batch and stream share :func:`streaming.core.latest_state`;
+    parity is asserted in tests/test_streaming.py. max_by values are
+    copied, never summed, so floats stay bit-exact without decimal
+    folding."""
+    return core.latest_state(load_table(spark, sf_dir, "events"))

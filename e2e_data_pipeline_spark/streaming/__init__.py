@@ -6,6 +6,7 @@ from e2e_data_pipeline_spark.streaming.core import (
     static_join_enrich,
     stream_stream_conversions,
     tumbling_counts,
+    latest_state,
     watermark_dedup,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "static_join_enrich",
     "stream_stream_conversions",
     "tumbling_counts",
+    "latest_state",
     "watermark_dedup",
 ]

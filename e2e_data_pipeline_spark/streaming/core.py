@@ -278,3 +278,24 @@ def rank_topk(day_counts: DataFrame, k: int = 2) -> DataFrame:
         day_counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def latest_state(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Changelog compaction: the current state per user — last value,
+    last event type, last-change time, change count. The CDC
+    "materialized latest" pattern: a keyed update stream collapses to
+    one row per key.
+
+    Pure aggregation (max/max_by/count), so the SAME code runs batch
+    and streaming (update mode): in streaming, state per key is O(1)
+    and each micro-batch emits only changed keys. (user_id, ts) is
+    unique in the fixture, so max_by on ts is deterministic.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    return events.groupBy("user_id").agg(
+        F.max_by("value", "ts").alias("last_value"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.count("*").alias("n_changes"),
+    )

@@ -410,3 +410,44 @@ def test_range_binned_join_is_hash_not_nested_loop(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     key_lines = [l for l in plan.splitlines() if "keys" in l.lower()]
     assert any("user_id" in l and "bin_j" in l for l in key_lines), plan
+
+
+def test_cap_per_group_rank_limits_before_shuffle(spark):
+    """sample_cap_per_group must show a map-side WindowGroupLimit under
+    the exchange: each input partition stops its groups at K rows
+    before any data moves, so the shuffle carries O(K x groups) rows —
+    the property that makes a per-domain cap feasible at 100 TB."""
+    plan = plan_of(spark, "sample_cap_per_group")
+    pre_exchange = plan.split("Exchange")[0]
+    assert "WindowGroupLimit" in pre_exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_probe_join_is_broadcast(spark):
+    """agg_countmin_freq's probe joins the 256-cell sketch — must be a
+    broadcast hash join (the sketch is tiny by construction), never a
+    shuffle of the probe side against it."""
+    plan = plan_of(spark, "agg_countmin_freq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigrams_aggregate_has_partial_phase(spark):
+    """text_ngram_bigrams: the (lang, bigram) count must partial-
+    aggregate map-side so the shuffle carries vocabulary cells, not
+    one row per token pair."""
+    plan = plan_of(spark, "text_ngram_bigrams")
+    # The formatted tree prints top-down, so positional slicing lies;
+    # assert the partial phase via the node details instead.
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interp_windows_collapse_to_one_operator(spark):
+    """ts_interp_linear's four window expressions (last/first over the
+    backward and forward unbounded frames) share one partitioning and
+    ordering, so Catalyst must fuse them into a SINGLE Window operator
+    over a single sort — not one sort+shuffle per frame direction."""
+    plan = plan_of(spark, "ts_interp_linear")
+    assert plan.count("Window (") == 1, plan
+    assert "CartesianProduct" not in plan

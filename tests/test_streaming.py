@@ -9,6 +9,7 @@ import pytest
 
 from e2e_data_pipeline_spark.catalog import load_table
 from e2e_data_pipeline_spark.streaming import (
+    latest_state,
     load_events_stream,
     run_stream_to_memory,
     sessionize,
@@ -56,6 +57,21 @@ def test_dedup_parity(spark):
         watermark_dedup(load_events_stream(spark, SF_SMALL), watermark="1 hour"),
         "t_dedup",
         output_mode="append",
+    )
+    _assert_same(batch, stream)
+
+
+def test_latest_state_parity(spark):
+    """CDC compaction: update-mode streaming agg must converge to the
+    batch latest-per-key answer once the whole changelog is consumed
+    (memory sink in update mode keeps the LAST row per emitted key,
+    so the final table equals the batch compaction)."""
+    batch = latest_state(load_table(spark, SF_SMALL, "events"))
+    stream = run_stream_to_memory(
+        spark,
+        latest_state(load_events_stream(spark, SF_SMALL), watermark="1 hour"),
+        "t_latest_state",
+        output_mode="complete",
     )
     _assert_same(batch, stream)
 
