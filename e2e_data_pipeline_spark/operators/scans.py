@@ -610,3 +610,42 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.min("value").alias("first_line"),
     )
+
+
+# Spark 4 supports WITH RECURSIVE natively; this text runs VERBATIM on
+# DuckDB too (the sql_interface/sql_lateral_topk dialect-portability
+# family). Binary-tree parent = floor(node/2), so recursion depth is
+# log2(max doc_id) — bounded and tiny even at 100 TB doc counts.
+_SQL_RECURSIVE_QUERY = """
+WITH RECURSIVE climb(doc_id, node, depth) AS (
+    SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+    FROM climb WHERE node > 1
+)
+SELECT doc_id,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(SUM(node) AS BIGINT) AS path_sum
+FROM climb
+GROUP BY doc_id
+"""
+
+
+@register("sql_recursive_cte", oracle=_SQL_RECURSIVE_QUERY)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front-end: every document climbs
+    the implicit binary tree over doc ids (parent = floor(node/2)) and
+    reports its depth and path sum — the iterate-until-empty fixpoint
+    pattern (hierarchy walks, transitive closure) executed natively by
+    Spark 4's recursive-CTE planner, with the IDENTICAL query text
+    running on DuckDB as the oracle.
+
+    Unlike dedup_cluster's hand-rolled label-propagation loop (driver-
+    side iteration + localCheckpoint), the engine owns the fixpoint
+    here: each recursion step is a distributed self-union, and depth
+    is log2(max id), so the unrolled plan stays shallow at any scale.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_QUERY)
