@@ -704,3 +704,130 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cnt") - F.min("true_count")).alias("overestimate"),
         )
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(9,2))) AS d1,
+               SUM(CAST(CAST(value AS DECIMAL(9,2))
+                        * CAST(value AS DECIMAL(9,2)) AS DECIMAL(14,4))) AS d2,
+               SUM(CAST(CAST(CAST(CAST(value AS DECIMAL(9,2))
+                             * CAST(value AS DECIMAL(9,2)) AS DECIMAL(14,4))
+                             AS DECIMAL(19,4))
+                        * CAST(value AS DECIMAL(9,2)) AS DECIMAL(20,6))) AS d3,
+               SUM(CAST(CAST(CAST(CAST(value AS DECIMAL(9,2))
+                             * CAST(value AS DECIMAL(9,2)) AS DECIMAL(14,4))
+                             AS DECIMAL(19,4))
+                        * CAST(CAST(value AS DECIMAL(9,2))
+                               * CAST(value AS DECIMAL(9,2)) AS DECIMAL(14,4))
+                        AS DECIMAL(28,8))) AS d4
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(d1 AS DOUBLE) AS s1,
+               CAST(d2 AS DOUBLE) AS s2,
+               CAST(CAST(FLOOR(d3) AS BIGINT) AS DOUBLE)
+                   + CAST(d3 % 1 AS DOUBLE) AS s3,
+               CAST(CAST(FLOOR(d4) AS BIGINT) AS DOUBLE)
+                   + CAST(d4 % 1 AS DOUBLE) AS s4
+        FROM d
+    )
+    SELECT event_type, n,
+           ((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+               / (((s2 / n) - (s1 / n) * (s1 / n))
+                  * sqrt((s2 / n) - (s1 / n) * (s1 / n))) AS skewness_pop,
+           ((s4 / n) - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+            - 3 * ((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n)))
+               / (((s2 / n) - (s1 / n) * (s1 / n))
+                  * ((s2 / n) - (s1 / n) * (s1 / n))) - 3 AS kurtosis_excess
+    FROM s
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible skewness + excess kurtosis per group from EXACT
+    decimal raw moments (n, Sx, Sx2, Sx3, Sx4) - the agg_stats /
+    agg_corr_regr construction extended to 3rd/4th moments. Built-in
+    ``skewness``/``kurtosis`` fold doubles engine-arbitrarily; here
+    every power is an explicitly-capped decimal product (each cast
+    exact for |x| < 1e5; the fixture max is ~560), the shuffle carries
+    5 numbers per group, and the closed forms run on doubles via the
+    IDENTICAL expression tree on both engines (sqrt-multiplied instead
+    of pow(x, 1.5), since pow implementations may differ in the last
+    ulp).
+
+    Two portability subtleties, learned the hard way:
+    - the left operand of each big product re-widens to DECIMAL(19,4):
+      a result width over 18 digits forces DuckDB's HUGEINT decimal
+      kernel (its int64 kernel overflows on d(14)*d(14) products);
+    - the 3rd/4th-moment sums convert to double via an integer/fraction
+      SPLIT (floor part through BIGINT, remainder separately). Casting
+      a wide decimal directly diverges: DuckDB converts the HUGEINT
+      significand to double first and divides by 10^scale after (two
+      roundings), Spark's BigDecimal rounds once. Splitting makes each
+      piece exactly representable (or one correctly-rounded op), so
+      both engines produce identical bits.
+
+    The moments are mergeable across partitions/batches by
+    construction - at 100 TB this is one map-side-combine shuffle, and
+    the same 5-tuple can roll up daily -> monthly without re-reading
+    raw data.
+    """
+    ev = load_table(spark, sf_dir, "events", parallelize_scan=True).where(
+        F.col("value").isNotNull()
+    )
+    x = F.col("value").cast("decimal(9,2)")
+    x2 = (x * x).cast("decimal(14,4)")
+    x2w = x2.cast("decimal(19,4)")
+    x3 = (x2w * x).cast("decimal(20,6)")
+    x4 = (x2w * x2).cast("decimal(28,8)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x3).alias("d3"),
+        F.sum(x4).alias("d4"),
+    )
+
+    def split_double(c):
+        # `c % 1` (not `c - floor(c)`): Spark's decimal subtraction
+        # against the wide floor overflows precision 38 and silently
+        # ROUNDS the remainder to scale 6; mod keeps the full scale
+        # exactly on both engines.
+        return F.floor(c).cast("bigint").cast("double") + (c % F.lit(1)).cast(
+            "double"
+        )
+
+    g = g.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        split_double(F.col("d3")).alias("s3"),
+        split_double(F.col("d4")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2r = F.col("s2") / n
+    m3r = F.col("s3") / n
+    m4r = F.col("s4") / n
+    var = m2r - m1 * m1
+    skew = (m3r - F.lit(3) * m1 * m2r + F.lit(2) * m1 * m1 * m1) / (
+        var * F.sqrt(var)
+    )
+    kurt = (
+        m4r
+        - F.lit(4) * m1 * m3r
+        + F.lit(6) * m1 * m1 * m2r
+        - F.lit(3) * (m1 * m1) * (m1 * m1)
+    ) / (var * var) - F.lit(3)
+    return g.select(
+        "event_type", "n", skew.alias("skewness_pop"), kurt.alias("kurtosis_excess")
+    )

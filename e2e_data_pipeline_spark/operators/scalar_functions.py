@@ -681,3 +681,44 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("ck")).alias("type_key"), "n_parts", "total_price"
         )
     )
+
+
+@register(
+    "fn_string_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s|%05d|%9.2f', p_brand, p_partkey % 100000, p_retailprice)
+               AS part_label,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           repeat(substr(p_type, 1, 2), 3) AS repeated_type,
+           reverse(p_name) AS reversed_name,
+           translate(p_type, 'AEIOU', 'aeiou') AS folded_type
+    FROM part
+    WHERE p_partkey % 7 = 0
+    """,
+)
+def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style composition, pad, repeat,
+    reverse, translate — the label/key-building toolkit (shard names,
+    content keys, fixed-width exports). All built-ins (JVM codegen, no
+    UDF). Spark's ``format_string`` and DuckDB's ``printf`` share the
+    C-printf dialect; %9.2f of a 2-dp-semantics double is unambiguous
+    (the binary value is never an exact half at the 3rd decimal), so
+    the formatted text is engine-identical.
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 7 == 0)
+    return part.select(
+        "p_partkey",
+        F.format_string(
+            "%s|%05d|%9.2f",
+            F.col("p_brand"),
+            (F.col("p_partkey") % 100000).cast("int"),
+            F.col("p_retailprice"),
+        ).alias("part_label"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("repeated_type"),
+        F.reverse("p_name").alias("reversed_name"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("folded_type"),
+    )
