@@ -745,3 +745,95 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_b"))
     )
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
+
+
+@register(
+    "join_pit_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               (SELECT max(e.ts) FROM events e
+                WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS prev_ts,
+               (SELECT min(e.ts) FROM events e
+                WHERE e.user_id = o.o_custkey AND e.ts > o.o_orderdate) AS next_ts
+        FROM orders o
+        WHERE o.o_custkey < 150
+    )
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(epoch_us(CASE
+               WHEN prev_ts IS NULL THEN next_ts
+               WHEN next_ts IS NULL THEN prev_ts
+               WHEN epoch_us(o_orderdate) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(o_orderdate) THEN prev_ts
+               ELSE next_ts END) AS BIGINT) AS nearest_event_us
+    FROM p
+    """,
+)
+def join_pit_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each order pairs with the closest event of
+    the same user in EITHER direction (ties break backward) — the
+    sensor-alignment / point-in-time-features sibling of join_asof's
+    backward-only match.
+
+    Same single-shuffle union+window construction as join_asof, with a
+    second symmetric window looking forward: running last non-null
+    event behind me, first non-null ahead of me, then an O(1) CASE
+    picks the closer. Both windows share one partitioning and sort, so
+    Catalyst fuses them into a single Window operator — still exactly
+    one shuffle and one sort, never an inequality join (quadratic) or
+    per-row subqueries (the oracle's correlated form is the semantic
+    spec, not the plan).
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    events = load_table(spark, sf_dir, "events")
+    probes = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("at_ts"),
+        F.lit(1).alias("kind"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+        F.lit(None).cast("timestamp_ntz").alias("event_ts"),
+    )
+    builds = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("at_ts"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp_ntz").alias("o_orderdate"),
+        F.col("ts").alias("event_ts"),
+    )
+    wb = (
+        Window.partitionBy("uid")
+        .orderBy("at_ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("uid")
+        .orderBy("at_ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = probes.unionByName(builds).select(
+        "*",
+        F.last("event_ts", ignorenulls=True).over(wb).alias("prev_ts"),
+        F.first("event_ts", ignorenulls=True).over(wf).alias("next_ts"),
+    )
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(
+            us("o_orderdate") - us("prev_ts") <= us("next_ts") - us("o_orderdate"),
+            F.col("prev_ts"),
+        )
+        .otherwise(F.col("next_ts"))
+    )
+    return merged.where(F.col("kind") == 1).select(
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.unix_micros(nearest.cast("timestamp")).alias("nearest_event_us"),
+    )

@@ -649,3 +649,75 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 30)
     )
+
+
+@register(
+    "dq_anomaly_iqr",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority, ROUND(o_totalprice * 100, 0) AS c
+        FROM orders
+    ),
+    fences AS (
+        SELECT o_orderpriority,
+               quantile_cont(c, 0.25) AS q1,
+               quantile_cont(c, 0.75) AS q3,
+               quantile_cont(c, 0.75) - quantile_cont(c, 0.25) AS iqr
+        FROM cents GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           f.q1 AS q1_cents,
+           f.q3 AS q3_cents,
+           CAST(SUM(CASE WHEN c.c < f.q1 - 1.5 * f.iqr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN c.c > f.q3 + 1.5 * f.iqr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_outliers
+    FROM cents c
+    JOIN fences f ON f.o_orderpriority = c.o_orderpriority
+    GROUP BY c.o_orderpriority, f.q1, f.q3
+    """,
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR anomaly audit: per-group Tukey fences (Q1/Q3 ± 1.5·IQR)
+    and outlier counts — the robust data-quality screen next to
+    dq_profile's null/range audit (quartile fences don't move when the
+    outliers themselves get worse, unlike mean ± k·σ).
+
+    Everything runs in integer cents: prices are 2-dp doubles, so
+    ROUND(x*100) is an exact integer double, quartile interpolation at
+    quarter fractions is exact dyadic arithmetic, and the fence
+    comparison is therefore bit-identical across engines with NO
+    rounding epsilon (the fn_array "exact by construction" pattern,
+    applied to quantiles). Two passes over orders sharing one shuffle
+    key: the 5-row fence table broadcasts back onto the priority
+    groups.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100, 0).alias("c")
+    )
+    fences = cents.groupBy("o_orderpriority").agg(
+        F.percentile("c", F.lit(0.25)).alias("q1"),
+        F.percentile("c", F.lit(0.75)).alias("q3"),
+        (
+            F.percentile("c", F.lit(0.75)) - F.percentile("c", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    j = cents.join(F.broadcast(fences), "o_orderpriority")
+    return j.groupBy("o_orderpriority", "q1", "q3").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("c") < F.col("q1") - F.lit(1.5) * F.col("iqr"), 1).otherwise(0)
+        ).alias("n_low_outliers"),
+        F.sum(
+            F.when(F.col("c") > F.col("q3") + F.lit(1.5) * F.col("iqr"), 1).otherwise(0)
+        ).alias("n_high_outliers"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        "n_low_outliers",
+        "n_high_outliers",
+    )
