@@ -381,3 +381,59 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(arr, (m / 2 + 1).cast("int"))
     ) / F.lit(2)
     return ev.select("user_id", "event_id", med.alias("mov_med"))
+
+
+@register(
+    "win_ewma",
+    oracle="""
+    WITH fr AS (
+        SELECT user_id, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        FROM events
+        WHERE user_id < 20 AND value IS NOT NULL
+    )
+    SELECT user_id, event_id, value,
+           list_reduce(arr, (acc, x) -> x * 0.25 + acc * 0.75) AS ewma
+    FROM fr
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over a trailing 8-row
+    frame per user (alpha=0.25) — the recency-weighted smoothing
+    kernel next to win_moving_median's robust one. No engine has an
+    EWMA window aggregate; both sides collect the ordered frame and
+    run the IDENTICAL left fold ``acc*(1-a) + x*a`` seeded with the
+    oldest frame element (DuckDB's list_reduce seeds from the first
+    element; Spark's ``aggregate`` replays that exactly with
+    element_at(arr,1) as the init and the tail as input). Fold order
+    is the frame's sort order on both engines and every step is the
+    same double expression, so results are bit-identical.
+
+    Scale: identical shape to win_moving_median — one shuffle + sort
+    on (user_id, ts), O(k) fold per row, frame array never leaves the
+    executor. A custom smoothing kernel lands as a higher-order
+    lambda, not a UDF: still whole-stage-codegen JVM code.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20) & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    fr = ev.select(
+        "user_id", "event_id", "value", F.collect_list("value").over(w).alias("arr")
+    )
+    return fr.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1),"
+            " CAST(element_at(arr, 1) AS DOUBLE),"
+            " (acc, x) -> x * 0.25 + acc * 0.75)"
+        ).alias("ewma"),
+    )
