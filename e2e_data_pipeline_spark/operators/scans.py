@@ -649,3 +649,47 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_RECURSIVE_QUERY)
+
+
+@register(
+    "sink_python_ds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey
+    FROM lineitem
+    WHERE l_linestatus = 'F'
+    GROUP BY l_returnflag
+    """,
+)
+def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER round-trip (the write half of
+    source_python_ds's connector surface): lineitem slice →
+    ``.write.format("jsonl_dir")`` (per-task files + driver-side
+    two-phase commit manifest) → re-read with an explicit schema →
+    aggregate. The oracle computes the same answer from the source
+    parquet, so the hash proves the task-parallel sink lost nothing.
+
+    Each executor task serializes only its own partition (no driver
+    collect — the anti-pattern the reference's pandas ``to_sql`` loop
+    embodies at /root/reference/ingest_data.py:59-85), and the commit
+    message/manifest protocol is the same contract a production
+    object-store sink uses for exactly-once visibility.
+    """
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+
+    register_python_sources(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_linestatus") == "F"
+    ).select("l_orderkey", "l_quantity", "l_returnflag")
+    path = tempfile.mkdtemp(prefix="e2e_pyds_sink_")
+    li.write.format("jsonl_dir").mode("append").option("path", path).save()
+    back = spark.read.schema(
+        "l_orderkey long, l_quantity double, l_returnflag string"
+    ).json(f"{path}/part-*.jsonl")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.min("l_orderkey").alias("min_orderkey"),
+    )

@@ -132,3 +132,77 @@ class SyntheticEventsDataSource(DataSource):
 def register_python_sources(spark) -> None:
     """Idempotently register all custom Python data sources."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonLinesDirDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half of the connector surface (Spark 4 Python DataSource
+# write path). The reference's sinks are all driver-side pandas calls
+# (to_sql :78, to_parquet :103-106, to_gbq :116-122 in
+# /root/reference/ingest_data.py); the Spark-first shape is a
+# DataSourceWriter: each TASK serializes its partition to its own
+# file, returns a commit message, and the driver finalizes atomically
+# — the same two-phase commit contract a real object-store/DB sink
+# implements.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonLinesDirWriter(DataSourceWriter):
+    """Append-only JSON-lines directory sink with two-phase commit.
+
+    write(): one file per task, named with a task-unique uuid so
+    speculative/retried attempts never collide; the row payload is
+    written with sorted keys for determinism. commit(): the driver
+    records every task's file in a `_SUCCESS` manifest — readers that
+    honor the manifest get exactly-once visibility even if stray files
+    from aborted attempts remain. abort(): best-effort cleanup.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonLinesDirDataSource(DataSource):
+    """`.format("jsonl_dir")` — writer-only Python DataSource."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesDirWriter:
+        return JsonLinesDirWriter(self.options)

@@ -174,3 +174,26 @@ def test_cli_entry_point(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "EtlResult" in res.stdout
     assert os.path.isdir(f"{out_dir}/curated/taxi_color=green/year=2019/month=11")
+
+
+def test_python_ds_writer_commit_manifest(spark, tmp_path):
+    """The jsonl_dir writer's two-phase commit must produce a _SUCCESS
+    manifest whose file list and row total exactly describe the
+    committed task files."""
+    import json
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+    from tests.conftest import SF_SMALL
+
+    register_python_sources(spark)
+    out = str(tmp_path / "jsonl_sink")
+    df = load_table(spark, SF_SMALL, "nation").select("n_nationkey", "n_name")
+    df.write.format("jsonl_dir").mode("append").option("path", out).save()
+    manifest = json.load(open(f"{out}/_SUCCESS"))
+    assert manifest["rows"] == df.count() == 25
+    n_lines = 0
+    for f in manifest["files"]:
+        with open(f, encoding="utf-8") as fh:
+            n_lines += sum(1 for _ in fh)
+    assert n_lines == 25
