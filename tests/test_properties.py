@@ -318,3 +318,95 @@ def test_shard_pack_bounded_overflow(spark, tokens):
         total = sum(r.n_tokens for r in per_shard[s])
         assert total < quota + per_shard[s][0].n_tokens
     assert sum(tokens) == sum(r.n_tokens for r in packed)
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=300),
+    parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_countmin_never_underestimates(spark, keys, parts):
+    """The count-min sketch guarantee est >= true must hold for ANY key
+    distribution and ANY partitioning — the property agg_countmin_freq's
+    `overestimate` column asserts per row. Rebuilds the same 4x64
+    sketch over arbitrary integer keys."""
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string").repartition(
+        parts
+    )
+    depths = F.explode(F.array(*[F.lit(i) for i in range(4)]))
+
+    def bucket(depth_col, key_col):
+        seeded = F.concat(depth_col.cast("string"), F.lit(":"), key_col)
+        return (
+            F.conv(F.substring(F.md5(seeded.cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 64
+        ).alias("bucket")
+
+    cms = (
+        df.select("k", depths.alias("depth"))
+        .select("depth", bucket(F.col("depth"), F.col("k")))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = df.groupBy("k").agg(F.count("*").alias("true_n"))
+    probe = truth.select("k", "true_n", depths.alias("depth")).select(
+        "k", "true_n", "depth", bucket(F.col("depth"), F.col("k"))
+    )
+    est = (
+        probe.join(cms, ["depth", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est"), F.min("true_n").alias("true_n"))
+    )
+    for r in est.collect():
+        assert r.est >= r.true_n, (r.k, r.est, r.true_n)
+
+
+@given(values=st.lists(money, min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_ewma_stays_within_frame_envelope(spark, values):
+    """A convex-weight fold can never leave [min, max] of its frame —
+    win_ewma's defining invariant, for arbitrary value streams."""
+    rows = [(1, i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    out = df.select(
+        F.collect_list("value").over(w).alias("arr"),
+    ).select(
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1),"
+            " CAST(element_at(arr, 1) AS DOUBLE),"
+            " (acc, x) -> x * 0.25 + acc * 0.75)"
+        ).alias("ewma"),
+        F.array_min("arr").alias("lo"),
+        F.array_max("arr").alias("hi"),
+    )
+    for r in out.collect():
+        assert r.lo - 1e-9 <= r.ewma <= r.hi + 1e-9
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=200, unique=True),
+    parts=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_cap_per_group_selects_same_members_any_partitioning(spark, ids, parts):
+    """sample_cap_per_group's hash-order cap must pick the SAME K
+    members regardless of physical partitioning (df.limit would not)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    kept = lambda d: sorted(
+        r.doc_id
+        for r in d.select("doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 10)
+        .collect()
+    )
+    assert kept(df.repartition(parts)) == kept(df.coalesce(1))
