@@ -693,3 +693,45 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("l_quantity").alias("sum_qty"),
         F.min("l_orderkey").alias("min_orderkey"),
     )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    long-lived lake needs: a fragmented write (64 splinter files, the
+    shape streaming ingest or over-parallel writers leave behind) is
+    rewritten into a handful of right-sized files, then re-read and
+    aggregated. The oracle recomputes from the source table, proving
+    compaction is lossless; the file-count collapse itself is pinned
+    in tests/test_etl_flow.py.
+
+    Small files are a top-3 production scan killer (per-file open cost,
+    tiny row groups defeat the vectorized reader, task-per-file
+    scheduling overhead). The fix is exactly this: `repartition(k)` to
+    k output files sized near `maxPartitionBytes`. At 100 TB the same
+    job runs per-partition (compact yesterday's partition only), so
+    the rewrite cost stays proportional to fresh data, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    frag = tempfile.mkdtemp(prefix="e2e_frag_")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = tempfile.mkdtemp(prefix="e2e_compact_")
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )

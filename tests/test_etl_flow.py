@@ -197,3 +197,24 @@ def test_python_ds_writer_commit_manifest(spark, tmp_path):
         with open(f, encoding="utf-8") as fh:
             n_lines += sum(1 for _ in fh)
     assert n_lines == 25
+
+
+def test_compaction_collapses_file_count(spark, tmp_path):
+    """The compaction rewrite must actually reduce parquet file count
+    (64 splinters -> <=4), not just round-trip the rows."""
+    import glob
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    frag = str(tmp_path / "frag")
+    compacted = str(tmp_path / "compact")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compacted)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_comp = len(glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_frag >= 32 and n_comp <= 4, (n_frag, n_comp)
+    assert (
+        spark.read.parquet(compacted).count() == orders.count()
+    )
