@@ -237,3 +237,34 @@ def test_int8_quantized_topk_recall(spark):
         len(exact[q] & quant[q]) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_skew_kurt_matches_builtin_estimators(spark):
+    """agg_skew_kurt's closed forms from exact decimal moments must
+    agree with Spark's built-in skewness/kurtosis (population forms)
+    to float precision — the decimal path buys cross-engine
+    determinism, not different statistics."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    ours = {
+        r["event_type"]: r
+        for r in QUERIES["agg_skew_kurt"](spark, SF_SMALL).collect()
+    }
+    ref = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_SMALL, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"),
+            F.kurtosis("value").alias("ku"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for et, r in ours.items():
+        assert abs(r["skewness_pop"] - ref[et]["sk"]) < 1e-6, et
+        assert abs(r["kurtosis_excess"] - ref[et]["ku"]) < 1e-6, et
