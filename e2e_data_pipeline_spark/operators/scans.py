@@ -735,3 +735,57 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec_sum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "scan_csv_quoted",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(payload)) AS BIGINT) AS total_chars,
+           min(md5(payload)) AS first_digest
+    FROM (
+        SELECT concat(c_name, ', "', CHR(10), '" ', c_mktsegment) AS payload
+        FROM customer
+    )
+    """,
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hostile-CSV round-trip: payloads containing embedded commas,
+    double quotes, AND newlines are written with full quoting and
+    re-read with ``multiLine`` + escape handling; md5/length aggregates
+    against the source parquet prove nothing was split, truncated, or
+    de-escaped wrongly. This is the CSV edge that silently corrupts
+    naive pipelines (the reference's pandas reader at
+    /root/reference/ingest_data.py:49 inherits the same hazard).
+
+    Scale note, and why parquet stays the at-rest format: a quoted
+    newline makes row boundaries context-dependent, so ``multiLine``
+    CSV is UNSPLITTABLE — one task per file. The engine supports the
+    format for ingestion compatibility, then immediately lands
+    columnar (the reference itself converts to parquet at
+    ingest_data.py:103-106).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    payload = F.concat(
+        F.col("c_name"), F.lit(', "'), F.lit("\n"), F.lit('" '),
+        F.col("c_mktsegment"),
+    )
+    df = cust.select(payload.alias("payload"))
+    path = tempfile.mkdtemp(prefix="e2e_csvq_")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("payload string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("payload")).alias("total_chars"),
+        F.min(F.md5(F.col("payload").cast("binary"))).alias("first_digest"),
+    )
