@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import register
+from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 
 
 @register(
@@ -436,4 +436,56 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(element_at(arr, 1) AS DOUBLE),"
             " (acc, x) -> x * 0.25 + acc * 0.75)"
         ).alias("ewma"),
+    )
+
+
+@register(
+    "win_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT c.c_mktsegment,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, yr, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           (revenue - lag(revenue) OVER w) / lag(revenue) OVER w AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
+    """,
+)
+def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per market segment — the standard BI
+    report shape: aggregate to (segment, year), then lag + ratio over
+    the TINY aggregate (|segments| x |years| rows), never a self-join
+    of the fact table against itself shifted by a year.
+
+    One fact shuffle for the groupBy (customer dim broadcasts), one
+    trivially small window. The growth ratio is O(1) double arithmetic
+    on decimal-exact revenues with the identical expression tree on
+    both engines. First year per segment yields NULL growth — kept, as
+    report consumers expect.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yearly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(dec_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "c_mktsegment",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
     )
