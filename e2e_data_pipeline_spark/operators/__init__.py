@@ -110,6 +110,26 @@ _CHECKED_PREFIX = [
     # SQL front-end + corpus curation composite
     "sql_lateral_topk",
     "corpus_pipeline",
+    # ---- positions 51+: strongest follow-ups first, in case the
+    # driver's budget exceeds 50 keys ----
+    "sql_recursive_cte",
+    "agg_skew_kurt",
+    "join_pit_nearest",
+    "ts_interp_linear",
+    "sink_python_ds",
+    "agg_countmin_freq",
+    "win_ewma",
+    "dedup_url_canonical",
+    "sample_cap_per_group",
+    "stream_latest_state",
+    "multimodal_manifest",
+    "win_yoy_growth",
+    "dq_anomaly_iqr",
+    "scan_csv_quoted",
+    "sink_compaction",
+    "text_ngram_bigrams",
+    "scan_text",
+    "fn_string_format",
 ]
 
 _missing = [k for k in _CHECKED_PREFIX if k not in QUERIES]
