@@ -551,3 +551,50 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "corpus_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(MIN(t.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((CAST(c.n AS DOUBLE) / t.tot)
+                      * ln(CAST(c.n AS DOUBLE) / t.tot)) / ln(2), 6)
+               AS lang_entropy_bits
+    FROM c JOIN t ON t.source = c.source
+    GROUP BY c.source
+    """,
+)
+def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language distribution per source — the
+    corpus-diversity diagnostic (a source collapsing to one language
+    shows up as entropy → 0; uniform mixing as log2(n_langs)) used to
+    monitor mixture drift between crawl snapshots.
+
+    Two tiny aggregations (distribution cells, then per-source fold);
+    the float sum runs over ≤|langs| terms per source, so the 6-dp
+    round absorbs any last-ulp log/summation-order drift across
+    engines (the multimodal_cols O(1)-rounding pattern — the decimal
+    machinery is unnecessary at this cardinality). All shuffles carry
+    distribution cells, never documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    j = c.join(F.broadcast(t), "source")
+    p = F.col("n").cast("double") / F.col("tot")
+    return j.groupBy("source").agg(
+        F.min("tot").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.round((-F.sum(p * F.log(p))) / F.log(F.lit(2.0)), 6).alias(
+            "lang_entropy_bits"
+        ),
+    )
