@@ -561,3 +561,101 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_record_linkage",
+    oracle="""
+    WITH clean AS (
+        SELECT c_custkey, c_nationkey, c_name FROM customer
+    ),
+    dirty AS (
+        -- deterministic "typo" copies: last two characters swapped
+        SELECT c_custkey + 10000000 AS c_custkey,
+               c_nationkey,
+               concat(substr(c_name, 1, length(c_name) - 2),
+                      substr(c_name, length(c_name), 1),
+                      substr(c_name, length(c_name) - 1, 1)) AS c_name
+        FROM customer WHERE c_custkey % 4 = 0
+    ),
+    blocked AS (
+        SELECT cl.c_custkey AS clean_key, d.c_custkey AS dirty_key,
+               cl.c_nationkey,
+               levenshtein(cl.c_name, d.c_name) AS dist
+        FROM clean cl
+        JOIN dirty d
+          ON d.c_nationkey = cl.c_nationkey
+         AND substr(d.c_name, 10, 5) = substr(cl.c_name, 10, 5)
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_linked,
+           CAST(SUM(CASE WHEN dist <= 2
+                          AND dirty_key - 10000000 = clean_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_refound
+    FROM blocked
+    GROUP BY c_nationkey
+    """,
+)
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: match typo'd duplicate
+    records back to their source via BLOCKING + edit-distance scoring
+    — the classic master-data-management dedup (exact dedup can't see
+    these, embedding dedup is overkill for structured names).
+
+    Dirty copies are synthesized deterministically (last two chars
+    swapped — edit distance exactly 2). Blocking on (nation, digit
+    prefix) keeps candidate pairs near-linear: the quadratic
+    levenshtein kernel only runs INSIDE blocks of bounded size, the
+    same candidates-then-verify shape as dedup_near / text_editdist.
+    At 100 TB the block key is the shuffle key, and block-size skew is
+    the thing to monitor (a degenerate block re-quadratices the join).
+    n_true_refound == n per nation proves zero false negatives for
+    this perturbation; n_candidates - n_linked counts the block
+    collisions the scorer rejected.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    clean = cust.select("c_custkey", "c_nationkey", "c_name")
+    nm = F.col("c_name")
+    ln = F.length(nm)
+    dirty = (
+        cust.where(F.col("c_custkey") % 4 == 0)
+        .select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            "c_nationkey",
+            F.concat(
+                F.substring(nm, 1, ln - F.lit(2)).cast("string"),
+                F.substring(nm, ln, F.lit(1)),
+                F.substring(nm, ln - F.lit(1), F.lit(1)),
+            ).alias("c_name"),
+        )
+    )
+    blocked = clean.alias("cl").join(
+        dirty.alias("d"),
+        (F.col("d.c_nationkey") == F.col("cl.c_nationkey"))
+        & (
+            F.substring(F.col("d.c_name"), 10, 5)
+            == F.substring(F.col("cl.c_name"), 10, 5)
+        ),
+    )
+    dist = F.levenshtein(F.col("cl.c_name"), F.col("d.c_name"))
+    return (
+        blocked.select(
+            F.col("cl.c_nationkey").alias("c_nationkey"),
+            F.col("cl.c_custkey").alias("clean_key"),
+            F.col("d.c_custkey").alias("dirty_key"),
+            dist.alias("dist"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0)).alias("n_linked"),
+            F.sum(
+                F.when(
+                    (F.col("dist") <= 2)
+                    & (F.col("dirty_key") - 10000000 == F.col("clean_key")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_true_refound"),
+        )
+    )
