@@ -14,7 +14,7 @@ input scale, which is exactly the 100 TB-safe shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
@@ -831,3 +831,76 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "n", skew.alias("skewness_pop"), kurt.alias("kurtosis_excess")
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents, o_custkey) AS rnk
+        FROM spend
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s0,
+               CAST(SUM(rnk * cents) AS BIGINT) AS s1
+        FROM ranked GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           (2 * CAST(s1 AS DOUBLE) - (n + 1) * CAST(s0 AS DOUBLE))
+               / (n * CAST(s0 AS DOUBLE)) AS gini
+    FROM agg
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the revenue-
+    concentration / inequality diagnostic (0 = uniform, →1 = one
+    customer is the whole market), computed from the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over ascending-sorted spend.
+
+    Everything is INTEGER CENTS until the final O(1) ratio: the rank
+    window is per-nation (one shuffle shared with both aggregations),
+    Σi·xᵢ stays far inside int64, and the bigint→double casts are
+    exact below 2^53 — so the hash needs no epsilon. Ties rank by
+    custkey for engine-identical ordering.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "c_nationkey", "cents", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("s1"),
+    )
+    n = F.col("n")
+    gini = (
+        F.lit(2) * F.col("s1").cast("double")
+        - (n + 1) * F.col("s0").cast("double")
+    ) / (n * F.col("s0").cast("double"))
+    return agg.select("c_nationkey", "n", gini.alias("gini"))

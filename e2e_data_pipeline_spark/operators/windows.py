@@ -489,3 +489,57 @@ def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("yoy_growth"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER w AS running
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT user_id, running,
+               MAX(running) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak
+        FROM r
+    )
+    SELECT user_id,
+           CAST(MAX(peak - running) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_value
+    FROM d
+    GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: largest peak-to-trough drop of the
+    running value total — the risk/teardown metric that needs two
+    chained cumulative windows (running sum, then running max of it)
+    before a plain aggregate. Both windows and the final groupBy share
+    the user_id partitioning, so the whole thing is ONE shuffle + one
+    sort. All arithmetic stays in DECIMAL until the final O(1) cast
+    (values far below the 2^53 wide-decimal hazard), so the hash is
+    exact with no rounding epsilon.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running"),
+        F.max(F.sum(F.col("value").cast("decimal(18,2)")).over(w)).over(w).alias(
+            "peak"
+        ),
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("running")).cast("double").alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )
