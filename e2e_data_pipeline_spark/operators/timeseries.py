@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import dec_sum, register
+from e2e_data_pipeline_spark.operators.registry import dec_avg, dec_sum, register
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -488,4 +488,38 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", _FMT).alias("hour_start"),
         F.when(hv.isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("interpolated"),
         interp.alias("interp_value"),
+    )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: the hour-of-day × day-of-week activity
+    matrix (≤168 cells) — the first diagnostic for any event stream
+    (load shaping, anomaly baselines, traffic-aware scheduling).
+
+    Pure partial-aggregating groupBy: the shuffle carries at most 168
+    cells per map task no matter the input size — the ideal 100 TB
+    shape. Day-of-week numbering is pinned explicitly (Spark's
+    ``dayofweek`` is 1=Sunday..7; DuckDB's ``dayofweek`` is
+    0=Sunday..6, so the oracle adds 1) — weekday-numbering drift is a
+    classic silent cross-engine bug.
+    """
+    ev = load_table(spark, sf_dir, "events", parallelize_scan=True)
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        dec_avg("value").alias("avg_value"),
     )
