@@ -904,3 +904,80 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (n + 1) * F.col("s0").cast("double")
     ) / (n * F.col("s0").cast("double"))
     return agg.select("c_nationkey", "n", gini.alias("gini"))
+
+
+@register(
+    "agg_pareto_share",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents DESC, o_custkey) AS rnk,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM spend
+    )
+    SELECT c_nationkey,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(CAST(FLOOR((MIN(n) + 9) / 10.0) AS BIGINT) AS BIGINT) AS top_k,
+           CAST(SUM(CASE WHEN rnk <= CAST(FLOOR((n + 9) / 10.0) AS BIGINT)
+                         THEN cents ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cents) AS DOUBLE) AS top_decile_share
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: the revenue share captured by the
+    top 10% of customers per nation — the business-facing twin of
+    agg_gini (answers "how 80/20 is this market" directly).
+
+    Same exact-integer-cents machinery as agg_gini: one per-nation
+    window pass provides both the descending rank and the group size,
+    the top-k cutoff ceil(n/10) is computed with identical
+    floor((n+9)/10.0) arithmetic on both engines, and the final share
+    is one exact-int→double ratio. One shuffle total; output is one
+    row per nation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.col("o_custkey").asc()
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    k = F.floor((F.col("n") + 9) / F.lit(10.0)).cast("long")
+    return ranked.groupBy("c_nationkey").agg(
+        F.min("n").alias("n_customers"),
+        F.floor((F.min("n") + 9) / F.lit(10.0)).cast("long").alias("top_k"),
+        (
+            F.sum(F.when(F.col("rnk") <= k, F.col("cents")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cents").cast("double")
+        ).alias("top_decile_share"),
+    )
