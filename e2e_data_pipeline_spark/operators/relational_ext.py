@@ -721,3 +721,112 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_low_outliers",
         "n_high_outliers",
     )
+
+
+@register(
+    "dq_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0
+                    THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                              * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_totalprice <> b.o_totalprice
+                  OR a.o_orderpriority <> b.o_orderpriority THEN 'changed'
+                ELSE 'same' END AS diff_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN a.o_orderkey IS NOT NULL
+                          AND b.o_orderkey IS NOT NULL
+                          AND a.o_totalprice <> b.o_totalprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changes,
+           CAST(MIN(COALESCE(a.o_orderkey, b.o_orderkey)) AS BIGINT)
+               AS first_key
+    FROM a
+    FULL JOIN b ON b.o_orderkey = a.o_orderkey
+    GROUP BY diff_status
+    """,
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot data-diff: cell-level comparison of two table versions
+    into an added/deleted/changed/same report — the regression gate a
+    pipeline runs after a backfill or logic change (row counts alone
+    hide offsetting errors; this catches them at column granularity).
+
+    Version B is derived deterministically (deletes every 97th key,
+    reprices every 101st via exact decimal multiply, inserts copies of
+    every 103rd). The diff is ONE full outer join on the key — shuffle
+    both sides once, no driver-side comparison — and classification is
+    pure column logic, so the report cost is the same as any equi-join
+    at 100 TB. Null-safe semantics: key presence drives add/delete,
+    value inequality drives change.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    bumped = (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        ).cast("double")
+    )
+    b = (
+        a.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 101 == 0, bumped)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            a.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("b.o_orderkey") == F.col("a.o_orderkey"), "full"
+    )
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    price_changed = (
+        ak.isNotNull()
+        & bk.isNotNull()
+        & (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    status = (
+        F.when(ak.isNull(), "added")
+        .when(bk.isNull(), "deleted")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        j.select(
+            status.alias("diff_status"),
+            price_changed.alias("pc"),
+            F.coalesce(ak, bk).alias("key"),
+        )
+        .groupBy("diff_status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("pc"), 1).otherwise(0)).alias("n_price_changes"),
+            F.min("key").alias("first_key"),
+        )
+    )
