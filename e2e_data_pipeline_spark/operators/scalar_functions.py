@@ -722,3 +722,57 @@ def fn_string_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_name").alias("reversed_name"),
         F.translate("p_type", "AEIOU", "aeiou").alias("folded_type"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS ta, b.toks AS tb
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta, tb)) AS INT) AS n_common,
+           CAST(len(list_distinct(list_concat(ta, tb))) AS INT) AS n_union,
+           CAST(len(list_filter(ta, x -> NOT list_contains(tb, x))) AS INT)
+               AS n_only_a,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta, tb))) AS jaccard
+    FROM pairs
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — intersect/union/except over token sets of
+    adjacent documents, reduced to SIZES and a Jaccard ratio. Sizes
+    (not the arrays) are the output on purpose: set-op element ORDER
+    is engine-arbitrary (DuckDB's list_intersect returns hash order),
+    but cardinalities are well-defined — the same discipline the
+    dedup family uses. All JVM built-ins (`array_intersect`/`union`/
+    `except` after `array_distinct`); the pair join is a narrow
+    key-shift self-join, and the int→double Jaccard is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.toks").alias("ta"),
+        F.col("b.toks").alias("tb"),
+    )
+    common = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        common.cast("int").alias("n_common"),
+        union.cast("int").alias("n_union"),
+        F.size(F.array_except("ta", "tb")).cast("int").alias("n_only_a"),
+        (common.cast("double") / union).alias("jaccard"),
+    )
