@@ -598,3 +598,100 @@ def corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy_bits"
         ),
     )
+
+
+@register(
+    "text_bm25_rank",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks
+        WHERE term IN ('data', 'spark', 'query')
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * (l.dl / s.avgdl)))
+               ), 6) AS bm25
+        FROM tf t
+        JOIN df d ON d.term = t.term
+        JOIN doclen l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (k1=1.2, b=0.75) of the corpus for a
+    3-term query — the canonical sparse-retrieval scorer, built from
+    first principles as two bounded aggregations + a broadcast join
+    (no search library, no UDF).
+
+    The early term filter means only query-term postings ever shuffle;
+    df and the global (N, avgdl) stats are tiny broadcasts, and the
+    final top-10 is a rank window over the scored docs. tf/df/dl are
+    exact integers, so the only float work is the O(#query_terms)
+    per-doc score sum — rounded to 6dp to absorb ln/summation-order
+    ulp drift (the corpus-entropy pattern). At 100 TB this shape is
+    exactly an inverted-index probe: partition by term, probe the
+    postings you need, never scan the rest.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin("data", "spark", "query"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    j = (
+        tf.join(F.broadcast(df), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score_term = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (1 - 0.75 + 0.75 * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+    scored = j.groupBy("doc_id").agg(F.round(F.sum(score_term), 6).alias("bm25"))
+    w = Window.orderBy(F.desc("bm25"), F.col("doc_id").asc())
+    return (
+        scored.select(
+            "doc_id", "bm25", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= 10)
+    )
