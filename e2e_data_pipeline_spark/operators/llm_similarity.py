@@ -374,3 +374,157 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= TOP_K)
     )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    doclen AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN ('data', 'spark', 'query')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT t.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * (l.dl / s.avgdl)))
+               ), 6) AS bm25
+        FROM tf t
+        JOIN df d ON d.term = t.term
+        JOIN doclen l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    ),
+    brank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS rb
+        FROM bm QUALIFY rb <= 20
+    ),
+    cos AS (
+        SELECT c.vec_id AS doc_id,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+    ),
+    crank AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                   AS rc
+        FROM cos QUALIFY rc <= 20
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           b.rb AS bm25_rank,
+           c.rc AS cosine_rank,
+           COALESCE(1.0 / (60 + b.rb), 0) + COALESCE(1.0 / (60 + c.rc), 0)
+               AS rrf_score,
+           CAST(row_number() OVER (
+               ORDER BY COALESCE(1.0 / (60 + b.rb), 0)
+                        + COALESCE(1.0 / (60 + c.rc), 0) DESC,
+                        COALESCE(b.doc_id, c.doc_id)) AS BIGINT) AS fused_rank
+    FROM brank b
+    FULL JOIN crank c ON c.doc_id = b.doc_id
+    QUALIFY fused_rank <= 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of a sparse
+    BM25 ranking and a dense embedding-cosine ranking — the standard
+    modern RAG retrieval stack (lexical recall + semantic recall,
+    fused without score calibration because RRF only consumes RANKS).
+
+    Both legs are bounded top-20 candidate lists (the BM25 leg only
+    shuffles query-term postings; the cosine leg scores against one
+    broadcast query vector), so the fusion join is trivially small.
+    1/(60+rank) is the same two-term double expression on both
+    engines — deterministic without rounding. Ties break on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin("data", "spark", "query"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score_term = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * (F.col("dl") / F.col("avgdl"))))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+    )
+    wb = Window.orderBy(F.desc("bm25"), F.col("doc_id").asc())
+    brank = (
+        bm.select("doc_id", F.row_number().over(wb).cast("long").alias("rb"))
+        .where(F.col("rb") <= 20)
+    )
+
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    c = emb.where(F.col("vec_id") != 0)
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (F.sqrt(sq_norm(F.col("qv"))) * F.sqrt(sq_norm(F.col("embedding")))),
+        6,
+    )
+    cos = c.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"), cosine.alias("cosine")
+    )
+    wc = Window.orderBy(F.desc("cosine"), F.col("doc_id").asc())
+    crank = (
+        cos.select("doc_id", F.row_number().over(wc).cast("long").alias("rc"))
+        .where(F.col("rc") <= 20)
+    )
+
+    fused = brank.alias("b").join(
+        crank.alias("c"), F.col("c.doc_id") == F.col("b.doc_id"), "full"
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("b.rb")), F.lit(0.0)) + (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("c.rc")), F.lit(0.0))
+    )
+    did = F.coalesce(F.col("b.doc_id"), F.col("c.doc_id"))
+    pre = fused.select(
+        did.alias("doc_id"),
+        F.col("b.rb").alias("bm25_rank"),
+        F.col("c.rc").alias("cosine_rank"),
+        rrf.alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.col("doc_id").asc())
+    return (
+        pre.select(
+            "*", F.row_number().over(wf).cast("long").alias("fused_rank")
+        )
+        .where(F.col("fused_rank") <= 10)
+    )
