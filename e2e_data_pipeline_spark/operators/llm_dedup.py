@@ -659,3 +659,113 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_true_refound"),
         )
     )
+
+
+def _pagerank_oracle() -> str:
+    """3-iteration PageRank oracle with one CTE per iteration; the
+    per-iteration ROUND(.,12) keeps cross-engine summation-order ulp
+    drift from compounding (mirrored exactly on the Spark side)."""
+    edges = """
+    WITH pairs AS (
+        SELECT DISTINCT concat('c', CAST(o.o_custkey AS VARCHAR)) AS a,
+                        concat('s', CAST(l.l_suppkey AS VARCHAR)) AS b
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (
+        SELECT deg.src AS node, CAST(1.0 AS DOUBLE) / n.n_nodes AS r
+        FROM deg CROSS JOIN n
+    )"""
+    it = """,
+    r{i} AS (
+        SELECT e.dst AS node,
+               ROUND(0.15 / MIN(n.n_nodes)
+                     + 0.85 * SUM(p.r / d.d), 12) AS r
+        FROM edges e
+        JOIN r{p} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        CROSS JOIN n
+        GROUP BY e.dst
+    )"""
+    final = """
+    SELECT node, ROUND(r, 9) AS pagerank,
+           CAST(row_number() OVER (ORDER BY ROUND(r, 9) DESC, node) AS BIGINT)
+               AS rnk
+    FROM r3 QUALIFY rnk <= 20
+    """
+    return (
+        edges
+        + it.format(i=1, p=0)
+        + it.format(i=2, p=1)
+        + it.format(i=3, p=2)
+        + final
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) over the undirected
+    customer↔supplier trading graph derived from lineitem⋈orders —
+    the canonical iterative graph computation expressed as pure
+    DataFrame joins+aggregations (the Pregel shape dedup_cluster uses
+    for components, here with floating-point mass propagation).
+
+    Determinism: each iteration's rank is ROUND(.,12) so the
+    engine-arbitrary ORDER of the per-node contribution sum can never
+    compound past the rounding slack (entropy/BM25 pattern, applied
+    per iteration). The graph is symmetrized, so there are no dangling
+    nodes and no global mass-correction term. Each iteration is one
+    join + one aggregation on the edge list — at 100 TB this is
+    exactly GraphX/Pregel's cost model, with lineage kept shallow by
+    the fixed iteration count (unbounded iteration would want
+    localCheckpoint, as dedup_cluster does).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    r = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n_nodes")).alias("r"),
+    )
+    for _ in range(3):
+        r = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .crossJoin(F.broadcast(n_nodes))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    0.15 / F.min("n_nodes") + 0.85 * F.sum(F.col("r") / F.col("d")),
+                    12,
+                ).alias("r")
+            )
+        )
+    w = Window.orderBy(F.desc(F.round(F.col("r"), 9)), F.col("node").asc())
+    return (
+        r.select(
+            "node",
+            F.round("r", 9).alias("pagerank"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 20)
+    )
