@@ -741,6 +741,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # Materialize the edge list ONCE (dedup_cluster's localCheckpoint
+    # pattern): every iteration joins against it, and without this the
+    # lineitem⋈orders+distinct derivation re-executes per iteration —
+    # 4x the scan cost and a plan that deepens linearly.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     r = deg.crossJoin(F.broadcast(n_nodes)).select(
