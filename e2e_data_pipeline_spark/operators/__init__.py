@@ -66,7 +66,7 @@ _CHECKED_PREFIX = [
     "agg_rollup_cube",
     "agg_stats",
     "agg_bitmap_distinct",
-    "agg_histogram",
+    "dq_profile",
     # windows
     "win_running",
     "win_topk_per_group",
@@ -113,11 +113,16 @@ _CHECKED_PREFIX = [
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
     "sql_recursive_cte",
+    "graph_pagerank",
+    "sim_hybrid_rrf",
+    "text_bm25_rank",
     "agg_skew_kurt",
     "join_pit_nearest",
     "ts_interp_linear",
     "sink_python_ds",
     "agg_countmin_freq",
+    "dq_snapshot_diff",
+    "dedup_record_linkage",
     "win_ewma",
     "dedup_url_canonical",
     "sample_cap_per_group",
@@ -125,11 +130,18 @@ _CHECKED_PREFIX = [
     "multimodal_manifest",
     "win_yoy_growth",
     "dq_anomaly_iqr",
+    "agg_gini",
+    "agg_pareto_share",
+    "win_drawdown",
+    "ts_seasonal_profile",
+    "corpus_entropy",
+    "fn_array_setops",
     "scan_csv_quoted",
     "sink_compaction",
     "text_ngram_bigrams",
     "scan_text",
     "fn_string_format",
+    "agg_histogram",
 ]
 
 _missing = [k for k in _CHECKED_PREFIX if k not in QUERIES]
