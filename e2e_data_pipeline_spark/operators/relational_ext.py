@@ -830,3 +830,58 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("key").alias("first_key"),
         )
     )
+
+
+@register(
+    "merge_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a BASE aggregate state (all
+    orders before 1997) is merged with a DELTA batch's state (the
+    rest) by summing sufficient statistics per key — the materialized-
+    view update pattern. The oracle recomputes from the full table, so
+    the hash PROVES merge(state(base), state(delta)) == state(all):
+    the algebraic property that lets a 100 TB rollup absorb a daily
+    partition without re-reading history (same mergeability the
+    sketch/bitmap/moment ops rely on, shown here for plain stats).
+
+    Counts and integer-cent sums are the state (both associative and
+    exact); derived values (the average) are computed AFTER the merge,
+    never merged themselves — the classic incremental-agg mistake this
+    op's construction rules out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = state(orders.where(F.col("o_orderdate") < cutoff))
+    delta = state(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("total_cents"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        "total_cents",
+        (F.col("total_cents").cast("double") / F.col("n_orders")).alias(
+            "avg_cents"
+        ),
+    )
