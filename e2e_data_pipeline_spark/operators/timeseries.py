@@ -523,3 +523,83 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dec_avg("value").alias("avg_value"),
     )
+
+
+@register(
+    "agg_cohort_retention",
+    oracle="""
+    WITH fw AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cs AS (
+        SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM fw GROUP BY cohort
+    ),
+    ret AS (
+        SELECT f.cohort,
+               CAST((epoch_us(a.wk) - epoch_us(f.cohort)) // 604800000000
+                    AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM act a JOIN fw f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week,
+           r.week_offset,
+           r.active_users,
+           c.cohort_size,
+           CAST(r.active_users AS DOUBLE) / c.cohort_size AS retention
+    FROM ret r JOIN cs c ON c.cohort = r.cohort
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-activity week,
+    retention = fraction of each cohort active N weeks later — the
+    product-analytics staple (and the training-data analog: corpus
+    freshness decay per ingestion batch).
+
+    Three bounded aggregations (first-week per user, distinct active
+    weeks, cohort sizes) joined on user/cohort keys; output is
+    O(weeks²) cells regardless of input size. Week offsets divide
+    exactly (both engines truncate to Monday week starts, so the
+    microsecond difference is an exact multiple of 604800e6 and
+    floor-division is engine-identical); the retention ratio is one
+    exact int→double division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    cs = fw.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    ret = (
+        act.join(fw, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr(
+                "(unix_micros(CAST(wk AS TIMESTAMP))"
+                " - unix_micros(CAST(cohort AS TIMESTAMP))) div 604800000000"
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return ret.join(cs, "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
