@@ -695,3 +695,79 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 10)
     )
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    scored AS (
+        SELECT t.doc_id, t.term,
+               ROUND((CAST(t.tf AS DOUBLE) / l.dl)
+                     * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+        FROM tf t
+        JOIN dl l ON l.doc_id = t.doc_id
+        JOIN df d ON d.term = t.term
+        CROSS JOIN n
+        WHERE t.doc_id < 50
+    )
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 most characteristic terms per
+    document — the vocabulary-wide complement of text_bm25_rank (that
+    op probes a query's postings; this one builds the full
+    term-document weighting, i.e. the inverted index itself).
+
+    tf, df, and doc lengths are exact integer aggregates; the score is
+    one O(1) double expression rounded to 6dp before the per-doc rank
+    window (ln/division ulp discipline). df is a broadcast (vocabulary
+    ≪ corpus), and the doc_id bound caps oracle output — the plan
+    itself is the linear index-build shape at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = dl.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.where(F.col("doc_id") < 50)
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term").asc())
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
