@@ -776,3 +776,59 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("ta", "tb")).cast("int").alias("n_only_a"),
         (common.cast("double") / union).alias("jaccard"),
     )
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle="""
+    WITH lines AS (
+        SELECT o_orderkey,
+               concat('order=', CAST(o_orderkey AS VARCHAR),
+                      ' qty=', CAST(o_orderkey % 7 AS VARCHAR),
+                      ' amt=', CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                      ' prio=', o_orderpriority) AS log_line
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey,
+           CAST(len(regexp_extract_all(log_line, '[0-9]+')) AS INT) AS n_numbers,
+           CAST(list_sum(list_transform(regexp_extract_all(log_line, '[0-9]+'),
+                                        x -> CAST(x AS BIGINT))) AS BIGINT)
+               AS number_sum,
+           regexp_extract_all(log_line, '[a-z]+=')[1] AS first_field
+    FROM lines
+    """,
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — pull EVERY match out of semi-structured
+    log lines (the log-parsing workhorse next to fn_url_parse's
+    structured extraction): numbers are extracted, counted, and summed
+    through a higher-order cast+fold, all JVM-side. Lines are
+    synthesized deterministically from fixture columns; patterns are
+    in the RE2∩Java-regex subset (the text_pii_scrub discipline), and
+    element order of extract_all is the match order — well-defined on
+    both engines, unlike set-op order.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 11 == 0
+    )
+    line = F.concat(
+        F.lit("order="), F.col("o_orderkey").cast("string"),
+        F.lit(" qty="), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(" amt="),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.lit(" prio="), F.col("o_orderpriority"),
+    )
+    lines = orders.select("o_orderkey", line.alias("log_line"))
+    nums = F.regexp_extract_all("log_line", F.lit(r"[0-9]+"), 0)
+    return lines.select(
+        "o_orderkey",
+        F.size(nums).cast("int").alias("n_numbers"),
+        F.aggregate(
+            F.transform(nums, lambda x: x.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("number_sum"),
+        F.element_at(
+            F.regexp_extract_all("log_line", F.lit(r"[a-z]+="), 0), 1
+        ).alias("first_field"),
+    )
