@@ -981,3 +981,138 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").cast("double")
         ).alias("top_decile_share"),
     )
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(9,2))) AS s1,
+               SUM(CAST(l_discount AS DECIMAL(9,2))) AS s2,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                        * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(20,4))) AS s11,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                        * CAST(l_discount AS DECIMAL(9,2)) AS DECIMAL(20,4))) AS s12,
+               SUM(CAST(CAST(l_discount AS DECIMAL(19,2))
+                        * CAST(l_discount AS DECIMAL(9,2)) AS DECIMAL(20,4))) AS s22,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(19,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS s1y,
+               SUM(CAST(CAST(l_discount AS DECIMAL(19,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS s2y,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(28,4))) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    s AS (
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+               CAST(sy AS DOUBLE) AS sy,
+               CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+               CAST(s22 AS DOUBLE) AS s22,
+               CAST(CAST(FLOOR(s1y) AS BIGINT) AS DOUBLE)
+                   + CAST(s1y % 1 AS DOUBLE) AS s1y,
+               CAST(s2y AS DOUBLE) AS s2y,
+               CAST(CAST(FLOOR(syy) AS BIGINT) AS DOUBLE)
+                   + CAST(syy % 1 AS DOUBLE) AS syy
+        FROM d
+    )
+    SELECT l_returnflag, n,
+           (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS beta0,
+           (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS beta_qty,
+           (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+           / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS beta_disc
+    FROM s
+    """,
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (price ~ quantity + discount, per returnflag)
+    solved in closed form from the NORMAL EQUATIONS — the distributed
+    "ML training step" pattern: one map-side-combine pass accumulates
+    the exact decimal sufficient statistics (n, Σx, ΣxᵢxⱼE, Σxᵢy), and
+    the 3x3 system is solved per group with Cramer's rule in O(1)
+    double arithmetic — no gradient loop, no driver-side math library,
+    bit-identical across engines (the agg_corr_regr construction
+    lifted to multivariate).
+
+    The portability discipline is the hard-won aggregates playbook:
+    every decimal product pre-widens its left operand past 18 digits
+    (forces DuckDB's HUGEINT kernel), and the two sums whose scaled
+    integers can exceed 2^53 (Σqty·price, Σprice²) convert to double
+    via the floor/mod-1 split. At 100 TB the shuffle carries ten
+    numbers per group and the sufficient statistics merge across
+    batches — the same state a streaming retrain would keep.
+    """
+    li = load_table(spark, sf_dir, "lineitem", parallelize_scan=True)
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    qw = F.col("l_quantity").cast("decimal(19,2)")
+    dd = F.col("l_discount").cast("decimal(9,2)")
+    dw = F.col("l_discount").cast("decimal(19,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    yw = F.col("l_extendedprice").cast("decimal(19,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(dd).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((qw * q).cast("decimal(20,4)")).cast("double").alias("s11"),
+        F.sum((qw * dd).cast("decimal(20,4)")).cast("double").alias("s12"),
+        F.sum((dw * dd).cast("decimal(20,4)")).cast("double").alias("s22"),
+        F.sum((qw * y).cast("decimal(24,4)")).alias("d1y"),
+        F.sum((dw * y).cast("decimal(24,4)")).cast("double").alias("s2y"),
+        F.sum((yw * y).cast("decimal(28,4)")).alias("dyy"),
+    )
+
+    def split_double(c):
+        return F.floor(c).cast("bigint").cast("double") + (c % F.lit(1)).cast(
+            "double"
+        )
+
+    g = g.select(
+        "l_returnflag", "n", "s1", "s2", "sy", "s11", "s12", "s22", "s2y",
+        split_double(F.col("d1y")).alias("s1y"),
+        split_double(F.col("dyy")).alias("syy"),
+    )
+    n = F.col("n")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    beta0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    beta_qty = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    beta_disc = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    return g.select(
+        "l_returnflag",
+        "n",
+        beta0.alias("beta0"),
+        beta_qty.alias("beta_qty"),
+        beta_disc.alias("beta_disc"),
+    )

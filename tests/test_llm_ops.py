@@ -268,3 +268,37 @@ def test_skew_kurt_matches_builtin_estimators(spark):
     for et, r in ours.items():
         assert abs(r["skewness_pop"] - ref[et]["sk"]) < 1e-6, et
         assert abs(r["kurtosis_excess"] - ref[et]["ku"]) < 1e-6, et
+
+
+def test_linreg_normal_eq_matches_numpy_lstsq(spark):
+    """The Cramer-rule OLS solution from decimal sufficient statistics
+    must match numpy's least-squares on the same rows (loose float
+    tolerance — numpy solves in a different, non-distributed way)."""
+    import numpy as np
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    ours = {
+        r["l_returnflag"]: r
+        for r in QUERIES["ml_linreg_normal_eq"](spark, SF_SMALL).collect()
+    }
+    rows = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_discount, r.l_extendedprice)
+        )
+    for flag, data in by_flag.items():
+        a = np.array([[1.0, q, d] for q, d, _ in data])
+        yv = np.array([y for _, _, y in data])
+        beta, *_ = np.linalg.lstsq(a, yv, rcond=None)
+        got = ours[flag]
+        assert abs(got["beta0"] - beta[0]) < 1e-4 * max(1, abs(beta[0])), flag
+        assert abs(got["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1])), flag
+        assert abs(got["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2])), flag
