@@ -885,3 +885,149 @@ def merge_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cents"
         ),
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM rfm
+    )
+    SELECT CASE
+             WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+             WHEN r_score <= 2 AND f_score <= 3 THEN 'loyal'
+             WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+             WHEN r_score >= 4 AND f_score >= 4 THEN 'lost'
+             ELSE 'regular'
+           END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS example_custkey
+    FROM scored
+    GROUP BY segment
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores on Recency / Frequency /
+    Monetary per customer, folded into named marketing segments — the
+    classic customer-analytics pipeline (and the template for any
+    multi-dimensional quantile bucketing).
+
+    Scores use ``ntile(5)`` with a custkey tie-break so bucket
+    boundaries are engine-identical (ntile on a tied ordering is
+    otherwise arbitrary); monetary is exact integer cents. Three
+    windows share one global ordering cost over the CUSTOMER aggregate
+    (not the fact table) — at 100 TB, score windows run on |customers|
+    rows, and the segment CASE is free. Output is ≤5 segment rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    def sc(col):
+        return (
+            F.ntile(5)
+            .over(Window.orderBy(F.desc(col), F.col("o_custkey").asc()))
+            .cast("long")
+        )
+    scored = rfm.select(
+        "o_custkey",
+        sc("last_order").alias("r_score"),
+        sc("frequency").alias("f_score"),
+        sc("monetary_cents").alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 3), "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "lost")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(seg.alias("segment"), "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("o_custkey").alias("example_custkey"),
+        )
+    )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT o.d AS leading_digit,
+           o.n AS n_values,
+           ROUND(CAST(o.n AS DOUBLE) / t.total, 6) AS observed_share,
+           ROUND(log10(1 + 1.0 / o.d), 6) AS benford_share,
+           ROUND(CAST(o.n AS DOUBLE) / t.total - log10(1 + 1.0 / o.d), 6)
+               AS deviation
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: the leading-digit distribution of order
+    amounts against the expected log10(1 + 1/d) frequencies — the
+    forensic data-quality screen for fabricated or truncated numeric
+    columns (synthetic uniform data deviates loudly, which is itself
+    the point of the report).
+
+    Leading digits come from the exact integer-cents string (no float
+    formatting), the distribution is a 9-cell aggregate, and the three
+    derived columns are O(1) doubles rounded at 6dp (log/division ulp
+    discipline). Map-side combine carries at most 9 cells per task.
+    """
+    orders = load_table(spark, sf_dir, "orders", parallelize_scan=True).where(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = orders.select(digit.alias("d")).groupBy("d").agg(
+        F.count("*").alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n").alias("n_values"),
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(share - benford, 6).alias("deviation"),
+        )
+    )
