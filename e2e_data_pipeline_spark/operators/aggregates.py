@@ -1116,3 +1116,96 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta_qty.alias("beta_qty"),
         beta_disc.alias("beta_disc"),
     )
+
+
+@register(
+    "stats_ab_ztest",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 300
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY variant
+    ),
+    wide AS (
+        SELECT MIN(CASE WHEN variant = 0 THEN n_users END) AS n0,
+               MIN(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+               MIN(CASE WHEN variant = 1 THEN n_users END) AS n1,
+               MIN(CASE WHEN variant = 1 THEN n_converted END) AS c1
+        FROM v
+    )
+    SELECT n0 AS control_users, c0 AS control_conversions,
+           n1 AS treat_users, c1 AS treat_conversions,
+           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS control_rate,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS treat_rate,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                ELSE ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                     / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)), 6) END AS z_score
+    FROM wide
+    """,
+)
+def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split by a
+    deterministic hash (id parity), conversion = any high-value
+    purchase (>300),
+    pooled-variance z statistic — the experimentation-platform readout
+    computed entirely from two exact integer 4-tuples (the same
+    mergeable-sufficient-statistic discipline as the moment ops; a
+    streaming experiment would keep exactly this state).
+
+    One distinct-user aggregation (the only real shuffle), then a
+    2-row pivot and an O(1) rounded formula. Engine-identical because
+    every input to the float math is an exact integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    v = assign.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = v.agg(
+        F.min(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.min(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.min(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.min(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0"), F.col("c0")
+    n1, c1 = F.col("n1"), F.col("c1")
+    r0 = c0.cast("double") / n0
+    r1 = c1.cast("double") / n1
+    pp = (c0 + c1).cast("double") / (n0 + n1)
+    # degenerate experiment (nobody / everybody converted): pooled
+    # variance is 0, the statistic is undefined -> NULL, not a crash.
+    z = F.when(
+        (c0 + c1 == 0) | (c0 + c1 == n0 + n1), F.lit(None).cast("double")
+    ).otherwise(
+        (r1 - r0)
+        / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    )
+    return wide.select(
+        n0.alias("control_users"),
+        c0.alias("control_conversions"),
+        n1.alias("treat_users"),
+        c1.alias("treat_conversions"),
+        F.round(r0, 6).alias("control_rate"),
+        F.round(r1, 6).alias("treat_rate"),
+        F.round(z, 6).alias("z_score"),
+    )
