@@ -603,3 +603,99 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "ts_autocorr",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT h, cents,
+               lag(cents, 1) OVER (ORDER BY h) AS l1,
+               lag(cents, 24) OVER (ORDER BY h) AS l24
+        FROM hourly
+    ),
+    pairs AS (
+        SELECT 1 AS lag_hours, cents AS y, l1 AS x FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT 24 AS lag_hours, cents AS y, l24 AS x FROM lagged WHERE l24 IS NOT NULL
+    ),
+    s AS (
+        SELECT lag_hours,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag_hours
+    )
+    SELECT CAST(lag_hours AS INT) AS lag_hours, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS autocorr
+    FROM s
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly activity series at lag 1 and lag
+    24 — the periodicity diagnostic (daily seasonality shows as a
+    lag-24 peak) every forecasting pipeline computes first.
+
+    The series is exact integer cents per hour, so the correlation's
+    sufficient statistics stay in int64 end-to-end (a single
+    correctly-rounded int→double conversion each — no wide-DECIMAL
+    two-step-rounding hazard), and the Pearson closed form runs on
+    identical expression trees. The lag window is over the HOURLY
+    SERIES (O(time span) rows), not raw events — the only safe place
+    for an unpartitioned window. Output: one row per lag.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "h",
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 24).over(w).alias("l24"),
+    )
+    pairs = (
+        lagged.where(F.col("l1").isNotNull())
+        .select(F.lit(1).alias("lag_hours"), F.col("cents").alias("y"), F.col("l1").alias("x"))
+        .unionByName(
+            lagged.where(F.col("l24").isNotNull()).select(
+                F.lit(24).alias("lag_hours"),
+                F.col("cents").alias("y"),
+                F.col("l24").alias("x"),
+            )
+        )
+    )
+    s = pairs.groupBy("lag_hours").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    ac = (n * sxy.cast("double") - sx.cast("double") * sy) / (
+        F.sqrt(n * sxx.cast("double") - sx.cast("double") * sx)
+        * F.sqrt(n * syy.cast("double") - sy.cast("double") * sy)
+    )
+    return s.select(
+        F.col("lag_hours").cast("int").alias("lag_hours"),
+        "n",
+        F.round(ac, 6).alias("autocorr"),
+    )
