@@ -771,3 +771,71 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    first_seen AS (
+        SELECT term, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM toks GROUP BY term
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM dl),
+    cps AS (
+        SELECT CAST(((m.mx + 1) * k.k) // 10 AS BIGINT) AS threshold
+        FROM mx m, (SELECT UNNEST(range(1, 11)) AS k) k
+    )
+    SELECT c.threshold AS docs_seen,
+           CAST((SELECT SUM(dl) FROM dl WHERE doc_id < c.threshold) AS BIGINT)
+               AS cum_tokens,
+           CAST((SELECT COUNT(*) FROM first_seen f
+                 WHERE f.first_doc < c.threshold) AS BIGINT) AS vocab_size
+    FROM cps c
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-term count vs
+    cumulative tokens at 10 corpus checkpoints — the diagnostic that
+    says whether a corpus keeps contributing new vocabulary or has
+    saturated (when the curve flattens, more of the same source adds
+    tokens but no diversity).
+
+    The trick that makes this scale: vocabulary at a checkpoint equals
+    COUNT(first_occurrence <= checkpoint), so ONE aggregation (min doc
+    per term — the same first-seen idea as win_distinct_running) serves
+    all checkpoints; no per-checkpoint distinct pass. Checkpoints are
+    integer fractions of the max doc id, floor-divided identically on
+    both engines; all outputs are exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    mx = dl.agg(F.max("doc_id").alias("mx"))
+    cps = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "mx"
+    ).select(F.expr("((mx + 1) * k) div 10").cast("long").alias("threshold"))
+    tok_cum = (
+        cps.join(dl, dl.doc_id < cps.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.sum("dl").alias("cum_tokens"))
+    )
+    vocab = (
+        cps.join(F.broadcast(first_seen), first_seen.first_doc < cps.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.count("term").alias("vocab_size"))
+    )
+    return (
+        tok_cum.join(vocab, "threshold")
+        .select(
+            F.col("threshold").alias("docs_seen"),
+            "cum_tokens",
+            "vocab_size",
+        )
+    )
