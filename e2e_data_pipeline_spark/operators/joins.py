@@ -837,3 +837,109 @@ def join_pit_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         F.unix_micros(nearest.cast("timestamp")).alias("nearest_event_us"),
     )
+
+
+@register(
+    "join_recon_fuzzy",
+    oracle="""
+    WITH inv AS (
+        SELECT o_orderkey AS inv_id,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderdate AS d
+        FROM orders
+    ),
+    pay AS (
+        SELECT inv_id + 50000000 AS pay_id,
+               cents + (inv_id % 21) - 10 AS cents,
+               d + to_days(CAST(inv_id % 5 - 2 AS INT)) AS d
+        FROM inv WHERE inv_id % 3 = 0
+    ),
+    cand AS (
+        SELECT p.pay_id, i.inv_id
+        FROM pay p
+        JOIN inv i
+          ON (i.cents // 1000) BETWEEN (p.cents // 1000) - 1
+                                   AND (p.cents // 1000) + 1
+         AND abs(p.cents - i.cents) <= 5
+         AND abs(date_diff('day', i.d, p.d)) <= 1
+    ),
+    per_pay AS (
+        SELECT p.pay_id, CAST(COUNT(c.inv_id) AS BIGINT) AS n_matches
+        FROM pay p LEFT JOIN cand c ON c.pay_id = p.pay_id
+        GROUP BY p.pay_id
+    )
+    SELECT CASE WHEN n_matches = 0 THEN 'unmatched'
+                WHEN n_matches = 1 THEN 'matched'
+                ELSE 'ambiguous' END AS recon_status,
+           CAST(COUNT(*) AS BIGINT) AS n_payments,
+           CAST(MIN(pay_id) AS BIGINT) AS first_pay_id
+    FROM per_pay
+    GROUP BY recon_status
+    """,
+)
+def join_recon_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy reconciliation: match payments to invoices within ±5
+    cents AND ±1 day — the finance-ops ETL classic where neither
+    amount nor date is exact (fees, timezone posting lag). Payments
+    are derived deterministically (amount jitter ±10c, date shift ±2d —
+    deliberately WIDER than the tolerance, so the report exercises
+    unmatched payments too); the report classifies each payment
+    matched / ambiguous / unmatched.
+
+    The scale shape is join_range_binned's: equi-join on a $10 amount
+    BUCKET (each payment probes its own and both neighbor buckets —
+    covering since bucket width ≥ tolerance) with the exact tolerance
+    as a residual predicate — never an unbounded theta join. The
+    per-payment match count is a LEFT join so unmatched payments
+    survive into the report.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    inv = orders.select(
+        F.col("o_orderkey").alias("inv_id"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    pay = inv.where(F.col("inv_id") % 3 == 0).select(
+        (F.col("inv_id") + 50000000).alias("pay_id"),
+        (F.col("cents") + (F.col("inv_id") % 21) - 10).alias("cents"),
+        F.timestamp_add(
+            "DAY", (F.col("inv_id") % 5 - 2).cast("int"), F.col("d")
+        ).alias("d"),
+    )
+    pb = F.expr("cents div 1000")
+    cand = (
+        pay.alias("p")
+        .join(
+            inv.alias("i"),
+            F.expr("i.cents div 1000").between(
+                F.expr("p.cents div 1000") - 1, F.expr("p.cents div 1000") + 1
+            )
+            & (F.abs(F.col("p.cents") - F.col("i.cents")) <= 5)
+            & (
+                F.abs(
+                    F.datediff(F.col("p.d").cast("date"), F.col("i.d").cast("date"))
+                )
+                <= 1
+            ),
+        )
+        .select(F.col("p.pay_id").alias("pay_id"), F.col("i.inv_id").alias("inv_id"))
+    )
+    per_pay = (
+        pay.select("pay_id")
+        .join(cand, "pay_id", "left")
+        .groupBy("pay_id")
+        .agg(F.count("inv_id").alias("n_matches"))
+    )
+    status = (
+        F.when(F.col("n_matches") == 0, "unmatched")
+        .when(F.col("n_matches") == 1, "matched")
+        .otherwise("ambiguous")
+    )
+    return (
+        per_pay.select(status.alias("recon_status"), "pay_id")
+        .groupBy("recon_status")
+        .agg(
+            F.count("*").alias("n_payments"),
+            F.min("pay_id").alias("first_pay_id"),
+        )
+    )
