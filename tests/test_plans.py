@@ -451,3 +451,15 @@ def test_interp_windows_collapse_to_one_operator(spark):
     plan = plan_of(spark, "ts_interp_linear")
     assert plan.count("Window (") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_recon_fuzzy_is_hash_join_on_buckets(spark):
+    """join_recon_fuzzy must hash-join on the exploded amount bucket —
+    a BETWEEN-over-expressions formulation silently degenerates to a
+    nested-loop join (observed 15x slower at sf0.1)."""
+    plan = plan_of(spark, "join_recon_fuzzy")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
