@@ -1209,3 +1209,88 @@ def stats_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 6).alias("treat_rate"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS a, l_returnflag AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT a, b, n,
+               SUM(n) OVER (PARTITION BY a) AS ra,
+               SUM(n) OVER (PARTITION BY b) AS cb,
+               SUM(n) OVER () AS tot
+        FROM obs
+    ),
+    chi AS (
+        SELECT CAST(MIN(tot) AS BIGINT) AS tot,
+               CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows_cat,
+               CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols_cat,
+               ROUND(SUM(
+                   (n - CAST(ra AS DOUBLE) * cb / tot)
+                   * (n - CAST(ra AS DOUBLE) * cb / tot)
+                   / (CAST(ra AS DOUBLE) * cb / tot)
+               ), 6) AS chi2
+        FROM margins
+    )
+    SELECT tot AS n_obs, n_rows_cat, n_cols_cat, chi2,
+           ROUND(sqrt(chi2 / (tot * (least(n_rows_cat, n_cols_cat) - 1))), 6)
+               AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categoricals (order priority
+    × return flag) via the chi-square statistic over the contingency
+    table — the screening test for "are these columns independent"
+    (feature selection, leakage hunting, schema profiling).
+
+    The contingency table is a bounded aggregate (|A|x|B| cells);
+    margins come from window sums over those cells, and the chi²
+    fold runs over ≤15 cells of exact integer counts — rounded at 6dp
+    for summation-order ulp (corpus_entropy discipline). The only real
+    shuffle is the fact-table groupBy.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("l_returnflag").alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    m = obs.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("n").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    exp = F.col("ra").cast("double") * F.col("cb") / F.col("tot")
+    chi = m.agg(
+        F.min("tot").alias("tot"),
+        F.countDistinct("a").alias("n_rows_cat"),
+        F.countDistinct("b").alias("n_cols_cat"),
+        F.round(
+            F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp), 6
+        ).alias("chi2"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("tot") * (F.least("n_rows_cat", "n_cols_cat") - 1))
+    )
+    return chi.select(
+        F.col("tot").alias("n_obs"),
+        "n_rows_cat",
+        "n_cols_cat",
+        "chi2",
+        F.round(v, 6).alias("cramers_v"),
+    )
