@@ -1294,3 +1294,122 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+@register(
+    "agg_leadtime_pct",
+    oracle="""
+    WITH lt AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+                   AS lead_days
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(lead_days, 0.5) AS p50_days,
+           quantile_cont(lead_days, 0.9) AS p90_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM lt GROUP BY o_orderpriority
+    """,
+)
+def agg_leadtime_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per priority class (p50 /
+    p90 / max in days) — the supply-chain SLA report, and the pattern
+    for any duration-percentile metric (latency, time-to-convert).
+
+    Lead times are exact integer days, so percentile interpolation is
+    dyadic-exact cross-engine (the dq_anomaly_iqr cents argument) and
+    no rounding epsilon is needed anywhere. One fact join + one
+    groupBy; the exact per-group percentile sort is the only
+    super-aggregate cost (switch to approx_percentile at 100 TB —
+    agg_approx_percentile is the registered scale path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lead_days"),
+    )
+    return lt.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.percentile("lead_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("lead_days", F.lit(0.9)).alias("p90_days"),
+        F.max("lead_days").alias("max_days"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT l_returnflag, price_cents, CAST(SUM(w) AS BIGINT) AS w
+        FROM pts GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, price_cents, w,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM cells
+    )
+    SELECT l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS BIGINT)
+               AS weighted_median_cents
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no engine ships as a built-in aggregate: the answer is
+    the smallest price whose cumulative weight reaches half the total
+    (lower weighted median — a pinned, interpolation-free definition,
+    so the result is an exact integer-cents value on both engines).
+
+    The running-weight window runs over the (flag, price) AGGREGATE
+    cells, not raw rows — distinct prices bound the sort. Everything
+    is int64; no float enters the query at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    cells = pts.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("w").alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "l_returnflag",
+        "price_cents",
+        "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("tw").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+        ).alias("weighted_median_cents"),
+    )
