@@ -543,3 +543,77 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("running")).cast("double").alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_value"),
     )
+
+
+@register(
+    "win_rank_shift",
+    oracle="""
+    WITH rev AS (
+        SELECT l.l_suppkey,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT l_suppkey, yr, cents,
+               CAST(row_number() OVER (PARTITION BY yr
+                                       ORDER BY cents DESC, l_suppkey)
+                    AS BIGINT) AS rnk
+        FROM rev
+    )
+    SELECT a.l_suppkey,
+           a.rnk AS rank_1996,
+           b.rnk AS rank_1997,
+           a.rnk - b.rnk AS rank_gain
+    FROM ranked a
+    JOIN ranked b ON b.l_suppkey = a.l_suppkey AND b.yr = 1997
+    WHERE a.yr = 1996 AND (a.rnk <= 10 OR b.rnk <= 10)
+    """,
+)
+def win_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movement: supplier revenue rank in 1996 vs 1997 and
+    the rank gain, for anyone who was top-10 in either year — the
+    period-over-period ranking report (and the general two-snapshot
+    rank-diff pattern: search results, trending items, sales boards).
+
+    One fact aggregation covers both periods (year is just a group
+    key), one rank window per period partition, and the self-join runs
+    on the tiny ranked aggregate. Revenue ranks are exact integer
+    cents with supplier-key tie-breaks, so rank boundaries are
+    engine-identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            "l_suppkey", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.desc("cents"), F.col("l_suppkey").asc()
+    )
+    ranked = rev.select(
+        "l_suppkey", "yr", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    a = ranked.where(F.col("yr") == 1996).alias("a")
+    b = ranked.where(F.col("yr") == 1997).alias("b")
+    return (
+        a.join(b, F.col("b.l_suppkey") == F.col("a.l_suppkey"))
+        .where((F.col("a.rnk") <= 10) | (F.col("b.rnk") <= 10))
+        .select(
+            F.col("a.l_suppkey").alias("l_suppkey"),
+            F.col("a.rnk").alias("rank_1996"),
+            F.col("b.rnk").alias("rank_1997"),
+            (F.col("a.rnk") - F.col("b.rnk")).alias("rank_gain"),
+        )
+    )
