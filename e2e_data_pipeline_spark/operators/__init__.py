@@ -116,6 +116,22 @@ _CHECKED_PREFIX = [
     "graph_pagerank",
     "sim_hybrid_rrf",
     "text_bm25_rank",
+    "ml_linreg_normal_eq",
+    "stats_ab_ztest",
+    "stats_cramers_v",
+    "join_recon_fuzzy",
+    "agg_weighted_median",
+    "agg_leadtime_pct",
+    "agg_cohort_retention",
+    "ts_autocorr",
+    "text_tfidf_keywords",
+    "text_vocab_growth",
+    "merge_incremental_agg",
+    "scan_incremental_files",
+    "dq_benford_digits",
+    "agg_rfm_segmentation",
+    "win_rank_shift",
+    "fn_regexp_extract_all",
     "agg_skew_kurt",
     "join_pit_nearest",
     "ts_interp_linear",
