@@ -839,3 +839,91 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
     )
+
+
+@register(
+    "ml_eval_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '\\b(the|a|row|key)\\b')) AS s_en,
+               len(regexp_extract_all(text, '\\b(data|table|column)\\b')) AS s_de,
+               len(regexp_extract_all(text, '\\b(merge|join|scan)\\b')) AS s_fr,
+               len(regexp_extract_all(text, '\\b(fast|slow|big|small)\\b')) AS s_es,
+               len(regexp_extract_all(text, '\\b(spark|query|batch)\\b')) AS s_zh
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS guessed_lang
+        FROM scored
+    ),
+    classes AS (SELECT DISTINCT lang AS c FROM pred),
+    m AS (
+        SELECT c.c AS lang,
+               CAST((SELECT COUNT(*) FROM pred p WHERE p.lang = c.c) AS BIGINT)
+                   AS n_true,
+               CAST((SELECT COUNT(*) FROM pred p WHERE p.guessed_lang = c.c)
+                    AS BIGINT) AS n_predicted,
+               CAST((SELECT COUNT(*) FROM pred p
+                     WHERE p.lang = c.c AND p.guessed_lang = c.c) AS BIGINT)
+                   AS n_correct
+        FROM classes c
+    )
+    SELECT lang, n_true, n_predicted, n_correct,
+           CASE WHEN n_predicted = 0 THEN NULL
+                ELSE ROUND(CAST(n_correct AS DOUBLE) / n_predicted, 6) END
+               AS prec,
+           ROUND(CAST(n_correct AS DOUBLE) / n_true, 6) AS recall
+    FROM m
+    """,
+)
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class precision/recall of the
+    text_langid heuristic against the fixture's true labels — the eval
+    harness every model-in-the-pipeline needs, expressed as two
+    aggregations over the prediction frame (a confusion matrix is just
+    a groupBy on (true, predicted)).
+
+    Reuses text_langid's exact prediction logic (one code path for
+    serving and eval); counts are exact integers and the metric
+    ratios are O(1) rounded doubles with a NULL guard for
+    never-predicted classes. Everything shuffles at class cardinality.
+    """
+    pred = text_langid(spark, sf_dir).select("lang", "guessed_lang")
+    n_true = pred.groupBy("lang").agg(F.count("*").alias("n_true"))
+    n_pred = pred.groupBy(F.col("guessed_lang").alias("lang")).agg(
+        F.count("*").alias("n_predicted")
+    )
+    n_corr = (
+        pred.where(F.col("lang") == F.col("guessed_lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_correct"))
+    )
+    m = (
+        n_true.join(n_pred, "lang", "left")
+        .join(n_corr, "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    prec = F.when(F.col("n_predicted") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(F.col("n_correct").cast("double") / F.col("n_predicted"), 6)
+    )
+    return m.select(
+        "lang",
+        "n_true",
+        "n_predicted",
+        "n_correct",
+        prec.alias("prec"),
+        F.round(F.col("n_correct").cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+    )
