@@ -699,3 +699,66 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(ac, 6).alias("autocorr"),
     )
+
+
+@register(
+    "agg_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, d + to_days(CAST(k.k AS INT)) AS wend
+        FROM ud, (SELECT UNNEST(range(0, 7)) AS k) k
+    ),
+    wau AS (
+        SELECT wend, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY wend
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           dau.dau,
+           wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.wend = dau.d
+    """,
+)
+def agg_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU engagement metrics with the DAU/WAU "stickiness"
+    ratio — and the scale trick that makes a TRAILING-7-DAY DISTINCT
+    computable as a plain groupBy: each active (user, day) is
+    replicated to the 7 window-end days it supports, deduplicated, and
+    counted. No sliding distinct window (inexpressible), no 7-way
+    self-join — shuffle volume is 7x the active-pairs table, which is
+    already the smallest frame in the query. All counts exact
+    integers; one rounded O(1) ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+        )
+        .select(
+            "user_id",
+            F.timestamp_add("DAY", F.col("k").cast("int"), F.col("d")).alias(
+                "wend"
+            ),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("wend").agg(F.count("*").alias("wau"))
+    return dau.join(wau, wau.wend == dau.d).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
