@@ -832,3 +832,101 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all("log_line", F.lit(r"[a-z]+="), 0), 1
         ).alias("first_field"),
     )
+
+
+@register(
+    "fn_encode_decode",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(CAST(p_name AS BLOB)) AS name_b64,
+           CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR)
+               AS name_roundtrip,
+           hex(CAST(p_brand AS BLOB)) AS brand_hex,
+           CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS name_bytes
+    FROM part
+    WHERE p_partkey % 13 = 0
+    """,
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary transport encodings — base64 and hex round trips with
+    byte-length accounting (what every API/log/wire-format ingestion
+    path needs before the payload becomes typed columns). All JVM
+    built-ins; the oracle proves the encodings are byte-identical
+    across engines, which is the property a cross-system handoff
+    depends on (Spark's base64 follows RFC 4648 like DuckDB's;
+    Spark's hex uppercases like DuckDB's blob hex).
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    name_bin = F.col("p_name").cast("binary")
+    return part.select(
+        "p_partkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("name_roundtrip"),
+        F.hex(F.col("p_brand").cast("binary")).alias("brand_hex"),
+        F.octet_length(name_bin).cast("int").alias("name_bytes"),
+    )
+
+
+@register(
+    "fn_json_nested",
+    oracle="""
+    WITH j AS (
+        SELECT concat('{"order": ', CAST(o_orderkey AS VARCHAR),
+                      ', "items": [',
+                      '{"ln": 1, "qty": ', CAST(o_orderkey % 10 AS VARCHAR), '}, ',
+                      '{"ln": 2, "qty": ', CAST((o_orderkey * 3) % 10 AS VARCHAR), '}, ',
+                      '{"ln": 3, "qty": ', CAST((o_orderkey * 7) % 10 AS VARCHAR), '}',
+                      ']}') AS doc
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    exploded AS (
+        SELECT CAST(json_extract_string(doc, '$.order') AS BIGINT) AS order_id,
+               CAST(json_extract_string(doc,
+                    concat('$.items[', CAST(i.i AS VARCHAR), '].ln'))
+                    AS INT) AS ln,
+               CAST(json_extract_string(doc,
+                    concat('$.items[', CAST(i.i AS VARCHAR), '].qty'))
+                    AS BIGINT) AS qty
+        FROM j, (SELECT UNNEST(range(0, 3)) AS i) i
+    )
+    SELECT ln,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(MIN(order_id) AS BIGINT) AS first_order
+    FROM exploded
+    GROUP BY ln
+    """,
+)
+def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON documents — an order header with an ARRAY OF ITEM
+    STRUCTS parsed into typed rows: ``from_json`` with a nested schema
+    then one ``explode`` (the API-payload ingestion shape that flat
+    ``get_json_object`` paths can't type). Documents are synthesized
+    identically on both engines; DuckDB's oracle walks the same arrays
+    with computed JSON paths (it has no nested-schema parser), making
+    it the semantic spec while Spark exercises the real nested
+    machinery. Parsing is JVM-side Jackson — no UDF — and the explode
+    is a narrow transform; totals are exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 17 == 0
+    )
+    k = F.col("o_orderkey")
+    doc = F.concat(
+        F.lit('{"order": '), k.cast("string"),
+        F.lit(', "items": [{"ln": 1, "qty": '), (k % 10).cast("string"),
+        F.lit('}, {"ln": 2, "qty": '), ((k * 3) % 10).cast("string"),
+        F.lit('}, {"ln": 3, "qty": '), ((k * 7) % 10).cast("string"),
+        F.lit("}]}"),
+    )
+    schema = "struct<order: bigint, items: array<struct<ln: int, qty: bigint>>>"
+    parsed = orders.select(F.from_json(doc, schema).alias("p"))
+    exploded = parsed.select(
+        F.col("p.order").alias("order_id"),
+        F.explode("p.items").alias("item"),
+    )
+    return exploded.groupBy(F.col("item.ln").alias("ln")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("item.qty").alias("total_qty"),
+        F.min("order_id").alias("first_order"),
+    )
