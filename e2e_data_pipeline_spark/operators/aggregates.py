@@ -1413,3 +1413,84 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
         ).alias("weighted_median_cents"),
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(user_id % 2 AS INT) AS grp,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    sizes AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM pts
+    ),
+    steps AS (
+        SELECT v,
+               SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+        FROM pts GROUP BY v
+    ),
+    ecdf AS (
+        SELECT v,
+               CAST(SUM(c0) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS e0,
+               CAST(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS e1
+        FROM steps
+    )
+    SELECT s.n0, s.n1,
+           CAST(MAX(abs(e.e0 * s.n1 - e.e1 * s.n0)) AS BIGINT) AS max_gap_scaled,
+           ROUND(CAST(MAX(abs(e.e0 * s.n1 - e.e1 * s.n0)) AS DOUBLE)
+                 / (s.n0 * s.n1), 6) AS ks_statistic
+    FROM ecdf e CROSS JOIN sizes s
+    GROUP BY s.n0, s.n1
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (hash-split groups over
+    event values) — the distribution-drift detector every data-quality
+    and experiment pipeline wants beyond mean comparisons.
+
+    The KS gap is computed ENTIRELY in integers: at each distinct
+    value, the ECDF difference is the cross-multiplied
+    |e0*n1 - e1*n0| (an exact int64), and the statistic divides the
+    integer max ONCE at the end — so the supremum location can never
+    flip on a float ulp. One groupBy on distinct values + one ordered
+    series-level window over the step function (O(distinct values)
+    rows, not raw events).
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+    )
+    sizes = pts.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    steps = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = steps.select(
+        F.sum("c0").over(w).alias("e0"), F.sum("c1").over(w).alias("e1")
+    )
+    gap = F.abs(F.col("e0") * F.col("n1") - F.col("e1") * F.col("n0"))
+    return (
+        ecdf.crossJoin(F.broadcast(sizes))
+        .groupBy("n0", "n1")
+        .agg(
+            F.max(gap).alias("max_gap_scaled"),
+            F.round(
+                F.max(gap).cast("double") / (F.col("n0") * F.col("n1")), 6
+            ).alias("ks_statistic"),
+        )
+        .select("n0", "n1", "max_gap_scaled", "ks_statistic")
+    )

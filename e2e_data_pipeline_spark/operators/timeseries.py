@@ -762,3 +762,69 @@ def agg_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "ts_burst_detect",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT h, n,
+               CAST(SUM(n) OVER (ORDER BY h
+                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS base_n,
+               CAST(COUNT(*) OVER (ORDER BY h
+                                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS base_hours
+        FROM hourly
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           n AS n_events,
+           base_n, base_hours,
+           ROUND(CAST(n * base_hours AS DOUBLE) / base_n, 6) AS burst_ratio
+    FROM ctx
+    WHERE base_hours >= 12 AND n * base_hours > 2 * base_n
+    """,
+)
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose event count exceeds 2x the
+    trailing-24-hour average — the monitoring/alerting primitive
+    (traffic spikes, abuse, scraper storms). The comparison is the
+    CROSS-MULTIPLIED integer inequality ``n * base_hours > 2 *
+    base_n`` so the burst boundary is exact on both engines (no
+    float division decides membership; the reported ratio is
+    display-only). Warm-up hours (<12h of history) are excluded.
+    One series-level window over the hourly aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-24, -1)
+    ctx = hourly.select(
+        "h",
+        "n",
+        F.sum("n").over(w).alias("base_n"),
+        F.count("*").over(w).alias("base_hours"),
+    )
+    return (
+        ctx.where(
+            (F.col("base_hours") >= 12)
+            & (F.col("n") * F.col("base_hours") > 2 * F.col("base_n"))
+        )
+        .select(
+            F.date_format("h", _FMT).alias("hour_start"),
+            F.col("n").alias("n_events"),
+            "base_n",
+            "base_hours",
+            F.round(
+                (F.col("n") * F.col("base_hours")).cast("double")
+                / F.col("base_n"),
+                6,
+            ).alias("burst_ratio"),
+        )
+    )
