@@ -528,3 +528,112 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("fused_rank") <= 10)
     )
+
+
+@register(
+    "ml_eval_ndcg",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, rel,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 10
+    ),
+    ideal AS (
+        SELECT query_id, rel, rnk,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, rnk) AS BIGINT) AS ideal_pos
+        FROM topk
+    )
+    SELECT query_id,
+           CAST(SUM(rel) AS BIGINT) AS n_relevant,
+           ROUND(SUM(rel / log2(rnk + 1)), 6) AS dcg,
+           ROUND(SUM(rel / log2(ideal_pos + 1)), 6) AS idcg,
+           CASE WHEN SUM(rel) = 0 THEN NULL
+                ELSE ROUND(SUM(rel / log2(rnk + 1))
+                           / SUM(rel / log2(ideal_pos + 1)), 6) END AS ndcg
+    FROM ideal
+    GROUP BY query_id
+    """,
+)
+def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the dense-retrieval ranking: binary relevance =
+    neighbor shares the query's label, DCG over the cosine ranking,
+    IDCG over the relevance-ideal reordering — the ranking-quality
+    eval harness (complement of ml_eval_confusion's classification
+    metrics; together they close the loop on the sim_* and text_*
+    retrieval operators).
+
+    Ranks come from 6-dp-rounded cosines with id tie-breaks (the
+    sim_topk determinism discipline), relevance is integer, and the
+    log2 folds run over ≤10 terms before a 6-dp round — so every rank
+    boundary and both gain sums are engine-identical. Zero-relevant
+    queries yield NULL NDCG, not a division error.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cosine = F.round(
+        dot(F.col("c_emb"), F.col("q_emb"))
+        / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("c_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            cosine.alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id").asc()
+    )
+    topk = (
+        scored.select(
+            "*", F.row_number().over(wr).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.col("rnk").asc()
+    )
+    ideal = topk.select(
+        "query_id",
+        "rel",
+        "rnk",
+        F.row_number().over(wi).cast("long").alias("ideal_pos"),
+    )
+    dcg = F.sum(F.col("rel") / F.log2(F.col("rnk") + 1))
+    idcg = F.sum(F.col("rel") / F.log2(F.col("ideal_pos") + 1))
+    return ideal.groupBy("query_id").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(F.sum("rel") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(dcg / idcg, 6))
+        .alias("ndcg"),
+    )
