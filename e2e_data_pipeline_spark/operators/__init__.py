@@ -117,6 +117,13 @@ _CHECKED_PREFIX = [
     "sim_hybrid_rrf",
     "text_bm25_rank",
     "ml_linreg_normal_eq",
+    "ml_eval_confusion",
+    "ml_eval_ndcg",
+    "stats_ks_test",
+    "agg_dau_wau",
+    "ts_burst_detect",
+    "fn_json_nested",
+    "fn_encode_decode",
     "stats_ab_ztest",
     "stats_cramers_v",
     "join_recon_fuzzy",
