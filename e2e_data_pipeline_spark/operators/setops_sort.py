@@ -134,3 +134,57 @@ def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("nulls_last").alias("grp"), "c_custkey", "bal")
     )
     return first.unionByName(last)
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    b AS (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 12
+    ),
+    sd AS (
+        SELECT c_custkey, 'only_a' AS side FROM (
+            SELECT c_custkey FROM a EXCEPT ALL SELECT c_custkey FROM b
+        )
+        UNION ALL
+        SELECT c_custkey, 'only_b' AS side FROM (
+            SELECT c_custkey FROM b EXCEPT ALL SELECT c_custkey FROM a
+        )
+    )
+    SELECT side,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(c_custkey) AS BIGINT) AS first_custkey,
+           CAST(MAX(c_custkey) AS BIGINT) AS last_custkey
+    FROM sd
+    GROUP BY side
+    """,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with multiplicity (EXCEPT ALL in both
+    directions, labeled) — the set-reconciliation completion of
+    set_union/set_intersect_except: which members are in exactly one
+    of two populations, preserving duplicate counts (audience overlap
+    analysis, feed diffing). Spark's ``exceptAll`` keeps bag
+    semantics like SQL's EXCEPT ALL; both legs shuffle once on the
+    key and the labeled union aggregates to a 2-row report.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey")
+    b = cust.where(F.col("c_nationkey") < 12).select("c_custkey")
+    sd = (
+        a.exceptAll(b)
+        .select("c_custkey", F.lit("only_a").alias("side"))
+        .unionByName(
+            b.exceptAll(a).select("c_custkey", F.lit("only_b").alias("side"))
+        )
+    )
+    return sd.groupBy("side").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_custkey").alias("first_custkey"),
+        F.max("c_custkey").alias("last_custkey"),
+    )
