@@ -960,3 +960,68 @@ def join_recon_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pay_id").alias("first_pay_id"),
         )
     )
+
+
+@register(
+    "join_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(o_orderdate)) AS d0,
+               date_trunc('day', MAX(o_orderdate)) AS d1
+        FROM orders
+    ),
+    calendar AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(date_trunc('month', c.day), '%Y-%m-%d') AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN d.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_days,
+           CAST(SUM(COALESCE(d.n_orders, 0)) AS BIGINT) AS n_orders
+    FROM calendar c
+    LEFT JOIN daily d ON d.day = c.day
+    GROUP BY 1
+    """,
+)
+def join_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension densification: generate the full day spine
+    between the first and last order, LEFT-join daily activity onto
+    it, and report per month INCLUDING zero-activity days — the
+    warehouse report a plain GROUP BY cannot produce (absent days
+    simply don't appear without the spine; the ts_gapfill idea applied
+    to the reporting calendar).
+
+    The spine is sequence+explode from one global bounds row —
+    output-proportional, never a driver loop — and the join is
+    day-keyed against the already-aggregated daily frame. Monthly
+    output is bounded by the date span at any data scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n_orders"))
+    j = calendar.join(daily, "day", "left")
+    return j.groupBy(
+        F.date_format(F.date_trunc("month", "day"), "yyyy-MM-dd").alias(
+            "month_start"
+        )
+    ).agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0)).alias(
+            "n_zero_days"
+        ),
+        F.sum(F.coalesce("n_orders", F.lit(0))).alias("n_orders"),
+    )
