@@ -51,11 +51,12 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two timed passes, keep the per-query minimum: the machine shares
-    # cores with other processes, and min-of-N isolates the engine's
-    # cost from scheduler noise better than a single sample.
+    # Three timed passes, keep the per-query minimum: the machine shares
+    # cores with other processes, and scheduler noise is strictly
+    # additive — min-of-N is the least-biased estimator of engine cost
+    # (see BENCH_NOTES.md for the measured spread that motivates this).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
