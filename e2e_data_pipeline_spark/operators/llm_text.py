@@ -788,7 +788,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM dl),
     cps AS (
-        SELECT CAST(((m.mx + 1) * k.k) // 10 AS BIGINT) AS threshold
+        SELECT DISTINCT CAST(((m.mx + 1) * k.k) // 10 AS BIGINT) AS threshold
         FROM mx m, (SELECT UNNEST(range(1, 11)) AS k) k
     )
     SELECT c.threshold AS docs_seen,
@@ -818,9 +818,15 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     mx = dl.agg(F.max("doc_id").alias("mx"))
-    cps = mx.select(
-        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "mx"
-    ).select(F.expr("((mx + 1) * k) div 10").cast("long").alias("threshold"))
+    # DISTINCT on both sides: at tiny N the 10 integer checkpoints
+    # collide, and duplicate cps rows would both fan out the joins
+    # below and collapse asymmetrically vs the oracle. One row per
+    # distinct threshold keeps semantics identical at any corpus size.
+    cps = (
+        mx.select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "mx")
+        .select(F.expr("((mx + 1) * k) div 10").cast("long").alias("threshold"))
+        .distinct()
+    )
     tok_cum = (
         cps.join(dl, dl.doc_id < cps.threshold, "left")
         .groupBy("threshold")

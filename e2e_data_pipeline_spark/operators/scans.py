@@ -16,6 +16,8 @@ so the hash also proves the round-trip is lossless.
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -684,10 +686,15 @@ def sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus") == "F"
     ).select("l_orderkey", "l_quantity", "l_returnflag")
     path = tempfile.mkdtemp(prefix="e2e_pyds_sink_")
-    li.write.format("jsonl_dir").mode("append").option("path", path).save()
+    li.write.format("jsonl_dir").mode("overwrite").option("path", path).save()
+    # Read back ONLY the files the _SUCCESS manifest lists — this is
+    # the exactly-once-visibility contract: stray part files from
+    # aborted/speculative attempts are invisible to readers.
+    with open(os.path.join(path, "_SUCCESS"), encoding="utf-8") as f:
+        manifest = json.load(f)
     back = spark.read.schema(
         "l_orderkey long, l_quantity double, l_returnflag string"
-    ).json(f"{path}/part-*.jsonl")
+    ).json(manifest["files"])
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
         dec_sum("l_quantity").alias("sum_qty"),

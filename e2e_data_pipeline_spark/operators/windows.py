@@ -575,9 +575,13 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leaderboard movement: supplier revenue rank in 1996 vs 1997 and
-    the rank gain, for anyone who was top-10 in either year — the
-    period-over-period ranking report (and the general two-snapshot
-    rank-diff pattern: search results, trending items, sales boards).
+    the rank gain, for suppliers ACTIVE IN BOTH years who were top-10
+    in either — the period-over-period ranking report (and the general
+    two-snapshot rank-diff pattern: search results, trending items,
+    sales boards). The inner join is deliberate: a rank delta needs
+    both endpoints, so single-year suppliers (no rank to diff against)
+    are out of scope; an entries/exits report would use a full outer
+    join with null-safe rank columns instead.
 
     One fact aggregation covers both periods (year is just a group
     key), one rank window per period partition, and the self-join runs

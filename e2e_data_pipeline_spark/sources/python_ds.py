@@ -160,7 +160,7 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonLinesDirWriter(DataSourceWriter):
-    """Append-only JSON-lines directory sink with two-phase commit.
+    """JSON-lines directory sink with two-phase commit.
 
     write(): one file per task, named with a task-unique uuid so
     speculative/retried attempts never collide; the row payload is
@@ -168,10 +168,24 @@ class JsonLinesDirWriter(DataSourceWriter):
     records every task's file in a `_SUCCESS` manifest — readers that
     honor the manifest get exactly-once visibility even if stray files
     from aborted attempts remain. abort(): best-effort cleanup.
+
+    Save modes: `.mode("overwrite")` clears prior data files and the
+    manifest on the driver before any task runs, so the committed
+    manifest describes exactly this write; `.mode("append")` keeps
+    existing files and commit() MERGES the new file list into the
+    existing manifest (manifest stays the single source of truth
+    across multiple appends).
     """
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
+        if overwrite and _os.path.isdir(self.path):
+            # Driver-side, before any task starts: drop prior data
+            # files + manifest so overwrite replaces rather than mixes.
+            for f in _os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    _os.remove(_os.path.join(self.path, f))
 
     def write(self, iterator) -> _FileCommit:
         _os.makedirs(self.path, exist_ok=True)
@@ -184,12 +198,16 @@ class JsonLinesDirWriter(DataSourceWriter):
         return _FileCommit(fname, n)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "files": sorted(m.path for m in messages if m is not None),
-            "rows": sum(m.n_rows for m in messages if m is not None),
-        }
-        with open(_os.path.join(self.path, "_SUCCESS"), "w") as f:
-            _json.dump(manifest, f)
+        files = [m.path for m in messages if m is not None]
+        rows = sum(m.n_rows for m in messages if m is not None)
+        marker = _os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and _os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                prior = _json.load(f)
+            files += prior.get("files", [])
+            rows += prior.get("rows", 0)
+        with open(marker, "w") as f:
+            _json.dump({"files": sorted(set(files)), "rows": rows}, f)
 
     def abort(self, messages) -> None:  # pragma: no cover - failure path
         for m in messages:
@@ -205,4 +223,4 @@ class JsonLinesDirDataSource(DataSource):
         return "jsonl_dir"
 
     def writer(self, schema, overwrite: bool) -> JsonLinesDirWriter:
-        return JsonLinesDirWriter(self.options)
+        return JsonLinesDirWriter(self.options, overwrite)

@@ -199,6 +199,38 @@ def test_python_ds_writer_commit_manifest(spark, tmp_path):
     assert n_lines == 25
 
 
+def test_python_ds_writer_modes(spark, tmp_path):
+    """`.mode("overwrite")` must replace prior files+manifest (no
+    silent append), and `.mode("append")` must MERGE the new task
+    files into the existing manifest so it stays the single source
+    of truth across appends."""
+    import json
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.sources.python_ds import register_python_sources
+    from tests.conftest import SF_SMALL
+
+    register_python_sources(spark)
+    out = str(tmp_path / "jsonl_modes")
+    df = load_table(spark, SF_SMALL, "nation").select("n_nationkey", "n_name")
+
+    df.write.format("jsonl_dir").mode("append").option("path", out).save()
+    df.write.format("jsonl_dir").mode("append").option("path", out).save()
+    manifest = json.load(open(f"{out}/_SUCCESS"))
+    assert manifest["rows"] == 50  # append merged both writes
+    assert all(os.path.exists(f) for f in manifest["files"])
+
+    df.write.format("jsonl_dir").mode("overwrite").option("path", out).save()
+    manifest = json.load(open(f"{out}/_SUCCESS"))
+    assert manifest["rows"] == 25  # overwrite replaced, not mixed
+    on_disk = {
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".jsonl")
+    }
+    assert on_disk == set(manifest["files"])
+
+
 def test_compaction_collapses_file_count(spark, tmp_path):
     """The compaction rewrite must actually reduce parquet file count
     (64 splinters -> <=4), not just round-trip the rows."""
