@@ -46,19 +46,28 @@ def test_simhash_near_dup_pairs_are_close(spark):
     assert sum(near_d) / len(near_d) < sum(rand_d) / len(rand_d)
 
 
-def test_sim_topk_lsh_subset_of_exact_ranking(spark):
-    """LSH top-k hits must be genuine neighbors: every (query,
-    neighbor) it returns must appear in the exact brute-force scoring
-    with the same cosine."""
-    exact = {
-        (r.query_id, r.neighbor_id): r.cosine
-        for r in QUERIES["sim_topk"](spark, SF_SMALL).collect()
-    }
+def test_sim_topk_lsh_recall_and_exactness(spark):
+    """Multi-table multi-probe LSH must (a) recover >=90% of the true
+    top-k set on the fixture — the fixture's near-isotropic vectors
+    are hyperplane-LSH's worst case, so this bound is conservative
+    for real clustered embeddings — and (b) score every hit with the
+    exact brute-force cosine (the in-bucket re-rank is exact)."""
+    exact_sets: dict = {}
+    exact_cos = {}
+    for r in QUERIES["sim_topk"](spark, SF_SMALL).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cosine
     lsh_rows = QUERIES["sim_topk_lsh"](spark, SF_SMALL).collect()
     assert lsh_rows, "LSH should return candidates at sf0.001"
-    hits = [r for r in lsh_rows if (r.query_id, r.neighbor_id) in exact]
-    for r in hits:
-        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    lsh_sets: dict = {}
+    for r in lsh_rows:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & lsh_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9, f"LSH recall {hits}/{total} below 0.9"
+    for r in lsh_rows:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
 def test_approx_count_distinct_accuracy(spark):
