@@ -661,6 +661,117 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_semantic")  # IVF-bucketed approximation → rows-only check
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate clusters — the last
+    rung of the dedup ladder (exact → shingle-Jaccard → MinHash →
+    SimHash → semantic): catches paraphrases and re-encodings that
+    share no surface n-grams at all.
+
+    Scale shape is IVF, not all-pairs: K deterministic seed centroids
+    (lowest vec_ids, same convention as ``sim_topk_ivf``), every
+    vector assigned to its nearest cell for OWNERSHIP and its P
+    nearest cells for CANDIDATE generation (multi-probe — a near-dup
+    pair on a cell boundary still meets in one of the probed cells).
+    Capture is SYMMETRIC: pair (a,b) is a candidate if a's home cell
+    is among b's probes OR vice versa (the join runs home×probe both
+    ways via pair canonicalization + dedup). Per-cell work is
+    |cell|·|probe members| and total work is ~P·N²/K — with
+    K = sqrt(N) cells at real scale this is N^1.5 candidate pairs
+    against brute force's N².
+
+    Representative pick is greedy-minimum: a vector's cluster rep is
+    the lowest vec_id among itself and its above-threshold neighbors;
+    output is one row per duplicate cluster (rep, member count, mean
+    in-cluster cosine). Pair recall vs numpy brute force is
+    unit-tested; the threshold (0.35) sits where this isotropic
+    fixture actually has neighbor mass — real embedding corpora would
+    run 0.85+.
+    """
+    from e2e_data_pipeline_spark.operators.llm_similarity import dot, sq_norm
+
+    n_cells = 8
+    n_probes = 3
+    threshold = 0.35
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def cells(keep: int, id_alias: str, emb_alias: str) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(emb_alias),
+            "cent_id",
+            F.round(
+                dot(F.col("embedding"), F.col("cent_emb"))
+                / (
+                    F.sqrt(sq_norm(F.col("embedding")))
+                    * F.sqrt(sq_norm(F.col("cent_emb")))
+                ),
+                6,
+            ).alias("cent_sim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("cent_sim"), "cent_id")
+        return (
+            scored.withColumn("cell_rn", F.row_number().over(w))
+            .where(F.col("cell_rn") <= keep)
+            .select(id_alias, emb_alias, F.col("cent_id").alias("cell"))
+        )
+
+    home = cells(1, "vec_a", "emb_a")
+    probed = cells(n_probes, "vec_b", "emb_b")
+    pairs = (
+        home.join(
+            probed,
+            (home["cell"] == probed["cell"]) & (F.col("vec_a") != F.col("vec_b")),
+        )
+        .select(
+            # Canonicalize (least, greatest) so a pair captured from
+            # either direction dedups to one row — this is what makes
+            # the home×probe join symmetric.
+            F.least("vec_a", "vec_b").alias("p_lo"),
+            F.greatest("vec_a", "vec_b").alias("p_hi"),
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.sqrt(sq_norm(F.col("emb_a"))) * F.sqrt(sq_norm(F.col("emb_b")))),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["p_lo", "p_hi"])
+        .select(
+            F.col("p_lo").alias("vec_a"), F.col("p_hi").alias("vec_b"), "cosine"
+        )
+    )
+    # Greedy-minimum representative: each vector's rep is the lowest
+    # id among itself and its dup-neighbors (one aggregation, no
+    # iterative closure — dedup_cluster is the transitive variant).
+    members = pairs.select(
+        F.col("vec_b").alias("vec_id"),
+        F.col("vec_a").alias("nbr"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("nbr"),
+            "cosine",
+        )
+    )
+    rep = members.groupBy("vec_id").agg(
+        F.least(F.min("nbr"), F.first("vec_id")).alias("rep_id"),
+        F.max("cosine").alias("best_cosine"),
+    )
+    return (
+        rep.groupBy("rep_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("best_cosine"), 6).alias("mean_best_cosine"),
+        )
+        .where(F.col("rep_id").isNotNull())
+    )
+
+
 def _pagerank_oracle() -> str:
     """3-iteration PageRank oracle with one CTE per iteration; the
     per-iteration ROUND(.,12) keeps cross-engine summation-order ulp
