@@ -172,6 +172,37 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_to_convert
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream⋈stream attribution: every view emits — with
+    its converting purchases, or null-padded if no purchase followed
+    within the hour. This is the semantics real attribution pipelines
+    need (unconverted traffic is the denominator of a conversion
+    rate). In streaming, the null row for an unconverted view becomes
+    emittable only once the purchase-side WATERMARK passes
+    view_ts + 1h — watermark expiry is what makes 'no match' final —
+    so state stays bounded by the watermark+window horizon exactly
+    like the inner variant. Batch twin of
+    :func:`streaming.core.stream_stream_conversions` with
+    ``how="left_outer"``; watermark-expiry parity is asserted in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return core.stream_stream_conversions(ev, ev, how="left_outer")
+
+
+@register(
     "stream_window_topk",
     oracle="""
     WITH counts AS (

@@ -170,6 +170,7 @@ def stream_stream_conversions(
     views: DataFrame,
     purchases: DataFrame,
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream⋈stream join: attribute each purchase to the views by the
     same user in the preceding hour (conversion attribution).
@@ -182,6 +183,16 @@ def stream_stream_conversions(
     (watermark + window) horizon instead of growing with the stream.
     Inner join with a time bound runs in append mode, which is also
     why the batch twin is hash-identical: every emitted pair is final.
+
+    ``how="left_outer"`` is the attribution semantics production
+    pipelines actually need: views that never converted are emitted
+    too, null-padded — in streaming, ONLY once the purchase-side
+    watermark passes view_ts + 1h (at that point no future purchase
+    can match, so the null row is final; this is why outer
+    stream⋈stream REQUIRES both the watermark and the event-time
+    bound, not just one). Unconverted views inside the final
+    watermark horizon stay buffered — the batch twin minus that tail
+    is what streaming parity can assert (tests/test_streaming.py).
     """
     if watermark:
         views = views.withWatermark("ts", watermark)
@@ -201,6 +212,7 @@ def stream_stream_conversions(
         (v["user_id"] == p["p_user"])
         & (p["purchase_ts"] > v["view_ts"])
         & (p["purchase_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 HOUR")),
+        how,
     )
     return joined.select(
         "view_id",

@@ -193,6 +193,61 @@ def test_stream_stream_join_parity(spark):
     _assert_same(batch, stream)
 
 
+def test_stream_stream_left_outer_watermark_expiry(spark):
+    """LEFT OUTER stream⋈stream: matched pairs must equal the batch
+    join exactly, and null-padded rows (views that never converted)
+    must be emitted for every view old enough that the final watermark
+    made 'no match' final — while views inside the watermark horizon
+    are allowed to still be buffered (that is watermark semantics, not
+    data loss)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.streaming import stream_stream_conversions
+
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = stream_stream_conversions(ev, ev, how="left_outer")
+    s1 = load_events_stream(spark, SF_SMALL)
+    s2 = load_events_stream(spark, SF_SMALL)
+    stream = run_stream_to_memory(
+        spark,
+        stream_stream_conversions(s1, s2, watermark="1 hour", how="left_outer"),
+        "t_ss_outer",
+        output_mode="append",
+    )
+
+    b_matched = batch.where(F.col("purchase_id").isNotNull())
+    s_matched = stream.where(F.col("purchase_id").isNotNull())
+    _assert_same(b_matched, s_matched)
+
+    # Null rows: final watermark = max event ts - 1h delay; a view is
+    # expirable once view_ts + 1h < watermark. Every expirable
+    # unconverted view must have emitted its null row; no null row may
+    # exist for a view the batch join matched.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    b_nulls = set(
+        r.view_id
+        for r in batch.where(F.col("purchase_id").isNull())
+        .join(
+            ev.select(F.col("event_id").alias("view_id"), "ts"), "view_id"
+        )
+        .where(
+            F.col("ts")
+            < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")  # watermark - window
+        )
+        .collect()
+    )
+    s_nulls = set(
+        r.view_id for r in stream.where(F.col("purchase_id").isNull()).collect()
+    )
+    assert b_nulls <= s_nulls, (
+        f"{len(b_nulls - s_nulls)} expirable unconverted views missing null rows"
+    )
+    b_all_nulls = set(
+        r.view_id for r in batch.where(F.col("purchase_id").isNull()).collect()
+    )
+    assert s_nulls <= b_all_nulls, "stream emitted a null row for a matched view"
+
+
 def test_foreachbatch_idempotent_sink(spark, tmp_path):
     """The canonical exactly-once sink pattern: foreachBatch writes
     each micro-batch to a path KEYED BY batchId with overwrite mode, so
