@@ -116,6 +116,21 @@ def test_partitioned_sink_reread_prunes_partitions(spark):
     assert "l_returnflag" not in read
 
 
+def test_daypartitioned_scan_prunes_directories(spark):
+    # Date-partitioned-at-rest: the day range must be a PARTITION
+    # filter (directory pruning — no file open, no footer read for
+    # out-of-range days), day must come from the path (absent from
+    # the data ReadSchema), and nothing may fall back to a post-scan
+    # Filter on day.
+    plan = plan_of(spark, "scan_partition_pruned")
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "day" in l and "2024-01-10" in l and "2024-01-12" in l for l in part_lines
+    ), f"day range not in PartitionFilters: {part_lines}"
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "day" not in read, "partition column leaked into data ReadSchema"
+
+
 def test_asof_join_is_linear_not_quadratic(spark):
     # The as-of join must be the union+window formulation (one shuffle
     # on the key), never an inequality join, which plans as a nested
