@@ -112,6 +112,9 @@ _CHECKED_PREFIX = [
     "corpus_pipeline",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "join_cbo_reorder",
+    "stream_stream_outer",
+    "scan_partition_pruned",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1025,3 +1025,118 @@ def join_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce("n_orders", F.lit(0))).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-based-optimizer demonstration: stats-driven join reordering.
+# ---------------------------------------------------------------------------
+
+_CBO_DBS_BUILT: set[str] = set()
+
+
+def _cbo_materialize(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 3 join tables as managed tables and ANALYZE them.
+
+    CBO needs catalog statistics, and statistics attach to *tables*,
+    not parquet paths — so the demo saves column-pruned copies into a
+    dedicated database (under /tmp, keyed by the fixture dir) and runs
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` on the join
+    keys + the filter column. Cached per-process so repeated calls in
+    one test session don't rewrite.
+    """
+    import re
+    import shutil
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    db = f"cbo_demo_{tag}"
+    if db in _CBO_DBS_BUILT:
+        return db
+    # The warehouse location outlives the in-memory catalog (a prior
+    # *process* may have left files where this process has no table
+    # entry), so start from a clean slate: drop both sides.
+    loc = f"/tmp/spark_graft_cbo/{tag}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    cols = {
+        "lineitem": ["l_orderkey", "l_extendedprice"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey", "c_mktsegment"],
+    }
+    for t, cs in cols.items():
+        load_table(spark, sf_dir, t).select(*cs).write.mode(
+            "overwrite"
+        ).saveAsTable(f"{db}.{t}")
+        spark.sql(
+            f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR COLUMNS "
+            + ", ".join(cs)
+        )
+    _CBO_DBS_BUILT.add(db)
+    return db
+
+
+@register(
+    "join_cbo_reorder",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering over ANALYZEd catalog tables.
+
+    The SQL text deliberately joins in the WORST order — the biggest
+    table (lineitem) first, the selective dimension (customer, with a
+    segment filter) last. With ``spark.sql.cbo.enabled`` +
+    ``spark.sql.cbo.joinReorder.enabled`` and per-column statistics,
+    Catalyst's CostBasedJoinReorder rewrites the tree to join
+    orders⋈customer first (small, filtered) and stream lineitem into
+    the result — the plan a human would write. A plan test
+    (tests/test_plans.py) asserts the reorder actually happened and
+    that it does NOT happen without stats, so this complements the
+    runtime AQE reliance with compile-time CBO.
+
+    At 100 TB the same mechanism prunes far larger mistakes: join
+    order is the single biggest cost lever in a star query, and stats
+    make it automatic rather than author-dependent. The optimized plan
+    is forced *while CBO is on* (Scala lazy val pins it), then session
+    confs are restored so the demo never leaks into other queries.
+    """
+    db = _cbo_materialize(spark, sf_dir)
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        df = spark.sql(
+            f"""
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM {db}.lineitem l
+            JOIN {db}.orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN {db}.customer c ON o.o_custkey  = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c.c_mktsegment
+            """
+        )
+        # Force the optimized plan NOW, while CBO is enabled; the
+        # QueryExecution caches it, so the later collect reuses it.
+        df._jdf.queryExecution().optimizedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -828,3 +828,288 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burst_ratio"),
         )
     )
+
+
+@register(
+    "win_sessionize_gap",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (MAX(us) - MIN(us)) // 1000000 AS dur_s
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS longest_session_events,
+           CAST(SUM(dur_s) AS BIGINT) AS total_active_s
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def win_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min) — the
+    gaps-and-islands twin of ``stream_session``'s session window.
+
+    LAG flags session starts, a running sum numbers sessions — ONE
+    shuffle on user_id serves both window passes and the two
+    same-key aggregations above them (Catalyst reuses the exchange),
+    so the whole op is linear with a single partition-by-user pass.
+    All arithmetic is int64 microseconds (truncating //1e6 for
+    seconds, identical on both engines); ties in ts break on
+    event_id so session numbering is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w_ord).isNull()
+            | (F.col("us") - F.lag("us").over(w_ord) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("is_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("longest_session_events"),
+        F.sum("dur_s").alias("total_active_s"),
+    )
+
+
+@register(
+    "agg_markov_transition",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+)
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (funnel/behavior modeling).
+
+    LEAD pairs each event with its successor (one shuffle on
+    user_id), the pair count is a bounded |types|² aggregate, and the
+    row-normalization runs on that tiny frame — at 100 TB the only
+    full-data cost is the sequence window. The probability is ONE
+    int64÷int64 IEEE division, bit-identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_from).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS total
+        FROM daily
+    ),
+    cum AS (
+        SELECT d, cnt,
+               SUM(cnt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS prefix,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS k
+        FROM daily
+    )
+    SELECT CAST(strftime(c.d, '%Y-%m-%d') AS VARCHAR) AS day,
+           c.cnt,
+           CAST(t.n_days * c.prefix - c.k * t.total AS BIGINT)
+               AS cusum_scaled,
+           CASE WHEN ABS(t.n_days * c.prefix - c.k * t.total) =
+                (SELECT MAX(ABS(n_days * prefix - k * total))
+                 FROM cum, tot)
+                AND c.d = (SELECT MIN(c2.d) FROM cum c2, tot t2
+                           WHERE ABS(t2.n_days * c2.prefix - c2.k * t2.total)
+                               = (SELECT MAX(ABS(n_days * prefix - k * total))
+                                  FROM cum, tot))
+                THEN 1 ELSE 0 END AS is_changepoint
+    FROM cum c, tot t
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series.
+
+    The classic statistic S_k = Σ_{i≤k}(x_i − μ) needs the float mean;
+    scaling by n makes it exact: n·S_k = n·prefix_k − k·total, pure
+    int64 — no epsilon, hash-identical. The flagged day (max |n·S_k|,
+    earliest on ties) is the most likely level-shift point. Cost: one
+    day-grain aggregate, then windows over the tiny daily frame; the
+    1-row totals broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    tot = daily.agg(
+        F.count("*").alias("n_days"), F.sum("cnt").alias("total")
+    )
+    w = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.row_number().over(w).cast("long").alias("k"),
+    ).crossJoin(F.broadcast(tot))
+    scored = cum.withColumn(
+        "cusum_scaled",
+        (F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")).cast(
+            "long"
+        ),
+    )
+    peak = scored.agg(
+        F.max(F.abs("cusum_scaled")).alias("peak"),
+        F.min_by(
+            "d", F.struct((-F.abs(F.col("cusum_scaled"))).alias("neg"), F.col("d"))
+        ).alias("peak_day"),
+    )
+    return scored.crossJoin(F.broadcast(peak)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "cusum_scaled",
+        F.when(
+            (F.abs("cusum_scaled") == F.col("peak"))
+            & (F.col("d") == F.col("peak_day")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_changepoint"),
+    )
+
+
+@register(
+    "ts_twap",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER
+                   (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                    ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    weighted AS (
+        SELECT user_id, d,
+               cents * (next_us - us) AS num_part,
+               next_us - us AS dur_us
+        FROM spans WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(strftime(d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(num_part) AS DOUBLE)
+               / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twap
+    FROM weighted
+    GROUP BY user_id, d
+    HAVING COUNT(*) > 0
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user-day (TWAP) — each value
+    weighted by how long it was "live" (until the next event that day).
+
+    All sufficient statistics are int64: cents × microsecond duration
+    (≤5e4 × 8.6e10 ≈ 4e15 per span, summed per user-day, far under
+    2^63), so partial aggregation map-side-combines exactly. The final
+    two int64→double conversions and one division are each single
+    IEEE operations — bit-identical across engines (the reason to
+    avoid summing raw doubles, CLAUDE.md int64 note). Days with a
+    single event have no span and drop out on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "d").orderBy("us", "event_id")
+    spans = ev.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    return (
+        spans.groupBy("user_id", "d")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("cents") * dur).alias("num"),
+            F.sum(dur).alias("den"),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_spans",
+            (
+                F.col("num").cast("double") / F.col("den").cast("double") / F.lit(100.0)
+            ).alias("twap"),
+        )
+    )

@@ -478,3 +478,32 @@ def test_recon_fuzzy_is_hash_join_on_buckets(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cbo_reorders_star_join_by_stats(spark):
+    """CostBasedJoinReorder must rewrite the deliberately-bad join
+    order (lineitem first) so the filtered customer dim joins before
+    lineitem — and must NOT rewrite when CBO/stats are off."""
+    from e2e_data_pipeline_spark.operators.joins import _cbo_materialize
+
+    df = QUERIES["join_cbo_reorder"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    li = plan.index(".lineitem")
+    assert plan.index(".orders") < li and plan.index(".customer") < li, (
+        "with stats + CBO, orders⋈customer should join before lineitem"
+    )
+    # Control: identical SQL with CBO off keeps the written order
+    # (lineitem joined first) — proves the reorder was stats-driven.
+    db = _cbo_materialize(spark, SF_SMALL)
+    ctrl = spark.sql(
+        f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n
+        FROM {db}.lineitem l
+        JOIN {db}.orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN {db}.customer c ON o.o_custkey  = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c.c_mktsegment
+        """
+    )
+    p2 = ctrl._jdf.queryExecution().optimizedPlan().toString()
+    assert p2.index(".lineitem") < p2.index(".customer")
