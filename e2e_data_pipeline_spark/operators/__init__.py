@@ -115,6 +115,14 @@ _CHECKED_PREFIX = [
     "join_cbo_reorder",
     "stream_stream_outer",
     "scan_partition_pruned",
+    "text_lm_score",
+    "dedup_containment",
+    "win_sessionize_gap",
+    "agg_markov_transition",
+    "ts_changepoint_cusum",
+    "ts_twap",
+    "agg_basket_affinity",
+    "agg_decile_lift",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

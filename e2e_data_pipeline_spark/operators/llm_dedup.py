@@ -885,3 +885,96 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w)
+                   AS shingle,
+               lead(tok, {SHINGLE_K - 1}) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n <= sb.n THEN p.doc_a ELSE p.doc_b END AS contained_doc,
+           CASE WHEN sa.n <= sb.n THEN p.doc_b ELSE p.doc_a END AS container_doc,
+           p.n_common,
+           CAST(LEAST(sa.n, sb.n) AS BIGINT) AS n_small,
+           CAST(p.n_common AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+               AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.n_common * 10 >= LEAST(sa.n, sb.n) * 9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs: C = |A∩B| / |smaller| ≥ 0.9
+    — catches a document EMBEDDED in a larger one, which symmetric
+    Jaccard misses (a 100-line doc inside a 10k-line doc has Jaccard
+    ≈ 0.01 but containment 1.0). The standard complement to
+    ``dedup_near`` for boilerplate/quote removal in corpus curation.
+
+    Same inverted-index shingle join as dedup_near (linear candidate
+    generation, quadratic only inside shared-shingle clusters — the
+    LSH variant is the unbounded-scale path). The threshold test is a
+    cross-multiplied INTEGER inequality (n_common·10 ≥ n_small·9), so
+    boundary pairs never ride on a float rounding; the reported ratio
+    is one exact int64÷int64 division. Direction (contained vs
+    container) resolves by size with doc_id as the deterministic tie
+    order from the a<b join.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    n_small = F.least("na", "nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("n_common") * 10 >= n_small * 9)
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container_doc"),
+            "n_common",
+            n_small.alias("n_small"),
+            (F.col("n_common").cast("double") / n_small.cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

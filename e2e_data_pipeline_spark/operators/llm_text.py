@@ -933,3 +933,93 @@ def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2
+        FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               (c2.n2 * 1000000) // c1.n1 AS q
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(MIN(q) AS BIGINT) AS min_trans_ppm,
+           CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE)
+               AS lm_score
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model fluency score per document — the
+    CCNet-style "LM quality filter" stage of a training-data pipeline,
+    in exact fixed-point arithmetic.
+
+    A bigram LM is estimated from the corpus itself (c(w1,w2)/c(w1·));
+    each document is scored by its mean and minimum transition
+    probability. Logs are deliberately AVOIDED: ln() is not
+    bit-identical across engines (~1% of values differ by 1 ulp —
+    measured), so instead of mean log-prob the score is the mean
+    probability in parts-per-million fixed point: q = (n2·10⁶)//n1 is
+    integer floor division, exact everywhere, and the final mean is
+    ONE int64÷int64 division. Ranking behavior matches the arithmetic
+    mean LM score; perplexity-style geometric averaging would need the
+    non-portable log.
+
+    Scale: bigram counting is the text_ngram_bigrams shape (narrow
+    zip_with, map-side combine); scoring joins each doc-bigram to the
+    count tables on the bigram key — linear shuffles keyed by content,
+    the same plan as the BM25 posting probe. No driver collection.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            # `div` is true int64 division (DuckDB `//` twin) — a
+            # double-divide-then-cast would lose exactness once
+            # n2·10⁶ crosses 2^53 at real corpus scale.
+            F.expr("(n2 * 1000000L) div n1").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.min("q").alias("min_trans_ppm"),
+        (
+            F.sum("q").cast("double")
+            / (F.count("*") * F.lit(1_000_000)).cast("double")
+        ).alias("lm_score"),
+    )

@@ -1031,3 +1031,177 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(share - benford, 6).alias("deviation"),
         )
     )
+
+
+@register(
+    "agg_basket_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    item_cnt AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.support,
+           CAST(p.support * n.n AS DOUBLE)
+               / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+    FROM pairs p, n_orders n
+    JOIN item_cnt ca ON ca.l_partkey = p.part_a
+    JOIN item_cnt cb ON cb.l_partkey = p.part_b
+    ORDER BY p.support DESC, p.part_a, p.part_b
+    LIMIT 20
+    """,
+)
+def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: co-occurring part pairs within orders,
+    ranked by support, with lift against independence.
+
+    The pair self-join is keyed on l_orderkey, whose line count TPC-H
+    bounds at 7 — so pair generation is O(n·21), linear, never
+    all-pairs across the catalog. Item counts broadcast (bounded by
+    the part domain); lift = (support·N)/(cnt_a·cnt_b) is ONE integer
+    ratio → one IEEE division, exact cross-engine. Top-20 with a full
+    deterministic tie-break runs as TakeOrderedAndProject.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_decile_lift",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+               NTILE(10) OVER (ORDER BY value DESC, event_id) AS decile
+        FROM events
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos
+        FROM scored GROUP BY decile
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+               CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+        FROM per_decile
+    ),
+    cum AS (
+        SELECT decile, n, n_pos,
+               SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                   AS cum_n,
+               SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                   AS cum_pos
+        FROM per_decile
+    )
+    SELECT c.decile, c.n, c.n_pos,
+           CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS conversion,
+           CAST(c.cum_pos * t.tot_n AS DOUBLE)
+               / CAST(c.cum_n * t.tot_pos AS DOUBLE) AS cum_lift
+    FROM cum c, tot t
+    """,
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for a propensity score (here: event
+    value scoring the 'purchase' label) — the standard model-quality
+    report for targeting pipelines.
+
+    NTILE over a deterministic total order (value DESC, event_id)
+    buckets exactly like the oracle; everything after the first
+    window is a 10-row frame. conversion and cumulative lift are
+    single divisions of exact int64 products. The global NTILE sort
+    is the one scale cost — at 100 TB you'd swap it for
+    approx-quantile boundaries; this exact variant is the
+    oracle-checkable twin (same pattern as dedup_near vs
+    dedup_near_lsh).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+        "value",
+        "event_id",
+    )
+    w = Window.orderBy(F.desc("value"), "event_id")
+    scored = ev.withColumn("decile", F.ntile(10).over(w))
+    per_decile = scored.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("label").alias("n_pos")
+    )
+    tot = per_decile.agg(
+        F.sum("n").alias("tot_n"), F.sum("n_pos").alias("tot_pos")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_decile.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "conversion"
+        ),
+        (
+            (F.col("cum_pos") * F.col("tot_n")).cast("double")
+            / (F.col("cum_n") * F.col("tot_pos")).cast("double")
+        ).alias("cum_lift"),
+    )
