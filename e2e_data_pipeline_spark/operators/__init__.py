@@ -123,6 +123,7 @@ _CHECKED_PREFIX = [
     "ts_twap",
     "agg_basket_affinity",
     "agg_decile_lift",
+    "stream_foreach_batch_upsert",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

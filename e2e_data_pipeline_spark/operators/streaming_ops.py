@@ -258,3 +258,117 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     copied, never summed, so floats stay bit-exact without decimal
     folding."""
     return core.latest_state(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT r.user_id,
+           r.value AS last_value,
+           r.event_type AS last_event_type,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           c.n_events
+    FROM ranked r JOIN counts c ON c.user_id = r.user_id
+    WHERE r.rn = 1
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink — THE production pattern for merging a
+    stream into a table Spark has no native MERGE sink for.
+
+    The events fixture is re-chunked into 4 files and streamed with
+    ``maxFilesPerTrigger=1`` (availableNow), so foreachBatch really
+    runs 4 times; each micro-batch reduces to per-user latest state
+    and merges it with the previous state into a NEW versioned parquet
+    dir (read-old/write-new, never overwrite-in-place — the
+    crash-safe shape, since a failed batch leaves the old version
+    intact for checkpoint replay). The merge is an argmax over
+    (ts, event_id) plus a count sum — associative and commutative, so
+    the final state is independent of batch order and equals the
+    batch answer, which is what the oracle hash-checks.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="feb_upsert_")
+    chunks = f"{work}/chunks"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    ev.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(chunks)
+
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+
+    state = {"path": None, "version": 0}
+
+    def reduce_batch(df):
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("value", "event_type", "ts", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("last"),
+            F.count("*").alias("n_events"),
+        )
+
+    def merge(batch_df, batch_id):
+        new = reduce_batch(batch_df)
+        if state["path"] is not None:
+            old = spark.read.parquet(state["path"])
+            new = (
+                old.unionByName(new)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.col("last"),
+                        F.struct(F.col("last.ts"), F.col("last.event_id")),
+                    ).alias("last"),
+                    F.sum("n_events").alias("n_events"),
+                )
+            )
+        state["version"] += 1
+        out = f"{work}/state_v{state['version']}"
+        new.write.parquet(out)
+        state["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("foreachBatch upsert stream did not finish")
+
+    if state["path"] is None:  # zero input files → schema-stable empty
+        final = reduce_batch(ev).limit(0)
+    else:
+        final = spark.read.parquet(state["path"])
+    result = final.select(
+        "user_id",
+        F.col("last.value").alias("last_value"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_events",
+    )
+    rows = result.localCheckpoint(eager=True)  # pin before tmp cleanup
+    shutil.rmtree(work, ignore_errors=True)
+    return rows
