@@ -124,6 +124,9 @@ _CHECKED_PREFIX = [
     "agg_basket_affinity",
     "agg_decile_lift",
     "stream_foreach_batch_upsert",
+    "cdc_apply_log",
+    "join_geo_grid",
+    "corpus_mixture_sample",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1140,3 +1140,85 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_geo_grid",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % 10000 AS x,
+               (c_custkey * 40503) % 10000 AS y
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 2654435761) % 10000 AS x,
+               (s_suppkey * 40503) % 10000 AS y
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST((c.x - s.x) * (c.x - s.x)
+              + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+    FROM cust c JOIN supp s
+      ON (c.x - s.x) BETWEEN -50 AND 50
+     AND (c.y - s.y) BETWEEN -50 AND 50
+     AND (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2500
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D proximity (spatial) join via grid bucketing — "all
+    customer/supplier location pairs within radius 50" on a synthetic
+    integer coordinate plane derived from the keys (the fixtures have
+    no lat/lon; multiplicative hashing scatters keys uniformly).
+
+    A naive band-predicate join plans as BroadcastNestedLoopJoin —
+    the same hazard CLAUDE.md documents for 1-D BETWEEN joins, squared.
+    Instead each customer point explodes into its 3×3 neighborhood of
+    50×50 grid cells and the join is an EQUI-join on the cell id; any
+    point within L∞ 50 of it must fall in those 9 cells, so the exact
+    integer circle test afterwards loses nothing. Cost: 9× one side,
+    hash join, cell population bounded by density — linear at any
+    scale, and the plan test pins SortMergeJoin/Hash over BNLJ.
+    Coordinates and distances stay int64 end-to-end.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761)) % 10000).alias("x"),
+        ((F.col("c_custkey") * F.lit(40503)) % 10000).alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * F.lit(2654435761)) % 10000).alias("x"),
+        ((F.col("s_suppkey") * F.lit(40503)) % 10000).alias("y"),
+    )
+    # customer side: explode into the 9 candidate cells around it
+    cells = cust.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(x div 50 + dx AS cx, y div 50 + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select(
+        "c_custkey", "x", "y", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy")
+    )
+    supp_cells = supp.select(
+        "s_suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        (F.col("x") / 50).cast("long").alias("cx"),
+        (F.col("y") / 50).cast("long").alias("cy"),
+    )
+    dx = F.col("x") - F.col("sx")
+    dy = F.col("y") - F.col("sy")
+    dist2 = dx * dx + dy * dy
+    return (
+        cells.join(supp_cells, ["cx", "cy"])
+        .where(dist2 <= 2500)
+        .select("c_custkey", "s_suppkey", dist2.cast("long").alias("dist2"))
+    )

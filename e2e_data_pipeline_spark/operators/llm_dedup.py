@@ -978,3 +978,92 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH weights(source, p) AS (
+        VALUES ('src0', 15), ('src1', 15), ('src2', 15), ('src3', 15),
+               ('src4', 15), ('src5', 5), ('src6', 5), ('src7', 5),
+               ('src8', 5), ('src9', 5)
+    ),
+    sized AS (
+        SELECT d.source, w.p, d.doc_id,
+               (d.doc_id * 2654435761) % 1000000 AS h
+        FROM documents d JOIN weights w ON w.source = d.source
+    ),
+    counts AS (
+        SELECT source, p, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sized GROUP BY source, p
+    ),
+    total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+    kept AS (
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM sized s, counts c, total t
+        WHERE c.source = s.source
+          AND s.h * c.n_docs * 100 < CAST(s.p AS BIGINT) * t.n * 1000000
+        GROUP BY s.source
+    )
+    SELECT c.source, c.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+           CAST(c.p AS DOUBLE) / 100.0 AS target_share,
+           CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+               / CAST((SELECT SUM(n_kept) FROM kept) AS DOUBLE)
+               AS achieved_share
+    FROM counts c LEFT JOIN kept k ON k.source = c.source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: downsample each source to a target
+    mixture (15% each for src0-4, 5% each for src5-9) — the data-mixing
+    stage every pretraining pipeline runs before tokenization.
+
+    Per-source keep rate is min(1, target·N/n_source), applied as a
+    deterministic per-doc hash predicate (Knuth multiplicative, the
+    sample_hash idiom) so the SAME docs are kept on any engine, any
+    partitioning, any run. The float rate never exists: the predicate
+    is the cross-multiplied INTEGER inequality
+    h·n_source·100 < p·N·1e6 (the min(1,·) is implicit because h <
+    1e6 always). Per-source counts broadcast; the scan side streams —
+    one pass, no shuffle of the corpus itself. Shares are single
+    int64÷int64 divisions.
+    """
+    weights = spark.createDataFrame(
+        [(f"src{i}", 15 if i < 5 else 5) for i in range(10)],
+        "source string, p int",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    sized = docs.join(F.broadcast(weights), "source").withColumn(
+        "h", (F.col("doc_id") * F.lit(2654435761)) % F.lit(1_000_000)
+    )
+    counts = sized.groupBy("source", "p").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n"))
+    pred_side = (
+        sized.join(
+            F.broadcast(counts.select("source", "n_docs")), "source"
+        ).crossJoin(F.broadcast(total))
+    )
+    kept = (
+        pred_side.where(
+            F.col("h") * F.col("n_docs") * F.lit(100)
+            < F.col("p").cast("long") * F.col("n") * F.lit(1_000_000)
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    kept_total = kept.agg(F.sum("n_kept").alias("tk"))
+    return (
+        counts.join(kept, "source", "left")
+        .crossJoin(F.broadcast(kept_total))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("p").cast("double") / F.lit(100.0)).alias("target_share"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("tk").cast("double")
+            ).alias("achieved_share"),
+        )
+    )

@@ -1205,3 +1205,80 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cum_n") * F.col("tot_pos")).cast("double")
         ).alias("cum_lift"),
     )
+
+
+@register(
+    "cdc_apply_log",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op,
+               value, ts, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, op, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops,
+               CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+        FROM ops
+    )
+    SELECT user_id,
+           value AS current_value,
+           op AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_change_ts,
+           n_ops, n_deletes
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC operation log (insert/update/delete) to produce the
+    current table state — the batch materialization a Debezium-style
+    change feed needs (keys whose LAST op is a delete vanish).
+
+    Ops are synthesized from event_type (signup→I, error→D, else→U).
+    One window over user_id serves the last-op pick and both per-key
+    counters (same exchange, Catalyst reuses it); the delete filter is
+    applied AFTER the rank so a delete-then-reinsert sequence resolves
+    by timestamp order, not op precedence. Deterministic total order
+    via (ts, event_id). Linear: single shuffle on the key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    w_all = Window.partitionBy("user_id")
+    ranked = ops.select(
+        "user_id",
+        "op",
+        "value",
+        "ts",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(w_all)
+        .alias("n_deletes"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("value").alias("current_value"),
+        F.col("op").alias("last_op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_change_ts"),
+        "n_ops",
+        "n_deletes",
+    )

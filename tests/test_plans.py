@@ -507,3 +507,12 @@ def test_cbo_reorders_star_join_by_stats(spark):
     )
     p2 = ctrl._jdf.queryExecution().optimizedPlan().toString()
     assert p2.index(".lineitem") < p2.index(".customer")
+
+
+def test_geo_grid_join_is_hash_not_nested_loop(spark):
+    """The 2-D radius join must run as an equi-join on grid cells —
+    a raw band predicate would degrade to BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "join_geo_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
