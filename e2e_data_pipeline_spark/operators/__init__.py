@@ -127,6 +127,8 @@ _CHECKED_PREFIX = [
     "cdc_apply_log",
     "join_geo_grid",
     "corpus_mixture_sample",
+    "join_dpp_prune",
+    "join_bloom_runtime",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1222,3 +1222,87 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist2 <= 2500)
         .select("c_custkey", "s_suppkey", dist2.cast("long").alias("dist2"))
     )
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS order_price
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(p.order_price AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM per_order p
+    JOIN orders o ON o.o_orderkey = p.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective orders
+    filter is turned into a `bloom_filter_agg` whose `might_contain`
+    probe is pushed BELOW the lineitem pre-aggregation — so ~95% of
+    lineitem rows are dropped before the per-order shuffle, not after
+    the join. This is the runtime companion to static pushdown (the
+    predicate lives on the OTHER table, so Catalyst cannot push it
+    statically) and to DPP (which needs a partitioned layout; bloom
+    works on any layout).
+
+    Injection requires the application side to carry a shuffle below
+    the join and believes itself large; the two thresholds are scoped
+    to model the 100 TB case (scan-size floor lowered because the
+    fixture is small; broadcast disabled because a real orders dim
+    wouldn't fit). The optimized plan is forced while the confs are
+    active (lazy-val pinning, the join_cbo_reorder pattern) and
+    tests/test_plans.py asserts the bloom_filter_agg is present.
+    """
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        per_order = (
+            load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dec_sum("l_extendedprice").alias("order_price"),
+            )
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            per_order.join(
+                orders, per_order.l_orderkey == orders.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("n_lines").alias("n_lines"),
+                dec_sum("order_price").alias("sum_price"),
+            )
+        )
+        df._jdf.queryExecution().optimizedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -909,3 +909,54 @@ def scan_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "join_dpp_prune",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        FROM events
+        WHERE dayofweek(date_trunc('day', ts)) = 1
+    )
+    SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+          FROM events) e
+    JOIN dim ON dim.day = e.day
+    GROUP BY e.day
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is day-partitioned at
+    rest and the dim side's qualifying days (Mondays) are only known
+    at RUNTIME — no static filter exists for Catalyst to push down.
+    DPP closes the gap: the dim subquery's result is broadcast as a
+    ``dynamicpruningexpression`` into the fact scan's partition
+    filters, so the non-Monday directories are skipped at execution
+    time exactly as if the predicate had been static. At a 1000-node
+    lake this is the difference between scanning 30 days and 4-5.
+
+    tests/test_plans.py asserts the executed plan carries the
+    dynamic-pruning subquery on the partitioned FileScan. Semantics
+    (and the oracle) are a plain day-keyed join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="e2e_dpp_")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+    fact = spark.read.schema(ev.schema.add("day", "string")).parquet(path)
+    dim = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .where(F.dayofweek(F.to_date("day")) == 2)
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+    )

@@ -516,3 +516,22 @@ def test_geo_grid_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """join_dpp_prune's fact scan must carry a dynamicpruning
+    subquery on its partition filters — proof the runtime dim result
+    prunes directories, not just rows."""
+    df = QUERIES["join_dpp_prune"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_bloom_runtime must carry a bloom_filter_agg on the
+    creation side and a might_contain probe on the application side
+    below the pre-aggregation shuffle."""
+    df = QUERIES["join_bloom_runtime"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
