@@ -129,6 +129,9 @@ _CHECKED_PREFIX = [
     "corpus_mixture_sample",
     "join_dpp_prune",
     "join_bloom_runtime",
+    "text_repetition",
+    "text_ngram_novelty",
+    "stats_mannwhitney",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

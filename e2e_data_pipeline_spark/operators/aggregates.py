@@ -1494,3 +1494,103 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n0", "n1", "max_gap_scaled", "ks_statistic")
     )
+
+
+@register(
+    "stats_mannwhitney",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per_cents AS (
+        SELECT cents,
+               CAST(SUM(grp) AS BIGINT) AS n_a,
+               CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM pop GROUP BY cents
+    ),
+    ranked AS (
+        SELECT cents, n_a, n_c,
+               SUM(n_c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   - n_c AS cnt_less
+        FROM per_cents
+    ),
+    agg AS (
+        SELECT SUM(n_a * (CAST(cnt_less AS DOUBLE)
+                          + (CAST(n_c AS DOUBLE) + 1.0) / 2.0)) AS r1,
+               CAST(SUM(n_a) AS BIGINT) AS n1,
+               CAST(SUM(n_c) - SUM(n_a) AS BIGINT) AS n2,
+               CAST(SUM(n_c) AS BIGINT) AS n,
+               CAST(SUM(n_c * n_c * n_c - n_c) AS BIGINT) AS tie_sum
+        FROM ranked
+    )
+    SELECT n1, n2,
+           r1 - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+           (r1 - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0
+            - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0)
+           / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                  * ((CAST(n AS DOUBLE) + 1.0)
+                     - CAST(tie_sum AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+               AS z
+    FROM agg
+    """,
+)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs click values) with
+    tie correction — the nonparametric A/B companion to
+    ``stats_ab_ztest``.
+
+    Distributed ranking without a global row window: group by the
+    integer-cents value, take a prefix sum over the (bounded) distinct
+    values, and each member's average rank is cnt_less + (ties+1)/2.
+    Every rank term is a dyadic rational (halves), exactly
+    representable in double, so the rank-sum is EXACT regardless of
+    Spark's summation order — the reason for cents, not raw doubles.
+    The z statistic is then a fixed scalar chain over six exact
+    aggregates, written operation-for-operation identically in the
+    oracle (sqrt is IEEE-correctly-rounded on both engines, so the
+    chain is bit-stable).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pop = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_cents = pop.groupBy("cents").agg(
+        F.sum("grp").alias("n_a"), F.count("*").alias("n_c")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_cents.select(
+        "cents",
+        "n_a",
+        "n_c",
+        (F.sum("n_c").over(w) - F.col("n_c")).alias("cnt_less"),
+    )
+    avg_rank = F.col("cnt_less").cast("double") + (
+        F.col("n_c").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum(F.col("n_a") * avg_rank).alias("r1"),
+        F.sum("n_a").alias("n1"),
+        (F.sum("n_c") - F.sum("n_a")).alias("n2"),
+        F.sum("n_c").alias("n"),
+        F.sum(
+            F.col("n_c") * F.col("n_c") * F.col("n_c") - F.col("n_c")
+        ).alias("tie_sum"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    u1 = F.col("r1") - (n1d * (n1d + F.lit(1.0))) / F.lit(2.0)
+    z = (u1 - (n1d * n2d) / F.lit(2.0)) / F.sqrt(
+        (n1d * n2d / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_sum").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return agg.select("n1", "n2", u1.alias("u1"), z.alias("z"))

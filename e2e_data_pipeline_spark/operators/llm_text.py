@@ -1023,3 +1023,132 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.lit(1_000_000)).cast("double")
         ).alias("lm_score"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               concat(unnest(t[1:len(t)-1]), ' ', unnest(t[2:len(t)])) AS bigram
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS max_repeat
+        FROM (SELECT doc_id, bigram, COUNT(*) AS cnt
+              FROM bg GROUP BY doc_id, bigram)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, n_distinct, max_repeat,
+           CAST(n_bigrams - n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+               AS dup_bigram_frac
+    FROM per_doc
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score — the Gopher-rules
+    "duplicate n-gram fraction" quality filter (machine-generated and
+    template text shows high bigram re-use; prose doesn't).
+
+    Bigrams form with the narrow zip_with transform; the only shuffle
+    is the (doc_id, bigram) count whose key includes doc_id, so
+    per-doc data stays together and the aggregate map-side-combines.
+    dup fraction is ONE int64 subtraction and division — exact. At
+    100 TB this is a pure streaming pass: no corpus-wide state at all
+    (contrast text_lm_score, which joins corpus-global counts).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_repeat"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        "max_repeat",
+        (
+            (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT DISTINCT doc_id,
+               concat(unnest(t[1:len(t)-1]), ' ', unnest(t[2:len(t)])) AS bigram
+        FROM toks
+    ),
+    first_seen AS (
+        SELECT bigram, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM bg GROUP BY bigram
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM bg b JOIN first_seen f ON f.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything that came before
+    it (doc_id order): what fraction of this doc's distinct bigrams
+    has no earlier occurrence? Streams full of syndicated/boilerplate
+    content score near 0; genuinely new material scores high — the
+    per-document view of text_vocab_growth's corpus curve, and a
+    practical crawl-snapshot triage metric.
+
+    "Seen before" reduces to first_doc(bigram) = MIN(doc_id) — one
+    content-keyed aggregate instead of any doc×doc comparison, then a
+    join back on the bigram key. Both shuffles are keyed by content
+    (bigram) — the BM25-posting plan shape — linear at corpus scale.
+    The novelty ratio is one exact int64 division.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram"),
+    ).distinct()
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    joined = bg.join(first_seen, "bigram")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_bigrams"),
+        F.sum(novel).alias("n_novel"),
+        (F.sum(novel).cast("double") / F.count("*").cast("double")).alias(
+            "novelty"
+        ),
+    )
