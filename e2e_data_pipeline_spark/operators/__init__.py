@@ -132,6 +132,7 @@ _CHECKED_PREFIX = [
     "text_repetition",
     "text_ngram_novelty",
     "stats_mannwhitney",
+    "join_q17_small_qty",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -755,3 +755,59 @@ def join_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@register(
+    "join_q17_small_qty",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND p.p_size < 15
+      AND 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+    """,
+)
+def join_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of that part's average, for one brand/size
+    slice — completing all 22 TPC-H query shapes in the registry.
+
+    The correlated AVG subquery becomes one per-part aggregate joined
+    back on partkey (the decorrelated plan a 100 TB run needs: one
+    shuffle on l_partkey reused by both the aggregate and the probe
+    join; the filtered part dim broadcasts). The 20%-of-average
+    comparison is the cross-multiplied INTEGER inequality
+    5·q·cnt < Σq — quantities are integral, so the boundary never
+    depends on a float division. Final revenue is DECIMAL-summed, and
+    /7.0 is a single IEEE division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15)
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
