@@ -133,6 +133,7 @@ _CHECKED_PREFIX = [
     "text_ngram_novelty",
     "stats_mannwhitney",
     "join_q17_small_qty",
+    "scan_jdbc_pushdown",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

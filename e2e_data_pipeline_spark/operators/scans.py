@@ -960,3 +960,64 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value").alias("sum_value"),
         )
     )
+
+
+@register(
+    "scan_jdbc_pushdown",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def scan_jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source predicate pushdown: the filter travels INTO the
+    database as SQL (JDBCRelation PushedFilters), so only matching
+    rows ever cross the wire — on a 100 TB federated source this is
+    the entire ballgame; without it Spark drags the full table out to
+    filter locally.
+
+    Round-trips customer into embedded Derby, reads back with a
+    compound predicate, and a plan test asserts both filters appear as
+    PushedFilters on the JDBCRelation scan node. Aggregation and the
+    oracle run the same predicate on the source parquet, proving the
+    pushed-down path loses nothing.
+    """
+    from e2e_data_pipeline_spark.sources.jdbc import (
+        jdbc_reader,
+        jdbc_schema_only_ddl,
+        jdbc_writer,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    db_dir = tempfile.mkdtemp(prefix="e2e_derby_pd_")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    # Derby's default StringType mapping is CLOB, which cannot be
+    # compared in a WHERE clause — so the pushed-down predicate would
+    # fail inside the database. Force VARCHAR at DDL time.
+    jdbc_schema_only_ddl(
+        cust,
+        url,
+        "customer_rt",
+        createTableColumnTypes="c_mktsegment VARCHAR(16)",
+        **driver,
+    ).save()
+    jdbc_writer(cust.coalesce(8), url, "customer_rt", **driver).save()
+    back = jdbc_reader(spark, url, "customer_rt", **driver).load()
+    return (
+        back.where(
+            (F.col("c_acctbal") > 1000.0)
+            & (F.col("c_mktsegment") == "BUILDING")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dec_sum("c_acctbal").alias("sum_bal"),
+        )
+    )

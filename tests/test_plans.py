@@ -535,3 +535,18 @@ def test_runtime_bloom_filter_injected(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_jdbc_filters_are_pushed_to_database(spark):
+    """scan_jdbc_pushdown's predicate must reach the JDBCRelation as
+    PushedFilters — rows are filtered inside the database, not after
+    crossing the wire."""
+    df = QUERIES["scan_jdbc_pushdown"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "JDBCRelation" in plan
+    assert "GreaterThan(C_ACCTBAL,1000.0)" in plan.replace("c_acctbal", "C_ACCTBAL")
+    assert "EqualTo" in plan and "BUILDING" in plan
