@@ -134,6 +134,9 @@ _CHECKED_PREFIX = [
     "stats_mannwhitney",
     "join_q17_small_qty",
     "scan_jdbc_pushdown",
+    "dq_freshness",
+    "dq_uniqueness",
+    "agg_bitmap_retention",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1594,3 +1594,91 @@ def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select("n1", "n2", u1.alias("u1"), z.alias("z"))
+
+
+@register(
+    "agg_bitmap_retention",
+    oracle="""
+    WITH mu AS (
+        SELECT DISTINCT date_trunc('month', ts) AS m, user_id FROM events
+    ),
+    act AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM mu GROUP BY m),
+    ret AS (
+        SELECT a.m AS m0, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM mu a JOIN mu b
+          ON b.user_id = a.user_id AND b.m = a.m + INTERVAL 1 MONTH
+        GROUP BY a.m
+    )
+    SELECT strftime(act.m, '%Y-%m') AS month,
+           act.n AS active_users,
+           COALESCE(ret.retained, 0) AS retained_next,
+           CAST(COALESCE(ret.retained, 0) AS DOUBLE) / CAST(act.n AS DOUBLE)
+               AS retention_rate
+    FROM act LEFT JOIN ret ON ret.m0 = act.m
+    """,
+)
+def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month retained users via BITMAP SET ALGEBRA — the
+    sketch-native way to intersect activity sets without re-touching
+    raw events (the oracle is the equivalent COUNT(DISTINCT) self-join,
+    so the bitmap path is hash-verified, the agg_bitmap_distinct
+    contract).
+
+    Spark ships OR-merge (`bitmap_or_agg`) but no AND, so intersection
+    uses inclusion-exclusion per id bucket: |A∩B| = |A|+|B|−|A∪B|.
+    Each month's per-bucket bitmap is built ONCE, then contributes to
+    both its pairs (as current and as next month) — a 2× explode of
+    tiny bitmap state, never of events. Popcounts add across buckets
+    because buckets partition the id space. The rate is one exact
+    int64 division. At 100 TB the bitmap state is O(users/2^15
+    buckets × months) — the monthly frames a warehouse would persist.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            F.date_trunc("month", "ts").alias("m"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("m", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("cnt", F.bitmap_count("bm"))
+    )
+    act = per_bucket.groupBy("m").agg(F.sum("cnt").alias("active_users"))
+    # Each month participates in pair(m) as A and pair(m-1 month) as B.
+    a_rows = per_bucket.select(
+        F.col("m").alias("pair"), "bucket", "bm", F.col("cnt").alias("cnt_a"),
+        F.lit(None).cast("long").alias("cnt_b"),
+    )
+    b_rows = per_bucket.select(
+        (F.col("m") - F.expr("INTERVAL 1 MONTH")).alias("pair"),
+        "bucket",
+        "bm",
+        F.lit(None).cast("long").alias("cnt_a"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    both = a_rows.unionByName(b_rows)
+    per_pair_bucket = both.groupBy("pair", "bucket").agg(
+        F.sum("cnt_a").alias("ca"),
+        F.sum("cnt_b").alias("cb"),
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("cu"),
+    )
+    # inclusion-exclusion only where BOTH months touched the bucket;
+    # buckets seen by one month contribute 0 to the intersection.
+    ret = (
+        per_pair_bucket.where(F.col("ca").isNotNull() & F.col("cb").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum(F.col("ca") + F.col("cb") - F.col("cu")).alias("retained"))
+    )
+    return (
+        act.join(ret, act.m == ret.pair, "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "active_users",
+            F.coalesce("retained", F.lit(0)).alias("retained_next"),
+            (
+                F.coalesce("retained", F.lit(0)).cast("double")
+                / F.col("active_users").cast("double")
+            ).alias("retention_rate"),
+        )
+    )

@@ -1282,3 +1282,107 @@ def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ops",
         "n_deletes",
     )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS latest
+        FROM events GROUP BY event_type
+    ),
+    gmax AS (SELECT MAX(ts) AS g FROM events)
+    SELECT p.event_type, p.n_events,
+           strftime(p.latest, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST((epoch_us(m.g) - epoch_us(p.latest)) // 60000000 AS BIGINT)
+               AS minutes_stale
+    FROM per_type p, gmax m
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness report: how far each event stream lags the most
+    recent arrival — the staleness monitor every ingestion SLA needs
+    (a partition that stopped arriving shows up as a growing lag, not
+    as an error).
+
+    One group-by plus a broadcast 1-row global max; staleness is
+    integer microseconds floor-divided to minutes (truncating, same on
+    both engines). Linear, no window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("latest")
+    )
+    glob = ev.agg(F.max("ts").alias("g"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return per_type.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_events",
+        F.date_format("latest", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        ((us("g") - us("latest")) / F.lit(60_000_000))
+        .cast("long")
+        .alias("minutes_stale"),
+    )
+
+
+@register(
+    "dq_uniqueness",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events.event_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across four tables (including one
+    composite key) — the constraint check a lake has no engine to
+    enforce; run before anything downstream assumes key semantics.
+
+    Each leg is one count-distinct aggregate (partial-combining,
+    2-phase under AQE); the legs union into a single bounded report.
+    No joins, no windows — the cheapest possible full-table integrity
+    scan, and each leg prunes to just its key columns at the reader.
+    """
+    legs = []
+    for label, table, cols in [
+        ("orders.o_orderkey", "orders", ["o_orderkey"]),
+        ("customer.c_custkey", "customer", ["c_custkey"]),
+        ("events.event_id", "events", ["event_id"]),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+        ),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        legs.append(
+            t.agg(
+                F.lit(label).alias("key"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct(*cols).alias("n_distinct"),
+                (F.count("*") - F.countDistinct(*cols)).alias("n_dup_rows"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
