@@ -137,6 +137,8 @@ _CHECKED_PREFIX = [
     "dq_freshness",
     "dq_uniqueness",
     "agg_bitmap_retention",
+    "ml_eval_auc",
+    "scan_binary_files",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1682,3 +1682,79 @@ def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention_rate"),
         )
     )
+
+
+@register(
+    "ml_eval_auc",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per_cents AS (
+        SELECT cents,
+               CAST(SUM(grp) AS BIGINT) AS n_a,
+               CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM pop GROUP BY cents
+    ),
+    ranked AS (
+        SELECT n_a, n_c,
+               SUM(n_c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   - n_c AS cnt_less
+        FROM per_cents
+    ),
+    agg AS (
+        SELECT SUM(n_a * (CAST(cnt_less AS DOUBLE)
+                          + (CAST(n_c AS DOUBLE) + 1.0) / 2.0)) AS r1,
+               CAST(SUM(n_a) AS BIGINT) AS n1,
+               CAST(SUM(n_c) - SUM(n_a) AS BIGINT) AS n2
+        FROM ranked
+    )
+    SELECT n1 AS n_pos, n2 AS n_neg,
+           (r1 - (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+    FROM agg
+    """,
+)
+def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of `value` as a purchase-vs-click classifier, computed
+    EXACTLY through the rank identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₂)
+    — no threshold sweep, no trapezoid approximation, and ties get
+    the standard ½ credit automatically via average ranks.
+
+    Same distributed tie-aware ranking as stats_mannwhitney (per-cents
+    prefix sums; every rank term dyadic → order-independent exact
+    sums); the final expression is two exact operands and one IEEE
+    division. One groupBy + one bounded window at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pop = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_cents = pop.groupBy("cents").agg(
+        F.sum("grp").alias("n_a"), F.count("*").alias("n_c")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_cents.select(
+        "n_a",
+        "n_c",
+        (F.sum("n_c").over(w) - F.col("n_c")).alias("cnt_less"),
+    )
+    avg_rank = F.col("cnt_less").cast("double") + (
+        F.col("n_c").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum(F.col("n_a") * avg_rank).alias("r1"),
+        F.sum("n_a").alias("n1"),
+        (F.sum("n_c") - F.sum("n_a")).alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    auc = (F.col("r1") - (n1d * (n1d + F.lit(1.0))) / F.lit(2.0)) / (n1d * n2d)
+    return agg.select(
+        F.col("n1").alias("n_pos"), F.col("n2").alias("n_neg"), auc.alias("auc")
+    )

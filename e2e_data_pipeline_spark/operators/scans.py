@@ -1021,3 +1021,58 @@ def scan_jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("sum_bal"),
         )
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+           CAST(n_chars AS BIGINT) AS length,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` format source — how raw image/audio/model blobs
+    enter a Spark pipeline from an object store when nothing has
+    parquet-ified them yet (each file becomes a row of path, length,
+    modificationTime, content bytes).
+
+    Materializes 20 documents as .bin files, reads the directory with
+    ``format("binaryFile")``, and reduces each blob to (name, length,
+    md5) — proving the bytes cross intact (the oracle hashes the same
+    payloads from the source table). At scale the source parallelizes
+    per file and prunes the `content` column when untouched; here
+    content IS touched, which is the worst case and still one pass.
+    """
+    import tempfile as _tf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    out = _tf.mkdtemp(prefix="e2e_binfiles_")
+
+    def write_files(it):
+        import os
+
+        for pdf in it:
+            for _, r in pdf.iterrows():
+                with open(
+                    os.path.join(out, f"doc_{int(r.doc_id)}.bin"), "wb"
+                ) as f:
+                    f.write(r.text.encode("utf-8"))
+            yield pdf[["doc_id"]]
+
+    # local[] runs executors in-process so the files land on this
+    # machine; on a cluster this would write to shared storage instead.
+    docs.mapInPandas(write_files, "doc_id long").count()
+
+    bf = spark.read.format("binaryFile").load(out)
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
