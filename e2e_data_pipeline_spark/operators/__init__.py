@@ -139,6 +139,8 @@ _CHECKED_PREFIX = [
     "agg_bitmap_retention",
     "ml_eval_auc",
     "scan_binary_files",
+    "scan_time_travel",
+    "scan_cached_table",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

@@ -1076,3 +1076,102 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+    v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'P' ELSE o_orderstatus END
+                   AS status_v2
+        FROM v1
+    )
+    SELECT 'v1' AS version, o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v2', status_v2, CAST(COUNT(*) AS BIGINT)
+    FROM v2 GROUP BY status_v2
+    """,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poor-man's time travel over immutable versioned snapshots —
+    the lakehouse pattern (Delta/Iceberg are absent from this
+    environment, so the mechanism is built from primitives): every
+    write lands in a new `v=N` directory, a query pins the snapshot it
+    reads, and BOTH versions stay queryable side by side.
+
+    v1 = a filtered orders slice; v2 = v1 with an update applied
+    (status flip on keys divisible by 5) written as a NEW version —
+    never in place, so readers of v1 are isolated from the writer.
+    The result unions "as of v1" and "as of v2" aggregates from the
+    two pinned snapshot reads; the oracle recomputes both from the
+    source table, proving each snapshot is exactly the state its
+    version promised. Storage cost is the delta between versions at
+    real scale (per-partition copy-on-write), and stale versions are
+    reclaimed by the sink_compaction-style vacuum.
+    """
+    base = tempfile.mkdtemp(prefix="e2e_ttravel_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = orders.where(F.col("o_orderkey") % 3 != 0)
+    v1.write.parquet(f"{base}/v=1")
+    v1_back = spark.read.schema(v1.schema).parquet(f"{base}/v=1")
+    v2 = v1_back.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "P").otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    v2.write.parquet(f"{base}/v=2")
+    v2_back = spark.read.schema(v1.schema).parquet(f"{base}/v=2")
+    agg1 = v1_back.groupBy("o_orderstatus").agg(F.count("*").alias("n")).select(
+        F.lit("v1").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        "n",
+    )
+    agg2 = v2_back.groupBy("o_orderstatus").agg(F.count("*").alias("n")).select(
+        F.lit("v2").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        "n",
+    )
+    return agg1.unionByName(agg2)
+
+
+@register(
+    "scan_cached_table",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory columnar cache: `.cache()` materializes the pruned
+    projection ONCE (columnar, compressed, partition-local) and every
+    later query reads the cache, not parquet — the hot-dimension /
+    iterative-algorithm accelerant. The plan must show
+    InMemoryTableScan (asserted in tests/test_plans.py); correctness
+    must be byte-identical to the uncached read, which is what the
+    oracle hash proves.
+
+    Scale notes: cache only the PRUNED projection (caching `SELECT *`
+    pins every column in RAM); storage level MEMORY_AND_DISK spills
+    gracefully; `unpersist` is the caller's job when the working set
+    rotates. The first action pays materialization; the registered
+    query is the steady-state read.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    cached = li.cache()
+    cached.count()  # materialize so the registered read is steady-state
+    return cached.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )

@@ -550,3 +550,11 @@ def test_jdbc_filters_are_pushed_to_database(spark):
     assert "JDBCRelation" in plan
     assert "GreaterThan(C_ACCTBAL,1000.0)" in plan.replace("c_acctbal", "C_ACCTBAL")
     assert "EqualTo" in plan and "BUILDING" in plan
+
+
+def test_cached_table_reads_from_memory(spark):
+    """scan_cached_table must scan the in-memory columnar cache, not
+    re-read parquet."""
+    df = QUERIES["scan_cached_table"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
