@@ -117,6 +117,7 @@ _CHECKED_PREFIX = [
     "scan_partition_pruned",
     "text_lm_score",
     "dedup_containment",
+    "dedup_minhash_det",
     "win_sessionize_gap",
     "agg_markov_transition",
     "ts_changepoint_cusum",
