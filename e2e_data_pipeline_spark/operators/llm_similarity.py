@@ -700,3 +700,130 @@ def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(dcg / idcg, 6))
         .alias("ndcg"),
     )
+
+
+@register("sim_pq_adc")  # approximate → rows-only check
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound scale path: each 64-dim float vector
+    compresses to 8 subspace codes (one byte each, 32× smaller), and
+    queries score against CODES via a per-query lookup table, never
+    touching raw corpus floats.
+
+    Codebooks: per 8-dim subspace, 16 deterministic seed centroids
+    (subvectors of pinned corpus vec_ids — the sim_topk_ivf seeding
+    argument: trained kmeans would drift between runs). Vectors are
+    L2-normalized first so the additive ADC dot approximates cosine.
+    Encoding = argmin-L2 per (vector, subspace) with a pinned
+    tie-break; scoring = one join of codes against the broadcast
+    (query × subspace × code) LUT, summing 8 partial dots per
+    candidate — linear in corpus size, and at 100 TB the codes table
+    (N×8 bytes) is what sits in RAM, not the embeddings.
+
+    Recall vs exact ``sim_topk`` is unit-tested; 16 centroids per
+    subspace is deliberately coarse (1 byte of code space held back) —
+    production would use 256 and a re-rank stage over the shortlist.
+    """
+    n_sub = 8
+    width = 8
+    n_cent = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        ).alias("e"),
+    )
+    # Codebook: subvector slices of 16 pinned corpus vectors.
+    cents = (
+        unit.where(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + n_cent)
+        )
+        .select(
+            (F.col("vec_id") - N_QUERIES).cast("int").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+            "e",
+        )
+        .select(
+            "code",
+            "m",
+            F.expr(f"slice(e, m * {width} + 1, {width})").alias("cent"),
+        )
+    )
+    corpus = unit.where(F.col("vec_id") >= N_QUERIES)
+    sub = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        "e",
+    ).select(
+        "neighbor_id", "m", F.expr(f"slice(e, m * {width} + 1, {width})").alias("sv")
+    )
+    sq_l2 = F.expr(
+        "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    codes = (
+        sub.join(F.broadcast(cents), "m")
+        .select("neighbor_id", "m", "code", sq_l2.alias("d2"))
+        .groupBy("neighbor_id", "m")
+        .agg(
+            F.min_by("code", F.struct(F.col("d2"), F.col("code"))).alias("code")
+        )
+    )
+    queries = unit.where(F.col("vec_id") < N_QUERIES)
+    qsub = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        "e",
+    ).select(
+        "query_id", "m", F.expr(f"slice(e, m * {width} + 1, {width})").alias("qv")
+    )
+    lut = qsub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.expr(
+            "aggregate(zip_with(qv, cent, (a, b) -> a * b),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("partial"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("partial"), 6).alias("adc_score"))
+    )
+    # Shortlist by ADC, then EXACT re-rank the shortlist — the standard
+    # production PQ pipeline (codes prune 2000 -> 8*K candidates; only
+    # the shortlist touches raw floats again).
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), "neighbor_id"
+    )
+    shortlist = scored.withColumn(
+        "srn", F.row_number().over(w_short)
+    ).where(F.col("srn") <= TOP_K * 8)
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    cv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qe, ce, (a, b) -> a * b),"
+                    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return exact.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= TOP_K
+    )

@@ -342,3 +342,31 @@ def test_linreg_normal_eq_matches_numpy_lstsq(spark):
         assert abs(got["beta0"] - beta[0]) < 1e-4 * max(1, abs(beta[0])), flag
         assert abs(got["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1])), flag
         assert abs(got["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2])), flag
+
+
+def test_sim_pq_adc_recall_and_determinism(spark):
+    """PQ-ADC shortlists must overlap the exact top-k (coarse 16-way
+    codebooks → modest floor) and be bit-stable across runs (seeded
+    codebooks, pinned tie-breaks)."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    exact_topk = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk"](spark, SF_SMALL).collect()
+    }
+    pq_rows = QUERIES["sim_pq_adc"](spark, SF_SMALL).collect()
+    assert pq_rows, "PQ should return candidates"
+    per_query = {}
+    for r in pq_rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rows in per_query.items():
+        assert len(rows) <= 5
+    recall = len(
+        {(r.query_id, r.neighbor_id) for r in pq_rows} & exact_topk
+    ) / len(exact_topk)
+    assert recall >= 0.2, f"PQ-ADC recall {recall:.2f} too low"
+    again = {
+        (r.query_id, r.neighbor_id, r.adc_score)
+        for r in QUERIES["sim_pq_adc"](spark, SF_SMALL).collect()
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.adc_score) for r in pq_rows}
