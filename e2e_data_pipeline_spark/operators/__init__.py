@@ -125,6 +125,7 @@ _CHECKED_PREFIX = [
     "agg_basket_affinity",
     "agg_decile_lift",
     "stream_foreach_batch_upsert",
+    "stream_rollup_cascade",
     "cdc_apply_log",
     "join_geo_grid",
     "corpus_mixture_sample",

@@ -372,3 +372,130 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.localCheckpoint(eager=True)  # pin before tmp cleanup
     shutil.rmtree(work, ignore_errors=True)
     return rows
+
+
+@register(
+    "stream_rollup_cascade",
+    oracle="""
+    WITH minutes AS (
+        SELECT time_bucket(INTERVAL '1 minute', ts) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s
+        FROM events GROUP BY 1
+    ),
+    hours AS (
+        SELECT time_bucket(INTERVAL '1 hour', m) AS h,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS DECIMAL(38,2)) AS s
+        FROM minutes GROUP BY 1
+    ),
+    days AS (
+        SELECT time_bucket(INTERVAL '1 day', h) AS d,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS DECIMAL(38,2)) AS s
+        FROM hours GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n AS n_events, CAST(s AS DOUBLE) AS sum_value
+    FROM hours
+    UNION ALL
+    SELECT 'day', strftime(d, '%Y-%m-%d %H:%M:%S'), n, CAST(s AS DOUBLE)
+    FROM days
+    """,
+)
+def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable pattern): a stream
+    maintains the MINUTE-grain rollup incrementally via foreachBatch
+    merge, and hour/day grains derive from the minute STATE — raw
+    events are aggregated exactly once, coarser grains re-aggregate
+    ~60× / ~1440× smaller frames. That asymmetry is the whole point at
+    100 TB: the day rollup never rescans events, it folds minutes.
+
+    Counts and DECIMAL sums are associative, so the per-micro-batch
+    merge (4 real batches, maxFilesPerTrigger=1, versioned state dirs
+    — the stream_foreach_batch_upsert shape) lands on the same state
+    as one batch pass; the oracle computes the cascade from raw events
+    and the hash proves the incremental path exact (decimal folding
+    keeps the double cast to one final rounding).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="rollup_cascade_")
+    chunks = f"{work}/chunks"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+
+    state = {"path": None, "version": 0}
+
+    def minute_agg(df):
+        return df.groupBy(
+            F.date_trunc("minute", "ts").alias("m")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("s"),
+        )
+
+    def merge(batch_df, batch_id):
+        new = minute_agg(batch_df)
+        if state["path"] is not None:
+            old = spark.read.parquet(state["path"])
+            new = (
+                old.unionByName(new)
+                .groupBy("m")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("s").cast("decimal(38,2)").alias("s"),
+                )
+            )
+        state["version"] += 1
+        out = f"{work}/minutes_v{state['version']}"
+        new.write.parquet(out)
+        state["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("rollup cascade stream did not finish")
+
+    if state["path"] is None:
+        minutes = minute_agg(ev).limit(0)
+    else:
+        minutes = spark.read.parquet(state["path"])
+    hours = minutes.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("s").cast("decimal(38,2)").alias("s")
+    )
+    days = hours.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"), F.sum("s").cast("decimal(38,2)").alias("s")
+    )
+    out_h = hours.select(
+        F.lit("hour").alias("grain"),
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+    )
+    out_d = days.select(
+        F.lit("day").alias("grain"),
+        F.date_format("d", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+    )
+    result = out_h.unionByName(out_d).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

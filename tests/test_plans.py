@@ -558,3 +558,21 @@ def test_cached_table_reads_from_memory(spark):
     df = QUERIES["scan_cached_table"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_join_hint_strategy_matrix(spark):
+    """Each join-strategy hint must produce its physical operator —
+    the knobs a 100 TB tuning session actually turns."""
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    cases = [
+        ("BROADCAST", "BroadcastHashJoin"),
+        ("SHUFFLE_MERGE", "SortMergeJoin"),
+        ("SHUFFLE_HASH", "ShuffledHashJoin"),
+    ]
+    for hint, op in cases:
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, f"hint {hint} did not produce {op}"
