@@ -119,6 +119,8 @@ _CHECKED_PREFIX = [
     "dedup_containment",
     "dedup_minhash_det",
     "win_sessionize_gap",
+    "win_bollinger",
+    "win_rolling_corr",
     "agg_markov_transition",
     "ts_changepoint_cusum",
     "ts_twap",

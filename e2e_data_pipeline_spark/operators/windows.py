@@ -621,3 +621,168 @@ def win_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.rnk") - F.col("b.rnk")).alias("rank_gain"),
         )
     )
+
+
+@register(
+    "win_bollinger",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    roll AS (
+        SELECT d, cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(cents) OVER w AS BIGINT) AS s,
+               CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS ma7,
+           sqrt(GREATEST(
+               CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE),
+               0.0)) / CAST(n AS DOUBLE) / 100.0 AS sigma7,
+           CASE WHEN CAST(cents AS DOUBLE)
+                     > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       + 2.0 * sqrt(GREATEST(
+                             CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE),
+                             0.0)) / CAST(n AS DOUBLE)
+                THEN 1 ELSE 0 END AS breakout_high
+    FROM roll WHERE n = 7
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day moving mean ± 2σ) over daily revenue
+    with breakout flags — the rolling-volatility envelope.
+
+    Sufficient statistics stay int64 (cents, cents², counts) inside
+    the window, so the rolling sums are exact under any execution;
+    mean/σ/flag are then a fixed per-row scalar chain — population σ
+    via n·Σx² − (Σx)², guarded by GREATEST(·,0) against negative-zero
+    cancellation, sqrt IEEE-exact. Warm-up rows (n<7) drop on both
+    sides so every band is a full window. One date-ordered window over
+    the tiny daily frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    roll = daily.select(
+        "d",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    ).where(F.col("n") == 7)
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    var_scaled = F.greatest(nd * s2d - sd * sd, F.lit(0.0))
+    ma = sd / nd
+    sigma = F.sqrt(var_scaled) / nd
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (ma / F.lit(100.0)).alias("ma7"),
+        (sigma / F.lit(100.0)).alias("sigma7"),
+        F.when(
+            F.col("cents").cast("double") > ma + F.lit(2.0) * sigma, 1
+        )
+        .otherwise(0)
+        .alias("breakout_high"),
+    )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    act AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    joined AS (
+        SELECT r.d, r.x, a.y FROM rev r JOIN act a ON a.d = r.d
+    ),
+    roll AS (
+        SELECT d, x, y,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+        FROM joined
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr7
+    FROM roll WHERE n = 7
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between daily purchase
+    revenue and daily event activity — the co-movement monitor for
+    metric-vs-metric drift.
+
+    All five sufficient statistics are exact int64 window sums
+    (revenue cents ≤ ~5e7/day, x·y products well under 2^63 at this
+    grain), so the correlation is a fixed per-row scalar chain over
+    exact operands — written operation-for-operation identically in
+    the oracle. Day pairs missing from either series drop at the
+    inner join; warm-up rows (n<7) drop on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("d")
+    rev = ev.groupBy(day).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("x")
+    )
+    act = ev.groupBy(day).agg(F.count("*").alias("y"))
+    joined = rev.join(act, "d")
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    roll = joined.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).where(F.col("n") == 7)
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sx * sx)
+        * (nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), corr.alias("corr7")
+    )
