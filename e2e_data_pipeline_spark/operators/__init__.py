@@ -144,6 +144,8 @@ _CHECKED_PREFIX = [
     "ml_eval_auc",
     "scan_binary_files",
     "scan_time_travel",
+    "sql_bag_setops",
+    "multimodal_dedup_phash",
     "scan_cached_table",
     "sql_recursive_cte",
     "graph_pagerank",

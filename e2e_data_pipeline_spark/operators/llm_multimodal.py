@@ -352,3 +352,54 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("first_path"),
     )
+
+
+@register(
+    "multimodal_dedup_phash",
+    oracle="""
+    WITH ph AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[0-9]+', '#', 'g')) AS phash
+        FROM documents
+    ),
+    grp AS (
+        SELECT phash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(MAX(doc_id) AS BIGINT) AS last_dup_id
+        FROM ph GROUP BY phash
+    )
+    SELECT phash, n_copies, keeper_id, last_dup_id
+    FROM grp WHERE n_copies > 1
+    """,
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over binary media payloads — the
+    image/audio analogue of exact text dedup: hash a CANONICALIZED
+    rendering of the payload so near-variants (here: copies differing
+    only in embedded numbers — timestamps, ids) collide into one
+    group, pick the lowest id as keeper.
+
+    The payload travels as a real BINARY column (utf-8 bytes round-
+    tripped through encode/decode — the multimodal plumbing contract);
+    the canonicalization is a deterministic stand-in for a real pHash
+    (image decode libs are absent in this environment, the documented
+    multimodal stub policy — a production swap drops in
+    imagehash.phash over the decoded frame with the SAME grouping
+    plan). Hash-groupBy is linear, the bucket join shape identical to
+    dedup_exact; md5 is bit-identical across engines so the whole op
+    is hash-checkable despite the binary leg.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    canonical = F.regexp_replace(
+        F.lower(F.decode("payload", "utf-8")), "[0-9]+", "#"
+    )
+    ph = docs.select("doc_id", F.md5(canonical).alias("phash"))
+    grp = ph.groupBy("phash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+        F.max("doc_id").alias("last_dup_id"),
+    )
+    return grp.where(F.col("n_copies") > 1)

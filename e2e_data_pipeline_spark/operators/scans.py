@@ -1175,3 +1175,37 @@ def scan_cached_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dec_sum("l_quantity").alias("sum_qty"),
     )
+
+
+_SQL_BAG_SETOPS_QUERY = """
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+        SELECT 'intersect_all' AS grp, k FROM (
+            SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber = 1
+            INTERSECT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_linenumber = 2
+        ) t1
+        UNION ALL
+        SELECT 'except_all' AS grp, k FROM (
+            SELECT l_suppkey AS k FROM lineitem WHERE l_linenumber = 1
+            EXCEPT ALL
+            SELECT l_suppkey FROM lineitem WHERE l_linenumber = 2
+        ) t2
+    ) u
+    GROUP BY grp
+"""
+
+
+@register("sql_bag_setops", oracle=_SQL_BAG_SETOPS_QUERY)
+def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL through the SQL front-end — bag
+    (multiplicity-preserving) set operations, the semantics warehouse
+    SQL actually means when rows can repeat. The oracle is the
+    IDENTICAL text (the sql_lateral_topk contract), so the two
+    engines' bag-semantics agreement is itself under test. Spark plans
+    both as aggregate+join on replicated counts — no quadratic
+    expansion; the final aggregate collapses the result to a bounded
+    report.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_BAG_SETOPS_QUERY)
