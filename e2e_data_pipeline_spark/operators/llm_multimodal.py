@@ -359,7 +359,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ph AS (
         SELECT doc_id,
-               md5(regexp_replace(lower(text), '[0-9]+', '#', 'g')) AS phash
+               md5(array_to_string(string_split(lower(text), ' ')[1:30], ' '))
+                   AS phash
         FROM documents
     ),
     grp AS (
@@ -393,8 +394,8 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    canonical = F.regexp_replace(
-        F.lower(F.decode("payload", "utf-8")), "[0-9]+", "#"
+    canonical = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.decode("payload", "utf-8")), " "), 1, 30)
     )
     ph = docs.select("doc_id", F.md5(canonical).alias("phash"))
     grp = ph.groupBy("phash").agg(
