@@ -130,6 +130,7 @@ _CHECKED_PREFIX = [
     "stream_rollup_cascade",
     "cdc_apply_log",
     "join_geo_grid",
+    "fn_quadkey_rollup",
     "corpus_mixture_sample",
     "join_dpp_prune",
     "join_bloom_runtime",

@@ -930,3 +930,76 @@ def fn_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("item.qty").alias("total_qty"),
         F.min("order_id").alias("first_order"),
     )
+
+
+@register(
+    "fn_quadkey_rollup",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               ((c_custkey * 2654435761) % 10000 * 128) // 10000 AS cx,
+               ((c_custkey * 40503) % 10000 * 128) // 10000 AS cy
+        FROM customer
+    ),
+    keyed AS (
+        SELECT c_custkey,
+               array_to_string(
+                   list_transform(range(1, 8), i ->
+                       CAST(2 * ((cy >> (7 - i)) & 1)
+                            + ((cx >> (7 - i)) & 1) AS VARCHAR)),
+                   '') AS quadkey
+        FROM pts
+    )
+    SELECT 3 AS level, substr(quadkey, 1, 3) AS tile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM keyed GROUP BY substr(quadkey, 1, 3)
+    HAVING COUNT(*) >= 2
+    UNION ALL
+    SELECT 5, substr(quadkey, 1, 5), CAST(COUNT(*) AS BIGINT)
+    FROM keyed GROUP BY substr(quadkey, 1, 5)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def fn_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey (Bing-tile) spatial indexing + hierarchical rollup: each
+    point's level-7 quadkey interleaves the x/y cell bits into a
+    base-4 string whose PREFIXES are its ancestor tiles — so zoom-out
+    aggregation is a plain string-prefix groupBy, no geometry ever
+    re-enters. This is how a 100 TB point table serves multi-zoom tile
+    counts: one keyed pass, then prefix rollups of the tiny tile
+    frame (same coordinates-from-keys synthesis as join_geo_grid; the
+    fixtures carry no lat/lon).
+
+    All tile math is integer ((v·128) div 10000, shifts, masks) —
+    bit-identical across engines; density floors (HAVING ≥ 2) keep
+    the report bounded.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * F.lit(2654435761)) % 10000 * 128) / 10000)
+        .cast("long")
+        .alias("cx"),
+        (((F.col("c_custkey") * F.lit(40503)) % 10000 * 128) / 10000)
+        .cast("long")
+        .alias("cy"),
+    )
+    keyed = cust.select(
+        "c_custkey",
+        F.expr(
+            "array_join(transform(sequence(1, 7), i ->"
+            " CAST(2 * (shiftright(cy, 7 - i) % 2)"
+            "      + (shiftright(cx, 7 - i) % 2) AS STRING)), '')"
+        ).alias("quadkey"),
+    )
+    out = None
+    for level in (3, 5):
+        leg = (
+            keyed.groupBy(
+                F.substring("quadkey", 1, level).alias("tile")
+            )
+            .agg(F.count("*").alias("n_customers"))
+            .where(F.col("n_customers") >= 2)
+            .select(F.lit(level).alias("level"), "tile", "n_customers")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
