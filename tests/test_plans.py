@@ -576,3 +576,50 @@ def test_join_hint_strategy_matrix(spark):
         j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert op in plan, f"hint {hint} did not produce {op}"
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's OptimizeSkewedJoin must split a pathological hot-key
+    partition at RUNTIME (skew=true in the final adaptive plan) — the
+    no-code-change companion to the explicit join_skew_salted rewrite.
+    Thresholds are scoped down because the probe data is small; the
+    mechanism is identical at 100 TB defaults."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 20 != 0, 7)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select("k", (F.col("v") + F.col("w")).alias("z"))
+        # Execute THIS DataFrame's own QueryExecution: AQE finalizes the
+        # adaptive plan only on the executed QE (count() would build a
+        # different one).
+        assert len(j.toPandas()) == 60000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

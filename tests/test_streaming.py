@@ -395,3 +395,54 @@ def test_window_topk_parity(spark):
         output_mode="complete",
     )
     _assert_same(batch, rank_topk(streamed_counts))
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """A stream restarted from its checkpoint must process ONLY files
+    that arrived after the first run — no re-reads, no gaps. This is
+    the exactly-once file-source contract every incremental ingestion
+    job leans on."""
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "value")
+    total = ev.count()
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.repartition(2).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    seen: list[tuple[int, int]] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def record(batch_df, batch_id):
+            seen.append((batch_id, batch_df.count()))
+
+        q = (
+            stream.writeStream.foreachBatch(record)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    first_run_batches = len(seen)
+    first_run_rows = sum(n for _, n in seen)
+    assert first_run_rows == half1.count()
+
+    # late arrivals land in the SAME directory; resume from checkpoint
+    half2.repartition(2).write.mode("append").parquet(src)
+    run_once()
+
+    assert sum(n for _, n in seen) == total, "resume must not re-read or skip"
+    batch_ids = [b for b, _ in seen]
+    assert len(batch_ids) == len(set(batch_ids)), "no batch may replay"
+    assert len(seen) > first_run_batches, "second run must process new files"
