@@ -118,6 +118,7 @@ _CHECKED_PREFIX = [
     "text_lm_score",
     "dedup_containment",
     "dedup_minhash_det",
+    "dedup_simhash_det",
     "win_sessionize_gap",
     "win_bollinger",
     "win_rolling_corr",

@@ -1226,3 +1226,126 @@ def dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4  # 4 x 15-bit chunks
+_SIMHASH_MAXDIST = 3
+
+_SIMHASH_DET_ORACLE = f"""
+    WITH toks0 AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w)
+                   AS shingle,
+               lead(tok, 2) OVER w AS _tail
+        FROM toks0
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, shingle AS tok
+        FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+        FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               ({" + ".join(f"CASE WHEN s{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END" for b in range(_SIMHASH_BITS))}) AS f
+        FROM sums
+    ),
+    banded AS (
+        SELECT doc_id, f, g.band, (f >> (15 * g.band)) & 32767 AS bv
+        FROM fp, range(0, {_SIMHASH_BANDS}) g(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.f AS fa,
+                        b.doc_id AS doc_b, b.f AS fb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= {_SIMHASH_MAXDIST}
+"""
+
+
+@register("dedup_simhash_det", oracle=_SIMHASH_DET_ORACLE)
+def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable SimHash near-dedup — hash-exact
+    against the oracle (the md5-60-bit portability contract of
+    dedup_minhash_det, applied to the OTHER classic sketch).
+
+    Per document: 60 conditional ±1 sums over md5-derived
+    shingle-hash bits (one groupBy, NO 60-way explode — the dedup_simhash shape),
+    majority vote packs the fingerprint with shiftleft. Candidates:
+    any equal 15-bit chunk (4 bands ⇒ every pair within Hamming 3
+    is caught — pigeonhole over 4 chunks), verified with
+    bit_count(xor) ≤ 3 — bitwise ops are exact on both engines, so
+    the WHOLE sketch pipeline is hash-checkable, not just its output
+    row count. Linear: token pass + tiny fingerprint frame joins.
+    """
+    toks = _shingles(spark, sf_dir).withColumnRenamed("shingle", "tok")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fp_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sums.select("doc_id", fp_expr.alias("f"))
+    banded = fp.select(
+        "doc_id",
+        "f",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "f",
+        "band",
+        F.expr("(f >> (15 * band)) & 32767").alias("bv"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.f").alias("fa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.f").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fa ^ fb"))
+    return cand.where(hamming <= _SIMHASH_MAXDIST).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
