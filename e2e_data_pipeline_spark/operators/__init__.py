@@ -138,6 +138,7 @@ _CHECKED_PREFIX = [
     "text_repetition",
     "text_ngram_novelty",
     "stats_mannwhitney",
+    "agg_hhi",
     "join_q17_small_qty",
     "scan_jdbc_pushdown",
     "dq_freshness",

@@ -1758,3 +1758,69 @@ def ml_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n1").alias("n_pos"), F.col("n2").alias("n_neg"), auc.alias("auc")
     )
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+    WITH seg_cust AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    seg_tot AS (
+        SELECT seg, CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM seg_cust GROUP BY seg
+    ),
+    shares AS (
+        SELECT s.seg, (c.cents * 1000000) // s.total AS ppm
+        FROM seg_cust c JOIN seg_tot s ON s.seg = c.seg
+    )
+    SELECT s.seg AS segment, t.n_cust,
+           CAST(SUM(s.ppm * s.ppm) AS DOUBLE) / 1e12 AS hhi
+    FROM shares s JOIN seg_tot t ON t.seg = s.seg
+    GROUP BY s.seg, t.n_cust
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment —
+    "is this segment's revenue dominated by a few customers?" (the
+    antitrust statistic, equally at home measuring corpus-source or
+    shard-key concentration).
+
+    Shares are fixed-point ppm integers ((cents·10⁶) div total — the
+    text_lm_score contract), so Σshare² is an exact int64 sum (ppm² ≤
+    10¹², × customers ≪ 2⁶³) and the index is ONE division by 10¹².
+    The naive Σ(cents²)/total² route would need DECIMAL(38) sums and
+    hit the wide-decimal→double divergence (CLAUDE.md gotcha); ppm
+    floor-quantization is deterministic on both engines and bounds the
+    quantization error at n_cust·2·10⁻⁶ — document, don't approximate
+    silently. Two keyed aggregates, one broadcastable totals join.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    seg_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("seg", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    seg_tot = seg_cust.groupBy("seg").agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_cust")
+    )
+    shares = seg_cust.join(F.broadcast(seg_tot), "seg").select(
+        "seg", "n_cust", F.expr("(cents * 1000000L) div total").alias("ppm")
+    )
+    return shares.groupBy("seg", "n_cust").agg(
+        (F.sum(F.col("ppm") * F.col("ppm")).cast("double") / F.lit(1e12)).alias(
+            "hhi"
+        )
+    ).select(F.col("seg").alias("segment"), "n_cust", "hhi")
