@@ -120,6 +120,8 @@ _CHECKED_PREFIX = [
     "dedup_minhash_det",
     "dedup_simhash_det",
     "win_sessionize_gap",
+    "win_session_funnel",
+    "agg_new_vs_returning",
     "win_bollinger",
     "win_rolling_corr",
     "agg_markov_transition",

@@ -1113,3 +1113,154 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', e.ts) AS DATE) AS d, e.user_id,
+               f.d0
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM daily
+    GROUP BY d
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning active users — the first product-
+    analytics chart anyone draws, and the daily-grain complement to
+    ``agg_cohort_retention`` (monthly) and ``agg_dau_wau``
+    (stickiness).
+
+    first-seen day is one per-user aggregate; actives dedupe to
+    (day, user); the classification is an exact date comparison. Both
+    shuffles key on user_id, so Catalyst reuses one exchange. At any
+    scale this is two aggregates and a broadcastable first-seen join —
+    no window over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily = (
+        ev.select("user_id", day.alias("d"))
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    return daily.groupBy("d").agg(
+        F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0)).alias(
+            "new_users"
+        ),
+        F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0)).alias(
+            "returning_users"
+        ),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "returning_users",
+    )
+
+
+@register(
+    "win_session_funnel",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) AS us,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, us, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN us END)
+                   AS last_purchase
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND last_purchase > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND last_purchase > first_view
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS session_cvr
+    FROM per_session
+    """,
+)
+def win_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel conversion: of sessions that saw a
+    `view`, how many completed a `purchase` AFTER it in the SAME
+    session — the per-visit CVR, stricter than user-level funnels
+    (``win_funnel_path``) because crossing a 30-min gap resets intent.
+
+    Reuses the win_sessionize_gap construction (one user_id exchange
+    for both window passes), then per-session min/max timestamps of
+    the two funnel stages — order is enforced by comparing those
+    int64 microseconds, never by row adjacency. Output is a single
+    exact report row; CVR is one int64÷int64 division.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w_ord).isNull()
+            | (F.col("us") - F.lag("us").over(w_ord) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "last_purchase"
+        ),
+    )
+    converted = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("last_purchase") > F.col("first_view")),
+        1,
+    ).otherwise(0)
+    with_view = F.when(F.col("first_view").isNotNull(), 1).otherwise(0)
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(with_view).alias("n_with_view"),
+        F.sum(converted).alias("n_converted"),
+        (F.sum(converted).cast("double") / F.sum(with_view).cast("double")).alias(
+            "session_cvr"
+        ),
+    )
