@@ -122,6 +122,7 @@ _CHECKED_PREFIX = [
     "win_sessionize_gap",
     "win_session_funnel",
     "agg_new_vs_returning",
+    "agg_attribution_last_touch",
     "win_bollinger",
     "win_rolling_corr",
     "agg_markov_transition",

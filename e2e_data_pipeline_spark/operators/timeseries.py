@@ -1264,3 +1264,58 @@ def win_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_cvr"
         ),
     )
+
+
+@register(
+    "agg_attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               LAG(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, '<organic>') AS touch_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(touch, '<organic>')
+    """,
+)
+def agg_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    user's most recent preceding non-purchase event type (purchases
+    with no prior touch are `<organic>`) — the marketing-analytics
+    staple, and a showcase for the
+    IGNORE-NULLS running-last window (LAG ... IGNORE NULLS in SQL,
+    `last(..., ignorenulls=True)` over a preceding frame in the
+    DataFrame API), the feature naive lag loops get wrong.
+
+    One user_id window (the same exchange every sequence op here
+    shares), then a bounded |event types| aggregate of integer cents.
+    IGNORE NULLS skips intervening purchases without a self-join or
+    second pass — at 100 TB the alternative (join events to the max
+    prior non-purchase ts) would be a second shuffle plus an
+    inequality join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ordered = ev.withColumn("touch", touch)
+    return (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("<organic>")).alias("touch_channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "attributed_cents"
+            ),
+        )
+    )
