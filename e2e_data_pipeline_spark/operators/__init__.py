@@ -153,6 +153,8 @@ _CHECKED_PREFIX = [
     "sql_bag_setops",
     "multimodal_dedup_phash",
     "scan_cached_table",
+    "udtf_dynamic_schema",
+    "fn_try_arith",
     "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",

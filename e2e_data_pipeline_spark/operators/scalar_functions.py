@@ -1003,3 +1003,41 @@ def fn_quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (CAST(l_quantity AS BIGINT) % 7) = 0 THEN NULL
+                ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     // (CAST(l_quantity AS BIGINT) % 7) END
+               AS price_per_bucket,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_tax / l_discount, 6) END AS tax_ratio
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_divide`) — division by zero yields
+    NULL instead of killing the 100 TB job at task 31,997 of 32,000.
+    The oracle is the explicit CASE guard, which is exactly the
+    semantics `try_*` promises; the hash proves Spark's try-functions
+    and the guard agree row-for-row, including the NULL placement.
+    Integer leg uses exact cents // bucket; float leg is one division
+    rounded at O(1) width.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    bucket = F.col("l_quantity").cast("long") % 7
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "try_divide(CAST(ROUND(l_extendedprice * 100) AS BIGINT),"
+            " CAST(l_quantity AS BIGINT) % 7)"
+        )
+        .cast("long")
+        .alias("price_per_bucket"),
+        F.round(F.expr("try_divide(l_tax, l_discount)"), 6).alias("tax_ratio"),
+    )

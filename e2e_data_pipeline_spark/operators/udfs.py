@@ -270,3 +270,83 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", "embedding").mapInArrow(
         _arrow_l2_norms, "vec_id long, label int, l2_norm double"
     )
+
+
+class NgramStats:
+    """Polymorphic UDTF: output schema decided at PLAN time by the
+    ``analyze`` static method from the constant n argument — for n=2
+    the function emits (gram_1, gram_2, n_occurrences), for n=3 a
+    4-column row, etc. This is Spark 4's dynamic-schema table-function
+    contract (AnalyzeResult), which fixed-signature UDTFs like
+    BigramGenerator cannot express."""
+
+    @staticmethod
+    def analyze(text, n):  # noqa: D102
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        k = n.value  # constant-foldable argument, available at plan time
+        fields = [
+            StructField(f"gram_{i + 1}", StringType()) for i in range(k)
+        ]
+        fields.append(StructField("n_occurrences", IntegerType()))
+        return AnalyzeResult(schema=StructType(fields))
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        if text is None:
+            return
+        toks = text.split(" ")
+        counts: dict[tuple, int] = {}
+        for i in range(len(toks) - n + 1):
+            counts[tuple(toks[i : i + n])] = (
+                counts.get(tuple(toks[i : i + n]), 0) + 1
+            )
+        for gram, c in counts.items():
+            yield (*gram, c)
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id < 20
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(t[1:len(t)-2]) AS gram_1,
+               unnest(t[2:len(t)-1]) AS gram_2,
+               unnest(t[3:len(t)])   AS gram_3
+        FROM toks
+    )
+    SELECT doc_id, gram_1, gram_2, gram_3,
+           CAST(COUNT(*) AS INT) AS n_occurrences
+    FROM tri
+    GROUP BY doc_id, gram_1, gram_2, gram_3
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-output-schema Python UDTF (the ``analyze`` contract):
+    called with n=3, the planner receives a 4-column schema computed
+    IN PYTHON before any data moves — the mechanism behind
+    polymorphic table functions (CSV splitters, pivoting readers)
+    that fixed-return-type UDTFs cannot model. The body pre-counts
+    per-document trigram occurrences so the lateral output is bounded
+    by distinct trigrams, and the oracle rebuilds the same counts with
+    the parallel-unnest zip (fn_posexplode pattern)."""
+    spark.udtf.register("ngram_stats", udtf(NgramStats))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs_dyn"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.gram_1, g.gram_2, g.gram_3, g.n_occurrences
+        FROM udtf_docs_dyn d, LATERAL ngram_stats(d.text, 3) g
+        WHERE d.doc_id < 20
+        """
+    )
