@@ -123,6 +123,8 @@ _CHECKED_PREFIX = [
     "win_session_funnel",
     "agg_new_vs_returning",
     "agg_attribution_last_touch",
+    "agg_growth_accounting",
+    "join_scd2_pit",
     "win_bollinger",
     "win_rolling_corr",
     "agg_markov_transition",

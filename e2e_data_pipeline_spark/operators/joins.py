@@ -1306,3 +1306,79 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_scd2_pit",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events WHERE user_id < 50 AND event_type <> 'purchase'
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM hist WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    probes AS (
+        SELECT user_id, event_id, ts
+        FROM events WHERE user_id < 50 AND event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS probe_us,
+           (SELECT c.event_type FROM changes c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS dim_state
+    FROM probes p
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup into an SCD2 dimension: each purchase fact
+    resolves the dimension VERSION valid at its timestamp (the
+    canonical warehouse fact⋈dimension-history join; purchases before
+    any version resolve to NULL, never to a later version — the
+    lookahead-leak SCD2 exists to prevent).
+
+    The dimension is the deduped change history (scd2_history's
+    construction); the lookup reuses join_asof's union+running-last
+    machinery — version rows sort before probes at equal ts, ONE
+    user_id shuffle, no inequality join. The oracle is the correlated
+    LIMIT-1 subquery users would write in a warehouse, so the hash
+    also proves the union trick ≡ the correlated form.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.where(F.col("event_type") != "purchase").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    changes = hist.where(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("dim_state"),
+        F.lit(0).alias("kind"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("dim_state"),
+        F.lit(1).alias("kind"),
+    )
+    unioned = changes.unionByName(probes)
+    w_asof = Window.partitionBy("user_id").orderBy(
+        "ts", "kind", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    resolved = unioned.withColumn(
+        "state_asof", F.last("dim_state", ignorenulls=True).over(w_asof)
+    )
+    return resolved.where(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("probe_us"),
+        F.col("state_asof").alias("dim_state"),
+    )
