@@ -153,6 +153,8 @@ _CHECKED_PREFIX = [
     "scan_binary_files",
     "scan_time_travel",
     "sql_bag_setops",
+    "sql_scalar_function",
+    "sql_ctas_roundtrip",
     "multimodal_dedup_phash",
     "scan_cached_table",
     "udtf_dynamic_schema",

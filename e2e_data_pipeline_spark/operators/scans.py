@@ -1209,3 +1209,98 @@ def sql_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SQL_BAG_SETOPS_QUERY)
+
+
+@register(
+    "sql_scalar_function",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def sql_scalar_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (`CREATE FUNCTION ... RETURN
+    expr`, Spark 4): business logic named ONCE in the catalog and
+    reused across queries — unlike Python UDFs these inline into the
+    plan as ordinary expressions, so they run inside whole-stage
+    codegen at zero extra cost (the plan after inlining is identical
+    to hand-written SQL, which is exactly what the oracle hash
+    checks).
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'"
+        " WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DECIMAL(18,4) RETURN CAST(p * (1 - d) AS DECIMAL(18,4))"
+    )
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS qty_band,
+               COUNT(*) AS n_items,
+               CAST(SUM(net_price(l_extendedprice, l_discount)) AS DOUBLE)
+                   AS net_revenue
+        FROM lineitem
+        GROUP BY qty_band(l_quantity)
+        """
+    )
+
+
+@register(
+    "sql_ctas_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT through the SQL DDL surface: the
+    filtered projection materializes as a managed parquet table in
+    the catalog (the ANALYZE/CBO tables' sibling workflow), and the
+    registered read aggregates the TABLE — proving the DDL+catalog
+    path is lossless, not just DataFrame writes. Versioned per
+    fixture dir so repeated calls replace cleanly; a production
+    pipeline would point the database LOCATION at object storage and
+    get the same semantics.
+    """
+    import re
+    import shutil
+
+    register_views(spark, sf_dir)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    db = f"ctas_demo_{tag}"
+    loc = f"/tmp/spark_graft_ctas/{tag}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    spark.sql(
+        f"""
+        CREATE TABLE {db}.open_orders USING parquet AS
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM {db}.open_orders
+        GROUP BY o_orderpriority
+        """
+    )
