@@ -116,6 +116,7 @@ _CHECKED_PREFIX = [
     "stream_stream_outer",
     "scan_partition_pruned",
     "text_lm_score",
+    "text_chat_template",
     "dedup_containment",
     "dedup_minhash_det",
     "dedup_simhash_det",

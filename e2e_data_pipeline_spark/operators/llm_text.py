@@ -1152,3 +1152,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@register(
+    "text_chat_template",
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id, lang,
+               string_split(text, ' ') AS t
+        FROM documents
+    ),
+    rendered AS (
+        SELECT doc_id, lang,
+               '<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n'
+               || '<|im_start|>user\n'
+               || array_to_string(t[1:20], ' ')
+               || '<|im_end|>\n<|im_start|>assistant\n'
+               || COALESCE(array_to_string(t[21:len(t)], ' '), '')
+               || '<|im_end|>' AS chat,
+               len(t) AS n_src_tokens
+        FROM parts
+    )
+    SELECT doc_id, lang,
+           md5(chat) AS chat_md5,
+           CAST(length(chat) AS BIGINT) AS n_chars,
+           CAST(n_src_tokens AS BIGINT) AS n_src_tokens,
+           CAST(len(string_split(chat, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM rendered
+    """,
+)
+def text_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering — the LAST stage of an SFT data
+    pipeline: each document becomes a (system, user, assistant)
+    conversation serialized in ChatML markers, with the length
+    accounting a token-budget packer consumes downstream.
+
+    Pure JVM string/array ops (slice, array_join, concat) — zero
+    Python, fully codegen'd, linear. The rendered string is verified
+    by md5 (byte-for-byte template parity across engines — marker
+    placement, newlines, and slicing all hash-checked), so a
+    downstream tokenizer sees identical bytes whichever engine
+    produced the shard.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    parts = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    chat = F.concat(
+        F.lit("<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"),
+        F.lit("<|im_start|>user\n"),
+        F.array_join(F.slice("t", 1, 20), " "),
+        F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+        F.array_join(F.expr("slice(t, 21, greatest(size(t) - 20, 0))"), " "),
+        F.lit("<|im_end|>"),
+    )
+    rendered = parts.select(
+        "doc_id",
+        "lang",
+        chat.alias("chat"),
+        F.size("t").alias("n_src_tokens"),
+    )
+    return rendered.select(
+        "doc_id",
+        "lang",
+        F.md5("chat").alias("chat_md5"),
+        F.length("chat").cast("long").alias("n_chars"),
+        F.col("n_src_tokens").cast("long"),
+        F.size(F.split("chat", " ")).cast("long").alias("n_ws_tokens"),
+    )
