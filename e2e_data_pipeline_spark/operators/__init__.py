@@ -135,6 +135,7 @@ _CHECKED_PREFIX = [
     "agg_decile_lift",
     "stream_foreach_batch_upsert",
     "stream_rollup_cascade",
+    "stream_python_ds_sink",
     "cdc_apply_log",
     "join_geo_grid",
     "fn_quadkey_rollup",

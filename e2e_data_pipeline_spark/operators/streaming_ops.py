@@ -499,3 +499,92 @@ def stream_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out_h.unionByName(out_d).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_python_ds_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_python_ds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink through the Python DataSource API
+    (Spark 4 `DataSourceStreamWriter`): micro-batches of events land
+    as uuid-named JSONL files with a per-batch commit manifest
+    (`_BATCHES.jsonl`), the streaming twin of `sink_python_ds`'s
+    two-phase batch commit. The read-back honors the MANIFEST, not a
+    glob, so aborted-attempt stray files can never leak into results
+    — exactly the visibility rule object-store sinks need.
+
+    4 real micro-batches (maxFilesPerTrigger=1); the registered
+    result re-aggregates the manifest-listed files and must hash-match
+    the source aggregate, proving the custom sink lost and duplicated
+    nothing across batch boundaries.
+    """
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.sources.python_ds import (
+        JsonLinesDirDataSource,
+    )
+
+    spark.dataSource.register(JsonLinesDirDataSource)
+    work = tempfile.mkdtemp(prefix="pyds_stream_")
+    chunks = f"{work}/chunks"
+    out = f"{work}/out"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    q = (
+        stream.writeStream.format("jsonl_dir")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("python-DS stream sink did not finish")
+
+    import os
+
+    manifest = os.path.join(out, "_BATCHES.jsonl")
+    files: list[str] = []
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                files.extend(_json.loads(line)["files"])
+    if files:
+        back = spark.read.schema(
+            "cents long, event_id long, event_type string"
+        ).json(files)
+    else:  # zero-row input → schema-stable empty frame
+        back = ev.select("cents", "event_id", "event_type").limit(0)
+    result = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result

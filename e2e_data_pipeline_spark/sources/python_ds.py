@@ -224,3 +224,45 @@ class JsonLinesDirDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonLinesDirWriter:
         return JsonLinesDirWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return JsonLinesDirStreamWriter(self.options)
+
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class JsonLinesDirStreamWriter(DataSourceStreamWriter):
+    """Streaming JSON-lines sink (Spark 4 DataSourceStreamWriter):
+    write() runs per task per micro-batch (uuid-named files, no
+    collisions across retries); commit(messages, batchId) appends one
+    manifest entry per COMMITTED batch to `_BATCHES.jsonl` — a reader
+    that honors the manifest sees each batch exactly once even if
+    aborted attempts left stray data files. abort() deletes that
+    batch's files so replays start clean.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803
+        files = [m.path for m in messages if m is not None]
+        rows = sum(m.n_rows for m in messages if m is not None)
+        entry = {"batch_id": batchId, "files": sorted(files), "rows": rows}
+        with open(_os.path.join(self.path, "_BATCHES.jsonl"), "a") as f:
+            f.write(_json.dumps(entry, sort_keys=True) + "\n")
+
+    def abort(self, messages, batchId) -> None:  # pragma: no cover
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
