@@ -146,6 +146,7 @@ _CHECKED_PREFIX = [
     "text_ngram_novelty",
     "stats_mannwhitney",
     "agg_hhi",
+    "stats_srm_check",
     "join_q17_small_qty",
     "scan_jdbc_pushdown",
     "dq_freshness",

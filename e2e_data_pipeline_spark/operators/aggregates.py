@@ -1824,3 +1824,48 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi"
         )
     ).select(F.col("seg").alias("segment"), "n_cust", "hhi")
+
+
+@register(
+    "stats_srm_check",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 100
+                     > 384 * (n_a + n_b)
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 experiment split — the
+    first sanity check every experimentation platform runs before
+    reading any metric (a biased assignment invalidates everything
+    downstream). χ² = (n_a−n_b)²/(n_a+n_b) against the 3.84 critical
+    value (α=0.05, 1 df), with the DECISION taken on the
+    cross-multiplied INTEGER inequality (n_a−n_b)²·100 > 384·(n_a+n_b)
+    so the flag never rides a float boundary. Assignment here is the
+    deterministic user_id parity split; one distinct-users aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    counts = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return counts.select(
+        "n_a",
+        "n_b",
+        ((diff * diff).cast("double") / tot.cast("double")).alias("chi2"),
+        F.when(diff * diff * 100 > 384 * tot, 1).otherwise(0).alias("srm_flag"),
+    )
