@@ -1144,10 +1144,9 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stickiness).
 
     first-seen day is one per-user aggregate; actives dedupe to
-    (day, user); the classification is an exact date comparison. Both
-    shuffles key on user_id, so Catalyst reuses one exchange. At any
-    scale this is two aggregates and a broadcastable first-seen join —
-    no window over raw events.
+    (day, user); the classification is an exact date comparison. At
+    any scale this is two aggregates and a first-seen join keyed on
+    user_id — no window over raw events.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")

@@ -623,3 +623,20 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequence_ops_use_a_single_shuffle(spark):
+    """win_sessionize_gap and cdc_apply_log each promise ONE
+    user-keyed shuffle serving every window pass and aggregation —
+    the property that keeps sequence analytics linear at 100 TB."""
+    for name in ("win_sessionize_gap", "cdc_apply_log"):
+        plan = plan_of(spark, name)
+        n_shuffles = sum(
+            1
+            for line in plan.splitlines()
+            if line.strip().startswith("(")
+            and "Exchange" in line
+            and "Broadcast" not in line
+            and "Reused" not in line
+        )
+        assert n_shuffles == 1, f"{name}: {n_shuffles} shuffles, expected 1"
