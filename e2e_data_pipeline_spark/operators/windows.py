@@ -628,26 +628,26 @@ def win_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                   AS cents
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS usd
         FROM orders GROUP BY 1
     ),
     roll AS (
-        SELECT d, cents,
+        SELECT d, usd,
                CAST(COUNT(*) OVER w AS BIGINT) AS n,
-               CAST(SUM(cents) OVER w AS BIGINT) AS s,
-               CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2
+               CAST(SUM(usd) OVER w AS BIGINT) AS s,
+               CAST(SUM(usd * usd) OVER w AS BIGINT) AS s2
         FROM daily
         WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
-           CAST(cents AS DOUBLE) / 100.0 AS revenue,
-           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS ma7,
+           CAST(usd AS DOUBLE) AS revenue_usd,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ma7,
            sqrt(GREATEST(
                CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE),
-               0.0)) / CAST(n AS DOUBLE) / 100.0 AS sigma7,
-           CASE WHEN CAST(cents AS DOUBLE)
+               0.0)) / CAST(n AS DOUBLE) AS sigma7,
+           CASE WHEN CAST(usd AS DOUBLE)
                      > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                        + 2.0 * sqrt(GREATEST(
                              CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
@@ -661,27 +661,29 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands (7-day moving mean ± 2σ) over daily revenue
     with breakout flags — the rolling-volatility envelope.
 
-    Sufficient statistics stay int64 (cents, cents², counts) inside
-    the window, so the rolling sums are exact under any execution;
-    mean/σ/flag are then a fixed per-row scalar chain — population σ
-    via n·Σx² − (Σx)², guarded by GREATEST(·,0) against negative-zero
-    cancellation, sqrt IEEE-exact. Warm-up rows (n<7) drop on both
-    sides so every band is a full window. One date-ordered window over
-    the tiny daily frame.
+    Sufficient statistics stay int64 (whole-dollar daily revenue,
+    its square, counts) inside the window, so the rolling sums are
+    exact under any execution; mean/σ/flag are then a fixed per-row
+    scalar chain — population σ via n·Σx² − (Σx)², guarded by
+    GREATEST(·,0) against negative-zero cancellation, sqrt
+    IEEE-exact. Dollar (not cent) quantization is deliberate: daily
+    cents² overflowed int64 at sf0.1, while dollars² keep ~100×
+    headroom beyond that (caught by the cross-SF sweep — magnitude
+    budgets must be sized for the LARGEST fixture, not the gate's).
+    Warm-up rows (n<7) drop on both sides so every band is a full
+    window. One date-ordered window over the tiny daily frame.
     """
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("d")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    )
+    ).agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("usd"))
     w = Window.orderBy("d").rowsBetween(-6, 0)
     roll = daily.select(
         "d",
-        "cents",
+        "usd",
         F.count("*").over(w).alias("n"),
-        F.sum("cents").over(w).alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.sum("usd").over(w).alias("s"),
+        F.sum(F.col("usd") * F.col("usd")).over(w).alias("s2"),
     ).where(F.col("n") == 7)
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")
@@ -691,12 +693,10 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(var_scaled) / nd
     return roll.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
-        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
-        (ma / F.lit(100.0)).alias("ma7"),
-        (sigma / F.lit(100.0)).alias("sigma7"),
-        F.when(
-            F.col("cents").cast("double") > ma + F.lit(2.0) * sigma, 1
-        )
+        F.col("usd").cast("double").alias("revenue_usd"),
+        ma.alias("ma7"),
+        sigma.alias("sigma7"),
+        F.when(F.col("usd").cast("double") > ma + F.lit(2.0) * sigma, 1)
         .otherwise(0)
         .alias("breakout_high"),
     )
