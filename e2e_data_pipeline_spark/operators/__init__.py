@@ -153,6 +153,7 @@ _CHECKED_PREFIX = [
     "dq_uniqueness",
     "agg_bitmap_retention",
     "ml_eval_auc",
+    "ml_feature_matrix",
     "scan_binary_files",
     "scan_time_travel",
     "sql_bag_setops",

@@ -1386,3 +1386,104 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@register(
+    "ml_feature_matrix",
+    oracle="""
+    WITH order_f AS (
+        SELECT o_custkey AS ck,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_order_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    event_f AS (
+        SELECT user_id AS ck,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                    AS BIGINT) AS n_active_days
+        FROM events GROUP BY user_id
+    )
+    SELECT c.c_custkey,
+           n.n_name AS nation,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS seg_building,
+           CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+               AS seg_automobile,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.total_spend, 0.0) AS DOUBLE) AS total_spend,
+           COALESCE(o.max_order_cents, 0) AS max_order_cents,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.n_purchases, 0) AS n_purchases,
+           COALESCE(e.n_active_days, 0) AS n_active_days
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN order_f o ON o.ck = c.c_custkey
+    LEFT JOIN event_f e ON e.ck = c.c_custkey
+    """,
+)
+def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: one wide row per customer
+    joining dimension attributes (nation, one-hot segment flags),
+    transactional aggregates, and behavioral aggregates — the
+    denormalized matrix a training job or online store consumes.
+
+    Each feature family pre-aggregates to ONE row per entity BEFORE
+    the joins (never join-then-aggregate: the wide join stays
+    1:1, no fan-out, no double counting), dims broadcast, absent
+    activity backfills deterministic zeros. At 100 TB this is the
+    standard two-phase shape: per-source entity rollups, then keyed
+    equi-joins on the entity id — every stage partial-aggregates and
+    AQE picks broadcast vs shuffle per side. Monetary features stay
+    integer cents / DECIMAL-summed doubles (exact parity).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    order_f = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_spend"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "max_order_cents"
+        ),
+    )
+    event_f = ev.groupBy(F.col("user_id").alias("ck")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias(
+            "n_active_days"
+        ),
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(order_f, cust.c_custkey == order_f.ck, "left")
+        .join(event_f, cust.c_custkey == event_f.ck, "left")
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("seg_building"),
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+            .otherwise(0)
+            .alias("seg_automobile"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias(
+                "acctbal_cents"
+            ),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.coalesce("max_order_cents", F.lit(0)).alias("max_order_cents"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_active_days", F.lit(0)).alias("n_active_days"),
+        )
+    )
