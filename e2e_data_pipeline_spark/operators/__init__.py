@@ -128,6 +128,7 @@ _CHECKED_PREFIX = [
     "join_scd2_pit",
     "win_bollinger",
     "win_rolling_corr",
+    "win_obv",
     "agg_markov_transition",
     "ts_changepoint_cusum",
     "ts_twap",

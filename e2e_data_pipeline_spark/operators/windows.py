@@ -786,3 +786,61 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"), corr.alias("corr7")
     )
+
+
+@register(
+    "win_obv",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS px_cents,
+               CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events GROUP BY 1
+    ),
+    signed AS (
+        SELECT d, px_cents, vol,
+               CASE WHEN px_cents > LAG(px_cents) OVER (ORDER BY d) THEN vol
+                    WHEN px_cents < LAG(px_cents) OVER (ORDER BY d) THEN -vol
+                    ELSE 0 END AS signed_vol
+        FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           px_cents, vol,
+           CAST(SUM(signed_vol) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS obv
+    FROM signed
+    """,
+)
+def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the daily
+    price direction — the accumulation/distribution indicator,
+    completing the trading-window family (bollinger, ewma, drawdown,
+    moving median).
+
+    Direction is an exact integer-cents comparison (never a float
+    sign), so the cumulative sum is int64-deterministic. Two windows
+    over the tiny daily frame share one ordering; the first day's
+    direction is flat (LAG null → 0) on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("px_cents"),
+        F.count("*").alias("vol"),
+    )
+    w = Window.orderBy("d")
+    prev = F.lag("px_cents").over(w)
+    signed = daily.withColumn(
+        "signed_vol",
+        F.when(F.col("px_cents") > prev, F.col("vol"))
+        .when(F.col("px_cents") < prev, -F.col("vol"))
+        .otherwise(F.lit(0)),
+    )
+    return signed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "px_cents",
+        "vol",
+        F.sum("signed_vol")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("obv"),
+    )
