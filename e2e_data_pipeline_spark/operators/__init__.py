@@ -120,6 +120,7 @@ _CHECKED_PREFIX = [
     "dedup_containment",
     "dedup_minhash_det",
     "dedup_simhash_det",
+    "graph_bfs_layers",
     "win_sessionize_gap",
     "win_session_funnel",
     "agg_new_vs_returning",

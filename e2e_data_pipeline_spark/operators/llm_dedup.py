@@ -1349,3 +1349,74 @@ def dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(hamming <= _SIMHASH_MAXDIST).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
+
+
+@register(
+    "graph_bfs_layers",
+    oracle="""
+    WITH RECURSIVE n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (
+        SELECT doc_id AS a,
+               (doc_id * 2654435761 + 1) % (SELECT n_docs FROM n) AS b
+        FROM nodes
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 40503 + 7) % (SELECT n_docs FROM n)
+        FROM nodes
+    ),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+        UNION ALL
+        SELECT e.b, w.dist + 1
+        FROM walk w JOIN edges e ON e.a = w.node
+        WHERE w.dist < 6
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS min_dist
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest-path layers from a seed over a sparse
+    deterministic graph (two functional out-edges per node — the
+    fixtures carry no explicit edge table, so edges derive from the
+    id space like join_geo_grid's coordinates).
+
+    Spark's recursive CTE cannot yet dedupe per step (UNION inside
+    recursion is unsupported — measured), so cycle-safe BFS runs as
+    the Pregel-style frontier loop: 6 rounds of frontier⋈edges with
+    an anti-join against the visited set, `localCheckpoint` each
+    round to truncate lineage (the dedup_cluster iteration contract —
+    per-round driver work is O(1), never a data collect). The oracle
+    is DuckDB's recursive CTE with a depth cap (path explosion stays
+    bounded: out-degree 2 ⇒ ≤2⁶ paths per seed) reduced by MIN(dist)
+    — so the loop and the fixpoint formulation are proved equivalent.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
+    if n_docs == 0:
+        return spark.createDataFrame([], "node long, min_dist long")
+    e1 = docs.select(
+        F.col("doc_id").alias("a"),
+        ((F.col("doc_id") * F.lit(2654435761) + 1) % n_docs).alias("b"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("a"),
+        ((F.col("doc_id") * F.lit(40503) + 7) % n_docs).alias("b"),
+    )
+    edges = e1.unionByName(e2).localCheckpoint(eager=True)
+    frontier = spark.createDataFrame([(0, 0)], "node long, min_dist long")
+    visited = frontier
+    for k in range(1, 7):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select(F.col("b").alias("node"), F.lit(k).cast("long").alias("min_dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
