@@ -149,6 +149,7 @@ _CHECKED_PREFIX = [
     "stats_mannwhitney",
     "agg_hhi",
     "stats_srm_check",
+    "stats_dispersion_poisson",
     "join_q17_small_qty",
     "scan_jdbc_pushdown",
     "dq_freshness",

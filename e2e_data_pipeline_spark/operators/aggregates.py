@@ -1869,3 +1869,64 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((diff * diff).cast("double") / tot.cast("double")).alias("chi2"),
         F.when(diff * diff * 100 > 384 * tot, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@register(
+    "stats_dispersion_poisson",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT n, s,
+           (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS dispersion_index,
+           CASE WHEN n * s2 - s * s > 2 * n * s THEN 1 ELSE 0 END
+               AS overdispersed
+    FROM agg
+    """,
+)
+def stats_dispersion_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion check on the daily event-count series:
+    index = variance/mean (≈1 for a Poisson process, >1 = bursty,
+    <1 = throttled/regular) — the quick triage before fancier burst
+    detection (``ts_burst_detect``) is worth running.
+
+    Sufficient statistics (n, Σx, Σx²) are int64; the index is a
+    fixed scalar chain over them, and the over-dispersion FLAG is the
+    cross-multiplied integer inequality n·Σx² − (Σx)² > 2·n·Σx, so
+    the decision never touches a float boundary. One day-grain
+    aggregate, one 1-row reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    return agg.select(
+        "n",
+        "s",
+        ((nd * s2d - sd * sd) / (nd * sd)).alias("dispersion_index"),
+        F.when(
+            F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+            > 2 * F.col("n") * F.col("s"),
+            1,
+        )
+        .otherwise(0)
+        .alias("overdispersed"),
+    )
