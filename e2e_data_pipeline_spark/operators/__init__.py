@@ -162,6 +162,7 @@ _CHECKED_PREFIX = [
     "sql_bag_setops",
     "sql_scalar_function",
     "sql_ctas_roundtrip",
+    "obs_inline_metrics",
     "multimodal_dedup_phash",
     "scan_cached_table",
     "udtf_dynamic_schema",

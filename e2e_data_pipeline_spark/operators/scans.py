@@ -1304,3 +1304,64 @@ def sql_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "obs_inline_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_dropped,
+           CAST(SUM(CASE WHEN l_discount >= 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE 0 END) AS DOUBLE) AS kept_revenue
+    FROM lineitem
+    """,
+)
+def obs_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability via the Observation API:
+    row counts before/after a filter plus the kept revenue are
+    collected AS the data flows — no second scan, no extra job — the
+    mechanism plans/etl.py uses for the reference's per-stage metrics
+    (ingest_data.py's chunk-count logging), surfaced as a first-class
+    query.
+
+    Two observations attach at different plan points (source and
+    post-filter); one `count()` action drives the whole DAG and both
+    metric sets materialize from accumulator-style semantics, which
+    are exactly-once per observation on a successful job. The O(1)
+    driver hop to re-frame the metrics as a row is the point: at
+    100 TB you get DQ counters for free on a pass you were already
+    making.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs_in = Observation("source")
+    obs_kept = Observation("kept")
+    observed = li.observe(obs_in, F.count(F.lit(1)).alias("rows_total"))
+    kept = observed.where(F.col("l_discount") >= 0.05).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("kept_revenue"),
+    )
+    kept.count()  # one action drives both observation points
+    m_in, m_kept = obs_in.get, obs_kept.get
+    rows_total = m_in["rows_total"]
+    rows_kept = m_kept["rows_kept"] or 0
+    revenue = m_kept["kept_revenue"]
+    return spark.createDataFrame(
+        [
+            (
+                rows_total,
+                rows_kept,
+                rows_total - rows_kept,
+                float(revenue) if revenue is not None else 0.0,
+            )
+        ],
+        "rows_total long, rows_kept long, rows_dropped long, kept_revenue double",
+    )
