@@ -410,3 +410,85 @@ def test_cap_per_group_selects_same_members_any_partitioning(spark, ids, parts):
         .collect()
     )
     assert kept(df.repartition(parts)) == kept(df.coalesce(1))
+
+
+@given(tokens=st.lists(st.text(alphabet="abcdefgh |", min_size=0, max_size=12), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_portable_md5_60bit_hash_matches_reference(spark, tokens):
+    """The md5-derived 60-bit hash (the primitive under
+    dedup_minhash_det / dedup_simhash_det) must equal a from-scratch
+    hashlib computation for ARBITRARY strings — pinning that Spark's
+    conv(substr(md5)) really is the portable integer both engines
+    share."""
+    import hashlib
+
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    got = {
+        r.t: r.h
+        for r in df.select(
+            "t",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ).collect()
+    }
+    for t in set(tokens):
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == expect
+
+
+@given(
+    nums=st.lists(
+        st.tuples(
+            st.integers(0, 2**62), st.integers(1, 2**31)
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**_SETTINGS)
+def test_integer_div_matches_python_floor(spark, nums):
+    """Spark's `div` must equal Python's // (and DuckDB's //) for the
+    full int64 range used by the fixed-point ops — a double-divide +
+    cast would fail this above 2^53."""
+    df = spark.createDataFrame(nums, "a long, b long")
+    got = df.select("a", "b", F.expr("a div b").alias("q")).collect()
+    for r in got:
+        assert r.q == r.a // r.b
+
+
+@given(
+    a=st.sets(st.integers(0, 100_000), max_size=200),
+    b=st.sets(st.integers(0, 100_000), max_size=200),
+)
+@settings(**_SETTINGS)
+def test_bitmap_inclusion_exclusion_intersection(spark, a, b):
+    """|A∩B| computed the agg_bitmap_retention way (per-bucket bitmaps,
+    |A|+|B|−|A∪B| via bitmap_or_agg popcounts) must equal the exact
+    set intersection for arbitrary id sets."""
+    rows = [(0, x) for x in a] + [(1, x) for x in b]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "side int, id long")
+    per_bucket = (
+        df.select(
+            "side",
+            F.bitmap_bucket_number("id").alias("bucket"),
+            F.bitmap_bit_position("id").alias("pos"),
+        )
+        .groupBy("side", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .withColumn("cnt", F.bitmap_count("bm"))
+    )
+    merged = per_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("cnt"))).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, F.col("cnt"))).alias("cb"),
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("cu"),
+    )
+    inter = (
+        merged.where(F.col("ca").isNotNull() & F.col("cb").isNotNull())
+        .agg(F.sum(F.col("ca") + F.col("cb") - F.col("cu")).alias("i"))
+        .collect()[0]
+        .i
+    )
+    assert (inter or 0) == len(a & b)
