@@ -154,6 +154,8 @@ _CHECKED_PREFIX = [
     "scan_jdbc_pushdown",
     "dq_freshness",
     "dq_uniqueness",
+    "dq_table_checksum",
+    "ts_uptime_sla",
     "agg_bitmap_retention",
     "ml_eval_auc",
     "ml_feature_matrix",

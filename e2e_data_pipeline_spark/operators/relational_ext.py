@@ -1487,3 +1487,77 @@ def ml_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_active_days", F.lit(0)).alias("n_active_days"),
         )
     )
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT ('0x' || substr(md5(
+                   concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                             CAST(o_custkey AS VARCHAR), o_orderstatus,
+                             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))
+               ), 1, 15))::BIGINT AS rh
+        FROM orders
+    )
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_checksum
+    FROM h
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(bit_xor(('0x' || substr(md5(
+                   concat_ws('|', CAST(c_custkey AS VARCHAR), c_mktsegment,
+                             CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR))
+               ), 1, 15))::BIGINT) AS BIGINT)
+    FROM customer
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum for cross-replica validation:
+    every row hashes to a portable 60-bit integer (the md5 primitive)
+    and rows fold with XOR — commutative, associative, overflow-free,
+    so ANY partitioning, engine, or insertion order yields the same
+    fingerprint. This is how you prove a migrated/replicated table is
+    byte-equivalent without sorting or moving it: ship (n_rows,
+    xor_checksum) per table and compare.
+
+    Caveat stated, not hidden: XOR folding cancels DUPLICATE rows in
+    pairs, which is why n_rows rides alongside (and the PK uniqueness
+    audit, dq_uniqueness, is the companion check). Monetary columns
+    enter the hash as integer cents so the hash input is the same
+    canonical text both engines render.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def h60(*cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    o = orders.select(
+        h60(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        ).alias("rh")
+    ).agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.bit_xor("rh").alias("xor_checksum"),
+    )
+    c = cust.select(
+        h60(
+            F.col("c_custkey").cast("string"),
+            F.col("c_mktsegment"),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        ).alias("rh")
+    ).agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.bit_xor("rh").alias("xor_checksum"),
+    )
+    return o.unionByName(c)

@@ -1426,3 +1426,51 @@ def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resurrected",
         F.coalesce("churned_from_prev", F.lit(0)).alias("churned_from_prev"),
     )
+
+
+@register(
+    "ts_uptime_sla",
+    oracle="""
+    WITH buckets AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               time_bucket(INTERVAL '5 minutes', ts) AS b
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS live_buckets,
+           CAST(288 - COUNT(*) AS BIGINT) AS dark_buckets,
+           CAST(COUNT(*) * 1000000 AS DOUBLE) / 288.0 / 1000000.0
+               AS availability
+    FROM buckets
+    GROUP BY d
+    """,
+)
+def ts_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability / uptime SLA report: fraction of a day's 288
+    five-minute buckets that saw at least one event — the heartbeat
+    metric behind "three nines", where a dark bucket is an outage
+    candidate (``ts_gapfill`` densifies; this SCORES the darkness).
+
+    Distinct (day, bucket) pairs reduce events in one pass; the
+    availability ratio is one exact int64 division against the fixed
+    288-bucket denominator. Linear, two shuffles keyed by the bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.window("ts", "5 minutes").getField("start").alias("b"),
+    ).distinct()
+    return buckets.groupBy("d").agg(
+        F.count("*").alias("live_buckets"),
+        (F.lit(288) - F.count("*")).alias("dark_buckets"),
+        (
+            (F.count("*") * F.lit(1_000_000)).cast("double")
+            / F.lit(288.0)
+            / F.lit(1_000_000.0)
+        ).alias("availability"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "live_buckets",
+        "dark_buckets",
+        "availability",
+    )
