@@ -446,3 +446,81 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     batch_ids = [b for b, _ in seen]
     assert len(batch_ids) == len(set(batch_ids)), "no batch may replay"
     assert len(seen) > first_run_batches, "second run must process new files"
+
+
+def test_foreachbatch_crash_recovery_exactly_once(spark, tmp_path):
+    """A foreachBatch sink that CRASHES mid-stream must, on restart
+    from the same checkpoint, replay only the uncommitted batch and
+    land on exactly the batch answer — the crash-safety property the
+    versioned read-old/write-new state layout exists for. The commit
+    pointer advances only after a batch's new version is fully
+    written, so the failed attempt's partial output is invisible."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    work = str(tmp_path / "state")
+    os.makedirs(work, exist_ok=True)
+    pointer = os.path.join(work, "_POINTER")
+    crash_flag = os.path.join(work, "_CRASH_ONCE")
+    open(crash_flag, "w").close()
+
+    def merge(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                prev = f.read().strip()
+            old = spark.read.parquet(prev)
+            agg = (
+                old.unionByName(agg)
+                .groupBy("user_id")
+                .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+            )
+        out = os.path.join(work, f"v_{batch_id}_{os.urandom(4).hex()}")
+        agg.write.parquet(out)
+        # CRASH INJECTION: die after writing but BEFORE committing the
+        # pointer — the classic partial-failure window.
+        if batch_id == 2 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected sink crash before commit")
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(out)
+        os.replace(tmp, pointer)  # atomic commit
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected sink crash"):
+        run()
+    run()  # restart from the same checkpoint — must replay batch 2 only
+
+    with open(pointer) as f:
+        final = spark.read.parquet(f.read().strip())
+    expect = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    got = {(r.user_id, r.n, r.cents) for r in final.collect()}
+    want = {(r.user_id, r.n, r.cents) for r in expect.collect()}
+    assert got == want, "crash+restart must yield exactly the batch answer"
