@@ -1930,3 +1930,158 @@ def stats_dispersion_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("overdispersed"),
     )
+
+
+@register(
+    "stats_chi2_gof",
+    oracle="""
+    WITH slot AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    AS BIGINT) AS dow,
+               event_type
+        FROM events
+    ),
+    o AS (
+        SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS o
+        FROM slot GROUP BY dow, event_type
+    ),
+    s AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(o) AS BIGINT) AS total,
+               CAST(SUM(o * o) AS BIGINT) AS sum_sq
+        FROM o GROUP BY dow
+    )
+    SELECT dow,
+           k,
+           total,
+           CAST(k - 1 AS BIGINT) AS df,
+           CAST((k * sum_sq - total * total) * 1000000 // total AS BIGINT)
+               AS chi2_ppm,
+           CAST(CASE WHEN (k * sum_sq - total * total) * 1000000 // total >
+                          CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+                               WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+                               WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+                               WHEN 7 THEN 14067140 WHEN 8 THEN 15507313
+                               ELSE 16918978 END
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_uniform
+    FROM s
+    """,
+)
+def stats_chi2_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit against a uniform category
+    distribution, per day-of-week slice: is the event-type mix on each
+    weekday consistent with "all types equally likely"?
+
+    Integer-exact trick: with uniform expectation e = T/k, the
+    statistic collapses algebraically to chi2 = (k*sum(o^2) - T^2) / T,
+    a single exact rational reported in ppm fixed point (floor
+    division is identical for the positive operands on both engines —
+    Cauchy-Schwarz makes the numerator non-negative). The alpha=0.05
+    critical values are ppm literals per df, so the reject flag is an
+    integer comparison, no float CDF. Two map-side-combining
+    aggregations; the second runs over k*7 rows — free at any scale.
+    The weekday label is days-since-epoch mod 7 (0 = Thursday) because
+    the engines disagree on dayofweek() numbering (Spark Sunday=1,
+    DuckDB Sunday=0) but share integer date arithmetic exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7
+    )
+    o = (
+        ev.select(dow.cast("long").alias("dow"), "event_type")
+        .groupBy("dow", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    s = o.groupBy("dow").agg(
+        F.count("*").alias("k"),
+        F.sum("o").alias("total"),
+        F.sum(F.col("o") * F.col("o")).alias("sum_sq"),
+    )
+    chi2 = F.expr("(k * sum_sq - total * total) * 1000000 div total")
+    crit = F.expr(
+        "CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465"
+        " WHEN 3 THEN 7814728 WHEN 4 THEN 9487729 WHEN 5 THEN 11070498"
+        " WHEN 6 THEN 12591587 WHEN 7 THEN 14067140 WHEN 8 THEN 15507313"
+        " ELSE 16918978 END"
+    )
+    return s.select(
+        "dow",
+        "k",
+        "total",
+        (F.col("k") - 1).alias("df"),
+        chi2.alias("chi2_ppm"),
+        F.when(chi2 > crit, 1).otherwise(0).cast("long").alias("reject_uniform"),
+    )
+
+
+@register(
+    "ml_eval_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)),
+                         1, 8) AS BIGINT) % 1000000 AS BIGINT) AS score_ppm,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    bins AS (
+        SELECT score_ppm // 100000 AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS pos,
+               CAST(SUM(score_ppm) AS BIGINT) AS score_sum
+        FROM scored GROUP BY score_ppm // 100000
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, pos,
+           CAST(pos * 1000000 // n AS BIGINT) AS rate_ppm,
+           CAST(score_sum // n AS BIGINT) AS mean_score_ppm,
+           CAST(abs(pos * 1000000 // n - score_sum // n) AS BIGINT)
+               AS gap_ppm
+    FROM bins
+    """,
+)
+def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability-diagram table: decile-binned
+    predicted probability vs observed positive rate, plus the per-bin
+    |confidence − accuracy| gap (the ingredient of expected
+    calibration error). The "model scores" are the engine-portable
+    32-bit md5-prefix hash in ppm (deterministic, identical bits on
+    both engines — the repo's standard stand-in for a model column the
+    sandbox can't produce); labels are a real data property.
+
+    All ratios are positive-integer floor divisions — exact on both
+    engines. One groupBy over 10 bins with map-side combine: at 100 TB
+    the shuffle carries ≤10 rows per task. Swap the hash for a real
+    score column and nothing else changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("o_orderkey").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = orders.select(
+        (h % 1000000).alias("score_ppm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    bins = scored.groupBy(
+        F.expr("score_ppm div 100000").cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("label").alias("pos"),
+        F.sum("score_ppm").alias("score_sum"),
+    )
+    return bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("pos * 1000000 div n").cast("bigint").alias("rate_ppm"),
+        F.expr("score_sum div n").cast("bigint").alias("mean_score_ppm"),
+        F.expr("abs(pos * 1000000 div n - score_sum div n)")
+        .cast("bigint")
+        .alias("gap_ppm"),
+    )

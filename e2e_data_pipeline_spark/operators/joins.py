@@ -1044,10 +1044,14 @@ def _cbo_materialize(spark: SparkSession, sf_dir: str) -> str:
     keys + the filter column. Cached per-process so repeated calls in
     one test session don't rewrite.
     """
+    import os
     import re
     import shutil
 
-    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    # Key by fixture dir AND pid: two concurrent Spark processes (e.g.
+    # pytest alongside check_oracle) racing on one warehouse location
+    # abort each other's saveAsTable mid-write.
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_") + f"_{os.getpid()}"
     db = f"cbo_demo_{tag}"
     if db in _CBO_DBS_BUILT:
         return db

@@ -1420,3 +1420,204 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+@register(
+    "dedup_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(0, len(string_split(text, ' ')))) AS idx
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(idx // 3 AS BIGINT) AS cid,
+               string_agg(w, ' ' ORDER BY idx) AS ctext
+        FROM toks GROUP BY doc_id, idx // 3
+    ),
+    first_seen AS (
+        SELECT ctext, MIN(doc_id * 1000000 + cid) AS first_key
+        FROM chunks GROUP BY ctext
+    ),
+    marked AS (
+        SELECT c.doc_id, c.cid, c.ctext,
+               CASE WHEN c.doc_id * 1000000 + c.cid = f.first_key
+                    THEN 1 ELSE 0 END AS keep
+        FROM chunks c JOIN first_seen f ON f.ctext = c.ctext
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(length(COALESCE(
+               string_agg(CASE WHEN keep = 1 THEN ctext END, ' ' ORDER BY cid),
+               '')) AS BIGINT) AS kept_chars,
+           substr(md5(COALESCE(
+               string_agg(CASE WHEN keep = 1 THEN ctext END, ' ' ORDER BY cid),
+               '')), 1, 16) AS digest
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level dedup with document reassembly — the
+    line/paragraph dedup step of web-corpus pipelines (drop every
+    repeated chunk except its first occurrence in (doc_id, position)
+    order, then stitch each document back together from its surviving
+    chunks). This fixture's "paragraphs" are 3-token chunks so the
+    dedup actually fires (~19% of chunks repeat); the chunk size is a
+    parameter in real use.
+
+    Shape: posexplode -> chunk reassembly (one grouped sort-agg) ->
+    first-occurrence argmin per chunk text -> join back -> per-doc
+    ordered string_agg. Every stage is a keyed aggregate or equi-join
+    (the classic keep-first pattern of dedup_exact lifted to
+    sub-document granularity); nothing is quadratic. The rebuilt text
+    is returned as length + md5 digest rather than raw (stable hash,
+    small rows). The first-key packing doc_id*1e6+cid assumes <1e6
+    chunks per document — switch to a struct argmin at pathological
+    document sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "w")
+    )
+    chunks = (
+        toks.groupBy("doc_id", F.expr("idx div 3").cast("bigint").alias("cid"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("ctext")
+        )
+    )
+    first_seen = chunks.groupBy("ctext").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("cid")).alias("first_key")
+    )
+    marked = chunks.join(first_seen, "ctext").select(
+        "doc_id",
+        "cid",
+        "ctext",
+        F.when(
+            F.col("doc_id") * 1000000 + F.col("cid") == F.col("first_key"), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep") == 1, F.struct("cid", "ctext"))
+                )
+            ),
+            lambda s: s.ctext,
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("keep").alias("n_kept"),
+        F.length(rebuilt).cast("bigint").alias("kept_chars"),
+        F.substring(F.md5(rebuilt), 1, 16).alias("digest"),
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT p1 AS p FROM edges UNION ALL SELECT p2 AS p FROM edges
+        ) GROUP BY p
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_tri
+        FROM edges e1
+        JOIN edges e2 ON e1.p2 = e2.p1
+        JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           CAST(3 * t.n_tri * 1000000
+                // NULLIF((SELECT SUM(d * (d - 1) / 2) FROM deg), 0)
+                AS BIGINT) AS clustering_ppm
+    FROM tri t
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the
+    co-purchase graph (parts bought together in ≥2 distinct orders) —
+    the standard cohesion metric for similarity graphs, and the
+    classic distributed-graph benchmark. Edges are canonically
+    oriented (p1 < p2), so each triangle is produced exactly once by
+    the two-hop join E(a,b)⋈E(b,c)⋈E(a,c).
+
+    Scale shape: per-order pair generation is bounded (≤7 lines/order
+    ⇒ ≤21 pairs), the ≥2-support filter prunes the edge set by ~30×
+    before any graph join, and the wedge join is Σdeg² over that
+    pruned set. At real scale you'd additionally orient wedges by
+    degree (low→high) to cap the join fan-out — noted, not needed at
+    fixture scale. Clustering coefficient = 3·triangles/wedges as an
+    exact ppm integer; NULLIF guards the empty graph identically on
+    both engines (Spark's div-by-zero NULL is a silent semantic
+    difference from DuckDB's error otherwise).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+        .drop("co")
+    )
+    deg = (
+        edges.select(F.col("p1").alias("p"))
+        .unionAll(edges.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(n_edges)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.expr("3 * n_tri * 1000000 div NULLIF(n_wedges, 0)")
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+    )

@@ -827,3 +827,169 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rn", F.row_number().over(w).cast("long")).where(
         F.col("rn") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_lloyd: the oracle SQL unrolls the same fixed number of Lloyd
+# iterations the Spark side runs. Both sides are pure integer arithmetic
+# (see the operator docstring), so the unroll is generated once here and
+# stays textually in lockstep with _KMEANS_ITERS / _KMEANS_K.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 4
+_KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " i -> (p.q[i] - c.cent[i]) * (p.q[i] - c.cent[i]))) AS BIGINT)"
+    )
+    steps = [
+        f"""
+    pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS c, q AS cent FROM pts WHERE vec_id < {_KMEANS_K})"""
+    ]
+    for t in range(_KMEANS_ITERS + 1):
+        steps.append(f"""
+    d{t} AS (
+        SELECT p.vec_id, p.q, c.c, {dist} AS dist
+        FROM pts p CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+        SELECT vec_id, q, c, dist FROM (
+            SELECT vec_id, q, c, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, c) AS rn
+            FROM d{t}
+        ) WHERE rn = 1
+    )""")
+        if t < _KMEANS_ITERS:
+            steps.append(f"""
+    u{t} AS (
+        SELECT c, dim,
+               CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS val
+        FROM (
+            SELECT c, dim, SUM(v) AS s, COUNT(*) AS n
+            FROM (
+                SELECT c, unnest(q) AS v,
+                       unnest(range(1, len(q) + 1)) AS dim
+                FROM a{t}
+            ) GROUP BY c, dim
+        )
+    ),
+    c{t + 1} AS (SELECT c, list(val ORDER BY dim) AS cent FROM u{t} GROUP BY c)""")
+    final = _KMEANS_ITERS
+    return (
+        "WITH " + ",".join(steps) + f"""
+    SELECT a.c AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id,
+           CAST(SUM(a.dist // 1000000) AS BIGINT) AS inertia_k,
+           CAST((SELECT SUM(cent[i.i] * i.i)
+                 FROM c{final} cc, (SELECT unnest(range(1, 65)) AS i) i
+                 WHERE cc.c = a.c) AS BIGINT) AS centroid_checksum
+    FROM a{final} a GROUP BY a.c
+    """
+    )
+
+
+@register("ml_kmeans_lloyd", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding table, made
+    HASH-EXACT across engines — the iterative-ML pattern (assign →
+    update → reassign) that clustering, IVF index training, and
+    semantic dedup all build on, normally written off as
+    float-nondeterministic and checked rows-only. The determinism
+    recipe: (1) quantize floats to ppm integers once up front (one
+    IEEE rounding, identical both engines); (2) squared-L2 distances
+    are then exact int64; (3) argmin breaks ties by (dist, cluster);
+    (4) centroid updates use explicit floor division
+    (sum - pmod(sum, n)) / n, because Spark's `div` truncates while
+    DuckDB's `//` floors on the negative sums embeddings produce.
+    Seeds are the first K vectors; K=4, 2 update rounds + final
+    assignment, matching the unrolled oracle CTE chain exactly.
+
+    Scale shape per iteration: K centroids broadcast (K·dims ints —
+    KB-sized at any corpus scale), the assign pass is a map-only
+    nested loop over the broadcast, and the update is one
+    (cluster, dim) groupBy with map-side partial sums — the identical
+    plan a 1000-executor run would want at 100 TB. Cluster count,
+    inertia (pre-scaled to dodge int64 overflow at big N), centroid
+    checksum, and min member pin both assignments and centroids.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    cents = pts.where(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("c"), F.col("q").alias("cent")
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "c")
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "q", "c", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(_KMEANS_ITERS):
+        best = assign(pts, cents)
+        cents = (
+            best.select("c", F.posexplode("q").alias("dim0", "v"))
+            .groupBy("c", (F.col("dim0") + 1).alias("dim"))
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select("c", "dim", F.expr("(s - pmod(s, n)) div n").alias("val"))
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s.val,
+                ).alias("cent")
+            )
+        )
+    final = assign(pts, cents)
+    checksum = cents.select(
+        "c",
+        F.aggregate(
+            F.zip_with(
+                "cent",
+                F.sequence(F.lit(1), F.lit(64)).cast("array<bigint>"),
+                lambda v, i: v * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("centroid_checksum"),
+    )
+    return (
+        final.groupBy(F.col("c").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum(F.expr("dist div 1000000")).alias("inertia_k"),
+        )
+        .join(
+            F.broadcast(checksum.withColumnRenamed("c", "cluster")), "cluster"
+        )
+        .select(
+            "cluster", "n_points", "min_vec_id", "inertia_k", "centroid_checksum"
+        )
+    )

@@ -1220,3 +1220,139 @@ def text_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_src_tokens").cast("long"),
         F.size(F.split("chat", " ")).cast("long").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                   AS syllables
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, chars, words, syllables,
+               (words + 11) // 12 AS sents,
+               4710000 * chars // words
+                 + 500000 * words // ((words + 11) // 12)
+                 - 21430000 AS ari_ppm
+        FROM m
+    )
+    SELECT doc_id, chars, words, syllables, ari_ppm,
+           CAST((ari_ppm + 100000000) // 1000000 - 100 AS BIGINT) AS grade
+    FROM sc
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Automated Readability Index shape) — the
+    complexity-based quality filter step of a corpus pipeline. Counts
+    characters, whitespace tokens, and vowel-group "syllables"
+    (non-overlapping regexp match count — identical semantics in both
+    engines), then evaluates the ARI linear form in ppm fixed point.
+    Sentence boundaries don't exist in this corpus, so 12-token
+    pseudo-sentences stand in (documented proxy; swap the denominator
+    for a real sentence split when the corpus has punctuation).
+
+    Exactness: the two ratios use integer floor division with positive
+    operands (identical in Spark's `div` and DuckDB's `//`); the grade
+    bucket offsets by +100 *before* dividing because the engines
+    disagree on negative integer division (trunc vs floor). Pure
+    map-side scan work — no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    m = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.regexp_count("text", F.lit("[aeiou]+")).cast("bigint").alias("syllables"),
+    )
+    sc = m.withColumn(
+        "ari_ppm",
+        F.expr(
+            "4710000 * chars div words"
+            " + 500000 * words div ((words + 11) div 12)"
+            " - 21430000"
+        ),
+    )
+    return sc.select(
+        "doc_id",
+        "chars",
+        "words",
+        "syllables",
+        "ari_ppm",
+        F.expr("(ari_ppm + 100000000) div 1000000 - 100").cast("bigint").alias("grade"),
+    )
+
+
+@register(
+    "text_cooccur_lift",
+    oracle="""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    df AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dw GROUP BY w
+    ),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS co
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+    ),
+    lift AS (
+        SELECT p.w1, p.w2, p.co,
+               CAST(p.co * nd.n_docs * 1000000 // (d1.c * d2.c) AS BIGINT)
+                   AS lift_ppm
+        FROM pairs p
+        JOIN df d1 ON d1.w = p.w1
+        JOIN df d2 ON d2.w = p.w2
+        CROSS JOIN nd
+    )
+    SELECT w1, w2, co, lift_ppm FROM lift
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence lift (PMI without the log): for every word
+    pair sharing a document, observed co-document count over the
+    independence expectation c1*c2/N, reported in ppm — the collocation
+    / related-terms primitive behind query suggestion and phrase
+    mining. The log is deliberately dropped: ln() differs between the
+    engines by 1 ulp on ~1% of inputs (measured, see text_lm_score),
+    while the ratio is one exact integer floor division.
+
+    Scale shape: pairs come from a per-document self-join of DISTINCT
+    (doc, term) — work is sum over docs of (distinct terms)^2, bounded
+    by document length, never corpus-quadratic. The doc-frequency side
+    is tiny (vocabulary-sized) and broadcasts; top-20 is a
+    TakeOrderedAndProject, not a full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = dw.groupBy("w").agg(F.count("*").alias("c"))
+    a, b = dw.alias("a"), dw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("co"))
+    )
+    lift = (
+        pairs.join(F.broadcast(df_.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(df_.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "co",
+            F.expr("co * n_docs * 1000000 div (c1 * c2)").cast("bigint").alias("lift_ppm"),
+        )
+    )
+    return lift.orderBy(F.desc("lift_ppm"), "w1", "w2").limit(20)

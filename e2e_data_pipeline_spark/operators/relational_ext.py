@@ -1561,3 +1561,88 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("rh").alias("xor_checksum"),
     )
     return o.unionByName(c)
+
+
+@register(
+    "dq_mad_outliers",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    med AS (
+        SELECT o_orderpriority,
+               CAST(2 * median(c) AS BIGINT) AS med2
+        FROM cents GROUP BY o_orderpriority
+    ),
+    dev AS (
+        SELECT c.o_orderpriority, c.c, m.med2,
+               abs(2 * c.c - m.med2) AS d
+        FROM cents c JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority,
+               CAST(2 * median(d) AS BIGINT) AS mad4
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           d.med2 AS median_half_cents,
+           m.mad4 AS mad_quarter_cents,
+           CAST(SUM(CASE WHEN 2 * d.d > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN 2 * d.d > 3 * m.mad4 THEN d.c END)
+                AS BIGINT) AS max_outlier_cents
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, d.med2, m.mad4
+    """,
+)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: median-absolute-deviation fences per
+    order priority, flagging rows with |x - median| > 3 * MAD. Unlike
+    the IQR fence (dq_anomaly_iqr) the MAD breaks down only past 50%
+    contamination — the robust-statistics default for dirty feeds.
+
+    Exactness: prices quantized to integer cents; an exact median of
+    integers is either an integer or a .5 tie-average, so 2*median is
+    a BIGINT on both engines (the dyadic-rank trick from
+    stats_mannwhitney). Deviations are doubled once more so the MAD
+    comparison `2*d > 3*mad4` stays in integers end to end — no float
+    epsilon anywhere. Two grouped exact percentiles + one join, all
+    map-side combinable; fence rows (one per group) broadcast back.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    med = cents.groupBy("o_orderpriority").agg(
+        (2 * F.percentile("c", F.lit(0.5))).cast("bigint").alias("med2")
+    )
+    dev = cents.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "c",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        (2 * F.percentile("d", F.lit(0.5))).cast("bigint").alias("mad4")
+    )
+    out = F.col("d") * 2 > F.col("mad4") * 3
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med2", "mad4")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+            F.max(F.when(out, F.col("c"))).alias("max_outlier_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            F.col("med2").alias("median_half_cents"),
+            F.col("mad4").alias("mad_quarter_cents"),
+            "n_outliers",
+            "max_outlier_cents",
+        )
+    )

@@ -21,7 +21,7 @@ Cross-engine parity notes (hard-won, keep in mind when editing):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
@@ -1040,4 +1040,113 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_per_bucket"),
         F.round(F.expr("try_divide(l_tax, l_discount)"), 6).alias("tax_ratio"),
+    )
+
+
+@register(
+    "fn_ip_cidr",
+    oracle="""
+    WITH ips AS (
+        SELECT c_custkey,
+               '10.' || CAST(c_custkey % 223 AS VARCHAR) || '.'
+                     || CAST((c_custkey * 7 + c_nationkey) % 256 AS VARCHAR)
+                     || '.' || CAST(c_custkey * 13 % 254 + 1 AS VARCHAR)
+                   AS ip
+        FROM customer
+    ),
+    parsed AS (
+        SELECT c_custkey, ip,
+               CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+        FROM ips
+    ),
+    blocks AS (
+        SELECT block_name, net,
+               CAST(string_split(net, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(net, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(net, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(net, '.')[4] AS BIGINT) AS net_num,
+               plen
+        FROM (VALUES ('corp-a', '10.0.0.0', CAST(9 AS BIGINT)),
+                     ('corp-b', '10.128.0.0', CAST(9 AS BIGINT)),
+                     ('svc-db', '10.64.0.0', CAST(12 AS BIGINT)),
+                     ('svc-web', '10.200.0.0', CAST(13 AS BIGINT)),
+                     ('host-x', '10.42.7.0', CAST(24 AS BIGINT)))
+             AS t(block_name, net, plen)
+    ),
+    matched AS (
+        SELECT p.c_custkey, p.ip_num, b.block_name, b.plen,
+               row_number() OVER (
+                   PARTITION BY p.c_custkey
+                   ORDER BY b.plen DESC, b.block_name
+               ) AS rn
+        FROM parsed p
+        JOIN blocks b ON p.ip_num >> (32 - b.plen) = b.net_num >> (32 - b.plen)
+    )
+    SELECT block_name, plen,
+           CAST(COUNT(*) AS BIGINT) AS n_ips,
+           CAST(MIN(ip_num) AS BIGINT) AS min_ip_num,
+           CAST(MAX(ip_num) AS BIGINT) AS max_ip_num
+    FROM matched WHERE rn = 1
+    GROUP BY block_name, plen
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-quad IP parsing + longest-prefix CIDR classification —
+    the firewall/geo-IP enrichment primitive. Synthesizes an IP string
+    per customer (so the parse is exercised end to end), splits it back
+    into octets, packs a 32-bit integer, and matches against a literal
+    CIDR block table with `ip >> (32-plen) == net >> (32-plen)`;
+    longest prefix wins via a per-IP window over the tiny candidate
+    set. Everything is integer shifts and string splits — exact on
+    both engines. At scale the block table broadcasts (routing tables
+    are thousands of rows, never big), so classification is a
+    map-only nested-loop against a broadcast dim: no shuffle on the
+    fact side; the only shuffle is the final per-block aggregate.
+    """
+    quad = (
+        "'10.' || CAST({k} % 223 AS STRING) || '.'"
+        " || CAST(({k} * 7 + c_nationkey) % 256 AS STRING)"
+        " || '.' || CAST({k} * 13 % 254 + 1 AS STRING)"
+    ).format(k="c_custkey")
+    ips = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{quad} AS ip"
+    )
+
+    def pack(col: str) -> Column:
+        oct_ = lambda i: F.element_at(F.split(F.col(col), r"\."), i).cast("bigint")
+        return oct_(1) * 16777216 + oct_(2) * 65536 + oct_(3) * 256 + oct_(4)
+
+    parsed = ips.select("c_custkey", "ip", pack("ip").alias("ip_num"))
+    blocks = (
+        spark.createDataFrame(
+            [
+                ("corp-a", "10.0.0.0", 9),
+                ("corp-b", "10.128.0.0", 9),
+                ("svc-db", "10.64.0.0", 12),
+                ("svc-web", "10.200.0.0", 13),
+                ("host-x", "10.42.7.0", 24),
+            ],
+            "block_name string, net string, plen long",
+        )
+        .select("block_name", "plen", pack("net").alias("net_num"))
+    )
+    cand = parsed.join(
+        F.broadcast(blocks),
+        F.expr("ip_num >> (32 - plen) = net_num >> (32 - plen)"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("plen"), F.col("block_name").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("block_name", "plen")
+        .agg(
+            F.count("*").alias("n_ips"),
+            F.min("ip_num").alias("min_ip_num"),
+            F.max("ip_num").alias("max_ip_num"),
+        )
     )

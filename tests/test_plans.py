@@ -640,3 +640,36 @@ def test_sequence_ops_use_a_single_shuffle(spark):
             and "Reused" not in line
         )
         assert n_shuffles == 1, f"{name}: {n_shuffles} shuffles, expected 1"
+
+
+def test_ip_cidr_routing_table_is_broadcast(spark):
+    # the CIDR block table must classify via a broadcast nested loop /
+    # broadcast join — a shuffle on the fact side would be a scale bug
+    plan = plan_of(spark, "fn_ip_cidr")
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assign_is_broadcast_per_iteration(spark):
+    # every Lloyd assign pass joins points against broadcast centroids;
+    # no iteration may degrade to a shuffled join of the point set
+    plan = plan_of(spark, "ml_kmeans_lloyd")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_join_is_hash_not_nested_loop(spark):
+    # two-hop triangle closure must run as equi-joins on edge endpoints
+    # (the only nested-loop joins allowed are the 1-row scalar
+    # aggregates folded into the final output row)
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cooccur_pairs_join_and_topk_shape(spark):
+    # pair generation is an equi-join on doc_id; the top-20 must be a
+    # TakeOrderedAndProject, never a global sort of the pair set
+    plan = plan_of(spark, "text_cooccur_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
