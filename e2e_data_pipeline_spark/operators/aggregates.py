@@ -2085,3 +2085,148 @@ def ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_ppm"),
     )
+
+
+@register(
+    "stats_permutation_test",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    obs AS (
+        SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1
+        FROM base
+    ),
+    perms AS (
+        SELECT p.p,
+               CASE WHEN CAST('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':'
+                        || CAST(b.event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+                    = 0 THEN 0 ELSE 1 END AS g,
+               b.cents
+        FROM base b
+        CROSS JOIN (SELECT unnest(range(0, 100)) AS p) p
+    ),
+    pstats AS (
+        SELECT p,
+               SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN g = 0 THEN cents ELSE 0 END) AS s0,
+               SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN g = 1 THEN cents ELSE 0 END) AS s1
+        FROM perms GROUP BY p
+    ),
+    extreme AS (
+        SELECT CAST(SUM(CASE WHEN p.n0 = 0 OR p.n1 = 0 THEN 1
+                    WHEN CAST(abs(p.s0 * p.n1 - p.s1 * p.n0) AS HUGEINT)
+                         * (o.n0 * o.n1)
+                         >= CAST(abs(o.s0 * o.n1 - o.s1 * o.n0) AS HUGEINT)
+                           * (p.n0 * p.n1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM pstats p CROSS JOIN obs o
+    )
+    SELECT o.n0, o.s0 AS s0_cents, o.n1, o.s1 AS s1_cents,
+           e.n_extreme,
+           CAST((1 + e.n_extreme) * 1000000 // 101 AS BIGINT) AS p_value_ppm
+    FROM obs o CROSS JOIN extreme e
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for a difference in group
+    means, made hash-exact: 100 deterministic label reshuffles via the
+    engine-portable 60-bit md5 hash, and the per-replicate decision
+    |m0−m1| ≥ |m0−m1|_obs evaluated by cross-multiplication —
+    |s0·n1 − s1·n0| · (n0ᵒn1ᵒ) ≥ |s0ᵒn1ᵒ − s1ᵒn0ᵒ| · (n0·n1) — in
+    wide integers (DECIMAL(38,0) / HUGEINT), so no float mean ever
+    exists and the p-value is an exact add-one-smoothed ppm integer.
+    Degenerate replicates (a group emptied) count as extreme on both
+    engines.
+
+    Scale shape: the replicate axis is an explode BEFORE the partial
+    aggregate, so each map task pre-reduces its rows into ≤100
+    (replicate × group) cells — the shuffle carries 200 numbers per
+    task no matter the row count (the count-min / bootstrap pattern).
+    The md5 is the portability tax; swap for xxhash64 when the oracle
+    twin isn't needed.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def gstats(df: DataFrame, *keys: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("g") == 0, F.col("cents")).otherwise(0)).alias("s0"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("g") == 1, F.col("cents")).otherwise(0)).alias("s1"),
+        )
+
+    obs = gstats(base)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("p").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    perms = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("p"),
+    ).select("p", "cents", (h % 2).alias("g"))
+    pstats = gstats(perms, "p")
+    o = obs.select(
+        F.col("n0").alias("on0"),
+        F.col("s0").alias("os0"),
+        F.col("n1").alias("on1"),
+        F.col("s1").alias("os1"),
+    )
+    extreme = (
+        pstats.crossJoin(F.broadcast(o))
+        .select(
+            F.when((F.col("n0") == 0) | (F.col("n1") == 0), 1)
+            .when(
+                F.expr(
+                    "CAST(abs(s0 * n1 - s1 * n0) AS DECIMAL(38,0))"
+                    " * CAST(on0 * on1 AS DECIMAL(38,0))"
+                    " >= CAST(abs(os0 * on1 - os1 * on0) AS DECIMAL(38,0))"
+                    " * CAST(n0 * n1 AS DECIMAL(38,0))"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("x")
+        )
+        .agg(F.sum("x").alias("n_extreme"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n0",
+            F.col("s0").alias("s0_cents"),
+            "n1",
+            F.col("s1").alias("s1_cents"),
+            "n_extreme",
+            F.expr("(1 + n_extreme) * 1000000 div 101")
+            .cast("bigint")
+            .alias("p_value_ppm"),
+        )
+    )

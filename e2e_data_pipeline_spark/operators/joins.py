@@ -1386,3 +1386,109 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("probe_us"),
         F.col("state_asof").alias("dim_state"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS day,
+               MIN(epoch_us(ts) // 1000000) AS s,
+               MAX(epoch_us(ts) // 1000000) AS e
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, epoch_us(ts) // 86400000000
+        HAVING MAX(epoch_us(ts) // 1000000) > MIN(epoch_us(ts) // 1000000)
+    ),
+    hrs AS (
+        SELECT user_id, day, s, e,
+               unnest(generate_series(s // 3600, e // 3600)) AS hr
+        FROM iv
+    ),
+    cand AS (
+        SELECT DISTINCT a.day,
+               a.user_id AS u1, b.user_id AS u2,
+               a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+        FROM hrs a
+        JOIN hrs b ON a.day = b.day AND a.hr = b.hr
+                  AND a.user_id < b.user_id
+    ),
+    ov AS (
+        SELECT day, u1, u2,
+               least(e1, e2) - greatest(s1, s2) AS overlap_s
+        FROM cand
+        WHERE least(e1, e2) - greatest(s1, s2) > 0
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(overlap_s) AS BIGINT) AS total_overlap_s,
+           CAST(MAX(overlap_s) AS BIGINT) AS max_overlap_s
+    FROM ov GROUP BY day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (concurrent-activity detection):
+    per-user daily activity spans, then every user pair whose spans
+    truly intersect, with the exact overlap duration — the
+    sessions-vs-sessions shape behind concurrency billing, contention
+    analysis, and meeting-collision queries.
+
+    The naive formulation is a theta self-join (s1<=e2 AND s2<=e1)
+    that plans as a nested loop. Instead each interval explodes into
+    the HOUR buckets it covers (bounded ≤24 per day-span) and
+    candidates come from an equi-join on (day, hour) — the same
+    bucket-explosion rewrite as join_range_binned, extended to
+    two-sided intervals: a true overlap must share at least one hour
+    bucket, so the filter after the hash join loses nothing. DISTINCT
+    collapses pairs that share several hours before the exact
+    least/greatest overlap math (integer epoch seconds, truncation
+    identical on both engines for the positive epochs here). The
+    user_id<40 bound caps oracle output; the plan shape is what scales.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = (
+        ev.select("user_id", sec.alias("sec"), (sec - sec % 86400).alias("d0"))
+        .groupBy("user_id", (F.col("d0") / 86400).cast("long").alias("day"))
+        .agg(F.min("sec").alias("s"), F.max("sec").alias("e"))
+        .where(F.col("e") > F.col("s"))
+    )
+    hrs = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr("s div 3600"), F.expr("e div 3600"))
+        ).alias("hr"),
+    )
+    a, b = hrs.alias("a"), hrs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.s").alias("s1"),
+            F.col("a.e").alias("e1"),
+            F.col("b.s").alias("s2"),
+            F.col("b.e").alias("e2"),
+        )
+        .distinct()
+    )
+    ov = cand.select(
+        "day",
+        "u1",
+        "u2",
+        (F.least("e1", "e2") - F.greatest("s1", "s2")).alias("overlap_s"),
+    ).where(F.col("overlap_s") > 0)
+    return ov.groupBy("day").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("overlap_s").alias("total_overlap_s"),
+        F.max("overlap_s").alias("max_overlap_s"),
+    )

@@ -1365,3 +1365,88 @@ def obs_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_total long, rows_kept long, rows_dropped long, kept_revenue double",
     )
+
+
+@register(
+    "scan_json_multiline",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS acct_cents
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line (pretty-printed array) JSON ingestion — the config /
+    API-export format where one JSON document spans many lines and a
+    line-per-record reader would shred it. Builds a nested per-nation
+    document (nation → array of per-segment rollups), writes ONE
+    indented JSON array file, re-reads it with
+    ``option("multiLine", true)`` + an explicit nested schema, and
+    flattens with ``explode`` — the oracle recomputes the same rollup
+    from the source parquet, proving the nest/unnest round-trip
+    lossless.
+
+    The driver-side materialization is of the *aggregated* document
+    (25 nations), never the fact table — multiLine JSON is inherently
+    a whole-file format, so the scale story is "many small documents,
+    one Spark task each" (binaryFile-style listing parallelism), not
+    "one huge array". The re-read pins an explicit schema: multiLine
+    inference re-parses every document twice.
+    """
+    cust = load_table(spark, sf_dir, "customer").groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n_cust"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias(
+            "acct_cents"
+        ),
+    )
+    nested = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("c_mktsegment", "n_cust", "acct_cents")
+                )
+            ).alias("segments")
+        )
+        .orderBy("c_nationkey")
+    )
+    docs = [
+        {
+            "c_nationkey": r["c_nationkey"],
+            "segments": [
+                {
+                    "c_mktsegment": s["c_mktsegment"],
+                    "n_cust": s["n_cust"],
+                    "acct_cents": s["acct_cents"],
+                }
+                for s in r["segments"]
+            ],
+        }
+        for r in nested.collect()  # nation-cardinality, not fact rows
+    ]
+    path = tempfile.mkdtemp(prefix="e2e_mljson_")
+    with open(os.path.join(path, "nations.json"), "w") as fh:
+        json.dump(docs, fh, indent=2)
+    back = (
+        spark.read.option("multiLine", "true")
+        .schema(
+            "c_nationkey long, segments array<struct<"
+            "c_mktsegment: string, n_cust: long, acct_cents: long>>"
+        )
+        .json(path)
+    )
+    seg = back.select(
+        "c_nationkey", F.explode("segments").alias("s")
+    )
+    return seg.select(
+        "c_nationkey",
+        F.col("s.c_mktsegment").alias("c_mktsegment"),
+        F.col("s.n_cust").alias("n_cust"),
+        F.col("s.acct_cents").alias("acct_cents"),
+    )

@@ -673,3 +673,20 @@ def test_cooccur_pairs_join_and_topk_shape(spark):
     plan = plan_of(spark, "text_cooccur_lift")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_hash_on_buckets(spark):
+    # the interval self-join must run as an equi-join on (day, hour)
+    # buckets — the naive theta form degrades to a nested loop
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_permutation_replicates_pre_reduce_before_shuffle(spark):
+    # the 100x replicate explode must partial-aggregate map-side: the
+    # plan needs a partial HashAggregate below the exchange
+    plan = plan_of(spark, "stats_permutation_test")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
