@@ -113,6 +113,12 @@ _CHECKED_PREFIX = [
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
     "join_cbo_reorder",
+    "ml_kmeans_lloyd",
+    "stats_permutation_test",
+    "graph_triangles",
+    "dedup_chunks",
+    "join_interval_overlap",
+    "dq_mad_outliers",
     "stream_stream_outer",
     "scan_partition_pruned",
     "text_lm_score",

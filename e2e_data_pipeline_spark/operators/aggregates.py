@@ -2230,3 +2230,227 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_value_ppm"),
         )
     )
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+            AS tie_adj
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)
+        WHERE t > 1
+    )
+    SELECT n.n, s.s,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_adj AS BIGINT)
+               AS var18,
+           CAST(CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+                     WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END
+                / sqrt(CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_adj
+                            AS DOUBLE) / 18) AS DOUBLE) AS z_score
+    FROM n CROSS JOIN s CROSS JOIN ties t
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily revenue series —
+    the nonparametric "is it really trending" answer behind
+    win_rolling_slope's point estimates, robust to outliers and
+    distribution shape. S sums pairwise order signs over the
+    day-grain series; the tie-corrected variance stays ×18 as an exact
+    integer column (var18), and the continuity-corrected z is three
+    portable float steps on exact integers (divide, sqrt — IEEE
+    correctly-rounded on both engines — divide), so even the float is
+    bit-identical.
+
+    The pairwise self-join runs on the DAILY aggregate (one row per
+    day — bounded by calendar span, not data volume); the fact scan
+    reduces map-side first. This is the sanctioned place for an O(k²)
+    kernel: k = days, never rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    n = daily.agg(F.count("*").alias("n"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            ).alias("tie_adj")
+        )
+    )
+    return (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s",
+            F.expr("n * (n - 1) * (2 * n + 5) - tie_adj")
+            .cast("bigint")
+            .alias("var18"),
+            F.expr(
+                "CAST(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)"
+                " WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)"
+                " ELSE CAST(0 AS DOUBLE) END"
+                " / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_adj AS DOUBLE)"
+                " / 18) AS DOUBLE)"
+            ).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS mean_ppm
+        FROM base
+    ),
+    reps AS (
+        SELECT b.p,
+               CASE
+                 WHEN b.h < 367879 THEN 0 WHEN b.h < 735759 THEN 1
+                 WHEN b.h < 919699 THEN 2 WHEN b.h < 981012 THEN 3
+                 ELSE 4 END AS w,
+               b.cents
+        FROM (
+            SELECT b.event_id, b.cents, p.p,
+                   CAST('0x' || substr(md5('boot:' || CAST(p.p AS VARCHAR)
+                        || ':' || CAST(b.event_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 1000000 AS h
+            FROM base b
+            CROSS JOIN (SELECT unnest(range(0, 100)) AS p) p
+        ) b
+    ),
+    rstats AS (
+        SELECT p,
+               SUM(w * cents) * 1000000 // NULLIF(SUM(w), 0) AS mean_ppm
+        FROM reps GROUP BY p
+    ),
+    ranked AS (
+        SELECT mean_ppm,
+               row_number() OVER (ORDER BY mean_ppm, p) AS rn
+        FROM rstats
+    )
+    SELECT o.n, o.s AS s_cents, o.mean_ppm,
+           CAST(MIN(CASE WHEN r.rn = 5 THEN r.mean_ppm END) AS BIGINT)
+               AS ci_lo_ppm,
+           CAST(MIN(CASE WHEN r.rn = 95 THEN r.mean_ppm END) AS BIGINT)
+               AS ci_hi_ppm
+    FROM ranked r CROSS JOIN obs o
+    GROUP BY o.n, o.s, o.mean_ppm
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonized bootstrap confidence interval for the mean purchase
+    value, hash-exact: each of 100 replicates draws a deterministic
+    Poisson(1) weight per row by inverting the CDF on the portable
+    md5 hash (ppm thresholds 367879/735759/919699/981012 — the
+    streaming-friendly "online bootstrap" that avoids with-replacement
+    sampling entirely), replicate means are floor-divided ppm
+    integers, and the 90% CI is the 5th/95th order statistic of the
+    100 means — discrete ranks, no interpolation, no floats anywhere.
+
+    Scale shape: identical to stats_permutation_test — the replicate
+    axis explodes below the partial aggregate, so each map task ships
+    ≤100 (replicate, sum, count) cells; the 100-row rank window is
+    driver-trivial. The md5 is again the oracle-portability tax.
+    """
+    base = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    obs = base.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.expr("SUM(cents) * 1000000 div COUNT(*)").cast("bigint").alias("mean_ppm"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("p").cast("string"),
+                    F.lit(":"),
+                    F.col("event_id").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    reps = (
+        base.select(
+            "event_id", "cents", F.explode(F.sequence(F.lit(0), F.lit(99))).alias("p")
+        )
+        .select("p", "cents", (h % 1000000).alias("h"))
+        .select(
+            "p",
+            "cents",
+            F.when(F.col("h") < 367879, 0)
+            .when(F.col("h") < 735759, 1)
+            .when(F.col("h") < 919699, 2)
+            .when(F.col("h") < 981012, 3)
+            .otherwise(4)
+            .alias("w"),
+        )
+    )
+    rstats = reps.groupBy("p").agg(
+        F.expr("SUM(w * cents) * 1000000 div NULLIF(SUM(w), 0)").alias("mean_ppm")
+    )
+    ranked = rstats.select(
+        "mean_ppm", F.row_number().over(Window.orderBy("mean_ppm", "p")).alias("rn")
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 5, F.col("mean_ppm"))).alias("ci_lo_ppm"),
+        F.min(F.when(F.col("rn") == 95, F.col("mean_ppm"))).alias("ci_hi_ppm"),
+    )
+    return obs.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.col("s").alias("s_cents"),
+        "mean_ppm",
+        F.col("ci_lo_ppm").cast("bigint").alias("ci_lo_ppm"),
+        F.col("ci_hi_ppm").cast("bigint").alias("ci_hi_ppm"),
+    )

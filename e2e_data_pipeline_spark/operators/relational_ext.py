@@ -1646,3 +1646,103 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_outlier_cents",
         )
     )
+
+
+@register(
+    "dq_drift_tvd",
+    oracle="""
+    WITH days AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    mid AS (
+        SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM days
+    ),
+    counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN day < (SELECT mid FROM mid)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+               CAST(SUM(CASE WHEN day >= (SELECT mid FROM mid)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+        FROM days GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(a_n) AS na, SUM(b_n) AS nb FROM counts
+    ),
+    per AS (
+        SELECT c.event_type, c.a_n, c.b_n,
+               abs(c.a_n * t.nb - c.b_n * t.na) * 1000000
+                   // (t.na * t.nb) AS abs_share_diff_ppm,
+               CASE WHEN c.a_n * t.nb > c.b_n * t.na THEN -1
+                    WHEN c.a_n * t.nb < c.b_n * t.na THEN 1
+                    ELSE 0 END AS drift_sign
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT event_type, a_n, b_n,
+           CAST(abs_share_diff_ppm AS BIGINT) AS abs_share_diff_ppm,
+           CAST(drift_sign AS BIGINT) AS drift_sign
+    FROM per
+    UNION ALL
+    SELECT '__tvd__' AS event_type,
+           CAST(t.na AS BIGINT), CAST(t.nb AS BIGINT),
+           CAST(SUM(abs(c.a_n * t.nb - c.b_n * t.na)) * 1000000
+                // (2 * t.na * t.nb) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM counts c CROSS JOIN tot t GROUP BY t.na, t.nb
+    """,
+)
+def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total variation distance between
+    the event-type mix of the first and second halves of the stream
+    (the log-free alternative to PSI/KL — those need ln(), which
+    differs between engines by 1 ulp on ~1% of inputs; TVD is
+    Σ|p−q|/2, exact in integers). Per-category rows carry the signed
+    share drift in ppm via cross-multiplication (a_n·Nb vs b_n·Na —
+    no per-engine float shares ever exist), and a '__tvd__' summary
+    row folds the same numerators into the distance.
+
+    One grouped count with two conditional sums (single scan), a
+    category-sized total that broadcasts, and O(k) final arithmetic —
+    at 100 TB the shuffle carries k event types per map task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(ts AS TIMESTAMP)").cast("long")
+    days = ev.select("event_type", F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"))
+    mid = days.agg(
+        ((F.min("day") + F.max("day") + 1) / 2).cast("long").alias("mid")
+    )
+    counts = (
+        days.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias("a_n"),
+            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias("b_n"),
+        )
+    )
+    tot = counts.agg(F.sum("a_n").alias("na"), F.sum("b_n").alias("nb"))
+    joined = counts.crossJoin(F.broadcast(tot))
+    per = joined.select(
+        "event_type",
+        "a_n",
+        "b_n",
+        F.expr("abs(a_n * nb - b_n * na) * 1000000 div (na * nb)")
+        .cast("bigint")
+        .alias("abs_share_diff_ppm"),
+        F.expr(
+            "CASE WHEN a_n * nb > b_n * na THEN -1"
+            " WHEN a_n * nb < b_n * na THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("drift_sign"),
+    )
+    total = joined.groupBy("na", "nb").agg(
+        F.sum(F.expr("abs(a_n * nb - b_n * na)")).alias("num")
+    ).select(
+        F.lit("__tvd__").alias("event_type"),
+        F.col("na").cast("bigint").alias("a_n"),
+        F.col("nb").cast("bigint").alias("b_n"),
+        F.expr("num * 1000000 div (2 * na * nb)")
+        .cast("bigint")
+        .alias("abs_share_diff_ppm"),
+        F.lit(0).cast("bigint").alias("drift_sign"),
+    )
+    return per.unionAll(total)

@@ -1474,3 +1474,87 @@ def ts_uptime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dark_buckets",
         "availability",
     )
+
+
+@register(
+    "ts_survival_km",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts) // 1000000) AS mx FROM events),
+    u AS (
+        SELECT user_id,
+               (MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000))
+                   // 86400 AS dur,
+               CASE WHEN MAX(epoch_us(ts) // 1000000)
+                         >= (SELECT mx FROM mx) - 7 * 86400
+                    THEN 1 ELSE 0 END AS censored
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT dur,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(1 - censored) AS BIGINT) AS d
+        FROM u GROUP BY dur
+    ),
+    km AS (
+        SELECT dur AS t, d,
+               CAST(SUM(n) OVER (ORDER BY dur DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM g
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n_risk, d,
+           CAST((n_risk - d) * 1000000 // n_risk AS BIGINT)
+               AS surv_step_ppm
+    FROM km WHERE t <= 30
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table over user activity lifetimes —
+    duration from first to last event, right-censored for users still
+    active in the final 7 days of the observation window (the
+    retention-analysis core of churn modeling). Emits the KM
+    ingredients per observed duration: risk-set size, uncensored
+    events, and the per-step survival factor (n−d)/n as an exact ppm
+    integer (one positive floor division; the cumulative product is
+    left to the consumer because chained products are float-order
+    territory — each step here is exact).
+
+    Scale shape: one per-user aggregate (map-side combinable), a
+    duration-grouped count (output ≤ distinct durations, days-sized),
+    and a descending running sum over that tiny frame — the classic
+    "risk set = suffix sum" trick, no per-time-point pass over users.
+    The 1-row global max broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    mx = ev.agg(F.max(sec).alias("mx"))
+    u = (
+        ev.select("user_id", sec.alias("sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("first_s"), F.max("sec").alias("last_s"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(last_s - first_s) div 86400").alias("dur"),
+            F.when(F.col("last_s") >= F.col("mx") - 7 * 86400, 1)
+            .otherwise(0)
+            .alias("censored"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.count("*").alias("n"),
+        F.sum(1 - F.col("censored")).alias("d"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    km = g.select(
+        F.col("dur").alias("t_days"),
+        F.sum("n").over(w).cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d"),
+    )
+    return km.where(F.col("t_days") <= 30).select(
+        "t_days",
+        "n_risk",
+        "d",
+        F.expr("(n_risk - d) * 1000000 div n_risk").cast("bigint").alias(
+            "surv_step_ppm"
+        ),
+    )

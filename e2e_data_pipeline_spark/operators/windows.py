@@ -844,3 +844,78 @@ def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("obv"),
     )
+
+
+@register(
+    "win_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    win AS (
+        SELECT day, cents,
+               COUNT(*) OVER w AS n,
+               SUM(day) OVER w AS sx,
+               SUM(cents) OVER w AS sy,
+               SUM(day * cents) OVER w AS sxy,
+               SUM(day * day) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(sy AS BIGINT) AS window_cents,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)
+               AS slope_cents_per_day
+    FROM win
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend: least-squares slope of daily revenue over a
+    trailing 30-day window — the "is this metric trending up" signal
+    behind alerting and forecasting dashboards, usually approximated
+    with a pair of moving averages; here it's the exact regression
+    slope. All four moments (Σx, Σy, Σxy, Σx²) are int64 window sums
+    over integer days × integer cents, so the only float operation is
+    the final single division of two exact integers — one IEEE
+    rounding, identical on both engines (the stats_ab_ztest recipe
+    applied to window frames). NULLIF handles the 1-row warmup frame
+    the same way on both sides.
+
+    One window spec shared by all five aggregates ⇒ one sort, one
+    pass. The frame runs over the DAILY series (one row per day), so
+    state is 30 rows regardless of event volume; the heavy lifting is
+    the day-grain pre-aggregate, which map-side combines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    win = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("day").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w).alias("sxx"),
+    )
+    return win.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sy").cast("bigint").alias("window_cents"),
+        F.expr(
+            "CAST(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)"
+        ).alias("slope_cents_per_day"),
+    )
