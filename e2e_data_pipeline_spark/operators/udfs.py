@@ -18,6 +18,8 @@ the math.
 
 from __future__ import annotations
 
+import datetime
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -349,4 +351,142 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_dyn d, LATERAL ngram_stats(d.text, 3) g
         WHERE d.doc_id < 20
         """
+    )
+
+
+class _GapAudit:
+    """Stateful per-partition UDTF kernel for udtf_table_arg: consumes
+    one user's events in timestamp order (the engine guarantees the
+    PARTITION BY / ORDER BY contract), tracks inter-event gaps, and
+    emits a single audit row per user at partition end. Pure-Python
+    integer state — no floats, so the oracle twin is exact."""
+
+    def __init__(self) -> None:
+        self.uid = None
+        self.prev = None
+        self.n = 0
+        self.max_gap = 0
+        self.n_gaps_1h = 0
+
+    def eval(self, row):  # noqa: ANN001 - Row from TABLE argument
+        self.uid = row["user_id"]
+        self.n += 1
+        if self.prev is not None:
+            gap = row["sec"] - self.prev
+            if gap > self.max_gap:
+                self.max_gap = gap
+            if gap > 3600:
+                self.n_gaps_1h += 1
+        self.prev = row["sec"]
+
+    def terminate(self):
+        if self.uid is not None:
+            yield self.uid, self.n, self.max_gap, self.n_gaps_1h
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id
+        FROM events WHERE user_id < 30
+    ),
+    gaps AS (
+        SELECT user_id, sec,
+               sec - lag(sec) OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS gap
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_s,
+           CAST(SUM(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps_1h
+    FROM gaps GROUP BY user_id
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument with PARTITION BY /
+    ORDER BY — the Spark 4 surface for "give my Python function each
+    key's rows, in order, as a stream" (session auditing, custom CDC
+    folds, order-dependent state machines) without the groupBy +
+    applyInPandas detour. The engine hash-partitions by user and
+    sorts within each partition before the UDTF sees a row, so the
+    kernel is a trivial O(1)-state scan; the oracle twin re-derives
+    the same audit with a lag() window.
+
+    Scale: identical distribution properties to a window function —
+    one shuffle on the PARTITION BY key, linear per-key scan. The
+    Python-row cost is the price of the imperative-API demonstration;
+    the lag() formulation (win_lag_lead) is the JVM-native fast path.
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    spark.udtf.register(
+        "gap_audit",
+        _udtf(
+            _GapAudit,
+            returnType=(
+                "user_id bigint, n_events bigint,"
+                " max_gap_s bigint, n_gaps_1h bigint"
+            ),
+        ),
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("sec"),
+            "event_id",
+        )
+    )
+    ev.createOrReplaceTempView("udtf_gap_events")
+    return spark.sql(
+        """
+        SELECT * FROM gap_audit(
+            TABLE(udtf_gap_events)
+            PARTITION BY user_id
+            ORDER BY (sec, event_id)
+        )
+        """
+    )
+
+
+@register(
+    "sql_named_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named parameters — `spark.sql(query,
+    args={...})` binds values server-side as typed literals instead of
+    string interpolation (the SQL-injection-safe front door an
+    application would actually use; parameter markers survive the
+    parser, so Catalyst still constant-folds and pushes the predicates
+    to the scan). The oracle is the same query with the parameters
+    spelled inline — proving binding ≡ literal semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM param_orders
+        WHERE o_orderdate >= :start_date
+          AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"start_date": datetime.date(1996, 1, 1), "min_price": 1000.0},
     )
