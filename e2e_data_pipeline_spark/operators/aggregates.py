@@ -2454,3 +2454,84 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ci_lo_ppm").cast("bigint").alias("ci_lo_ppm"),
         F.col("ci_hi_ppm").cast("bigint").alias("ci_hi_ppm"),
     )
+
+
+@register(
+    "agg_lorenz_points",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+               SUM(cents) OVER (ORDER BY cents, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents
+        FROM c
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM c
+    )
+    SELECT CAST((r.rn - 1) * 20 // t.n + 1 AS BIGINT) AS ventile,
+           CAST(MAX(r.rn) * 1000000 // t.n AS BIGINT) AS pop_share_ppm,
+           CAST(MAX(r.cum_cents) * 1000000 // t.s AS BIGINT)
+               AS wealth_share_ppm
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY (r.rn - 1) * 20 // t.n, t.n, t.s
+    """,
+)
+def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve sample points: customers ranked by spend, the
+    cumulative wealth share at each exact population ventile — the
+    chart-ready companion to agg_gini's scalar (same exact-integer
+    machinery: cents, deterministic (cents, custkey) tie-break,
+    running sums, ppm floor divisions). Each of the 20 ventile
+    buckets contributes its LAST rank (cumulative share is monotone in
+    the rank order, so MAX(rn) and MAX(cum) coincide), giving exactly
+    20 rows for any customer count n — no divisibility assumption —
+    with every share an exact rational in ppm.
+
+    One customer aggregate, one global sort window (the one
+    genuinely-global sort in the family — at cluster scale swap in
+    the partition-prefix-sum construction stats_mannwhitney uses),
+    and a 1-row total broadcast.
+    """
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = c.select(
+        "cents",
+        # row_number is INT; rn*1e6 must not wrap at real customer counts
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_cents"
+        ),
+    )
+    tot = c.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("(rn - 1) * 20 div n + 1").cast("bigint").alias("ventile"),
+            "n",
+            "s",
+        )
+        .agg(
+            F.expr("MAX(rn) * 1000000 div n").cast("bigint").alias("pop_share_ppm"),
+            F.expr("MAX(cum_cents) * 1000000 div s")
+            .cast("bigint")
+            .alias("wealth_share_ppm"),
+        )
+        .select("ventile", "pop_share_ppm", "wealth_share_ppm")
+    )

@@ -1787,3 +1787,98 @@ def dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .where(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT p1 AS v, p2 AS n FROM edges
+        UNION ALL SELECT p2 AS v, p1 AS n FROM edges
+    ),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    common AS (
+        SELECT a.v AS v1, b.v AS v2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM adj a JOIN adj b ON a.n = b.n AND a.v < b.v
+        GROUP BY a.v, b.v HAVING COUNT(*) >= 2
+    )
+    SELECT c.v1, c.v2, c.c AS common_neighbors,
+           CAST(c.c * 1000000 // (d1.d + d2.d - c.c) AS BIGINT)
+               AS jaccard_ppm
+    FROM common c
+    JOIN deg d1 ON d1.v = c.v1
+    JOIN deg d2 ON d2.v = c.v2
+    ORDER BY jaccard_ppm DESC, c.v1, c.v2
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: neighbor-set Jaccard over the
+    co-purchase graph — "parts bought alongside the same other parts",
+    the collaborative-filtering link-prediction primitive that works
+    even for pairs never co-purchased directly. Common neighbors come
+    from the wedge join on the undirected adjacency list (same
+    support-pruned edge set as graph_triangles); the Jaccard is the
+    exact ppm rational c/(d1+d2−c) via one floor division. A ≥2
+    common-neighbor floor prunes the long tail before the degree
+    join; top-20 with full (score, v1, v2) tie-break is a
+    TakeOrderedAndProject.
+
+    Scale: wedge-join work is Σdeg² over the pruned graph — the
+    standard cap at real scale is degree-ordered orientation plus a
+    max-degree cutoff (hub removal), both one-line filters here.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+        .drop("co")
+    )
+    adj = edges.select(F.col("p1").alias("v"), F.col("p2").alias("n")).unionAll(
+        edges.select(F.col("p2").alias("v"), F.col("p1").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.n") == F.col("y.n")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(F.col("x.v").alias("v1"), F.col("y.v").alias("v2"))
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+    d1 = deg.select(F.col("v").alias("v1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("v").alias("v2"), F.col("d").alias("d2"))
+    return (
+        common.join(d1, "v1")
+        .join(d2, "v2")
+        .select(
+            "v1",
+            "v2",
+            F.col("c").alias("common_neighbors"),
+            F.expr("c * 1000000 div (d1 + d2 - c)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "v1", "v2")
+        .limit(20)
+    )

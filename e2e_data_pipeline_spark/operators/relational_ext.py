@@ -1746,3 +1746,101 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("drift_sign"),
     )
     return per.unionAll(total)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH checks AS (
+        SELECT
+          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_key_not_null,
+          CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_price_positive,
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1
+                   ELSE 0 END) AS BIGINT) AS v_status_enum,
+          CAST(SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                        OR o_orderdate > DATE '1998-12-31' THEN 1
+                   ELSE 0 END) AS BIGINT) AS v_date_range,
+          CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                        '^[1-5]-[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_priority_format,
+          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+              AS v_key_unique,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+    )
+    SELECT c.name AS constraint_name, c.violations,
+           n.n_rows,
+           CAST(CASE WHEN c.violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS passed
+    FROM (
+        SELECT 'key_not_null' AS name, v_key_not_null AS violations
+            FROM checks
+        UNION ALL SELECT 'price_positive', v_price_positive FROM checks
+        UNION ALL SELECT 'status_enum', v_status_enum FROM checks
+        UNION ALL SELECT 'date_range', v_date_range FROM checks
+        UNION ALL SELECT 'priority_format', v_priority_format FROM checks
+        UNION ALL SELECT 'key_unique', v_key_unique FROM checks
+    ) c CROSS JOIN (SELECT n_rows FROM checks) n
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Deequ / Great Expectations
+    shape): not-null, positivity, enum membership, date range, regexp
+    format, and key uniqueness evaluated in ONE scan — every
+    constraint is a conditional sum inside the same aggregate, so
+    adding the 50th check costs a column, not a pass. The wide 1-row
+    result unpivots into the (constraint, violations, passed) report
+    a quality gate consumes. Uniqueness rides the same aggregate as
+    COUNT(*) − COUNT(DISTINCT key) (the one distinct in the pass).
+
+    At 100 TB this is the audit you can afford: single scan,
+    map-side partial aggregation, a 6-row report. The regexp is
+    anchored RE2-compatible syntax that Spark's `rlike` and DuckDB's
+    `regexp_matches` interpret identically.
+    """
+    checks = load_table(spark, sf_dir, "orders").agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_key_not_null"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_price_positive"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_status_enum"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("v_date_range"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"), 1
+            ).otherwise(0)
+        ).alias("v_priority_format"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_key_unique"),
+        F.count("*").alias("n_rows"),
+    )
+    report = checks.selectExpr(
+        "stack(6,"
+        " 'key_not_null', v_key_not_null,"
+        " 'price_positive', v_price_positive,"
+        " 'status_enum', v_status_enum,"
+        " 'date_range', v_date_range,"
+        " 'priority_format', v_priority_format,"
+        " 'key_unique', v_key_unique"
+        ") AS (constraint_name, violations)",
+        "n_rows",
+    )
+    return report.select(
+        "constraint_name",
+        F.col("violations").cast("bigint").alias("violations"),
+        "n_rows",
+        F.when(F.col("violations") == 0, 1).otherwise(0).cast("bigint").alias(
+            "passed"
+        ),
+    )
