@@ -2535,3 +2535,126 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ventile", "pop_share_ppm", "wealth_share_ppm")
     )
+
+
+@register(
+    "ml_split_stratified",
+    oracle="""
+    WITH assigned AS (
+        SELECT o_orderpriority,
+               CASE WHEN CAST('0x' || substr(md5('split:'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+                        % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM orders
+    ),
+    cells AS (
+        SELECT o_orderpriority, split, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY o_orderpriority, split
+    ),
+    strata AS (
+        SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS stratum_n
+        FROM cells GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority, c.split, c.n,
+           CAST(c.n * 1000000 // s.stratum_n AS BIGINT) AS share_ppm
+    FROM cells c JOIN strata s USING (o_orderpriority)
+    """,
+)
+def ml_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split with a stratification audit —
+    the data-prep step every ML pipeline starts with, done the only
+    way that survives reruns and backfills: membership is a pure
+    function of the row key (portable 60-bit md5 hash mod 100, 80/20),
+    never a random() that reshuffles on every execution. The audit
+    reports each stratum's achieved split share in exact ppm so
+    drift from 800000 is a number, not a vibe.
+
+    Hash-assign is map-only; the audit is one grouped count plus a
+    stratum-total join (k×2 rows). At 100 TB membership never
+    materializes — any consumer recomputes it from the key, which is
+    the point of hash splits.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("split:"), F.col("o_orderkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(h % 100 < 80, "train").otherwise("test").alias("split"),
+    )
+    cells = assigned.groupBy("o_orderpriority", "split").agg(
+        F.count("*").alias("n")
+    )
+    strata = cells.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("stratum_n")
+    )
+    return cells.join(F.broadcast(strata), "o_orderpriority").select(
+        "o_orderpriority",
+        "split",
+        "n",
+        F.expr("n * 1000000 div stratum_n").cast("bigint").alias("share_ppm"),
+    )
+
+
+@register(
+    "agg_recency_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts) // 1000000) AS mx FROM events),
+    scored AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT)
+                   >> CAST(least(((SELECT mx FROM mx)
+                        - epoch_us(ts) // 1000000) // 86400 // 7, 40)
+                        AS BIGINT) AS decayed
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(decayed) AS BIGINT) AS recency_score
+    FROM scored GROUP BY user_id
+    ORDER BY recency_score DESC, user_id LIMIT 20
+    """,
+)
+def agg_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score with a 7-day half-life —
+    exponential time decay made EXACT by restricting the decay base to
+    powers of two: weight(age) = 2^-(age/7 days) becomes an integer
+    right-shift of the cent value by (age_days div 7), capped at 40
+    shifts (past ~9 months everything is 0). No exp(), no float decay
+    drift, and the score is additive so it map-side combines like any
+    sum — the trick that lets a leaderboard over trillions of events
+    keep exact integer semantics.
+
+    One scan with a broadcast global max timestamp, one groupBy,
+    top-20 via TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    mx = ev.agg(F.max(sec).alias("mx"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "CAST(ROUND(value * 100, 0) AS BIGINT)"
+            " >> CAST(least((mx - CAST(CAST(ts AS TIMESTAMP) AS LONG))"
+            " div 86400 div 7, 40) AS BIGINT)"
+        ).alias("decayed"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("decayed").alias("recency_score"),
+        )
+        .orderBy(F.desc("recency_score"), "user_id")
+        .limit(20)
+    )

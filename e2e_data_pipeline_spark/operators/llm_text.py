@@ -1356,3 +1356,63 @@ def text_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lift.orderBy(F.desc("lift_ppm"), "w1", "w2").limit(20)
+
+
+@register(
+    "ml_feature_hashing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('fh:' || w), 1, 15) AS BIGINT) % 64
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY doc_id, CAST('0x' || substr(md5('fh:' || w), 1, 15)
+                                        AS BIGINT) % 64
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           CAST(SUM(cnt) AS BIGINT) AS total_terms,
+           CAST(SUM((bucket + 1) * cnt) AS BIGINT) AS checksum,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS l2_sq
+    FROM bucketed GROUP BY doc_id
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (HashingTF without the MLlib
+    object): terms land in D=64 buckets via the engine-portable
+    60-bit md5 hash, producing the fixed-width sparse count vector a
+    downstream model consumes with NO vocabulary broadcast — the
+    property that makes the hashing trick the only featurizer that
+    works on unbounded vocabularies at 100 TB. Per-document nnz,
+    total terms, a bucket-weighted checksum, and the squared L2 norm
+    pin the exact vector contents through the hash check (two rows
+    with the same summary across ALL FOUR moments and the same doc
+    length are the same vector with overwhelming probability — and
+    the oracle's identical hashing makes the check exact, not
+    probabilistic).
+
+    Shape: explode → (doc, bucket) count with map-side combine →
+    per-doc rollup. D is a constant: shuffle width is min(len, 64)
+    cells per document regardless of vocabulary size.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucketed = (
+        toks.select("doc_id", (h % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bucketed.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        F.sum("cnt").alias("total_terms"),
+        F.sum((F.col("bucket") + 1) * F.col("cnt")).alias("checksum"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("l2_sq"),
+    )
