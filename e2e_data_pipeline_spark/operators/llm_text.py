@@ -1416,3 +1416,95 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("bucket") + 1) * F.col("cnt")).alias("checksum"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("l2_sq"),
     )
+
+
+@register(
+    "corpus_pack_harmonic",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               least(CAST(len(string_split(text, ' ')) AS BIGINT), 256)
+                   AS n_tokens
+        FROM documents
+    ),
+    classed AS (
+        SELECT n_tokens, 256 // n_tokens AS k FROM sized WHERE n_tokens > 0
+    ),
+    per_class AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               CAST((COUNT(*) + k - 1) // k AS BIGINT) AS n_bins
+        FROM classed GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS size_class, n_docs, tokens, n_bins,
+           CAST((n_bins * 256 - tokens) * 1000000 // (n_bins * 256)
+                AS BIGINT) AS waste_ppm
+    FROM per_class
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS size_class,
+           CAST(SUM(n_docs) AS BIGINT),
+           CAST(SUM(tokens) AS BIGINT),
+           CAST(SUM(n_bins) AS BIGINT),
+           CAST((SUM(n_bins) * 256 - SUM(tokens)) * 1000000
+                // (SUM(n_bins) * 256) AS BIGINT)
+    FROM per_class
+    """,
+)
+def corpus_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining — fit documents into fixed
+    256-token context windows WITHOUT splitting documents, using the
+    Harmonic bin-packing scheme: a document of length L joins size
+    class k = C div L, and each window in class k holds exactly k
+    class-k documents (k·L ≤ C by construction). Unlike first-fit-
+    decreasing — inherently sequential — harmonic packing is
+    embarrassingly parallel (class assignment is a map, windows per
+    class is a ceiling division) with a proven ≈1.69 worst-case ratio,
+    which is why it's the distributed packer of choice. The report:
+    per-class window counts and padding waste in exact ppm, plus a
+    __total__ (-1) row whose n_bins compares against the
+    ceil(Σtokens/C) lower bound.
+
+    Pure aggregates — not even a window function — so it map-side
+    combines into k≤C cells per task at any corpus size. Documents
+    longer than C are truncated to C (the real pipeline would chunk
+    them first; dedup_chunks is that step).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    sized = docs.select(
+        F.least(F.size(F.split("text", " ")).cast("bigint"), F.lit(256)).alias(
+            "n_tokens"
+        )
+    ).where(F.col("n_tokens") > 0)
+    per_class = (
+        sized.select("n_tokens", F.expr("256 div n_tokens").alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.expr("CAST((COUNT(*) + k - 1) div k AS BIGINT)").alias("n_bins"),
+        )
+    )
+    per_row = per_class.select(
+        F.col("k").cast("bigint").alias("size_class"),
+        "n_docs",
+        "tokens",
+        "n_bins",
+        F.expr("(n_bins * 256 - tokens) * 1000000 div (n_bins * 256)")
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+    total = per_class.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tokens").alias("tokens"),
+        F.sum("n_bins").alias("n_bins"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("size_class"),
+        "n_docs",
+        "tokens",
+        "n_bins",
+        F.expr("(n_bins * 256 - tokens) * 1000000 div (n_bins * 256)")
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+    return per_row.unionAll(total)

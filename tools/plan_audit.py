@@ -92,6 +92,32 @@ AUDIT: dict[str, tuple[list[str], str]] = {
         "Candidate pairs come from a band-signature equi-join (linear), "
         "never an all-pairs comparison.",
     ),
+    "ml_kmeans_lloyd": (
+        ["BroadcastNestedLoopJoin", "BroadcastHashJoin", "SortMergeJoin",
+         "HashAggregate"],
+        "Every Lloyd assign pass joins points against BROADCAST centroids "
+        "(KB-sized at any corpus scale); centroid updates are keyed "
+        "aggregates with map-side partials — no iteration shuffles the "
+        "point set.",
+    ),
+    "join_interval_overlap": (
+        ["BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+        "The interval theta self-join is rewritten as an equi-join on "
+        "exploded (day, hour) buckets — a nested loop here would be "
+        "quadratic in concurrent users.",
+    ),
+    "graph_triangles": (
+        ["BroadcastHashJoin", "SortMergeJoin", "HashAggregate"],
+        "Triangle closure runs as two equi-joins over the support-pruned, "
+        "canonically-oriented edge list; only the 1-row scalar aggregates "
+        "ride nested-loop joins.",
+    ),
+    "stats_permutation_test": (
+        ["HashAggregate", "Exchange", "Generate"],
+        "The 100x replicate explode (Generate) sits BELOW the partial "
+        "aggregate, so the shuffle carries <=200 (replicate, group) cells "
+        "per task regardless of event volume.",
+    ),
 }
 
 
