@@ -2658,3 +2658,63 @@ def agg_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("recency_score"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "ml_target_encoding",
+    oracle="""
+    WITH labeled AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    g AS (
+        SELECT cat,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS s_g
+        FROM labeled GROUP BY cat
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+        FROM labeled
+    )
+    SELECT g.cat, g.n_g, g.s_g,
+           CAST(g.s_g * 1000000 // g.n_g AS BIGINT) AS raw_rate_ppm,
+           CAST(CAST(g.s_g * t.n + 10 * t.s AS DOUBLE)
+                / CAST(t.n * (g.n_g + 10) AS DOUBLE) AS DOUBLE)
+               AS enc_smoothed
+    FROM g CROSS JOIN tot t
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding for a categorical feature — the
+    high-cardinality-categorical workhorse: encode(cat) =
+    (s_g + m·prior)/(n_g + m) with m=10 shrinking rare categories
+    toward the global rate. The two-division float form drifts across
+    engines, so the expression is algebraically collapsed to ONE
+    division of exact integers: (s_g·N + m·S) / (N·(n_g + m)) — both
+    engines perform the identical single IEEE rounding, making even
+    the double output hash-exact (the win_rolling_slope recipe).
+
+    Two aggregates (category-sized + 1-row broadcast) and O(k) final
+    arithmetic. At serving time this table broadcasts as the encoder
+    dim — the same artifact a feature store would materialize.
+    """
+    labeled = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = labeled.groupBy("cat").agg(
+        F.count("*").alias("n_g"), F.sum("y").alias("s_g")
+    )
+    tot = labeled.agg(F.count("*").alias("n"), F.sum("y").alias("s"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_g",
+        "s_g",
+        F.expr("s_g * 1000000 div n_g").cast("bigint").alias("raw_rate_ppm"),
+        F.expr(
+            "CAST(CAST(s_g * n + 10 * s AS DOUBLE)"
+            " / CAST(n * (n_g + 10) AS DOUBLE) AS DOUBLE)"
+        ).alias("enc_smoothed"),
+    )

@@ -1150,3 +1150,54 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ip_num").alias("max_ip_num"),
         )
     )
+
+
+@register(
+    "fn_tz_convert",
+    oracle="""
+    WITH localized AS (
+        SELECT user_id,
+               (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                   AT TIME ZONE 'America/New_York' AS local_ts
+        FROM events
+    )
+    SELECT strftime(date_trunc('day', local_ts), '%Y-%m-%d') AS local_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hour(local_ts) BETWEEN 9 AND 16
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_business_hours,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM localized GROUP BY local_day
+    """,
+)
+def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware bucketing: UTC event instants converted to
+    America/New_York wall-clock time, rolled up by local calendar day
+    with a business-hours (9:00–16:59 local) split — the reporting
+    shape every "daily numbers look wrong" bug traces back to. Both
+    engines resolve the IANA zone (DST transitions included) from the
+    same tzdata rules: Spark's `from_utc_timestamp` ≡ DuckDB's double
+    `AT TIME ZONE` hop, verified bit-equal across the fixture's
+    summer/winter offsets (-4/-5).
+
+    Conversion is a scan-local map; the rollup is one grouped count
+    with a distinct leg. The session stays UTC — localization happens
+    per-expression, never by mutating session state mid-query.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local = ev.select(
+        "user_id",
+        F.from_utc_timestamp(F.col("ts").cast("timestamp"), "America/New_York").alias(
+            "local_ts"
+        ),
+    )
+    return local.groupBy(
+        F.date_format(F.date_trunc("day", "local_ts"), "yyyy-MM-dd").alias(
+            "local_day"
+        )
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.hour("local_ts").between(9, 16), 1).otherwise(0)
+        ).alias("n_business_hours"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
