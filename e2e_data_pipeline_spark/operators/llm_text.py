@@ -1508,3 +1508,84 @@ def corpus_pack_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("waste_ppm"),
     )
     return per_row.unionAll(total)
+
+
+@register(
+    "text_boilerplate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(0, len(string_split(text, ' ')))) AS idx
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, idx // 3 AS cid,
+               string_agg(w, ' ' ORDER BY idx) AS ctext
+        FROM toks GROUP BY doc_id, idx // 3
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents),
+    freq AS (
+        SELECT ctext,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS occurrences
+        FROM chunks GROUP BY ctext
+    )
+    SELECT f.ctext AS chunk, f.df, f.occurrences,
+           CAST(f.df * 1000000 // n.n_docs AS BIGINT) AS doc_share_ppm
+    FROM freq f CROSS JOIN nd n
+    WHERE f.df * 100 >= n.n_docs
+    ORDER BY f.df DESC, f.ctext LIMIT 20
+    """,
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the audit that finds template chunks
+    (headers, footers, cookie banners) repeated across ≥1% of the
+    corpus, the step web-corpus pipelines (CCNet-style) run BEFORE
+    dedup so structural repetition doesn't mask real content overlap.
+    Reuses dedup_chunks' 3-token pseudo-paragraphs; the report ranks
+    offending chunks by document frequency with the share as an exact
+    ppm (the 1% gate is cross-multiplied — df·100 ≥ n — so no float
+    threshold exists).
+
+    Two keyed aggregates (chunk reassembly, then per-chunk document
+    frequency) and a broadcast corpus count; top-20 is a
+    TakeOrderedAndProject. The distinct-doc count inside freq is
+    per-chunk-keyed, not global — it shuffles (chunk, doc) pairs once.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "w")
+    )
+    chunks = (
+        toks.groupBy("doc_id", F.expr("idx div 3").alias("cid"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("ctext")
+        )
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    freq = chunks.groupBy("ctext").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("occurrences"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(nd))
+        .where(F.col("df") * 100 >= F.col("n_docs"))
+        .select(
+            F.col("ctext").alias("chunk"),
+            "df",
+            "occurrences",
+            F.expr("df * 1000000 div n_docs").cast("bigint").alias(
+                "doc_share_ppm"
+            ),
+        )
+        .orderBy(F.desc("df"), "chunk")
+        .limit(20)
+    )

@@ -1558,3 +1558,69 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surv_step_ppm"
         ),
     )
+
+
+@register(
+    "agg_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS day,
+               MIN(epoch_us(ts) // 1000000) AS s,
+               MAX(epoch_us(ts) // 1000000) + 1 AS e
+        FROM events
+        GROUP BY user_id, epoch_us(ts) // 86400000000
+    ),
+    deltas AS (
+        SELECT day, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, e AS t, -1 AS delta FROM iv
+    ),
+    swept AS (
+        SELECT day, t,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live
+        FROM deltas
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+    FROM swept GROUP BY day
+    """,
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the capacity-planning number
+    (max simultaneous active users), computed with the classic
+    +1/−1 sweep: each user-day activity interval contributes a start
+    (+1) and an exclusive end (−1) event; a running sum over the
+    time-ordered deltas is the live-session count, and its max is the
+    peak. Orders (t, delta) so a −1 at time t applies before a +1 at
+    the same t — the same deterministic tie rule on both engines.
+
+    The sweep's window partitions BY DAY, so no global ordering
+    exists anywhere — each day's delta list (≤2·users rows) sorts
+    independently. Interval extraction is one map-side-combining
+    aggregate over events. n_sessions rides along as a sanity column
+    (delta rows / 2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = (
+        ev.select("user_id", sec.alias("sec"), F.expr(
+            "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400"
+        ).alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.min("sec").alias("s"), (F.max("sec") + 1).alias("e"))
+    )
+    deltas = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta")))
+    w = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = deltas.select("day", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+    )
