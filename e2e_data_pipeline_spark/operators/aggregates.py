@@ -2718,3 +2718,105 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n * (n_g + 10) AS DOUBLE) AS DOUBLE)"
         ).alias("enc_smoothed"),
     )
+
+
+@register(
+    "agg_kmv_sketch",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                    1, 15) AS BIGINT) AS h
+        FROM du
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kth AS (
+        SELECT event_type, CAST(h AS BIGINT) AS h_k
+        FROM ranked WHERE rn = 64
+    ),
+    exact AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM du GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           CAST(COALESCE(k.h_k, 0) AS BIGINT) AS h_k,
+           CAST(CASE WHEN k.h_k IS NULL THEN e.n_exact
+                ELSE CAST(63 AS HUGEINT) * 1152921504606846976 // k.h_k
+                END AS BIGINT) AS kmv_estimate,
+           CAST(abs(CASE WHEN k.h_k IS NULL THEN e.n_exact
+                    ELSE CAST(63 AS HUGEINT) * 1152921504606846976 // k.h_k
+                    END - e.n_exact) * 1000000 // e.n_exact AS BIGINT)
+               AS err_ppm
+    FROM exact e LEFT JOIN kth k USING (event_type)
+    """,
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch — the mergeable
+    cardinality estimator that, unlike HLL, is fully DETERMINISTIC
+    given a hash function, so with the engine-portable 60-bit hash the
+    sketch itself is oracle-checkable bit for bit (agg_approx's HLL
+    gets only a rows-only check; this is the exact-verifiable
+    alternative). Estimate = (k−1)·2⁶⁰ div h₍ₖ₎ with k=64 — the
+    numerator needs 66 bits, done in DECIMAL(38) on Spark and HUGEINT
+    in DuckDB (verified identical integral division). Types with
+    fewer than k members fall back to their exact count. The achieved
+    error vs the true distinct count rides along in ppm — the sketch
+    audits itself in the same query.
+
+    Scale: a KMV sketch is a bounded k-row state per group — the
+    per-type top-64-smallest is a WindowGroupLimit (rank ≤ k pushes
+    into the sort), and sketches MERGE by keeping the k smallest of a
+    union, the property that makes distributed/partial aggregation
+    work at 100 TB.
+    """
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = du.select("event_type", h.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 64)
+        .select("event_type", F.col("h").alias("h_k"))
+    )
+    exact = du.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est = (
+        "CASE WHEN h_k IS NULL THEN n_exact"
+        " ELSE CAST(63 AS DECIMAL(38,0))"
+        " * CAST(1152921504606846976 AS DECIMAL(38,0))"
+        " div CAST(h_k AS DECIMAL(38,0)) END"
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.coalesce(F.col("h_k"), F.lit(0)).cast("bigint").alias("h_k"),
+            F.expr(est).cast("bigint").alias("kmv_estimate"),
+            F.expr(f"abs(({est}) - n_exact) * 1000000 div n_exact")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
