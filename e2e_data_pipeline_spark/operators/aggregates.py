@@ -2820,3 +2820,118 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
     )
+
+
+@register(
+    "agg_kmv_jaccard",
+    oracle="""
+    WITH views AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    buys AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    uni AS (
+        SELECT user_id FROM views UNION SELECT user_id FROM buys
+    ),
+    hashed AS (
+        SELECT u.user_id,
+               CAST('0x' || substr(md5('kmv:' || CAST(u.user_id AS VARCHAR)),
+                    1, 15) AS BIGINT) AS h,
+               CASE WHEN v.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                    THEN 1 ELSE 0 END AS in_both
+        FROM uni u
+        LEFT JOIN views v ON v.user_id = u.user_id
+        LEFT JOIN buys b ON b.user_id = u.user_id
+    ),
+    bottomk AS (
+        SELECT in_both FROM (
+            SELECT in_both, row_number() OVER (ORDER BY h) AS rn FROM hashed
+        ) WHERE rn <= 64
+    ),
+    est AS (
+        SELECT CAST(SUM(in_both) AS BIGINT) AS k_both,
+               CAST(COUNT(*) AS BIGINT) AS k_used
+        FROM bottomk
+    ),
+    exact AS (
+        SELECT CAST(SUM(in_both) AS BIGINT) AS n_inter,
+               CAST(COUNT(*) AS BIGINT) AS n_union
+        FROM hashed
+    )
+    SELECT x.n_inter, x.n_union,
+           CAST(x.n_inter * 1000000 // x.n_union AS BIGINT)
+               AS jaccard_exact_ppm,
+           e.k_both, e.k_used,
+           CAST(e.k_both * 1000000 // e.k_used AS BIGINT)
+               AS jaccard_kmv_ppm
+    FROM exact x CROSS JOIN est e
+    """,
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity estimation from merged KMV sketches: the Jaccard
+    of (viewers, purchasers) estimated as the fraction of the union's
+    k minimum hash values that belong to both sets — the classic
+    bottom-k estimator whose whole point at scale is that each side
+    keeps only k=64 hashes, yet here it's fully deterministic and the
+    oracle checks both the estimate AND the exact Jaccard it
+    approximates in one result row (self-auditing, like
+    agg_kmv_sketch). All ratios are exact ppm floor divisions.
+
+    Scale shape: both membership flags ride one union + two
+    broadcast-joinable distinct sets; the bottom-k is a single
+    64-row WindowGroupLimit. In a real deployment the two sketches
+    arrive pre-built from different pipelines and merge in O(k) —
+    this query IS that merge, just with the build inline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    buys = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    uni = views.unionAll(buys).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = (
+        uni.join(views.withColumn("v", F.lit(1)), "user_id", "left")
+        .join(buys.withColumn("b", F.lit(1)), "user_id", "left")
+        .select(
+            h.alias("h"),
+            F.when(F.col("v").isNotNull() & F.col("b").isNotNull(), 1)
+            .otherwise(0)
+            .alias("in_both"),
+        )
+    )
+    w = Window.orderBy("h")
+    bottomk = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 64
+    )
+    est = bottomk.agg(
+        F.sum("in_both").alias("k_both"), F.count("*").alias("k_used")
+    )
+    exact = hashed.agg(
+        F.sum("in_both").alias("n_inter"), F.count("*").alias("n_union")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_inter",
+        "n_union",
+        F.expr("n_inter * 1000000 div n_union").cast("bigint").alias(
+            "jaccard_exact_ppm"
+        ),
+        "k_both",
+        "k_used",
+        F.expr("k_both * 1000000 div k_used").cast("bigint").alias(
+            "jaccard_kmv_ppm"
+        ),
+    )

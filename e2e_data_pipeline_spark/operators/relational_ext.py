@@ -1844,3 +1844,222 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "passed"
         ),
     )
+
+
+@register(
+    "dq_bloom_audit",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+    ),
+    bits AS (
+        SELECT (CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                    || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) // 63) % 64
+                   AS word,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                    || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 63 AS bit
+        FROM present CROSS JOIN (SELECT unnest(range(0, 3)) AS seed)
+    ),
+    sketch AS (
+        SELECT word, bit_or((1::BIGINT) << bit) AS mask
+        FROM bits GROUP BY word
+    ),
+    probes AS (
+        SELECT c.c_custkey,
+               (CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                    || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) // 63)
+                   % 64 AS word,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                    || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 63
+                   AS bit
+        FROM customer c CROSS JOIN (SELECT unnest(range(0, 3)) AS seed)
+    ),
+    claimed AS (
+        SELECT p.c_custkey,
+               CAST(MIN(CASE WHEN (s.mask & ((1::BIGINT) << p.bit)) <> 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS member
+        FROM probes p LEFT JOIN sketch s ON s.word = p.word
+        GROUP BY p.c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(c.member) AS BIGINT) AS n_claimed,
+           CAST(SUM(CASE WHEN pr.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN c.member = 1 AND pr.k IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN c.member = 0 AND pr.k IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM claimed c LEFT JOIN present pr ON pr.k = c.c_custkey
+    """,
+)
+def dq_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built, probed, and audited entirely in relational
+    operators: a 64-word × 63-bit filter over H1-1996
+    buyers (3 portable hashes per key, OR-folded into per-word masks)
+    — a strict subset of customers, so absent keys exist and the FP
+    rate is measurable — every customer probed against it, and the filter's claims graded against
+    the true semi-join — n_false_negatives is PROVABLY 0 (the Bloom
+    guarantee; the query exhibits the proof) while the measured
+    false-positive count audits the m/n/d sizing. Complements
+    join_bloom_runtime (Spark's own injected runtime filter) by
+    making the data structure itself inspectable and oracle-checked.
+    Bits stay in 0..62 — the engines disagree on shifting into the
+    int64 sign bit (DuckDB raises, Spark wraps).
+
+    Scale: the sketch is 64 rows and broadcasts; build and probe are
+    map-side explodes (d=3) with a tiny bit_or shuffle — the
+    membership structure a 100 TB anti-join prefilter actually ships.
+    """
+    def wordbit(key_col: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col(key_col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h
+
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("seed")
+    present = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = present.select("k", seeds).select(
+        (wordbit("k") % (63 * 64)).alias("h")
+    ).select(
+        F.expr("h div 63").alias("word"), F.expr("h % 63").alias("bit")
+    )
+    sketch = bits.groupBy("word").agg(
+        F.bit_or(F.expr("CAST(1 AS BIGINT) << CAST(bit AS INT)")).alias("mask")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    probes = cust.select("c_custkey", seeds).select(
+        "c_custkey", (wordbit("c_custkey") % (63 * 64)).alias("h")
+    ).select(
+        "c_custkey",
+        F.expr("h div 63").alias("word"),
+        F.expr("h % 63").alias("bit"),
+    )
+    claimed = (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .select(
+            "c_custkey",
+            F.when(
+                F.expr("mask & (CAST(1 AS BIGINT) << CAST(bit AS INT))") != 0, 1
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("member"))
+    )
+    return (
+        claimed.join(
+            F.broadcast(present.withColumnRenamed("k", "c_custkey").withColumn("present", F.lit(1))),
+            "c_custkey",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.sum("member").alias("n_claimed"),
+            F.sum(F.when(F.col("present").isNotNull(), 1).otherwise(0)).alias(
+                "n_true"
+            ),
+            F.sum(
+                F.when((F.col("member") == 1) & F.col("present").isNull(), 1)
+                .otherwise(0)
+            ).alias("n_false_positives"),
+            F.sum(
+                F.when((F.col("member") == 0) & F.col("present").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_false_negatives"),
+        )
+    )
+
+
+@register(
+    "sample_bottom_k",
+    oracle="""
+    WITH hashed AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CAST('0x' || substr(md5('bk:' || CAST(o_orderkey AS VARCHAR)),
+                    1, 15) AS BIGINT) AS h
+        FROM orders
+    ),
+    picked AS (
+        SELECT o_orderkey, o_custkey, cents FROM (
+            SELECT *, row_number() OVER (ORDER BY h, o_orderkey) AS rn
+            FROM hashed
+        ) WHERE rn <= 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(cents) AS BIGINT) AS sample_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM picked
+    """,
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample via bottom-k hashing — the
+    deterministic distributed replacement for reservoir sampling:
+    take the k=200 rows with the smallest portable hash values.
+    Unlike `sample_hash` (Bernoulli: fixed RATE, variable size) this
+    yields an exactly-k sample; unlike a reservoir it needs no
+    sequential state, composes under union (bottom-k of bottom-ks),
+    and gives the same sample on every rerun and engine — which is
+    why it's also the KMV sketch's sampling core (agg_kmv_sketch).
+    Summary moments pin the exact membership through the hash check.
+
+    Plan: the rank ≤ k over a global hash order is a WindowGroupLimit
+    — each partition keeps its own k smallest, then one k-sized merge;
+    no full sort materializes.
+    """
+    hashed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bk:"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.orderBy("h", "o_orderkey")
+    picked = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 200
+    )
+    return picked.agg(
+        F.count("*").alias("n_sample"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("cents").alias("sample_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
