@@ -1450,3 +1450,73 @@ def scan_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_cust").alias("n_cust"),
         F.col("s.acct_cents").alias("acct_cents"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02' AND l_quantity < 25
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`), the Spark 4 linear query form: scan
+    |> filter |> aggregate reads top-to-bottom in execution order —
+    and parses to the IDENTICAL logical plan as the nested SELECT, so
+    Catalyst pushdown/pruning are untouched (the oracle is the
+    classic-syntax twin computing the same Q1-flavored rollup). The
+    surface matters for generated pipelines: appending a stage is a
+    string append, not a re-nesting.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02' AND l_quantity < 25
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                         AS cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, cents
+        """
+    )
+
+
+@register(
+    "sql_session_variable",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR), the Spark 4
+    replacement for client-side string templating: the threshold and
+    status live server-side, are typed, and fold into the plan as
+    constants — so predicate pushdown still reaches the scan, unlike
+    an opaque scalar UDF parameter. The oracle inlines the same
+    values, proving variable resolution ≡ literal semantics.
+    """
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_filter STRING DEFAULT 'O'")
+    spark.sql("SET VAR price_floor = 150000.0")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM var_orders
+        WHERE o_totalprice > price_floor AND o_orderstatus = status_filter
+        GROUP BY o_orderpriority
+        """
+    )
