@@ -1624,3 +1624,70 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("bigint").alias("peak_concurrent"),
         (F.count("*") / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+@register(
+    "ts_backtest_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    joined AS (
+        SELECT a.day, a.cents AS actual, f.cents AS forecast
+        FROM daily a JOIN daily f ON f.day = a.day - 7
+    )
+    SELECT CAST(day % 7 AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(abs(actual - forecast)) AS BIGINT) AS abs_err_cents,
+           CAST(SUM(actual - forecast) AS BIGINT) AS bias_cents,
+           CAST(SUM(abs(actual - forecast)) * 1000000 // SUM(actual)
+                AS BIGINT) AS wmape_ppm
+    FROM joined GROUP BY day % 7
+    """,
+)
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecast
+    (ŷ(d) = y(d−7)) — the baseline every forecasting system must
+    report before anything fancier gets credit, and the evaluation
+    harness shape (join actuals to lagged forecasts, aggregate error
+    metrics) that any model's backtest reuses. Per weekday slice:
+    absolute error, signed bias, and weighted MAPE as one exact ppm
+    division (Σ|err| / Σactual — the aggregate-then-divide form that
+    avoids per-row ratio floors compounding).
+
+    Day-grain pre-aggregate map-side combines; the 7-day lag is a
+    self-equi-join on day−7 over the tiny daily frame (a lag window
+    would work too — the join form generalizes to forecasts produced
+    by a separate pipeline).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a = daily.alias("a")
+    f = daily.select(
+        (F.col("day") + 7).alias("day"), F.col("cents").alias("forecast")
+    ).alias("f")
+    joined = a.join(f, "day").select(
+        "day", F.col("cents").alias("actual"), "forecast"
+    )
+    return joined.groupBy((F.col("day") % 7).cast("bigint").alias("dow")).agg(
+        F.count("*").alias("n_forecasts"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias(
+            "abs_err_cents"
+        ),
+        F.sum(F.col("actual") - F.col("forecast")).alias("bias_cents"),
+        F.expr(
+            "SUM(abs(actual - forecast)) * 1000000 div SUM(actual)"
+        )
+        .cast("bigint")
+        .alias("wmape_ppm"),
+    )

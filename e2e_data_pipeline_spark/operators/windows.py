@@ -919,3 +919,105 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)"
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "win_clamped_balance",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS sec,
+               event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                    ELSE -CAST(ROUND(value * 100, 0) AS BIGINT) END AS d
+        FROM events WHERE user_id < 20
+              AND event_type IN ('purchase', 'view')
+    ),
+    sums AS (
+        SELECT user_id, sec, event_id,
+               SUM(d) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM deltas
+    ),
+    swept AS (
+        SELECT user_id, sec, event_id, s,
+               MIN(s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS min_s
+        FROM sums
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(MAX(s - least(0, min_s)) AS BIGINT) AS peak_balance,
+           CAST(MAX(CASE WHEN rn = n THEN s - least(0, min_s) END) AS BIGINT)
+               AS final_balance,
+           CAST(SUM(CASE WHEN s - least(0, min_s) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockouts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY sec, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM swept
+    ) GROUP BY user_id
+    """,
+)
+def win_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance that can never go below zero (inventory level,
+    prepaid credit, rate-limiter tokens) — a NON-associative
+    recurrence B_t = max(0, B_{t-1} + d_t) that looks like it forces
+    a sequential loop, solved instead with the Skorokhod reflection
+    identity: B_t = S_t − min(0, min_{k≤t} S_k), turning the clamp
+    into two stacked window aggregates over ONE shared sort order
+    (running sum, then running min of the running sum). Purchases add
+    integer cents, views drain them; the report carries peak, final,
+    and stockout counts per user.
+
+    This is the repo's showcase that "inherently sequential" state
+    machines often have a prefix-scan algebra — the same insight
+    behind win_drawdown and ts_changepoint_cusum. All integer cents;
+    (sec, event_id) makes the order total so both engines sweep
+    identically. One shuffle on user_id, everything else sorts within
+    the partition.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20)
+        & F.col("event_type").isin("purchase", "view")
+    )
+    deltas = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("bigint"),
+        )
+        .otherwise(-F.round(F.col("value") * 100, 0).cast("bigint"))
+        .alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sums = deltas.select(
+        "user_id", "sec", "event_id", F.sum("d").over(w).alias("s")
+    )
+    swept = sums.select(
+        "user_id", "sec", "event_id", "s", F.min("s").over(w).alias("min_s")
+    )
+    wo = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    wn = Window.partitionBy("user_id")
+    bal = F.col("s") - F.least(F.lit(0), F.col("min_s"))
+    ranked = swept.select(
+        "user_id",
+        bal.alias("b"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count("*").alias("n_moves"),
+        F.max("b").alias("peak_balance"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("b"))).alias(
+            "final_balance"
+        ),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("n_stockouts"),
+    )
