@@ -993,3 +993,127 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster", "n_points", "min_vec_id", "inertia_k", "centroid_checksum"
         )
     )
+
+
+@register(
+    "ml_pca_power",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    expl AS (
+        SELECT vec_id,
+               unnest(q) AS v,
+               unnest(range(1, len(q) + 1)) AS dim
+        FROM pts
+    ),
+    gram AS (
+        SELECT a.dim AS j, b.dim AS k,
+               CAST(SUM(a.v * b.v) AS BIGINT) AS a
+        FROM expl a JOIN expl b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim
+    ),
+    v1 AS (
+        SELECT k, a >> 40 AS x FROM (SELECT k, a FROM gram WHERE j = 1)
+    ),
+    v2 AS (
+        SELECT g.j AS k,
+               CAST(SUM(CAST(g.a AS HUGEINT) * v.x) >> 40 AS BIGINT) AS x
+        FROM gram g JOIN v1 v ON v.k = g.k
+        GROUP BY g.j
+    ),
+    dots AS (
+        SELECT CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS d21,
+               CAST(SUM(CAST(b.x AS HUGEINT) * b.x) AS HUGEINT) AS d11,
+               CAST(SUM(CASE WHEN a.x > 0 THEN a.k
+                        WHEN a.x < 0 THEN -a.k ELSE 0 END) AS BIGINT)
+                   AS sign_checksum
+        FROM v2 a JOIN v1 b ON b.k = a.k
+    )
+    SELECT CAST(d21 * 1000 // d11 AS BIGINT) AS rayleigh_permille,
+           sign_checksum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2 WHERE x <> 0)
+               AS nnz_dims
+    FROM dots
+    """,
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding Gram matrix by
+    POWER ITERATION — iterative distributed linear algebra (the
+    PageRank of numerics) made hash-exact: ppm-quantized vectors give
+    an exact int64 Gram matrix XᵀX (one grouped sum over a per-row
+    dimension-pair explode), the iterate v₁ = A·e₁ is a matrix column,
+    and v₂ = A·v₁ is a 64×64 matvec whose products run in
+    DECIMAL(38)/HUGEINT with a fixed 2⁻⁴⁰ rescale between steps
+    (normalization by shift — deterministic, no float norm). The
+    Rayleigh quotient v₂·v₁/v₁·v₁ (reported per-mille) estimates the
+    top eigenvalue growth; the sign pattern checksums the direction.
+
+    Scale: the Gram build is the only data-sized pass — d²-cell
+    partial aggregation (the classic "compute XᵀX, not SVD(X)" move;
+    d² = 4096 cells per task). Every iteration after that touches
+    only d×d rows. More iterations = repeat the 10-line matvec block.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    expl = pts.select(
+        "vec_id", F.posexplode("q").alias("dim0", "v")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    a, b = expl.alias("a"), expl.alias("b")
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("a.dim").alias("j"), F.col("b.dim").alias("k"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("a"))
+    )
+    v1 = gram.where(F.col("j") == 1).select(
+        "k", F.expr("a >> 40").alias("x")
+    )
+    v2 = (
+        gram.join(F.broadcast(v1.withColumnRenamed("x", "vx")), "k")
+        .groupBy(F.col("j").alias("k"))
+        .agg(
+            # floor semantics to match DuckDB's arithmetic >> on the
+            # (possibly negative) HUGEINT sum: (S - pmod(S, m)) div m
+            # is exactly divisible, so decimal div's truncation equals
+            # the floor here.
+            F.expr(
+                "CAST((SUM(CAST(a AS DECIMAL(38,0)) * CAST(vx AS DECIMAL(38,0)))"
+                " - pmod(SUM(CAST(a AS DECIMAL(38,0)) * CAST(vx AS DECIMAL(38,0))),"
+                " CAST(1099511627776 AS DECIMAL(38,0))))"
+                " div CAST(1099511627776 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    dots = (
+        v2.alias("p")
+        .join(F.broadcast(v1.withColumnRenamed("x", "y")), "k")
+        .agg(
+            F.expr(
+                "SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+            ).alias("d21"),
+            F.expr(
+                "SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))"
+            ).alias("d11"),
+            F.sum(
+                F.when(F.col("x") > 0, F.col("k"))
+                .when(F.col("x") < 0, -F.col("k"))
+                .otherwise(0)
+            ).alias("sign_checksum"),
+        )
+    )
+    nnz = v2.where(F.col("x") != 0).agg(F.count("*").alias("nnz_dims"))
+    return dots.crossJoin(F.broadcast(nnz)).select(
+        F.expr("CAST(d21 * 1000 div d11 AS BIGINT)").alias("rayleigh_permille"),
+        F.col("sign_checksum").cast("bigint").alias("sign_checksum"),
+        "nnz_dims",
+    )
