@@ -2935,3 +2935,125 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_kmv_ppm"
         ),
     )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderstatus AS cls
+        FROM orders
+    ),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM pts
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pts),
+    cands AS (
+        SELECT DISTINCT 2 * r.cents AS t2
+        FROM ranked r CROSS JOIN nn
+        JOIN (SELECT unnest(range(1, 10)) AS k) ks
+          ON r.rn = greatest(1, (nn.c * ks.k) // 10)
+    ),
+    cells AS (
+        SELECT c.t2,
+               CASE WHEN 2 * p.cents <= c.t2 THEN 0 ELSE 1 END AS side,
+               p.cls, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts p CROSS JOIN cands c
+        GROUP BY c.t2, side, p.cls
+    ),
+    sides AS (
+        SELECT t2, side, CAST(SUM(n) AS BIGINT) AS n_side,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq
+        FROM cells GROUP BY t2, side
+    ),
+    scored AS (
+        SELECT l.t2,
+               l.n_side AS nl, r.n_side AS nr,
+               CAST(CAST(l.sum_sq * r.n_side + r.sum_sq * l.n_side AS DOUBLE)
+                    / CAST(l.n_side * r.n_side AS DOUBLE) AS DOUBLE)
+                   AS purity
+        FROM sides l JOIN sides r ON r.t2 = l.t2
+        WHERE l.side = 0 AND r.side = 1
+    )
+    SELECT t2 AS threshold_half_cents, nl, nr, purity
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY purity DESC, t2) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (the boosting base learner and the
+    one-feature CART step): pick the split threshold on order value
+    that best separates order-status classes by Gini impurity.
+    Minimizing weighted Gini ≡ maximizing Σ|left classes|²/n_left +
+    Σ|right|²/n_right, evaluated as ONE division of exact integer
+    sums (numerator < 2⁵³, so the double sort key is bit-identical —
+    the win_rolling_slope recipe again). Candidate thresholds are the
+    DISCRETE decile order statistics (rank (n·k) div 10 — interpolated
+    quantiles were rejected: a 0.9 fractional weight is not dyadic and
+    the engines' interpolation formulas differ by 1 ulp); argmax
+    tie-breaks on the threshold.
+
+    Scale: candidates broadcast, one (threshold × side × class)
+    grouped count over the data — 9·2·k cells per map task — then
+    O(9) scoring. Deeper trees = iterate the same split primitive
+    per node partition.
+    """
+    pts = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderstatus").alias("cls"),
+    )
+    ranked = pts.select(
+        "cents", F.row_number().over(Window.orderBy("cents")).alias("rn")
+    )
+    nn = pts.agg(F.count("*").alias("c"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    cands = (
+        ranked.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(ks),
+            F.col("rn") == F.greatest(F.lit(1), F.expr("(c * k) div 10")),
+        )
+        .select((2 * F.col("cents")).alias("t2"))
+        .distinct()
+    )
+    cells = (
+        pts.crossJoin(F.broadcast(cands))
+        .groupBy(
+            "t2",
+            F.when(2 * F.col("cents") <= F.col("t2"), 0).otherwise(1).alias(
+                "side"
+            ),
+            "cls",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    sides = cells.groupBy("t2", "side").agg(
+        F.sum("n").alias("n_side"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    left = sides.where(F.col("side") == 0).select(
+        "t2", F.col("n_side").alias("nl"), F.col("sum_sq").alias("lsq")
+    )
+    right = sides.where(F.col("side") == 1).select(
+        "t2", F.col("n_side").alias("nr"), F.col("sum_sq").alias("rsq")
+    )
+    scored = left.join(right, "t2").select(
+        "t2",
+        "nl",
+        "nr",
+        F.expr(
+            "CAST(CAST(lsq * nr + rsq * nl AS DOUBLE)"
+            " / CAST(nl * nr AS DOUBLE) AS DOUBLE)"
+        ).alias("purity"),
+    )
+    w = Window.orderBy(F.desc("purity"), "t2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("t2").alias("threshold_half_cents"), "nl", "nr", "purity"
+        )
+    )

@@ -1117,3 +1117,119 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sign_checksum").cast("bigint").alias("sign_checksum"),
         "nnz_dims",
     )
+
+
+@register(
+    "ml_knn_eval",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    queries AS (SELECT * FROM pts WHERE vec_id % 10 = 0),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid, c.label AS clabel,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> q.q[i] * c.q[i])) AS BIGINT) AS dot
+        FROM queries q CROSS JOIN pts c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    topk AS (
+        SELECT qid, qlabel, clabel FROM (
+            SELECT qid, qlabel, clabel,
+                   row_number() OVER (PARTITION BY qid
+                        ORDER BY dot DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT qid, qlabel, clabel, COUNT(*) AS v
+        FROM topk GROUP BY qid, qlabel, clabel
+    ),
+    pred AS (
+        SELECT qid, qlabel, clabel AS pred FROM (
+            SELECT qid, qlabel, clabel,
+                   row_number() OVER (PARTITION BY qid
+                        ORDER BY v DESC, clabel) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM pred
+    """,
+)
+def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation over the labeled embedding table:
+    each held-out query (10% sample by key, leave-self-out) takes a
+    majority vote among its 5 nearest neighbors by integer dot
+    product, graded against its own label — the end-to-end "are these
+    embeddings any good" harness. Every ranking is integer-exact with
+    full (score, id) and (votes, label) tie-breaks, so the accuracy
+    is a hash-checkable exact ppm.
+
+    Scale shape: query×corpus with the corpus never shuffling and
+    per-query WindowGroupLimit top-k — sim_topk's plan with the vote
+    layer on top. Exhaustive scoring is the oracle-checkable twin;
+    sim_topk_lsh / sim_topk_ivf are the documented sublinear paths.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    queries = pts.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        queries.crossJoin(pts)
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            dot.alias("dot"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("dot"), "cid")
+    topk = scored.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= 5
+    )
+    votes = topk.groupBy("qid", "qlabel", "clabel").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("v"), "clabel")
+    pred = votes.withColumn("rn", F.row_number().over(wv)).where(
+        F.col("rn") == 1
+    )
+    return pred.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)).alias(
+            "n_correct"
+        ),
+        F.expr(
+            "SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("accuracy_ppm"),
+    )

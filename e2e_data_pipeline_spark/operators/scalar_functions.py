@@ -1201,3 +1201,96 @@ def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_business_hours"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "fn_money_parse",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS true_cents
+        FROM orders
+    ),
+    rendered AS (
+        SELECT o_orderkey, true_cents,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN '(' || format('{:,}', true_cents // 100) || '.'
+                         || lpad(CAST(true_cents % 100 AS VARCHAR), 2, '0')
+                         || ')'
+                    ELSE '$' || format('{:,}', true_cents // 100) || '.'
+                         || lpad(CAST(true_cents % 100 AS VARCHAR), 2, '0')
+               END AS money
+        FROM cents
+    ),
+    parsed AS (
+        SELECT true_cents, money,
+               CASE WHEN money LIKE '(%' THEN -1 ELSE 1 END
+                 * TRY_CAST(replace(regexp_replace(money, '[$(),]', '', 'g'),
+                            '.', '') AS BIGINT) AS parsed_cents
+        FROM rendered
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN parsed_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parse_failures,
+           CAST(SUM(CASE WHEN abs(parsed_cents) = true_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM(parsed_cents) AS BIGINT) AS net_cents
+    FROM parsed
+    """,
+)
+def fn_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting-format money parsing: render each order total as
+    '$1,234.56' (or '(1,234.56)' for the accounting-negative style on
+    every 7th key), then parse the strings back — strip currency/
+    grouping symbols, map parens to sign, reassemble integer cents —
+    and audit the round trip. The render side builds from integer
+    cents (never float formatting, whose half-cent rounding differs
+    between engines); digit grouping itself is locale-stable
+    ('{:,}' ≡ format_number(..,0)). try-cast surfaces malformed rows
+    as a count instead of a job failure.
+
+    Pure scan-local string work — the ETL normalization every
+    finance feed needs, exercising regexp class replacement, LIKE,
+    conditional sign, and TRY_CAST in one pass.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "true_cents"
+        ),
+    )
+    body = F.concat(
+        F.format_number(F.expr("true_cents div 100"), 0),
+        F.lit("."),
+        F.lpad((F.col("true_cents") % 100).cast("string"), 2, "0"),
+    )
+    rendered = cents.select(
+        "true_cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("("), body, F.lit(")")),
+        )
+        .otherwise(F.concat(F.lit("$"), body))
+        .alias("money"),
+    )
+    parsed = rendered.select(
+        "true_cents",
+        (
+            F.when(F.col("money").like("(%"), -1).otherwise(1)
+            * F.expr(
+                "TRY_CAST(replace(regexp_replace(money, '[$(),]', ''),"
+                " '.', '') AS BIGINT)"
+            )
+        ).alias("parsed_cents"),
+    )
+    return parsed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("parsed_cents").isNull(), 1).otherwise(0)).alias(
+            "n_parse_failures"
+        ),
+        F.sum(
+            F.when(F.abs(F.col("parsed_cents")) == F.col("true_cents"), 1)
+            .otherwise(0)
+        ).alias("n_roundtrip_exact"),
+        F.sum("parsed_cents").alias("net_cents"),
+    )
