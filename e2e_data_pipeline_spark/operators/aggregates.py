@@ -3057,3 +3057,147 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t2").alias("threshold_half_cents"), "nl", "nr", "purity"
         )
     )
+
+
+@register(
+    "stats_cuped",
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(epoch_us(ts) // 86400000000)
+              + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                  < (SELECT mid FROM bounds)
+                        THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                  >= (SELECT mid FROM bounds)
+                        THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+               CAST('0x' || substr(md5('cuped:' || CAST(user_id AS VARCHAR)),
+                    1, 15) AS BIGINT) % 2 AS variant
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               (SELECT ((c - ((c % v) + v) % v) // v)
+                FROM (SELECT (n * sxy - sx * sy) * 1048576 AS c,
+                             n * sxx - sx * sx AS v)) AS theta_micro
+        FROM pooled
+    ),
+    per_variant AS (
+        SELECT variant,
+               CAST(COUNT(*) AS HUGEINT) AS nv,
+               CAST(SUM(x) AS HUGEINT) AS sxv,
+               CAST(SUM(y) AS HUGEINT) AS syv
+        FROM per_user GROUP BY variant
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant,
+           CAST(v.nv AS BIGINT) AS n_users,
+           CAST(v.syv AS BIGINT) AS post_cents,
+           CAST(t.theta_micro AS BIGINT) AS theta_micro,
+           CAST(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) AS DOUBLE)
+               AS raw_mean_cents,
+           CAST(CAST(v.syv * 1048576 * t.n
+                     - t.theta_micro * (v.sxv * t.n - t.sx * v.nv)
+                     AS DOUBLE)
+                / CAST(v.nv * t.n * 1048576 AS DOUBLE) AS DOUBLE)
+               AS cuped_mean_cents
+    FROM per_variant v CROSS JOIN theta t
+    """,
+)
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform
+    workhorse: adjust each variant's post-period metric by
+    θ·(X − E[X]) using pre-period covariate X, shrinking variance by
+    the pre/post correlation². All moments are exact wide integers
+    (HUGEINT / DECIMAL(38) — Σxy overflows int64 at real user
+    counts); θ is kept as a ×2²⁰ fixed-point integer via the
+    pmod-floor division (C can be negative — trunc vs floor differs
+    across engines), and each reported mean is ONE double division of
+    exact scale-0 integers, so even the floats hash identically (the
+    wide-decimal→double hazard only bites at nonzero decimal scale).
+    Variant assignment is the rerun-stable md5 split of
+    ml_split_stratified.
+
+    One per-user aggregate, a 1-row pooled-moment reduce, and O(2)
+    final arithmetic — the entire adjustment is map-side-combinable
+    sums, which is why CUPED scales to every experiment at once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+    bounds = ev.agg(
+        ((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("cuped:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(day < F.col("mid"), cents).otherwise(0).alias("xc"),
+            F.when(day >= F.col("mid"), cents).otherwise(0).alias("yc"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+        .select("user_id", "x", "y", (h % 2).alias("variant"))
+    )
+    d = "DECIMAL(38,0)"
+    pooled = per_user.agg(
+        F.expr(f"CAST(COUNT(*) AS {d})").alias("n"),
+        F.expr(f"CAST(SUM(x) AS {d})").alias("sx"),
+        F.expr(f"CAST(SUM(y) AS {d})").alias("sy"),
+        F.expr(f"SUM(CAST(x AS {d}) * CAST(y AS {d}))").alias("sxy"),
+        F.expr(f"SUM(CAST(x AS {d}) * CAST(x AS {d}))").alias("sxx"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        F.expr(
+            "((n * sxy - sx * sy) * 1048576"
+            " - pmod((n * sxy - sx * sy) * 1048576, n * sxx - sx * sx))"
+            " div (n * sxx - sx * sx)"
+        ).alias("theta_micro"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.expr(f"CAST(COUNT(*) AS {d})").alias("nv"),
+        F.expr(f"CAST(SUM(x) AS {d})").alias("sxv"),
+        F.expr(f"CAST(SUM(y) AS {d})").alias("syv"),
+    )
+    return per_variant.crossJoin(F.broadcast(theta)).select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("nv").cast("bigint").alias("n_users"),
+        F.col("syv").cast("bigint").alias("post_cents"),
+        F.col("theta_micro").cast("bigint").alias("theta_micro"),
+        F.expr("CAST(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) AS DOUBLE)").alias(
+            "raw_mean_cents"
+        ),
+        F.expr(
+            "CAST(CAST(syv * 1048576 * n"
+            " - theta_micro * (sxv * n - sx * nv) AS DOUBLE)"
+            " / CAST(nv * n * 1048576 AS DOUBLE) AS DOUBLE)"
+        ).alias("cuped_mean_cents"),
+    )

@@ -1520,3 +1520,66 @@ def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "scan_csv_eu_locale",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS acct_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def scan_csv_eu_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """European-locale CSV ingestion: semicolon delimiters and
+    comma decimal marks ('4321,95') — the classic "the feed came from
+    a German ERP" problem. The fixture is rendered from integer cents
+    (never float formatting), written as a real ;-separated file,
+    re-read with `sep=';'` as STRINGS, and the decimal comma is
+    normalized by string surgery before a strict cast — the
+    locale-aware parse Spark's csv reader doesn't do natively. The
+    oracle recomputes from the source parquet, proving the
+    render→parse round trip lossless.
+
+    Scale: the rendered file reads back with normal CSV splittability;
+    the normalization is a scan-local expression, not a UDF.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    rendered = cust.select(
+        F.concat_ws(
+            ";",
+            F.col("c_custkey").cast("string"),
+            F.col("c_nationkey").cast("string"),
+            F.concat(
+                F.expr(
+                    "CASE WHEN cents < 0 THEN '-' ELSE '' END"
+                ),
+                F.expr("abs(cents) div 100").cast("string"),
+                F.lit(","),
+                F.lpad((F.abs(F.col("cents")) % 100).cast("string"), 2, "0"),
+            ),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="e2e_eucsv_")
+    rendered.write.mode("overwrite").text(path)
+    back = (
+        spark.read.option("sep", ";")
+        .schema("c_custkey long, c_nationkey long, acctbal_eu string")
+        .csv(path)
+    )
+    parsed = back.select(
+        "c_nationkey",
+        F.regexp_replace("acctbal_eu", ",", ".")
+        .cast("decimal(18,2)")
+        .alias("bal"),
+    )
+    return parsed.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("bal") * 100).cast("bigint")).alias("acct_cents"),
+    )
