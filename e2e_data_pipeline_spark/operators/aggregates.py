@@ -3201,3 +3201,238 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(nv * n * 1048576 AS DOUBLE) AS DOUBLE)"
         ).alias("cuped_mean_cents"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(epoch_us(ts) // 86400000000)
+              + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT CAST('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)),
+                    1, 15) AS BIGINT) % 2 AS treated,
+               CASE WHEN epoch_us(ts) // 86400000000
+                         >= (SELECT mid FROM mid) THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s
+        FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+          MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+          MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+          MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+          MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1,
+          MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1,
+          MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0,
+          MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0
+        FROM m
+    )
+    SELECT s_t1, n_t1, s_t0, n_t0, s_c1, n_c1, s_c0, n_c0,
+           CAST(CAST((CAST(s_t1 AS HUGEINT) * n_t0
+                      - CAST(s_t0 AS HUGEINT) * n_t1)
+                     * (CAST(n_c1 AS HUGEINT) * n_c0)
+                     - (CAST(s_c1 AS HUGEINT) * n_c0
+                        - CAST(s_c0 AS HUGEINT) * n_c1)
+                       * (CAST(n_t1 AS HUGEINT) * n_t0)
+                     AS DOUBLE)
+                / CAST((CAST(n_t1 AS HUGEINT) * n_t0)
+                       * (CAST(n_c1 AS HUGEINT) * n_c0) AS DOUBLE) AS DOUBLE)
+               AS did_cents
+    FROM wide
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treated post−pre) − (control
+    post−pre) mean change, the causal-inference baseline for staged
+    rollouts. The four cell means collapse algebraically into ONE
+    double division of exact integer products (int64: s·n ≤ 4e9·1e5 =
+    4e14, times the other pair's n-product ≤ 1e10 → wait — that's
+    2.4e24; the numerator therefore computes in DECIMAL(38) inside
+    the CAST) — both engines round identically once. Treated
+    assignment is the rerun-stable md5 hash; the period split is the
+    data's midpoint day.
+
+    One (treated × post) grouped aggregate over the scan, a 4-row
+    pivot, O(1) arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+    mid = ev.agg(((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("did:"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cells = ev.crossJoin(F.broadcast(mid)).select(
+        (h % 2).alias("treated"),
+        F.when(day >= F.col("mid"), 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    wide = m.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col(c),
+                )
+            ).alias(f"{c}_{'t' if t else 'c'}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+            for c in ("s", "n")
+        ]
+    )
+    d = "DECIMAL(38,0)"
+    return wide.select(
+        "s_t1",
+        "n_t1",
+        "s_t0",
+        "n_t0",
+        "s_c1",
+        "n_c1",
+        "s_c0",
+        "n_c0",
+        F.expr(
+            f"CAST(CAST((CAST(s_t1 AS {d}) * n_t0 - CAST(s_t0 AS {d}) * n_t1)"
+            f" * (CAST(n_c1 AS {d}) * n_c0)"
+            f" - (CAST(s_c1 AS {d}) * n_c0 - CAST(s_c0 AS {d}) * n_c1)"
+            f" * (CAST(n_t1 AS {d}) * n_t0) AS DOUBLE)"
+            f" / CAST((CAST(n_t1 AS {d}) * n_t0)"
+            f" * (CAST(n_c1 AS {d}) * n_c0) AS DOUBLE) AS DOUBLE)"
+        ).alias("did_cents"),
+    )
+
+
+@register(
+    "agg_metric_decomp",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(epoch_us(ts) // 86400000000)
+              + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS mid
+        FROM events
+    ),
+    purch AS (
+        SELECT CASE WHEN epoch_us(ts) // 86400000000
+                         >= (SELECT mid FROM mid) THEN 1 ELSE 0 END AS period,
+               user_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT period,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS buyers,
+               CAST(COUNT(*) AS BIGINT) AS orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM purch GROUP BY period
+    )
+    SELECT period, buyers, orders, revenue_cents,
+           CAST(CAST(orders AS DOUBLE) / CAST(buyers AS DOUBLE) AS DOUBLE)
+               AS orders_per_buyer,
+           CAST(CAST(revenue_cents AS DOUBLE) / CAST(orders AS DOUBLE)
+                AS DOUBLE) AS aov_cents,
+           CAST(b.buyers_ratio_ppm AS BIGINT) AS buyers_ratio_ppm,
+           CAST(b.freq_ratio_ppm AS BIGINT) AS freq_ratio_ppm,
+           CAST(b.aov_ratio_ppm AS BIGINT) AS aov_ratio_ppm
+    FROM m CROSS JOIN (
+        SELECT
+          MAX(CASE WHEN period = 1 THEN buyers END) * 1000000
+            // MAX(CASE WHEN period = 0 THEN buyers END) AS buyers_ratio_ppm,
+          MAX(CASE WHEN period = 1 THEN orders END)
+            * MAX(CASE WHEN period = 0 THEN buyers END) * 1000000
+            // (MAX(CASE WHEN period = 0 THEN orders END)
+                * MAX(CASE WHEN period = 1 THEN buyers END))
+              AS freq_ratio_ppm,
+          MAX(CASE WHEN period = 1 THEN revenue_cents END)
+            * MAX(CASE WHEN period = 0 THEN orders END) * 1000000
+            // (MAX(CASE WHEN period = 0 THEN revenue_cents END)
+                * MAX(CASE WHEN period = 1 THEN orders END))
+              AS aov_ratio_ppm
+        FROM m
+    ) b
+    """,
+)
+def agg_metric_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star metric decomposition: revenue = buyers ×
+    orders/buyer × AOV, with the period-over-period change factored
+    into the three drivers — the "why did revenue move" report. Each
+    driver's period ratio is an exact ppm via cross-multiplied
+    integer division (no intermediate float means), and their product
+    telescopes back to the revenue ratio by construction — the
+    multiplicative identity auditors recompute. Per-period level
+    columns ride along as single-division doubles (bit-identical on
+    exact ints).
+
+    One grouped aggregate (a distinct-users leg + counts + sums), a
+    2-row pivot, O(1) arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+    mid = ev.agg(((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid"))
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.when(day >= F.col("mid"), 1).otherwise(0).alias("period"),
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    m = purch.groupBy("period").agg(
+        F.countDistinct("user_id").alias("buyers"),
+        F.count("*").alias("orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    b = m.agg(
+        F.expr(
+            "MAX(CASE WHEN period = 1 THEN buyers END) * 1000000"
+            " div MAX(CASE WHEN period = 0 THEN buyers END)"
+        ).alias("buyers_ratio_ppm"),
+        F.expr(
+            "MAX(CASE WHEN period = 1 THEN orders END)"
+            " * MAX(CASE WHEN period = 0 THEN buyers END) * 1000000"
+            " div (MAX(CASE WHEN period = 0 THEN orders END)"
+            " * MAX(CASE WHEN period = 1 THEN buyers END))"
+        ).alias("freq_ratio_ppm"),
+        F.expr(
+            "MAX(CASE WHEN period = 1 THEN revenue_cents END)"
+            " * MAX(CASE WHEN period = 0 THEN orders END) * 1000000"
+            " div (MAX(CASE WHEN period = 0 THEN revenue_cents END)"
+            " * MAX(CASE WHEN period = 1 THEN orders END))"
+        ).alias("aov_ratio_ppm"),
+    )
+    return m.crossJoin(F.broadcast(b)).select(
+        "period",
+        "buyers",
+        "orders",
+        "revenue_cents",
+        F.expr(
+            "CAST(CAST(orders AS DOUBLE) / CAST(buyers AS DOUBLE) AS DOUBLE)"
+        ).alias("orders_per_buyer"),
+        F.expr(
+            "CAST(CAST(revenue_cents AS DOUBLE) / CAST(orders AS DOUBLE)"
+            " AS DOUBLE)"
+        ).alias("aov_cents"),
+        F.col("buyers_ratio_ppm").cast("bigint").alias("buyers_ratio_ppm"),
+        F.col("freq_ratio_ppm").cast("bigint").alias("freq_ratio_ppm"),
+        F.col("aov_ratio_ppm").cast("bigint").alias("aov_ratio_ppm"),
+    )

@@ -1294,3 +1294,100 @@ def fn_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_roundtrip_exact"),
         F.sum("parsed_cents").alias("net_cents"),
     )
+
+
+@register(
+    "fn_semver_sort",
+    oracle="""
+    WITH vers AS (
+        SELECT p_partkey,
+               CAST(p_partkey % 5 AS VARCHAR) || '.'
+               || CAST(p_size % 12 AS VARCHAR) || '.'
+               || CAST(p_partkey * 7 % 20 AS VARCHAR)
+               || CASE WHEN p_partkey % 3 = 0
+                       THEN '-rc.' || CAST(p_partkey % 4 AS VARCHAR)
+                       ELSE '' END AS version
+        FROM part
+    ),
+    parsed AS (
+        SELECT p_partkey, version,
+               CAST(string_split(string_split(version, '-')[1], '.')[1]
+                    AS BIGINT) AS major,
+               CAST(string_split(string_split(version, '-')[1], '.')[2]
+                    AS BIGINT) AS minor,
+               CAST(string_split(string_split(version, '-')[1], '.')[3]
+                    AS BIGINT) AS patch,
+               CASE WHEN version LIKE '%-rc.%'
+                    THEN CAST(string_split(version, 'rc.')[2] AS BIGINT)
+                    ELSE NULL END AS rc
+        FROM vers
+    )
+    SELECT version, major, minor, patch,
+           CAST(COALESCE(rc, -1) AS BIGINT) AS rc,
+           CAST(row_number() OVER (
+               ORDER BY major DESC, minor DESC, patch DESC,
+                        (rc IS NULL) DESC, rc DESC, p_partkey
+           ) AS BIGINT) AS rn
+    FROM parsed
+    ORDER BY rn LIMIT 20
+    """,
+)
+def fn_semver_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version parsing and precedence ordering — the
+    artifact-registry query ("latest release, pre-releases rank
+    below the release they precede"): split off the pre-release tag,
+    parse the numeric triple, and sort by (major, minor, patch,
+    release-before-rc, rc number) exactly as SemVer §11 specifies.
+    Versions are synthesized from part attributes so the parse is
+    exercised end to end; top-20 with a key tie-break.
+
+    Pure string/integer expressions; the ordering is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    part = load_table(spark, sf_dir, "part")
+    vers = part.select(
+        "p_partkey",
+        F.concat(
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit("."),
+            (F.col("p_size") % 12).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") * 7 % 20).cast("string"),
+            F.when(
+                F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("-rc."), (F.col("p_partkey") % 4).cast("string")),
+            ).otherwise(""),
+        ).alias("version"),
+    )
+    core = F.element_at(F.split("version", "-"), 1)
+    parsed = vers.select(
+        "p_partkey",
+        "version",
+        F.element_at(F.split(core, r"\."), 1).cast("bigint").alias("major"),
+        F.element_at(F.split(core, r"\."), 2).cast("bigint").alias("minor"),
+        F.element_at(F.split(core, r"\."), 3).cast("bigint").alias("patch"),
+        F.when(
+            F.col("version").like("%-rc.%"),
+            F.element_at(F.split("version", r"rc\."), 2).cast("bigint"),
+        ).alias("rc"),
+    )
+    w = Window.orderBy(
+        F.desc("major"),
+        F.desc("minor"),
+        F.desc("patch"),
+        F.desc(F.col("rc").isNull()),
+        F.desc("rc"),
+        F.col("p_partkey").asc(),
+    )
+    return (
+        parsed.select(
+            "version",
+            "major",
+            "minor",
+            "patch",
+            F.coalesce(F.col("rc"), F.lit(-1)).cast("bigint").alias("rc"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .orderBy("rn")
+        .limit(20)
+    )
