@@ -1882,3 +1882,72 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "v1", "v2")
         .limit(20)
     )
+
+
+def _sweep_leg_sql(w: int) -> str:
+    return f"""
+        SELECT {w} AS w, sh AS shingle FROM (
+            SELECT unnest(list_transform(
+                range(1, len(string_split(text, ' ')) - {w} + 2),
+                i -> array_to_string(string_split(text, ' ')[i:i + {w} - 1],
+                                     ' '))) AS sh
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {w}
+        )"""
+
+
+@register(
+    "dedup_param_sweep",
+    oracle=f"""
+    WITH shingles AS (
+        {_sweep_leg_sql(2)}
+        UNION ALL {_sweep_leg_sql(3)}
+        UNION ALL {_sweep_leg_sql(5)}
+    )
+    SELECT CAST(w AS BIGINT) AS shingle_w,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           CAST((COUNT(*) - COUNT(DISTINCT shingle)) * 1000000 // COUNT(*)
+                AS BIGINT) AS dup_ppm
+    FROM shingles GROUP BY w
+    """,
+)
+def dedup_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-width sensitivity curve for near-dup tuning: the
+    corpus-wide duplicate-shingle rate at w ∈ {{2, 3, 5}} — the
+    diagnostic that picks the shingle size before committing to a
+    MinHash configuration (too small ⇒ everything collides, too large
+    ⇒ nothing does; the curve's knee is the operating point). Sliding
+    shingles are built with pure array slicing (no explode-then-window
+    reassembly), unioned across widths with the width as a group key,
+    and the dup rate is an exact ppm.
+
+    Per-width work is one explode proportional to token count; the
+    three widths share the scan via the union (Spark reads the
+    documents once per leg at fixture scale — at 100 TB you'd explode
+    all widths from one pass; the per-leg plan is identical).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+
+    def leg(w: int) -> DataFrame:
+        arr = F.split("text", " ")
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - w + 1),
+            lambda i: F.array_join(F.slice(arr, i, w), " "),
+        )
+        return (
+            docs.where(F.size(F.split("text", " ")) >= w)
+            .select(F.explode(shingles).alias("shingle"))
+            .select(F.lit(w).alias("w"), "shingle")
+        )
+
+    all_sh = leg(2).unionAll(leg(3)).unionAll(leg(5))
+    return all_sh.groupBy(F.col("w").cast("bigint").alias("shingle_w")).agg(
+        F.count("*").alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.expr(
+            "(COUNT(*) - COUNT(DISTINCT shingle)) * 1000000 div COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )

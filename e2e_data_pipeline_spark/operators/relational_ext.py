@@ -2063,3 +2063,105 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("sample_cents"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "dq_fk_inference",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) a
+                WHERE EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = a.o_custkey)) AS n_contained
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part.p_partkey',
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) a
+                WHERE EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = a.l_partkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation.n_nationkey',
+               (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+               (SELECT COUNT(*) FROM
+                    (SELECT DISTINCT c_nationkey FROM customer) a
+                WHERE EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = a.c_nationkey))
+        UNION ALL
+        SELECT 'part.p_size->nation.n_nationkey',
+               (SELECT COUNT(DISTINCT p_size) FROM part),
+               (SELECT COUNT(*) FROM (SELECT DISTINCT p_size FROM part) a
+                WHERE EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = a.p_size))
+    )
+    SELECT candidate,
+           CAST(n_child AS BIGINT) AS n_child_distinct,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           CAST(n_contained * 1000000 // n_child AS BIGINT)
+               AS containment_ppm,
+           CAST(CASE WHEN n_contained * 100 >= n_child * 95
+                THEN 1 ELSE 0 END AS BIGINT) AS inferred_fk
+    FROM pairs
+    """,
+)
+def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery by inclusion dependency: for each
+    candidate column pair, the fraction of the child side's distinct
+    values contained in the parent side — the schema-profiling
+    primitive behind automatic ER diagrams and join recommendations.
+    Three true FK edges of the star schema plus one decoy
+    (p_size→n_nationkey: high accidental containment of small ints —
+    exactly the false-positive a naive threshold admits, kept in the
+    report to show why containment needs a cardinality prior).
+    Containment in exact ppm; the ≥95% inference gate is
+    cross-multiplied.
+
+    Each pair is distinct-then-LEFT-SEMI (parent side broadcasts when
+    it's a dim); candidate pairs at real scale come from column-type
+    pruning, then this same per-pair plan runs for each.
+    """
+    def leg(name, child_df, child_col, parent_df, parent_col):
+        child = child_df.select(F.col(child_col).alias("v")).distinct()
+        parent = parent_df.select(F.col(parent_col).alias("v")).distinct()
+        contained = child.join(parent, "v", "left_semi")
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(contained.agg(F.count("*").alias("n_contained")))
+            .select(
+                F.lit(name).alias("candidate"), "n_child", "n_contained"
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        leg("orders.o_custkey->customer.c_custkey", orders, "o_custkey",
+            customer, "c_custkey")
+        .unionAll(
+            leg("lineitem.l_partkey->part.p_partkey", lineitem, "l_partkey",
+                part, "p_partkey")
+        )
+        .unionAll(
+            leg("customer.c_nationkey->nation.n_nationkey", customer,
+                "c_nationkey", nation, "n_nationkey")
+        )
+        .unionAll(
+            leg("part.p_size->nation.n_nationkey", part, "p_size", nation,
+                "n_nationkey")
+        )
+    )
+    return pairs.select(
+        "candidate",
+        F.col("n_child").alias("n_child_distinct"),
+        "n_contained",
+        F.expr("n_contained * 1000000 div n_child").cast("bigint").alias(
+            "containment_ppm"
+        ),
+        F.when(F.expr("n_contained * 100 >= n_child * 95"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("inferred_fk"),
+    )

@@ -1391,3 +1391,93 @@ def fn_semver_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rn")
         .limit(20)
     )
+
+
+@register(
+    "fn_checkdigit",
+    oracle="""
+    WITH nums AS (
+        SELECT c_custkey,
+               lpad(CAST(c_custkey * 991 % 1000000000 AS VARCHAR), 9, '0')
+                   AS body
+        FROM customer
+    ),
+    digits AS (
+        SELECT c_custkey, body,
+               unnest(range(1, 10)) AS pos,
+               CAST(substr(body, CAST(unnest(range(1, 10)) AS INT), 1)
+                    AS BIGINT) AS d
+        FROM nums
+    ),
+    luhn AS (
+        SELECT c_custkey, body,
+               CAST(SUM(CASE WHEN (9 - pos) % 2 = 0
+                        THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9
+                             ELSE d * 2 END
+                        ELSE d END) AS BIGINT) AS s_luhn,
+               CAST(SUM(CASE WHEN pos % 2 = 1 THEN d ELSE 3 * d END)
+                    AS BIGINT) AS s_ean
+        FROM digits GROUP BY c_custkey, body
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((10 - s_luhn % 10) % 10) AS BIGINT) AS luhn_digit_sum,
+           CAST(SUM((10 - s_ean % 10) % 10) AS BIGINT) AS ean_digit_sum,
+           CAST(SUM(CASE WHEN (s_luhn + (10 - s_luhn % 10) % 10) % 10 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS luhn_self_valid
+    FROM luhn
+    """,
+)
+def fn_checkdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-digit computation — Luhn (payment cards) and EAN/GTIN
+    (barcodes) over synthesized 9-digit bodies: the validation kernel
+    every ingestion pipeline runs on identifier columns. Both schemes
+    are digit-position arithmetic (double-every-second-from-the-right
+    with 9-subtraction for Luhn; 1/3 alternating weights for EAN),
+    expressed as a position explode + conditional sums — no UDF. The
+    luhn_self_valid column proves the construction: appending the
+    computed digit always yields a checksum ≡ 0 (mod 10), so the
+    count equals n by definition — a self-validating output like the
+    CMS/Bloom audits.
+
+    Map-side explode (9 rows per id) with immediate partial
+    aggregation; string→digit via substr, portable on both engines.
+    """
+    nums = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(
+            (F.col("c_custkey") * 991 % 1000000000).cast("string"), 9, "0"
+        ).alias("body"),
+    )
+    digits = nums.select(
+        "c_custkey",
+        "body",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("pos"),
+    ).select(
+        "c_custkey",
+        "body",
+        "pos",
+        F.expr("CAST(substr(body, CAST(pos AS INT), 1) AS BIGINT)").alias("d"),
+    )
+    luhn = digits.groupBy("c_custkey", "body").agg(
+        F.sum(
+            F.when(
+                (9 - F.col("pos")) % 2 == 0,
+                F.when(F.col("d") * 2 > 9, F.col("d") * 2 - 9).otherwise(
+                    F.col("d") * 2
+                ),
+            ).otherwise(F.col("d"))
+        ).alias("s_luhn"),
+        F.sum(
+            F.when(F.col("pos") % 2 == 1, F.col("d")).otherwise(3 * F.col("d"))
+        ).alias("s_ean"),
+    )
+    return luhn.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("(10 - s_luhn % 10) % 10")).alias("luhn_digit_sum"),
+        F.sum(F.expr("(10 - s_ean % 10) % 10")).alias("ean_digit_sum"),
+        F.sum(
+            F.when(
+                F.expr("(s_luhn + (10 - s_luhn % 10) % 10) % 10 = 0"), 1
+            ).otherwise(0)
+        ).alias("luhn_self_valid"),
+    )
