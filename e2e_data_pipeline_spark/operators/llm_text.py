@@ -1589,3 +1589,71 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "chunk")
         .limit(20)
     )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH rendered AS (
+        SELECT doc_id,
+               '<div class="post" id="d' || CAST(doc_id AS VARCHAR) || '">'
+               || '<h1>Doc &amp; notes</h1><p>'
+               || replace(text, ' fast ', ' <b>fast</b> ')
+               || '</p>&nbsp;&lt;end&gt;</div>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+               replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', '', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&nbsp;', ' ') AS clean
+        FROM rendered
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS html_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+           substr(md5(clean), 1, 16) AS clean_digest
+    FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform every
+    web-crawl corpus goes through: tag removal by non-greedy class
+    regexp plus the core entity decodes (&amp; &lt; &gt; &nbsp;),
+    applied in a fixed replace order (entity decode AFTER tag strip,
+    so '&lt;end&gt;' survives as literal text — the ordering bug
+    that silently eats content when reversed). The fixture renders a
+    deterministic HTML wrapper around each document so the strip is
+    verified against a known answer; the cleaned text is pinned by
+    length + md5 digest.
+
+    Scan-local regexp/replace chain — no UDF, no parser library; at
+    100 TB this is exactly the shape you want (a real DOM parser
+    goes behind mapInPandas only for pages where the regexp
+    heuristic flags nesting pathologies).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    rendered = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="post" id="d'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.lit("<h1>Doc &amp; notes</h1><p>"),
+            F.regexp_replace("text", " fast ", " <b>fast</b> "),
+            F.lit("</p>&nbsp;&lt;end&gt;</div>"),
+        ).alias("html"),
+    )
+    clean = F.regexp_replace("html", "<[^>]*>", "")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&nbsp;", " ")]:
+        clean = F.regexp_replace(clean, ent, ch)
+    stripped = rendered.select("doc_id", "html", clean.alias("clean"))
+    return stripped.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("html_len"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        F.regexp_count("html", F.lit("<[^>]*>")).cast("bigint").alias("n_tags"),
+        F.substring(F.md5("clean"), 1, 16).alias("clean_digest"),
+    )
