@@ -3486,3 +3486,81 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("min_val"),
         F.max("c").alias("max_val"),
     )
+
+
+@register(
+    "agg_var_es",
+    oracle="""
+    WITH pnl AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT)
+               * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS cents
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pnl
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = greatest(1, n * 5 // 100) THEN cents END)
+                AS BIGINT) AS var95_cents,
+           CAST(SUM(CASE WHEN rn <= greatest(1, n * 5 // 100) THEN cents
+                    ELSE 0 END) AS BIGINT) AS tail_sum_cents,
+           CAST(SUM(CASE WHEN rn <= greatest(1, n * 5 // 100) THEN 1
+                    ELSE 0 END) AS BIGINT) AS tail_n,
+           CAST(CAST(SUM(CASE WHEN rn <= greatest(1, n * 5 // 100)
+                         THEN cents ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CASE WHEN rn <= greatest(1, n * 5 // 100)
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS DOUBLE)
+               AS es95_cents
+    FROM ranked
+    """,
+)
+def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall at 95% on a signed P&L
+    stream (purchases credit, errors debit): VaR is the exact 5th-
+    percentile ORDER STATISTIC (rank (n·5) div 100 — discrete, no
+    interpolation, the ml_decision_stump lesson), and ES is the mean
+    of the tail at-or-below it — the coherent risk measure Basel
+    moved to precisely because VaR alone ignores tail shape. Tail sum
+    and count are exact integers; ES is their single double division.
+
+    One global rank over the P&L (at scale: the partition-prefix-sum
+    ranking stats_mannwhitney uses), then a single conditional
+    aggregate — no second pass over the tail.
+    """
+    pnl = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            (
+                F.round(F.col("value") * 100, 0).cast("bigint")
+                * F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents")
+    ranked = pnl.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    k = "greatest(1, n * 5 div 100)"
+    return ranked.agg(
+        F.max("n").alias("n"),
+        F.max(F.expr(f"CASE WHEN rn = {k} THEN cents END")).alias(
+            "var95_cents"
+        ),
+        F.sum(F.expr(f"CASE WHEN rn <= {k} THEN cents ELSE 0 END")).alias(
+            "tail_sum_cents"
+        ),
+        F.sum(F.expr(f"CASE WHEN rn <= {k} THEN 1 ELSE 0 END")).alias(
+            "tail_n"
+        ),
+        F.expr(
+            f"CAST(CAST(SUM(CASE WHEN rn <= {k} THEN cents ELSE 0 END)"
+            f" AS DOUBLE) / CAST(SUM(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)"
+            f" AS DOUBLE) AS DOUBLE)"
+        ).alias("es95_cents"),
+    )

@@ -2165,3 +2165,94 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inferred_fk"),
     )
+
+
+@register(
+    "dq_fd_discovery",
+    oracle="""
+    WITH cands AS (
+        SELECT 'o_custkey->o_orderpriority' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+              FROM orders GROUP BY o_custkey)
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS k
+              FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'c_custkey->c_mktsegment',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS k
+              FROM customer GROUP BY c_custkey)
+        UNION ALL
+        SELECT 'n_nationkey->n_regionkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS k
+              FROM nation GROUP BY n_nationkey)
+    )
+    SELECT fd, n_lhs, n_violating,
+           CAST(n_violating * 1000000 // n_lhs AS BIGINT) AS violation_ppm,
+           CAST(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS holds_exactly
+    FROM cands
+    """,
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery: for each candidate A→B, the
+    count of A-groups that map to more than one B value — the
+    normalization/profiling primitive (key dependencies hold exactly;
+    behavioral ones like customer→priority hold only approximately,
+    and the violation rate in exact ppm is what approximate-FD mining
+    reports). Two exact deps (c_custkey→segment, nation→region) and
+    two approximate ones keep the report honest in both directions.
+
+    Each candidate is one grouped distinct-count with map-side
+    partials (group by LHS, count distinct RHS) — at real scale
+    candidate generation prunes by column-pair statistics first, then
+    this per-candidate plan runs unchanged.
+    """
+    def leg(name, df, lhs, rhs):
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_lhs"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).alias("n_violating"),
+        )
+
+    cands = (
+        leg("o_custkey->o_orderpriority",
+            load_table(spark, sf_dir, "orders"), "o_custkey",
+            "o_orderpriority")
+        .unionAll(
+            leg("l_orderkey->l_returnflag",
+                load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+                "l_returnflag")
+        )
+        .unionAll(
+            leg("c_custkey->c_mktsegment",
+                load_table(spark, sf_dir, "customer"), "c_custkey",
+                "c_mktsegment")
+        )
+        .unionAll(
+            leg("n_nationkey->n_regionkey",
+                load_table(spark, sf_dir, "nation"), "n_nationkey",
+                "n_regionkey")
+        )
+    )
+    return cands.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        F.expr("n_violating * 1000000 div n_lhs").cast("bigint").alias(
+            "violation_ppm"
+        ),
+        F.when(F.col("n_violating") == 0, 1).otherwise(0).cast("bigint").alias(
+            "holds_exactly"
+        ),
+    )

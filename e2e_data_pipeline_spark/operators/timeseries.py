@@ -1691,3 +1691,100 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wmape_ppm"),
     )
+
+
+@register(
+    "ts_hampel_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    med AS (
+        SELECT a.day, a.cents,
+               CAST(2 * median(b.cents) AS BIGINT) AS med2,
+               CAST(COUNT(*) AS BIGINT) AS w_n
+        FROM daily a JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+        GROUP BY a.day, a.cents
+    ),
+    mad AS (
+        SELECT m.day, m.cents, m.med2, m.w_n,
+               CAST(2 * median(abs(2 * b.cents - m.med2)) AS BIGINT) AS mad4
+        FROM med m JOIN daily b ON b.day BETWEEN m.day - 3 AND m.day + 3
+        GROUP BY m.day, m.cents, m.med2, m.w_n
+    )
+    SELECT day, cents, med2 AS window_median_half_cents,
+           mad4 AS window_mad_quarter, w_n,
+           CAST(CASE WHEN 2 * abs(2 * cents - med2) > 6 * mad4
+                THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM mad
+    """,
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: rolling-window robust outlier detection on the
+    daily revenue series — each day compared against the median ± 3·MAD
+    of its ±3-day neighborhood, the standard despiking filter that
+    (unlike rolling z-scores) one spike cannot poison. Completes the
+    robust family: dq_anomaly_iqr (global fences), dq_mad_outliers
+    (grouped fences), and now the ROLLING variant time series need.
+
+    Exactness is the doubled-dyadic-median machinery again (2·median
+    of ints is an integer; the 3-MAD comparison 2|2x−med2| > 6·mad4
+    stays integral). The windowed medians are day-range self-joins on
+    the DAILY frame — nested window-median functions don't exist in
+    either engine, and the frame is calendar-bounded, so the ±3-day
+    join is ~7 rows per day regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    med = (
+        a.join(
+            b,
+            F.col("b.day").between(F.col("a.day") - 3, F.col("a.day") + 3),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.cents").alias("cents"))
+        .agg(
+            (2 * F.percentile(F.col("b.cents"), F.lit(0.5)))
+            .cast("bigint")
+            .alias("med2"),
+            F.count("*").alias("w_n"),
+        )
+    )
+    m, b2 = med.alias("m"), daily.alias("b2")
+    mad = (
+        m.join(
+            b2,
+            F.col("b2.day").between(F.col("m.day") - 3, F.col("m.day") + 3),
+        )
+        .groupBy("m.day", "m.cents", "m.med2", "m.w_n")
+        .agg(
+            (2 * F.percentile(
+                F.abs(2 * F.col("b2.cents") - F.col("m.med2")), F.lit(0.5)
+            ))
+            .cast("bigint")
+            .alias("mad4")
+        )
+    )
+    return mad.select(
+        F.col("day"),
+        F.col("cents"),
+        F.col("med2").alias("window_median_half_cents"),
+        F.col("mad4").alias("window_mad_quarter"),
+        F.col("w_n"),
+        F.when(
+            2 * F.abs(2 * F.col("cents") - F.col("med2")) > 6 * F.col("mad4"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_outlier"),
+    )
