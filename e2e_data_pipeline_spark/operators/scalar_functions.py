@@ -1481,3 +1481,134 @@ def fn_checkdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("luhn_self_valid"),
     )
+
+
+@register(
+    "fn_xpath",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over embedded XML payloads — the "orders
+    arrive as XML blobs in a column" integration shape. Each order is
+    rendered into an attribute+element document, then everything is
+    recovered with `xpath_string` / `xpath_long` (element text,
+    attribute, numeric coercion) and re-aggregated; the oracle
+    computes the same rollup from the source columns, so a hash match
+    proves extraction is lossless. DuckDB has no XPath engine —
+    which is exactly why the oracle goes around the XML instead of
+    through it.
+
+    The render guards '&' (the only XML metacharacter the priority
+    strings could contain is none, but custkey/total are numeric) so
+    the documents are well-formed; xpath_* are scan-local JVM
+    expressions, not UDFs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rendered = orders.select(
+        F.concat(
+            F.lit('<order key="'),
+            F.col("o_orderkey").cast("string"),
+            F.lit('" cust="'),
+            F.col("o_custkey").cast("string"),
+            F.lit('"><priority>'),
+            F.col("o_orderpriority"),
+            F.lit("</priority><cents>"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            F.lit("</cents></order>"),
+        ).alias("xml")
+    )
+    extracted = rendered.select(
+        F.expr("xpath_string(xml, '/order/priority')").alias("priority"),
+        F.expr("xpath_long(xml, '/order/@cust')").alias("custkey"),
+        F.expr("xpath_long(xml, '/order/cents')").alias("cents"),
+    )
+    return extracted.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.sum("custkey").alias("custkey_sum"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+@register(
+    "fn_mask_pii",
+    oracle="""
+    WITH rendered AS (
+        SELECT c_custkey,
+               'AC-' || lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR),
+                             8, '0') AS account
+        FROM customer
+    ),
+    masked AS (
+        SELECT c_custkey, account,
+               regexp_replace(account, '[0-9]', '#', 'g') AS masked_full,
+               substr(regexp_replace(account, '[0-9]', '#', 'g'), 1,
+                      length(account) - 4)
+                 || substr(account, length(account) - 3, 4) AS masked_last4
+        FROM rendered
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT masked_full) AS BIGINT)
+               AS n_distinct_masked_full,
+           CAST(COUNT(DISTINCT masked_last4) AS BIGINT)
+               AS n_distinct_masked_last4,
+           CAST(SUM(CASE WHEN masked_last4 LIKE 'AC-####%'
+                    AND substr(masked_last4, -4) = substr(account, -4)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mask_correct
+    FROM masked
+    """,
+)
+def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking for PII egress: full-redaction and
+    show-last-4 variants over synthesized account numbers, with the
+    audit every masking policy needs — distinct-count of the masked
+    column (k-anonymity collapse: full masking leaves ONE value;
+    last-4 leaves ≤10⁴) and a correctness count proving the kept
+    suffix matches the original. Spark's dedicated `mask()` exists,
+    but the regexp formulation is used so the DuckDB oracle applies
+    the IDENTICAL text — masking must behave the same in every
+    engine that touches the data, which is the actual compliance
+    requirement.
+
+    Scan-local string work; the distinct legs are the only shuffles.
+    """
+    rendered = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("AC-"),
+            F.lpad(
+                (F.col("c_custkey") * 7919 % 100000000).cast("string"), 8, "0"
+            ),
+        ).alias("account"),
+    )
+    masked_full = F.regexp_replace("account", "[0-9]", "#")
+    masked = rendered.select(
+        "account",
+        masked_full.alias("masked_full"),
+        F.concat(
+            F.expr(
+                "substr(regexp_replace(account, '[0-9]', '#'), 1,"
+                " length(account) - 4)"
+            ),
+            F.expr("substr(account, length(account) - 3, 4)"),
+        ).alias("masked_last4"),
+    )
+    return masked.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("masked_full").alias("n_distinct_masked_full"),
+        F.countDistinct("masked_last4").alias("n_distinct_masked_last4"),
+        F.sum(
+            F.when(
+                F.col("masked_last4").like("AC-####%")
+                & (F.expr("substr(masked_last4, -4) = substr(account, -4)")),
+                1,
+            ).otherwise(0)
+        ).alias("n_mask_correct"),
+    )
