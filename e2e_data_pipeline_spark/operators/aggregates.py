@@ -3564,3 +3564,100 @@ def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AS DOUBLE) AS DOUBLE)"
         ).alias("es95_cents"),
     )
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    diffs AS (
+        SELECT day,
+               CASE WHEN cents > lag(cents) OVER (ORDER BY day) THEN 1
+                    WHEN cents < lag(cents) OVER (ORDER BY day) THEN -1
+                    END AS d
+        FROM daily
+    ),
+    seq AS (
+        SELECT day, d, lag(d) OVER (ORDER BY day) AS prev_d
+        FROM diffs WHERE d IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN prev_d IS NOT NULL AND d <> prev_d
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM seq
+    )
+    SELECT n1, n2, runs,
+           CAST(CAST((runs - 1) * (n1 + n2) - 2 * n1 * n2 AS DOUBLE)
+                / CAST(n1 + n2 AS DOUBLE)
+                / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                       / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+                              AS DOUBLE)) AS DOUBLE) AS z_score
+    FROM m
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue direction
+    sequence — "are up/down days random, or does the series trend /
+    mean-revert?" — the nonparametric randomness check that
+    complements stats_mann_kendall's monotonic-trend view. Runs are
+    counted with one lag pass (1 + sign changes); the z-score is a
+    fixed-order chain (int→double, divide, divide, sqrt, divide) of
+    EXACT integers, written with identical text on both sides, so
+    even the float is bit-identical — no closed-form here needs
+    anything beyond the IEEE-correctly-rounded primitives.
+
+    Day-grain pre-aggregate map-side combines; both lags ride one
+    tiny ordered window over the calendar-bounded daily frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .alias("d"),
+    )
+    seq = diffs.where(F.col("d").isNotNull()).select(
+        "day", "d", F.lag("d").over(w).alias("prev_d")
+    )
+    m = seq.agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_d").isNotNull()
+                    & (F.col("d") != F.col("prev_d")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "CAST(CAST((runs - 1) * (n1 + n2) - 2 * n1 * n2 AS DOUBLE)"
+            " / CAST(n1 + n2 AS DOUBLE)"
+            " / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)"
+            " / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))"
+            " AS DOUBLE)"
+        ).alias("z_score"),
+    )

@@ -2256,3 +2256,86 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holds_exactly"
         ),
     )
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderdate, o_totalprice, o_orderkey FROM orders
+        UNION ALL
+        SELECT o_custkey, o_orderdate, o_totalprice,
+               o_orderkey + 30000000 AS o_orderkey
+        FROM orders WHERE o_orderkey % 211 = 0
+    ),
+    keyed AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey
+        FROM feed
+    ),
+    grouped AS (
+        SELECT o_custkey, o_orderdate, cents,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+        FROM keyed
+        GROUP BY o_custkey, o_orderdate, cents
+        HAVING COUNT(*) > 1
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           cents, n_dups, first_key, last_key,
+           CAST((n_dups - 1) * cents AS BIGINT) AS exposure_cents
+    FROM grouped
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer, same day, same
+    exact amount, different order keys — the accounts-payable audit
+    that recovers real money (double-submitted invoices, retried
+    charges). The feed replays every 211th order under a new key —
+    the planted duplicates a test bench needs (dq_snapshot_diff's
+    derived-drift pattern); natural collisions surface too. Reports
+    each suspicious group with its key range and
+    the recoverable exposure (n−1)·amount in exact cents. A
+    first-pass exact match; dedup_record_linkage and join_recon_fuzzy
+    are the fuzzy escalations when amounts or dates drift.
+
+    One grouped count with map-side combine on a composite key —
+    the cheapest audit per row scanned in the suite.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    feed = orders.unionAll(
+        orders.where(F.col("o_orderkey") % 211 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 30000000
+        )
+    )
+    keyed = feed.select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    grouped = (
+        keyed.groupBy("o_custkey", "o_orderdate", "cents")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+    return grouped.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "cents",
+        "n_dups",
+        "first_key",
+        "last_key",
+        ((F.col("n_dups") - 1) * F.col("cents")).cast("bigint").alias(
+            "exposure_cents"
+        ),
+    )

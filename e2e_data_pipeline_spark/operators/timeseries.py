@@ -1788,3 +1788,102 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort,
+               (CAST(year(o.o_orderdate) AS BIGINT) * 12
+                + month(o.o_orderdate))
+             - (CAST(year(f.cohort) AS BIGINT) * 12 + month(f.cohort))
+                   AS month_offset,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    base AS (
+        SELECT cohort, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        FROM orders o JOIN firsts f USING (o_custkey) GROUP BY cohort
+    ),
+    m AS (
+        SELECT cohort, month_offset, CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM rev WHERE month_offset <= 6 GROUP BY cohort, month_offset
+    ),
+    cum AS (
+        SELECT cohort, month_offset,
+               SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY month_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents
+        FROM m
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort,
+           CAST(c.month_offset AS BIGINT) AS month_offset,
+           CAST(c.cum_cents AS BIGINT) AS cum_rev_cents,
+           b.n_cust,
+           CAST(c.cum_cents // b.n_cust AS BIGINT) AS ltv_cents_per_cust
+    FROM cum c JOIN base b USING (cohort)
+    WHERE strftime(c.cohort, '%Y-%m') <= '1996-06'
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per acquisition
+    cohort by month offset, divided by cohort size — the LTV table
+    that payback-period and CAC decisions read, complementing
+    agg_cohort_retention's activity counts with money. Month offsets
+    are pure integer calendar arithmetic (y·12+m differences), the
+    running sum is per-cohort (no global order), and LTV-per-customer
+    is an exact integer floor division of cents. Bounded to offsets
+    ≤6 and cohorts ≤1996-06 to keep the oracle frame stable across
+    fixture scales.
+
+    One first-purchase aggregate (broadcastable), one fact join, a
+    (cohort × offset) rollup, and a tiny partitioned window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    joined = orders.join(F.broadcast(firsts), "o_custkey")
+    off = (
+        F.year("o_orderdate") * 12
+        + F.month("o_orderdate")
+        - (F.year("cohort") * 12 + F.month("cohort"))
+    ).cast("bigint")
+    m = (
+        joined.select(
+            "cohort",
+            off.alias("month_offset"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .where(F.col("month_offset") <= 6)
+        .groupBy("cohort", "month_offset")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    base = joined.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    w = Window.partitionBy("cohort").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = m.select(
+        "cohort", "month_offset", F.sum("rev_cents").over(w).alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(base), "cohort")
+        .where(F.date_format("cohort", "yyyy-MM") <= "1996-06")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            "month_offset",
+            F.col("cum_cents").cast("bigint").alias("cum_rev_cents"),
+            "n_cust",
+            F.expr("cum_cents div n_cust").cast("bigint").alias(
+                "ltv_cents_per_cust"
+            ),
+        )
+    )
