@@ -3661,3 +3661,118 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("z_score"),
     )
+
+
+@register(
+    "ml_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(CAST('0x' || substr(md5('cal:' || CAST(o_orderkey
+                         AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT)
+                   AS score_ppm,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    sweep AS (
+        SELECT t.t * 100000 AS threshold_ppm,
+               CAST(SUM(CASE WHEN s.score_ppm >= t.t * 100000 AND s.label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN s.score_ppm >= t.t * 100000 AND s.label = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN s.score_ppm < t.t * 100000 AND s.label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM scored s CROSS JOIN (SELECT unnest(range(1, 10)) AS t) t
+        GROUP BY t.t
+    ),
+    f1 AS (
+        SELECT threshold_ppm, tp, fp, fn,
+               CAST(CAST(2 * tp AS DOUBLE)
+                    / CAST(2 * tp + fp + fn AS DOUBLE) AS DOUBLE) AS f1
+        FROM sweep
+    )
+    SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm, tp, fp, fn, f1,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY f1 DESC, threshold_ppm) AS rn
+        FROM f1
+    )
+    """,
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep: confusion counts and F1 at nine
+    candidate thresholds over the portable-hash scores, with the
+    F1-argmax flagged — the operating-point selection step between
+    ml_eval_auc (threshold-free ranking quality) and
+    ml_eval_confusion (one fixed matrix). F1 = 2TP/(2TP+FP+FN) is a
+    single double division of exact counts, so even the float column
+    and the argmax ordering are bit-identical; ties break on the
+    threshold.
+
+    The nine thresholds ride ONE scan: explode-then-partial-aggregate
+    (9× row expansion before map-side combine, the permutation-test
+    shape), never nine passes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("cal:"), F.col("o_orderkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = orders.select(
+        (h % 1000000).alias("score_ppm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    sweep = (
+        scored.select(
+            "score_ppm",
+            "label",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("t"),
+        )
+        .groupBy((F.col("t") * 100000).alias("threshold_ppm"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("score_ppm") >= F.col("t") * 100000)
+                    & (F.col("label") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("score_ppm") >= F.col("t") * 100000)
+                    & (F.col("label") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("score_ppm") < F.col("t") * 100000)
+                    & (F.col("label") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    f1 = sweep.select(
+        F.col("threshold_ppm").cast("bigint").alias("threshold_ppm"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)"
+            " AS DOUBLE)"
+        ).alias("f1"),
+    )
+    w = Window.orderBy(F.desc("f1"), "threshold_ppm")
+    return f1.withColumn(
+        "is_best",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("bigint"),
+    )

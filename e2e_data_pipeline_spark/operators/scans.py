@@ -1583,3 +1583,77 @@ def scan_csv_eu_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum((F.col("bal") * 100).cast("bigint")).alias("acct_cents"),
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    WITH merged AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    `partitionOverwriteMode=dynamic` replaces ONLY the partitions
+    present in the incoming batch and leaves every other partition's
+    files untouched (static mode would wipe the whole table). The op
+    writes all priorities partitioned-by-priority, then overwrites
+    just the URGENT/HIGH partitions with repriced rows (exact decimal
+    ×1.1), re-reads, and aggregates; the oracle computes the expected
+    merge directly — a hash match proves untouched partitions
+    survived and targeted ones were replaced, the exactly-once
+    visibility contract of a partition-level backfill.
+
+    The conf is set per-write and restored; at scale this is the
+    idempotent daily-restatement pattern (rewrite day=X only).
+    """
+    import shutil
+    import tempfile as _tf
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    path = _tf.mkdtemp(prefix="e2e_dynow_")
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    repriced = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).withColumn(
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        ).cast("double"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        repriced.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # explicit schema: an all-empty write leaves no data files to
+    # infer from (the zero-row sweep exercises exactly that)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+    ).parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents"),
+    )

@@ -1887,3 +1887,65 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_interarrival",
+    oracle="""
+    WITH seqd AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS sec,
+               event_id
+        FROM events
+    ),
+    gaps AS (
+        SELECT sec - lag(sec) OVER (PARTITION BY user_id
+                                    ORDER BY sec, event_id) AS gap_s
+        FROM seqd
+    ),
+    g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(2 * quantile_cont(gap_s, 0.5) AS BIGINT) AS p50_half_s,
+           CAST(2 * quantile_cont(gap_s, 0.75) AS BIGINT) AS p75_half_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(CASE WHEN gap_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_second
+    FROM g
+    """,
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per user stream — the traffic-
+    model summary behind capacity planning and bot detection (humans
+    have heavy-tailed gaps; scripts are metronomes, visible in the
+    same-second count). Gaps come from one per-user lag window with a
+    total (sec, event_id) order; the p50/p75 are exact doubled-dyadic
+    medians/quartiles of integer seconds (0.75 interpolation weight
+    is dyadic — 0.9 would not be, see ml_decision_stump).
+
+    One shuffle on user_id for the lag; the quantiles run over the
+    gap multiset (at 100 TB: the stats_mannwhitney prefix-sum
+    construction or agg_approx_percentile's sketch).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seqd = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+    )
+    gaps = seqd.select(
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        (2 * F.percentile("gap_s", F.lit(0.5))).cast("bigint").alias(
+            "p50_half_s"
+        ),
+        (2 * F.percentile("gap_s", F.lit(0.75))).cast("bigint").alias(
+            "p75_half_s"
+        ),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum(F.when(F.col("gap_s") == 0, 1).otherwise(0)).alias(
+            "n_same_second"
+        ),
+    )
