@@ -3776,3 +3776,156 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_best",
         F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("bigint"),
     )
+
+
+@register(
+    "agg_apportionment",
+    oracle="""
+    WITH pop AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer GROUP BY c_nationkey
+    ),
+    tot AS (SELECT CAST(SUM(n_cust) AS BIGINT) AS total FROM pop),
+    quotas AS (
+        SELECT p.c_nationkey, p.n_cust,
+               p.n_cust * 100 // t.total AS floor_seats,
+               p.n_cust * 100 % t.total AS remainder
+        FROM pop p CROSS JOIN tot t
+    ),
+    shortfall AS (
+        SELECT CAST(100 - SUM(floor_seats) AS BIGINT) AS extra FROM quotas
+    ),
+    ranked AS (
+        SELECT q.*,
+               row_number() OVER (ORDER BY q.remainder DESC, q.c_nationkey)
+                   AS rr
+        FROM quotas q
+    )
+    SELECT r.c_nationkey, r.n_cust,
+           CAST(r.floor_seats AS BIGINT) AS floor_seats,
+           CAST(r.remainder AS BIGINT) AS remainder,
+           CAST(r.floor_seats
+                + CASE WHEN r.rr <= s.extra THEN 1 ELSE 0 END AS BIGINT)
+               AS seats
+    FROM ranked r CROSS JOIN shortfall s
+    """,
+)
+def agg_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: divide 100 seats
+    among nations proportionally to customer count — the quota
+    algorithm behind election seats, budget allocation, and sharded
+    capacity assignment, where naive rounding either over- or
+    under-allocates. Floor quotas first; the shortfall seats go to
+    the largest remainders with a deterministic key tie-break. Every
+    quantity is integer (seats sum to exactly 100 by construction —
+    the invariant the oracle hash certifies).
+
+    One grouped count, a broadcast total, a 25-row ranking window —
+    allocation math is never the bottleneck; getting it exactly
+    consistent across engines is the point.
+    """
+    pop = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust")
+    )
+    tot = pop.agg(F.sum("n_cust").alias("total"))
+    quotas = pop.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "n_cust",
+        F.expr("n_cust * 100 div total").alias("floor_seats"),
+        F.expr("n_cust * 100 % total").alias("remainder"),
+    )
+    shortfall = quotas.agg(
+        (100 - F.sum("floor_seats")).cast("bigint").alias("extra")
+    )
+    w = Window.orderBy(F.desc("remainder"), "c_nationkey")
+    ranked = quotas.withColumn("rr", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(shortfall)).select(
+        "c_nationkey",
+        "n_cust",
+        F.col("floor_seats").cast("bigint").alias("floor_seats"),
+        F.col("remainder").cast("bigint").alias("remainder"),
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents,
+               SUM(cents) OVER () AS total
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum_cents * 100 <= total * 80 THEN 'A'
+                    WHEN cum_cents * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_part_cents
+    FROM classed GROUP BY abc
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    up to 80% of cumulative revenue, B to 95%, C the tail — the
+    Pareto-bucketing every supply-chain and SKU-rationalization
+    review starts from (agg_pareto_share reports the curve; this
+    assigns the operational labels). Class boundaries are
+    cross-multiplied integer comparisons on exact cumulative cents —
+    a part never flips class from float drift.
+
+    One keyed aggregate, one global revenue-ordered running sum (the
+    family's sanctioned global sort — prefix-sum construction at
+    scale), O(3) output rows.
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    classed = ranked.select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").alias("class_cents"),
+        F.min("cents").alias("min_part_cents"),
+    )

@@ -1949,3 +1949,83 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_second"
         ),
     )
+
+
+@register(
+    "agg_attribution_linear",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS psec,
+               event_id AS pid,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.pid, p.cents, t.event_type AS channel
+        FROM purch p
+        JOIN events t
+          ON t.user_id = p.user_id
+         AND t.event_type IN ('view', 'click')
+         AND epoch_us(t.ts) // 1000000 < p.psec
+         AND epoch_us(t.ts) // 1000000 >= p.psec - 3600
+    ),
+    sized AS (
+        SELECT pid, cents, channel,
+               COUNT(*) OVER (PARTITION BY pid) AS n_touch
+        FROM touches
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(cents * 1000000 // n_touch) AS BIGINT)
+               AS credit_micro_cents,
+           CAST(SUM(cents * 1000000 % n_touch) AS BIGINT)
+               AS remainder_micro_cents
+    FROM sized GROUP BY channel
+    """,
+)
+def agg_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every view/click
+    in the hour before a purchase splits that purchase's value evenly
+    — the multi-touch counterpart to agg_attribution_last_touch.
+    Credit is exact micro-cents via floor division per touch, and the
+    per-purchase rounding residue (cents·10⁶ mod n) is REPORTED, not
+    dropped — Σcredit + Σremainder reconstructs attributed revenue to
+    the micro-cent, the books-balance property finance asks of any
+    attribution model.
+
+    The touch join is time-banded per user (the stream_stream_join
+    band shape in batch); per-purchase touch counts come from one
+    partitioned count window. At scale the band join buckets by hour
+    exactly like join_interval_overlap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        sec.alias("psec"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", sec.alias("tsec"), F.col("event_type").alias("channel")
+    )
+    touches = purch.join(
+        t,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("tsec") < F.col("psec"))
+        & (F.col("tsec") >= F.col("psec") - 3600),
+    ).select("pid", "cents", "channel")
+    w = Window.partitionBy("pid")
+    sized = touches.select(
+        "pid", "cents", "channel", F.count("*").over(w).alias("n_touch")
+    )
+    return sized.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.expr("cents * 1000000 div n_touch")).alias(
+            "credit_micro_cents"
+        ),
+        F.sum(F.expr("cents * 1000000 % n_touch")).alias(
+            "remainder_micro_cents"
+        ),
+    )
