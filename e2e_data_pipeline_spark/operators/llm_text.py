@@ -1657,3 +1657,62 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("html", F.lit("<[^>]*>")).cast("bigint").alias("n_tags"),
         F.substring(F.md5("clean"), 1, 16).alias("clean_digest"),
     )
+
+
+@register(
+    "text_zipf_check",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, f,
+               row_number() OVER (ORDER BY f DESC, w) AS r
+        FROM freq
+    ),
+    top1 AS (SELECT f AS f1 FROM ranked WHERE r = 1)
+    SELECT w AS term,
+           CAST(r.r AS BIGINT) AS rank,
+           r.f AS freq,
+           CAST(r.r * r.f AS BIGINT) AS rank_freq_product,
+           CAST(abs(r.r * r.f - t.f1) * 1000000 // t.f1 AS BIGINT)
+               AS zipf_dev_ppm
+    FROM ranked r CROSS JOIN top1 t
+    WHERE r.r <= 20
+    """,
+)
+def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: under Zipf, rank × frequency is
+    constant, so the top-20 rank·freq products and their ppm
+    deviation from the rank-1 product measure how natural the
+    corpus's frequency distribution is — the sanity check that
+    catches synthetic, truncated, or boilerplate-dominated corpora
+    before they poison sampling weights (a flat deviation column ≈
+    natural text; this fixture's word-soup deviates by design, which
+    is the point of measuring). Entirely integer — no log-log
+    regression needed for the diagnostic form.
+
+    One token explode + count, a 20-row ranked head via
+    WindowGroupLimit, a 1-row broadcast for the reference product.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 20)
+    top1 = ranked.where(F.col("r") == 1).select(F.col("f").alias("f1"))
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        F.col("w").alias("term"),
+        F.col("r").cast("bigint").alias("rank"),
+        F.col("f").alias("freq"),
+        (F.col("r") * F.col("f")).cast("bigint").alias("rank_freq_product"),
+        F.expr("abs(r * f - f1) * 1000000 div f1").cast("bigint").alias(
+            "zipf_dev_ppm"
+        ),
+    )

@@ -2029,3 +2029,104 @@ def agg_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remainder_micro_cents"
         ),
     )
+
+
+@register(
+    "agg_littles_law",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 1000000) AS s,
+               MAX(epoch_us(ts) // 1000000) + 1 AS e
+        FROM events GROUP BY user_id
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS delta FROM iv
+        UNION ALL SELECT e AS t, -1 AS delta FROM iv
+    ),
+    merged AS (
+        SELECT t, CAST(SUM(delta) AS BIGINT) AS d
+        FROM deltas GROUP BY t
+    ),
+    swept AS (
+        SELECT t,
+               SUM(d) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS live,
+               lead(t) OVER (ORDER BY t) AS next_t
+        FROM merged
+    ),
+    integral AS (
+        SELECT CAST(SUM(live * (next_t - t)) AS BIGINT) AS area
+        FROM swept WHERE next_t IS NOT NULL
+    ),
+    direct AS (
+        SELECT CAST(SUM(e - s) AS BIGINT) AS sum_dur,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(e) - MIN(s) AS BIGINT) AS horizon_s
+        FROM iv
+    )
+    SELECT d.n, d.sum_dur, d.horizon_s, i.area AS occupancy_integral,
+           CAST(CASE WHEN i.area = d.sum_dur THEN 1 ELSE 0 END AS BIGINT)
+               AS littles_law_holds,
+           CAST(d.sum_dur * 1000000 // d.horizon_s AS BIGINT)
+               AS mean_concurrency_ppm
+    FROM direct d CROSS JOIN integral i
+    """,
+)
+def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = λW) computed from TWO independent
+    constructions that must agree to the integer: the time-integral
+    of live-session count (the +1/−1 sweep from agg_peak_concurrency,
+    integrated as Σ live·Δt over a lead window) versus the direct sum
+    of session durations — queueing theory says they're identical,
+    and with exact integer seconds they literally are, so the
+    `littles_law_holds` flag is a machine-checked theorem instance,
+    the strongest self-validation in the suite (the cross-consistency
+    idea folded into one query). Mean concurrency L rides along as
+    exact ppm.
+
+    Same-timestamp deltas pre-merge by time so the sweep order is
+    total; one global ordered window over the merged delta list
+    (≤2·users rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = (
+        ev.select("user_id", sec.alias("sec"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("s"), (F.max("sec") + 1).alias("e"))
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    merged = deltas.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("t")
+    swept = merged.select(
+        "t",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "live"
+        ),
+        F.lead("t").over(w).alias("next_t"),
+    )
+    integral = swept.where(F.col("next_t").isNotNull()).agg(
+        F.sum(F.col("live") * (F.col("next_t") - F.col("t"))).alias("area")
+    )
+    direct = iv.agg(
+        F.sum(F.col("e") - F.col("s")).alias("sum_dur"),
+        F.count("*").alias("n"),
+        (F.max("e") - F.min("s")).alias("horizon_s"),
+    )
+    return direct.crossJoin(F.broadcast(integral)).select(
+        "n",
+        "sum_dur",
+        "horizon_s",
+        F.col("area").cast("bigint").alias("occupancy_integral"),
+        F.when(F.col("area") == F.col("sum_dur"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("littles_law_holds"),
+        F.expr("sum_dur * 1000000 div horizon_s").cast("bigint").alias(
+            "mean_concurrency_ppm"
+        ),
+    )
