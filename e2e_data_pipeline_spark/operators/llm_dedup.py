@@ -1959,3 +1959,97 @@ def dedup_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_ppm"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM edges
+        UNION ALL SELECT p2 AS u, p1 AS v FROM edges
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM adj a JOIN deg du ON du.u = a.u JOIN deg dv ON dv.u = a.v
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pairs
+    )
+    SELECT n, sx, sxy, sxx,
+           CAST(CAST(n * sxy - sx * sx AS DOUBLE)
+                / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)
+               AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees across edges — do popular parts
+    co-occur with popular parts (assortative, social-network-like) or
+    with niche ones (disassortative, hub-and-spoke)? The sign decides
+    whether hub-removal or salting is the right skew mitigation for
+    downstream graph joins, which is why it's worth computing before
+    tuning them. The symmetric directed-edge expansion makes
+    Σx = Σy and Var(x) = Var(y), collapsing Pearson to ONE double
+    division of exact int64 moments (bit-identical; NULLIF guards the
+    regular-graph zero-variance case the same way on both engines).
+
+    Same pruned edge list as graph_triangles; two broadcast degree
+    joins and a 1-row moment reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+        .drop("co")
+    )
+    adj = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("au"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("av"), F.col("d").alias("y"))
+    pairs = (
+        adj.join(F.broadcast(du), F.col("u") == F.col("au"))
+        .join(F.broadcast(dv), F.col("v") == F.col("av"))
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST(CAST(n * sxy - sx * sx AS DOUBLE)"
+            " / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)"
+        ).alias("assortativity"),
+    )

@@ -1612,3 +1612,231 @@ def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_mask_correct"),
     )
+
+
+@register(
+    "fn_phone_e164",
+    oracle="""
+    WITH nums AS (
+        SELECT c_custkey,
+               500 + c_custkey % 400 AS area,
+               100 + c_custkey * 3 % 900 AS exch,
+               1000 + c_custkey * 7 % 9000 AS line
+        FROM customer
+    ),
+    rendered AS (
+        SELECT c_custkey, area, exch, line,
+               CASE c_custkey % 3
+                 WHEN 0 THEN '(' || CAST(area AS VARCHAR) || ') '
+                      || CAST(exch AS VARCHAR) || '-' || CAST(line AS VARCHAR)
+                 WHEN 1 THEN CAST(area AS VARCHAR) || '.'
+                      || CAST(exch AS VARCHAR) || '.' || CAST(line AS VARCHAR)
+                 ELSE '+1 ' || CAST(area AS VARCHAR) || ' '
+                      || CAST(exch AS VARCHAR) || ' ' || CAST(line AS VARCHAR)
+               END AS raw
+        FROM nums
+    ),
+    normalized AS (
+        SELECT c_custkey, area, exch, line, raw,
+               '+1' || substr(regexp_replace(raw, '[^0-9]', '', 'g'),
+                              length(regexp_replace(raw, '[^0-9]', '', 'g'))
+                              - 9, 10) AS e164
+        FROM rendered
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT e164) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN e164 = '+1' || CAST(area AS VARCHAR)
+                         || CAST(exch AS VARCHAR) || CAST(line AS VARCHAR)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+           CAST(SUM(CASE WHEN length(e164) = 12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid_length
+    FROM normalized
+    """,
+)
+def fn_phone_e164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone-number normalization to E.164: three real-world formats
+    ('(555) 123-4567', dotted, already-prefixed international) are
+    rendered deterministically per customer, then normalized by
+    stripping non-digits and keeping the LAST ten (so a leading
+    country code can't double up) — with the round-trip audit proving
+    every rendered variant lands on the identical canonical form.
+    The entity-resolution prerequisite: phone joins fail silently
+    until this step exists.
+
+    Scan-local regexp/substr kernel; the distinct leg is the only
+    shuffle.
+    """
+    nums = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (500 + F.col("c_custkey") % 400).alias("area"),
+        (100 + F.col("c_custkey") * 3 % 900).alias("exch"),
+        (1000 + F.col("c_custkey") * 7 % 9000).alias("line"),
+    )
+    a, x, l = (F.col(c).cast("string") for c in ("area", "exch", "line"))
+    rendered = nums.select(
+        "c_custkey",
+        "area",
+        "exch",
+        "line",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("("), a, F.lit(") "), x, F.lit("-"), l),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(a, F.lit("."), x, F.lit("."), l),
+        )
+        .otherwise(F.concat(F.lit("+1 "), a, F.lit(" "), x, F.lit(" "), l))
+        .alias("raw"),
+    )
+    digits = F.regexp_replace("raw", "[^0-9]", "")
+    normalized = rendered.select(
+        "area",
+        "exch",
+        "line",
+        F.concat(
+            F.lit("+1"), F.substring(digits, -10, 10)
+        ).alias("e164"),
+    )
+    return normalized.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("e164").alias("n_distinct"),
+        F.sum(
+            F.when(
+                F.col("e164")
+                == F.concat(
+                    F.lit("+1"),
+                    F.col("area").cast("string"),
+                    F.col("exch").cast("string"),
+                    F.col("line").cast("string"),
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_roundtrip_exact"),
+        F.sum(F.when(F.length("e164") == 12, 1).otherwise(0)).alias(
+            "n_valid_length"
+        ),
+    )
+
+
+@register(
+    "fn_useragent_parse",
+    oracle="""
+    WITH ua AS (
+        SELECT event_id,
+               CASE event_id % 4
+                 WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) '
+                      || 'Chrome/' || CAST(90 + event_id % 30 AS VARCHAR)
+                      || '.0.' || CAST(1000 + event_id % 5000 AS VARCHAR)
+                      || '.100 Safari/537.36'
+                 WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) '
+                      || 'Version/' || CAST(13 + event_id % 5 AS VARCHAR)
+                      || '.1 Safari/605.1.15'
+                 WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:'
+                      || CAST(78 + event_id % 40 AS VARCHAR)
+                      || '.0) Gecko/20100101 Firefox/'
+                      || CAST(78 + event_id % 40 AS VARCHAR) || '.0'
+                 ELSE 'curl/' || CAST(7 AS VARCHAR) || '.'
+                      || CAST(50 + event_id % 40 AS VARCHAR) || '.0'
+               END AS ua
+        FROM events
+    ),
+    parsed AS (
+        SELECT CASE
+                 WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+                 WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+                 WHEN ua LIKE '%Version/%' THEN 'safari'
+                 WHEN ua LIKE 'curl/%' THEN 'curl'
+                 ELSE 'other' END AS browser,
+               CASE
+                 WHEN ua LIKE '%Windows%' THEN 'windows'
+                 WHEN ua LIKE '%Mac OS X%' THEN 'macos'
+                 WHEN ua LIKE '%Linux%' THEN 'linux'
+                 ELSE 'bot' END AS os,
+               CAST(COALESCE(regexp_extract(ua,
+                    '(?:Chrome|Firefox|Version|curl)/([0-9]+)', 1), '0')
+                    AS BIGINT) AS major
+        FROM ua
+    )
+    SELECT browser, os,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(major) AS BIGINT) AS min_major,
+           CAST(MAX(major) AS BIGINT) AS max_major
+    FROM parsed GROUP BY browser, os
+    """,
+)
+def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent parsing — the weblog-enrichment kernel: browser
+    family by token precedence (Chrome before Safari, because every
+    Chrome UA also says Safari — the classic UA-parsing trap, encoded
+    in the CASE order), OS by platform token, major version by one
+    anchored regexp over the alternation. Four realistic UA templates
+    are rendered per event so the parse rules are exercised against
+    Chrome/Safari/Firefox/curl shapes including the bot (curl) class.
+
+    Scan-local LIKE + regexp_extract; the rollup is a tiny
+    (browser × os) groupBy. Real UA taxonomies are bigger CASE
+    ladders, not different plans.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    k = F.col("event_id")
+    ua = ev.select(
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/"),
+                (90 + k % 30).cast("string"),
+                F.lit(".0."),
+                (1000 + k % 5000).cast("string"),
+                F.lit(".100 Safari/537.36"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) Version/"),
+                (13 + k % 5).cast("string"),
+                F.lit(".1 Safari/605.1.15"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:"),
+                (78 + k % 40).cast("string"),
+                F.lit(".0) Gecko/20100101 Firefox/"),
+                (78 + k % 40).cast("string"),
+                F.lit(".0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("curl/7."), (50 + k % 40).cast("string"), F.lit(".0")
+            )
+        )
+        .alias("ua")
+    )
+    parsed = ua.select(
+        F.when(F.col("ua").like("%Chrome/%"), "chrome")
+        .when(F.col("ua").like("%Firefox/%"), "firefox")
+        .when(F.col("ua").like("%Version/%"), "safari")
+        .when(F.col("ua").like("curl/%"), "curl")
+        .otherwise("other")
+        .alias("browser"),
+        F.when(F.col("ua").like("%Windows%"), "windows")
+        .when(F.col("ua").like("%Mac OS X%"), "macos")
+        .when(F.col("ua").like("%Linux%"), "linux")
+        .otherwise("bot")
+        .alias("os"),
+        F.coalesce(
+            F.regexp_extract("ua", r"(?:Chrome|Firefox|Version|curl)/([0-9]+)", 1),
+            F.lit("0"),
+        )
+        .cast("bigint")
+        .alias("major"),
+    )
+    return parsed.groupBy("browser", "os").agg(
+        F.count("*").alias("n"),
+        F.min("major").alias("min_major"),
+        F.max("major").alias("max_major"),
+    )
