@@ -690,3 +690,38 @@ def test_permutation_replicates_pre_reduce_before_shuffle(spark):
     plan = plan_of(spark, "stats_permutation_test")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_topk_uses_window_group_limit(spark):
+    # the per-group 64-smallest must push the rank limit into the sort
+    plan = plan_of(spark, "agg_kmv_sketch")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_det_centroids_broadcast(spark):
+    # the IVF assign pass joins points against broadcast centroids;
+    # the candidate/verify stages must all be equi-joins
+    plan = plan_of(spark, "dedup_semantic_det")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_touch_join_is_hash_on_user(spark):
+    # the time-banded touch join must hash on user_id (band condition
+    # as residual), never degrade to a nested loop over events
+    plan = plan_of(spark, "agg_attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_abc_classification_single_scan(spark):
+    # one lineitem scan feeds the revenue agg; the running-sum window
+    # and total ride the same frame (no re-scan, no cartesian)
+    import re
+
+    plan = plan_of(spark, "agg_abc_classification")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"expected 1 scan, saw {len(scans)}"
+    assert "CartesianProduct" not in plan
