@@ -2053,3 +2053,67 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS DOUBLE)"
         ).alias("assortativity"),
     )
+
+
+@register(
+    "dedup_prefix",
+    oracle="""
+    WITH pfx AS (
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grouped AS (
+        SELECT prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_at_risk
+        FROM pfx GROUP BY prefix
+        HAVING COUNT(*) > 1
+    )
+    SELECT substr(md5(prefix), 1, 12) AS prefix_digest,
+           n_docs, first_doc, last_doc, tokens_at_risk
+    FROM grouped
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate detection: documents whose first 8
+    tokens are identical — the crawl-artifact class (truncated
+    re-fetches, mirrored pages, templated intros) that whole-document
+    hashing misses because the TAILS differ, and shingle methods find
+    only expensively. One exact groupBy on the prefix; groups with
+    more than one member are reported with their key range and the
+    token mass at risk. Prefixes leave the query as md5 digests
+    (stable, small rows — the dedup_chunks convention).
+
+    An array-slice + keyed count — the cheapest member of the dedup
+    ladder, which is why real pipelines run it FIRST to shrink the
+    input to the quadratic-ish stages.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    arr = F.split("text", " ")
+    pfx = docs.where(F.size(arr) >= 8).select(
+        "doc_id",
+        F.array_join(F.slice(arr, 1, 8), " ").alias("prefix"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+    )
+    grouped = (
+        pfx.groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").alias("tokens_at_risk"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return grouped.select(
+        F.substring(F.md5("prefix"), 1, 12).alias("prefix_digest"),
+        "n_docs",
+        "first_doc",
+        "last_doc",
+        "tokens_at_risk",
+    )

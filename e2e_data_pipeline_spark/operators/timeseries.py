@@ -2130,3 +2130,75 @@ def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_concurrency_ppm"
         ),
     )
+
+
+@register(
+    "ts_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+        SELECT (CAST(year(o_orderdate) AS BIGINT) * 12
+                + month(o_orderdate)) AS ym,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY ym, m
+    ),
+    ma AS (
+        SELECT ym, m, cents,
+               SUM(cents) OVER (ORDER BY ym
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_cents,
+               COUNT(*) OVER (ORDER BY ym
+                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS win_n
+        FROM monthly
+    ),
+    ratio AS (
+        SELECT m, cents * win_n * 1000000 // win_cents AS idx_ppm
+        FROM ma WHERE win_n = 13
+    )
+    SELECT m AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           CAST(SUM(idx_ppm) // COUNT(*) AS BIGINT) AS seasonal_index_ppm
+    FROM ratio GROUP BY m
+    """,
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal indices: each
+    month's revenue over its centered 13-month window mean, averaged
+    per calendar month — the decomposition step behind deseasonalized
+    reporting ("is December really up, or is it just December?").
+    The ratio is cross-multiplied into exact ppm BEFORE averaging
+    (cents·win_n·10⁶ div win_cents — no float mean of floats), and
+    edge months without a full window are excluded identically on
+    both engines (win_n = 13).
+
+    Month-grain pre-aggregate map-side combines; one centered window
+    over the ~80-row monthly frame; O(12) output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("ym", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("ym").rowsBetween(-6, 6)
+    ma = monthly.select(
+        "m",
+        "cents",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    ratio = ma.where(F.col("win_n") == 13).select(
+        "m", F.expr("cents * win_n * 1000000 div win_cents").alias("idx_ppm")
+    )
+    return ratio.groupBy(F.col("m").alias("month")).agg(
+        F.count("*").alias("n_years"),
+        F.expr("SUM(idx_ppm) div COUNT(*)").cast("bigint").alias(
+            "seasonal_index_ppm"
+        ),
+    )
