@@ -3929,3 +3929,76 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("class_cents"),
         F.min("cents").alias("min_part_cents"),
     )
+
+
+@register(
+    "stats_power_analysis",
+    oracle="""
+    WITH purch AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        FROM purch
+    )
+    SELECT n, s,
+           CAST(CAST(n * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS DOUBLE)
+               AS var_cents2,
+           CAST(ceil(
+               (1.959964 + 0.841621) * (1.959964 + 0.841621)
+               * 2.0
+               * (CAST(n * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+               / ((0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           ) AS BIGINT) AS n_required_per_arm
+    FROM m
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis: the sample size per arm needed to
+    detect a 2% lift in mean purchase value at α=0.05 / 80% power —
+    n = 2(z_α/2+z_β)²σ²/δ², the pre-registration number every
+    experiment review asks for first. The z constants are double
+    literals; the sample variance comes from exact HUGEINT/DECIMAL(38)
+    moments (Σx² overflows int64 at real volume), and the whole
+    formula is a fixed written-order float chain over exact inputs —
+    both engines produce bit-identical doubles, and ceil() then lands
+    on the same integer (a half-ulp boundary would need δ² to conspire
+    with σ² to within 10⁻¹⁶ — and the hash would catch it).
+
+    One map-side-combining moment aggregate; O(1) arithmetic after.
+    """
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"))
+    )
+    d = "DECIMAL(38,0)"
+    m = purch.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.expr(f"SUM(CAST(cents AS {d}) * CAST(cents AS {d}))").alias("s2"),
+    )
+    var = (
+        f"CAST(CAST(n * s2 - CAST(s AS {d}) * s AS DOUBLE)"
+        f" / CAST(CAST(n AS {d}) * (n - 1) AS DOUBLE) AS DOUBLE)"
+    )
+    return m.select(
+        "n",
+        "s",
+        F.expr(var).alias("var_cents2"),
+        F.expr(
+            "CAST(ceil("
+            "(1.959964 + 0.841621) * (1.959964 + 0.841621)"
+            " * 2.0"
+            f" * ({var})"
+            " / ((0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ") AS BIGINT)"
+        ).alias("n_required_per_arm"),
+    )

@@ -2202,3 +2202,82 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index_ppm"
         ),
     )
+
+
+@register(
+    "agg_time_to_convert",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id, event_id AS pid, epoch_us(ts) // 1000000 AS psec
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS vsec
+        FROM events WHERE event_type = 'view'
+    ),
+    latency AS (
+        SELECT p.pid, p.psec - MAX(v.vsec) AS ttc_s
+        FROM purch p
+        JOIN views v ON v.user_id = p.user_id AND v.vsec < p.psec
+        GROUP BY p.pid, p.psec
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(2 * quantile_cont(ttc_s, 0.5) AS BIGINT) AS p50_half_s,
+           CAST(4 * quantile_cont(ttc_s, 0.75) AS BIGINT)
+               AS p75_quarter_s,
+           CAST(MIN(ttc_s) AS BIGINT) AS min_s,
+           CAST(MAX(ttc_s) AS BIGINT) AS max_s,
+           CAST(SUM(CASE WHEN ttc_s <= 3600 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS within_1h_ppm
+    FROM latency
+    """,
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each purchase, the latency
+    from the user's most recent prior view — the intent-to-action
+    funnel timing that sets attribution windows and retargeting
+    budgets (the 1-hour share directly validates the window
+    agg_attribution_linear assumes). The "most recent prior view" is
+    an as-of join expressed as a grouped MAX under the inequality;
+    quantiles are doubled/quadrupled dyadic exacts (×4 for the .75
+    point so the .25 fractional weight stays integral).
+
+    At fixture scale the inequality join is user-bounded; at 100 TB
+    it becomes the union+window as-of formulation join_asof uses —
+    the semantics, and the oracle, stay identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        sec.alias("psec"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", sec.alias("vsec")
+    )
+    latency = (
+        purch.join(
+            views,
+            (F.col("user_id") == F.col("pu")) & (F.col("vsec") < F.col("psec")),
+        )
+        .groupBy("pid", "psec")
+        .agg((F.col("psec") - F.max("vsec")).alias("ttc_s"))
+    )
+    return latency.agg(
+        F.count("*").alias("n_conversions"),
+        (2 * F.percentile("ttc_s", F.lit(0.5))).cast("bigint").alias(
+            "p50_half_s"
+        ),
+        (4 * F.percentile("ttc_s", F.lit(0.75))).cast("bigint").alias(
+            "p75_quarter_s"
+        ),
+        F.min("ttc_s").alias("min_s"),
+        F.max("ttc_s").alias("max_s"),
+        F.expr(
+            "SUM(CASE WHEN ttc_s <= 3600 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("within_1h_ppm"),
+    )
