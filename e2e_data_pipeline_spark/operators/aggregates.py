@@ -4002,3 +4002,177 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS BIGINT)"
         ).alias("n_required_per_arm"),
     )
+
+
+@register(
+    "agg_switching_matrix",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(datediff('day', DATE '1970-01-01', o_orderdate))
+              + MAX(datediff('day', DATE '1970-01-01', o_orderdate)) + 1) // 2
+                   AS mid
+        FROM orders
+    ),
+    pref AS (
+        SELECT o_custkey,
+               CASE WHEN datediff('day', DATE '1970-01-01', o_orderdate)
+                         < (SELECT mid FROM mid) THEN 0 ELSE 1 END AS half,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey, half, o_orderpriority
+    ),
+    dominant AS (
+        SELECT o_custkey, half, o_orderpriority AS pref FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey, half
+                ORDER BY n DESC, o_orderpriority) AS rn
+            FROM pref
+        ) WHERE rn = 1
+    ),
+    matrix AS (
+        SELECT a.pref AS from_pref, b.pref AS to_pref,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM dominant a
+        JOIN dominant b ON b.o_custkey = a.o_custkey
+        WHERE a.half = 0 AND b.half = 1
+        GROUP BY a.pref, b.pref
+    ),
+    fromtot AS (
+        SELECT from_pref, CAST(SUM(n_cust) AS BIGINT) AS tot
+        FROM matrix GROUP BY from_pref
+    )
+    SELECT m.from_pref, m.to_pref, m.n_cust,
+           CAST(m.n_cust * 1000000 // f.tot AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN m.from_pref = m.to_pref THEN 1 ELSE 0 END
+                AS BIGINT) AS retained
+    FROM matrix m JOIN fromtot f USING (from_pref)
+    """,
+)
+def agg_switching_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-switching matrix: each customer's DOMINANT order
+    priority in the first half of history vs the second, cross-
+    tabulated — the brand/plan-switching analysis behind churn-driver
+    and loyalty work (the diagonal is stickiness; off-diagonal flows
+    say where leavers go). Dominance is a deterministic argmax
+    (count desc, then priority); row-share in exact ppm. Distinct
+    from agg_markov_transition (adjacent-event transitions): this is
+    period-over-period REGIME change per entity.
+
+    Two grouped counts + per-(customer, half) argmax windows + a
+    self-join on customer — all keyed operations; the matrix is k²
+    rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    mid = orders.agg(
+        ((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid")
+    )
+    pref = (
+        orders.crossJoin(F.broadcast(mid))
+        .select(
+            "o_custkey",
+            F.when(day < F.col("mid"), 0).otherwise(1).alias("half"),
+            "o_orderpriority",
+        )
+        .groupBy("o_custkey", "half", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_custkey", "half").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    dominant = (
+        pref.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "half", F.col("o_orderpriority").alias("pref"))
+    )
+    a = dominant.where(F.col("half") == 0).select(
+        "o_custkey", F.col("pref").alias("from_pref")
+    )
+    b = dominant.where(F.col("half") == 1).select(
+        "o_custkey", F.col("pref").alias("to_pref")
+    )
+    matrix = a.join(b, "o_custkey").groupBy("from_pref", "to_pref").agg(
+        F.count("*").alias("n_cust")
+    )
+    fromtot = matrix.groupBy("from_pref").agg(F.sum("n_cust").alias("tot"))
+    return matrix.join(F.broadcast(fromtot), "from_pref").select(
+        "from_pref",
+        "to_pref",
+        "n_cust",
+        F.expr("n_cust * 1000000 div tot").cast("bigint").alias("share_ppm"),
+        F.when(F.col("from_pref") == F.col("to_pref"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("retained"),
+    )
+
+
+@register(
+    "stats_wilson_ci",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                        THEN user_id END) AS BIGINT) AS k
+        FROM events
+    )
+    SELECT n, k,
+           CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+           CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE))
+                 - 1.959964 * sqrt(
+                     (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + 1.959964 * 1.959964
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)) AS DOUBLE)
+               AS wilson_lo,
+           CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE))
+                 + 1.959964 * sqrt(
+                     (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + 1.959964 * 1.959964
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE)) AS DOUBLE)
+               AS wilson_hi
+    FROM m
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the user-conversion rate — the
+    proportion CI that behaves at extreme rates and small n where the
+    naive Wald interval collapses (the reason every ranking/review
+    system quotes Wilson, not p±1.96σ). The closed form is one fixed
+    written-order float chain over two exact integers (k converting
+    users, n users), identical text both engines ⇒ bit-identical
+    bounds; the point rate rides along in exact ppm.
+
+    One distinct-users aggregate with a conditional distinct leg.
+    """
+    m = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("k"),
+    )
+    wilson = (
+        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"
+        " + 1.959964 * 1.959964 / (2.0 * CAST(n AS DOUBLE))"
+        " {sign} 1.959964 * sqrt("
+        "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / CAST(n AS DOUBLE)"
+        " + 1.959964 * 1.959964"
+        " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+        " / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))"
+    )
+    return m.select(
+        "n",
+        "k",
+        F.expr("k * 1000000 div n").cast("bigint").alias("rate_ppm"),
+        F.expr(f"CAST({wilson.format(sign='-')} AS DOUBLE)").alias("wilson_lo"),
+        F.expr(f"CAST({wilson.format(sign='+')} AS DOUBLE)").alias("wilson_hi"),
+    )

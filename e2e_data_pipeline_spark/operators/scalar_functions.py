@@ -1840,3 +1840,83 @@ def fn_useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("major").alias("min_major"),
         F.max("major").alias("max_major"),
     )
+
+
+@register(
+    "fn_duration_format",
+    oracle="""
+    WITH durs AS (
+        SELECT o_orderkey, CAST(o_orderkey * 37 % 360000 AS BIGINT) AS secs
+        FROM orders
+    ),
+    rendered AS (
+        SELECT secs,
+               CAST(secs // 3600 AS VARCHAR) || 'h '
+               || lpad(CAST(secs % 3600 // 60 AS VARCHAR), 2, '0') || 'm '
+               || lpad(CAST(secs % 60 AS VARCHAR), 2, '0') || 's' AS human
+        FROM durs
+    ),
+    parsed AS (
+        SELECT secs, human,
+               CAST(string_split(human, 'h ')[1] AS BIGINT) * 3600
+             + CAST(string_split(string_split(human, 'h ')[2], 'm ')[1]
+                    AS BIGINT) * 60
+             + CAST(replace(string_split(human, 'm ')[2], 's', '') AS BIGINT)
+                   AS roundtrip
+        FROM rendered
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN roundtrip = secs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_roundtrip_exact,
+           CAST(MAX(secs) AS BIGINT) AS max_secs,
+           CAST(SUM(length(human)) AS BIGINT) AS total_chars
+    FROM parsed
+    """,
+)
+def fn_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable duration rendering ('27h 05m 03s') and its
+    inverse parse — the log/SLA display format that, unlike
+    timestamps, has no built-in round trip in either engine, so it's
+    integer div/mod chains both ways with a full round-trip audit
+    (roundtrip == secs for every row proves the renderer and parser
+    compose to the identity — format bugs like a missing lpad break
+    the parse-side split and show up as a count, not silence).
+
+    Pure scan-local integer/string work.
+    """
+    durs = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 37 % 360000).cast("bigint").alias("secs")
+    )
+    rendered = durs.select(
+        "secs",
+        F.concat(
+            F.expr("secs div 3600").cast("string"),
+            F.lit("h "),
+            F.lpad(F.expr("secs % 3600 div 60").cast("string"), 2, "0"),
+            F.lit("m "),
+            F.lpad((F.col("secs") % 60).cast("string"), 2, "0"),
+            F.lit("s"),
+        ).alias("human"),
+    )
+    parsed = rendered.select(
+        "secs",
+        "human",
+        (
+            F.element_at(F.split("human", "h "), 1).cast("bigint") * 3600
+            + F.element_at(
+                F.split(F.element_at(F.split("human", "h "), 2), "m "), 1
+            ).cast("bigint")
+            * 60
+            + F.regexp_replace(
+                F.element_at(F.split("human", "m "), 2), "s", ""
+            ).cast("bigint")
+        ).alias("roundtrip"),
+    )
+    return parsed.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("roundtrip") == F.col("secs"), 1).otherwise(0)
+        ).alias("n_roundtrip_exact"),
+        F.max("secs").alias("max_secs"),
+        F.sum(F.length("human")).alias("total_chars"),
+    )
