@@ -1920,3 +1920,49 @@ def fn_duration_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("secs").alias("max_secs"),
         F.sum(F.length("human")).alias("total_chars"),
     )
+
+
+@register(
+    "fn_fiscal_calendar",
+    oracle="""
+    WITH fiscal AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN month(o_orderdate) >= 2
+                    THEN CAST(year(o_orderdate) AS BIGINT)
+                    ELSE CAST(year(o_orderdate) AS BIGINT) - 1 END AS fy,
+               (CAST(month(o_orderdate) AS BIGINT) + 10) % 12 // 3 + 1 AS fq
+        FROM orders
+    )
+    SELECT fy, CAST(fq AS BIGINT) AS fq,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM fiscal GROUP BY fy, fq
+    """,
+)
+def fn_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal calendar mapping — FY starts in FEBRUARY (the retail
+    4-5-4 world's favorite trap): fiscal year is the calendar year of
+    February-onward months (January belongs to the PRIOR fiscal
+    year), fiscal quarter is ((month+10) mod 12) div 3 + 1 — so
+    Feb/Mar/Apr = FQ1, Nov/Dec/Jan = FQ4 spanning the calendar
+    boundary. Revenue rolled up by (FY, FQ) in exact cents; every
+    "why don't our Q4 numbers match finance's" bug is this mapping
+    done inconsistently, which is why it's oracle-pinned.
+
+    Pure integer month arithmetic on the scan; one grouped sum.
+    """
+    fiscal = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.when(
+            F.month("o_orderdate") >= 2, F.year("o_orderdate").cast("bigint")
+        )
+        .otherwise(F.year("o_orderdate").cast("bigint") - 1)
+        .alias("fy"),
+        (
+            F.expr("(CAST(month(o_orderdate) AS BIGINT) + 10) % 12 div 3 + 1")
+        ).alias("fq"),
+    )
+    return fiscal.groupBy("fy", F.col("fq").cast("bigint").alias("fq")).agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
+    )

@@ -2281,3 +2281,76 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("within_1h_ppm"),
     )
+
+
+@register(
+    "ts_record_highs",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    flagged AS (
+        SELECT day, cents,
+               CASE WHEN cents > COALESCE(MAX(cents) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                    THEN 1 ELSE 0 END AS is_record
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(is_record) AS BIGINT) AS n_records,
+           CAST(MAX(CASE WHEN is_record = 1 THEN day END) AS BIGINT)
+               AS last_record_day,
+           CAST(MAX(CASE WHEN is_record = 1 THEN cents END) AS BIGINT)
+               AS all_time_high_cents
+    FROM flagged
+    """,
+)
+def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high tracking: days whose revenue strictly exceeds every
+    prior day — the "all-time high" metric, and a randomness
+    diagnostic (an i.i.d. series produces ~ln(n) records; many more
+    means trend, the flip side of win_drawdown's troughs). The prior
+    maximum is a 1-PRECEDING-bounded running max with a LONG_MIN
+    sentinel for the first day, identical on both engines; strict
+    comparison makes ties non-records deterministically.
+
+    Day-grain pre-aggregate map-side combines; one ordered window
+    over the calendar-bounded daily frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.col("cents")
+            > F.coalesce(
+                F.max("cents").over(w), F.lit(-9223372036854775808)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    return flagged.agg(
+        F.count("*").alias("n_days"),
+        F.sum("is_record").alias("n_records"),
+        F.max(F.when(F.col("is_record") == 1, F.col("day"))).alias(
+            "last_record_day"
+        ),
+        F.max(F.when(F.col("is_record") == 1, F.col("cents"))).alias(
+            "all_time_high_cents"
+        ),
+    )

@@ -1021,3 +1021,68 @@ def win_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("n_stockouts"),
     )
+
+
+@register(
+    "win_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderkey,
+               CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+                    AS BIGINT) AS day,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 100
+    ),
+    swept AS (
+        SELECT o_orderkey, day, cents,
+               COALESCE(MAX(cents) OVER (ORDER BY day DESC, cents DESC,
+                    o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), -1) AS best_newer
+        FROM pts
+    )
+    SELECT o_orderkey, day, cents
+    FROM swept WHERE cents > best_newer
+    """,
+)
+def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (recency, value) — no other order is both newer AND at least as
+    valuable — the multi-criteria shortlist query (best trade-offs,
+    not a single weighted score). The classic quadratic dominance
+    check collapses to ONE sorted sweep: order by day descending and
+    keep rows whose value strictly exceeds the running max of
+    everything newer (ties in day are ordered value-desc so an
+    equal-value same-day twin is dominated deterministically).
+
+    Exact integer day/cents; the 1-PRECEDING frame with a −1 sentinel
+    admits the newest row identically on both engines. The customer
+    filter bounds output; at scale the sweep is the standard
+    sort-based skyline — one global sort, no pairwise joins.
+    """
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("day"), F.desc("cents"), F.col("o_orderkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    swept = pts.select(
+        "o_orderkey",
+        "day",
+        "cents",
+        F.coalesce(F.max("cents").over(w), F.lit(-1)).alias("best_newer"),
+    )
+    return swept.where(F.col("cents") > F.col("best_newer")).select(
+        "o_orderkey", "day", "cents"
+    )
