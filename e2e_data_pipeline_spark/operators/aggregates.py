@@ -3109,11 +3109,12 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.theta_micro AS BIGINT) AS theta_micro,
            CAST(CAST(v.syv AS DOUBLE) / CAST(v.nv AS DOUBLE) AS DOUBLE)
                AS raw_mean_cents,
-           CAST(CAST(v.syv * 1048576 * t.n
-                     - t.theta_micro * (v.sxv * t.n - t.sx * v.nv)
-                     AS DOUBLE)
-                / CAST(v.nv * t.n * 1048576 AS DOUBLE) AS DOUBLE)
-               AS cuped_mean_cents
+           CAST((CAST(v.syv AS DOUBLE) * 1048576.0 * CAST(t.n AS DOUBLE)
+                 - CAST(t.theta_micro AS DOUBLE)
+                   * (CAST(v.sxv AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      - CAST(t.sx AS DOUBLE) * CAST(v.nv AS DOUBLE)))
+                / (CAST(v.nv AS DOUBLE) * CAST(t.n AS DOUBLE) * 1048576.0)
+               AS DOUBLE) AS cuped_mean_cents
     FROM per_variant v CROSS JOIN theta t
     """,
 )
@@ -3196,9 +3197,12 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean_cents"
         ),
         F.expr(
-            "CAST(CAST(syv * 1048576 * n"
-            " - theta_micro * (sxv * n - sx * nv) AS DOUBLE)"
-            " / CAST(nv * n * 1048576 AS DOUBLE) AS DOUBLE)"
+            "CAST((CAST(syv AS DOUBLE) * 1048576.0 * CAST(n AS DOUBLE)"
+            " - CAST(theta_micro AS DOUBLE)"
+            " * (CAST(sxv AS DOUBLE) * CAST(n AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(nv AS DOUBLE)))"
+            " / (CAST(nv AS DOUBLE) * CAST(n AS DOUBLE) * 1048576.0)"
+            " AS DOUBLE)"
         ).alias("cuped_mean_cents"),
     )
 
@@ -3238,16 +3242,15 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT s_t1, n_t1, s_t0, n_t0, s_c1, n_c1, s_c0, n_c0,
-           CAST(CAST((CAST(s_t1 AS HUGEINT) * n_t0
-                      - CAST(s_t0 AS HUGEINT) * n_t1)
-                     * (CAST(n_c1 AS HUGEINT) * n_c0)
-                     - (CAST(s_c1 AS HUGEINT) * n_c0
-                        - CAST(s_c0 AS HUGEINT) * n_c1)
-                       * (CAST(n_t1 AS HUGEINT) * n_t0)
-                     AS DOUBLE)
-                / CAST((CAST(n_t1 AS HUGEINT) * n_t0)
-                       * (CAST(n_c1 AS HUGEINT) * n_c0) AS DOUBLE) AS DOUBLE)
-               AS did_cents
+           CAST(((CAST(s_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE)
+                   - CAST(s_t0 AS DOUBLE) * CAST(n_t1 AS DOUBLE))
+                  * (CAST(n_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE))
+                  - (CAST(s_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE)
+                     - CAST(s_c0 AS DOUBLE) * CAST(n_c1 AS DOUBLE))
+                    * (CAST(n_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE)))
+                / ((CAST(n_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE))
+                   * (CAST(n_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE)))
+               AS DOUBLE) AS did_cents
     FROM wide
     """,
 )
@@ -3302,7 +3305,6 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("s", "n")
         ]
     )
-    d = "DECIMAL(38,0)"
     return wide.select(
         "s_t1",
         "n_t1",
@@ -3313,12 +3315,15 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_c0",
         "n_c0",
         F.expr(
-            f"CAST(CAST((CAST(s_t1 AS {d}) * n_t0 - CAST(s_t0 AS {d}) * n_t1)"
-            f" * (CAST(n_c1 AS {d}) * n_c0)"
-            f" - (CAST(s_c1 AS {d}) * n_c0 - CAST(s_c0 AS {d}) * n_c1)"
-            f" * (CAST(n_t1 AS {d}) * n_t0) AS DOUBLE)"
-            f" / CAST((CAST(n_t1 AS {d}) * n_t0)"
-            f" * (CAST(n_c1 AS {d}) * n_c0) AS DOUBLE) AS DOUBLE)"
+            "CAST(((CAST(s_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE)"
+            " - CAST(s_t0 AS DOUBLE) * CAST(n_t1 AS DOUBLE))"
+            " * (CAST(n_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE))"
+            " - (CAST(s_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE)"
+            " - CAST(s_c0 AS DOUBLE) * CAST(n_c1 AS DOUBLE))"
+            " * (CAST(n_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE)))"
+            " / ((CAST(n_t1 AS DOUBLE) * CAST(n_t0 AS DOUBLE))"
+            " * (CAST(n_c1 AS DOUBLE) * CAST(n_c0 AS DOUBLE)))"
+            " AS DOUBLE)"
         ).alias("did_cents"),
     )
 
@@ -3945,14 +3950,16 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM purch
     )
     SELECT n, s,
-           CAST(CAST(n * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
-                / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS DOUBLE)
+           CAST((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS DOUBLE)
                AS var_cents2,
            CAST(ceil(
                (1.959964 + 0.841621) * (1.959964 + 0.841621)
                * 2.0
-               * (CAST(n * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
-                  / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+               * ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
                / ((0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                   * (0.02 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
            ) AS BIGINT) AS n_required_per_arm
@@ -3985,8 +3992,9 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"SUM(CAST(cents AS {d}) * CAST(cents AS {d}))").alias("s2"),
     )
     var = (
-        f"CAST(CAST(n * s2 - CAST(s AS {d}) * s AS DOUBLE)"
-        f" / CAST(CAST(n AS {d}) * (n - 1) AS DOUBLE) AS DOUBLE)"
+        "CAST((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS DOUBLE)"
     )
     return m.select(
         "n",
@@ -4175,4 +4183,277 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("k * 1000000 div n").cast("bigint").alias("rate_ppm"),
         F.expr(f"CAST({wilson.format(sign='-')} AS DOUBLE)").alias("wilson_lo"),
         F.expr(f"CAST({wilson.format(sign='+')} AS DOUBLE)").alias("wilson_hi"),
+    )
+
+
+@register(
+    "agg_sequence_pairs",
+    oracle="""
+    WITH cat_orders AS (
+        SELECT o.o_custkey,
+               l.l_partkey % 10 AS cat,
+               MIN(datediff('day', DATE '1970-01-01', o.o_orderdate))
+                   AS first_day
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, l.l_partkey % 10
+    ),
+    pairs AS (
+        SELECT a.cat AS cat_from, b.cat AS cat_to,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM cat_orders a
+        JOIN cat_orders b ON b.o_custkey = a.o_custkey
+                         AND (a.first_day < b.first_day
+                              OR (a.first_day = b.first_day
+                                  AND a.cat < b.cat))
+        GROUP BY a.cat, b.cat
+    ),
+    base AS (
+        SELECT cat, CAST(COUNT(*) AS BIGINT) AS n FROM cat_orders
+        GROUP BY cat
+    )
+    SELECT p.cat_from, p.cat_to, p.n_cust,
+           CAST(p.n_cust * 1000000 // f.n AS BIGINT)
+               AS follow_rate_ppm
+    FROM pairs p JOIN base f ON f.cat = p.cat_from
+    ORDER BY n_cust DESC, cat_from, cat_to LIMIT 20
+    """,
+)
+def agg_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential purchase patterns: "customers who adopt category A
+    later adopt category B" — directional category-pair counts by
+    FIRST-adoption order (with a deterministic same-day tie rule), the
+    sequence-mining primitive behind next-best-offer models, and the
+    directional complement to agg_basket_affinity's same-basket
+    co-occurrence. Follow rate is exact ppm over the source
+    category's adopter base; top-20 by support.
+
+    First-adoption collapses each (customer, category) to ONE row
+    before pairing, so the self-join is bounded by categories² per
+    customer (10 here), never by order count — the same
+    distinct-before-pairing move as text_cooccur_lift.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cat_orders = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_custkey", (F.col("l_partkey") % 10).alias("cat")
+        )
+        .agg(
+            F.min(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+                )
+            ).alias("first_day")
+        )
+    )
+    a, b = cat_orders.alias("a"), cat_orders.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (
+                (F.col("a.first_day") < F.col("b.first_day"))
+                | (
+                    (F.col("a.first_day") == F.col("b.first_day"))
+                    & (F.col("a.cat") < F.col("b.cat"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col("a.cat").alias("cat_from"), F.col("b.cat").alias("cat_to")
+        )
+        .agg(F.count("*").alias("n_cust"))
+    )
+    base = cat_orders.groupBy(F.col("cat").alias("cat_from")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        pairs.join(F.broadcast(base), "cat_from")
+        .select(
+            "cat_from",
+            "cat_to",
+            "n_cust",
+            F.expr("n_cust * 1000000 div n").cast("bigint").alias(
+                "follow_rate_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_cust"), "cat_from", "cat_to")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(datediff('day', DATE '1970-01-01', l_shipdate))
+              + MAX(datediff('day', DATE '1970-01-01', l_shipdate)) + 1) // 2
+                   AS mid
+        FROM lineitem
+    ),
+    halves AS (
+        SELECT l_partkey % 10 AS cat,
+               CASE WHEN datediff('day', DATE '1970-01-01', l_shipdate)
+                         < (SELECT mid FROM mid) THEN 0 ELSE 1 END AS h,
+               CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY cat, h
+    ),
+    wide AS (
+        SELECT cat,
+               MAX(CASE WHEN h = 0 THEN qty END) AS q1,
+               MAX(CASE WHEN h = 1 THEN qty END) AS q2,
+               MAX(CASE WHEN h = 0 THEN cents END) AS c1,
+               MAX(CASE WHEN h = 1 THEN cents END) AS c2
+        FROM halves GROUP BY cat
+    )
+    SELECT cat, q1, q2, c1, c2,
+           CAST((CAST(q2 - q1 AS DOUBLE)
+                 * (CAST(c1 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                    + CAST(c2 AS DOUBLE) * CAST(q1 AS DOUBLE)))
+                / NULLIF((CAST(c2 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                          - CAST(c1 AS DOUBLE) * CAST(q2 AS DOUBLE))
+                         * CAST(q1 + q2 AS DOUBLE), 0.0)
+               AS DOUBLE) AS arc_elasticity
+    FROM wide
+    """,
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc price elasticity of demand per category between history
+    halves: %Δquantity over %Δunit-price with midpoint bases. Unit
+    price is revenue/quantity, so the algebra is cleared of ALL
+    nested divisions first — e = (q₂−q₁)(c₁q₂+c₂q₁) /
+    ((c₂q₁−c₁q₂)(q₁+q₂)) — then evaluated as a fixed-order DOUBLE
+    chain where every operand enters exact (< 2⁵³): converting the
+    wide-integer products instead diverged by 1 ulp at sf0.1, because
+    the engines' 128-bit→double conversions round differently past
+    2⁵³. NULLIF guards the no-price-change case identically. The economics primitive behind
+    markdown and pricing decisions, done without a single float mean.
+
+    One (category × half) grouped sum over the scan, a k-row pivot,
+    O(k) arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    mid = li.agg(((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid"))
+    halves = (
+        li.crossJoin(F.broadcast(mid))
+        .groupBy(
+            (F.col("l_partkey") % 10).alias("cat"),
+            F.when(day < F.col("mid"), 0).otherwise(1).alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    wide = halves.groupBy("cat").agg(
+        F.max(F.when(F.col("h") == 0, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("h") == 1, F.col("qty"))).alias("q2"),
+        F.max(F.when(F.col("h") == 0, F.col("cents"))).alias("c1"),
+        F.max(F.when(F.col("h") == 1, F.col("cents"))).alias("c2"),
+    )
+    d = "DECIMAL(38,0)"
+    return wide.select(
+        "cat",
+        "q1",
+        "q2",
+        "c1",
+        "c2",
+        F.expr(
+            "CAST((CAST(q2 - q1 AS DOUBLE)"
+            " * (CAST(c1 AS DOUBLE) * CAST(q2 AS DOUBLE)"
+            " + CAST(c2 AS DOUBLE) * CAST(q1 AS DOUBLE)))"
+            " / NULLIF((CAST(c2 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+            " - CAST(c1 AS DOUBLE) * CAST(q2 AS DOUBLE))"
+            " * CAST(q1 + q2 AS DOUBLE), 0.0) AS DOUBLE)"
+        ).alias("arc_elasticity"),
+    )
+
+
+@register(
+    "agg_safety_stock",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey % 10 AS cat,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+               CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem GROUP BY cat, day
+    ),
+    m AS (
+        SELECT cat,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(qty) AS BIGINT) AS s,
+               SUM(CAST(qty AS HUGEINT) * qty) AS s2
+        FROM daily GROUP BY cat
+    )
+    SELECT cat, n_days, s,
+           CAST(ceil(
+               CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) * 7.0
+               + 1.644854
+                 * sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n_days AS DOUBLE)
+                           * CAST(n_days - 1 AS DOUBLE)))
+                 * sqrt(7.0)
+           ) AS BIGINT) AS reorder_point_units,
+           CAST(ceil(
+               1.644854
+               * sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n_days AS DOUBLE)
+                         * CAST(n_days - 1 AS DOUBLE)))
+               * sqrt(7.0)
+           ) AS BIGINT) AS safety_stock_units
+    FROM m
+    """,
+)
+def agg_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder point per category at a 7-day lead
+    time and 95% service level: ROP = μ_d·LT + z·σ_d·√LT — the
+    inventory-policy formula every replenishment system materializes.
+    Daily-demand variance comes from exact HUGEINT/DECIMAL(38)
+    moments; the z·σ·√LT chain is fixed-written-order floats over
+    exact integers (sqrt is IEEE-correctly-rounded), so the ceil
+    lands on the same unit count on both engines.
+
+    Day-grain demand aggregate map-side combines; the per-category
+    moment reduce is k rows; O(k) closed-form arithmetic after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date"))
+    daily = (
+        li.groupBy((F.col("l_partkey") % 10).alias("cat"), day.alias("day"))
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("qty"))
+    )
+    d = "DECIMAL(38,0)"
+    m = daily.groupBy("cat").agg(
+        F.count("*").alias("n_days"),
+        F.sum("qty").alias("s"),
+        F.expr(f"SUM(CAST(qty AS {d}) * CAST(qty AS {d}))").alias("s2"),
+    )
+    sd = (
+        "sqrt((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n_days AS DOUBLE) * CAST(n_days - 1 AS DOUBLE)))"
+    )
+    return m.select(
+        "cat",
+        "n_days",
+        "s",
+        F.expr(
+            "CAST(ceil(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) * 7.0"
+            f" + 1.644854 * {sd} * sqrt(7.0)) AS BIGINT)"
+        ).alias("reorder_point_units"),
+        F.expr(
+            f"CAST(ceil(1.644854 * {sd} * sqrt(7.0)) AS BIGINT)"
+        ).alias("safety_stock_units"),
     )
