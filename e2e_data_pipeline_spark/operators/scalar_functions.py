@@ -1966,3 +1966,94 @@ def fn_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fiscal.groupBy("fy", F.col("fq").cast("bigint").alias("fq")).agg(
         F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
     )
+
+
+@register(
+    "fn_bitpack",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 1048576 AS BIGINT) AS part20,
+               CAST(l_suppkey % 16384 AS BIGINT) AS supp14,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) % 64 AS qty6,
+               CAST(l_linenumber AS BIGINT) % 8 AS line3
+        FROM lineitem WHERE l_orderkey % 97 = 0
+    ),
+    packed AS (
+        SELECT l_orderkey, l_linenumber, part20, supp14, qty6, line3,
+               (part20 << 23) | (supp14 << 9) | (qty6 << 3) | line3
+                   AS packed
+        FROM src
+    ),
+    unpacked AS (
+        SELECT *,
+               (packed >> 23) & 1048575 AS u_part,
+               (packed >> 9) & 16383 AS u_supp,
+               (packed >> 3) & 63 AS u_qty,
+               packed & 7 AS u_line
+        FROM packed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN u_part = part20 AND u_supp = supp14
+                    AND u_qty = qty6 AND u_line = line3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+           CAST(COUNT(DISTINCT packed) AS BIGINT) AS n_distinct_packed,
+           CAST(MAX(packed) AS BIGINT) AS max_packed
+    FROM unpacked
+    """,
+)
+def fn_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-field packing: four small fields (20+14+6+3 = 43 bits)
+    packed into one int64 with shifts and ORs, then unpacked with
+    shifts and masks — the compact-key/storage trick behind composite
+    surrogate keys, sort keys that encode multiple columns, and the
+    quadkey/geohash family (fn_quadkey_rollup is this specialized to
+    coordinates). The per-row round-trip audit proves field isolation
+    (a mask off by one bit shows up as a count); distinct-packed
+    equals distinct source tuples, certifying injectivity on this
+    domain. All shifts stay below bit 62 (the engines disagree on the
+    sign bit).
+
+    Scan-local integer ops; the fixture filter bounds oracle output.
+    """
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 1048576).cast("bigint").alias("part20"),
+            (F.col("l_suppkey") % 16384).cast("bigint").alias("supp14"),
+            (F.round(F.col("l_quantity"), 0).cast("bigint") % 64).alias("qty6"),
+            (F.col("l_linenumber").cast("bigint") % 8).alias("line3"),
+        )
+    )
+    packed = src.withColumn(
+        "packed",
+        F.expr("(part20 << 23) | (supp14 << 9) | (qty6 << 3) | line3"),
+    )
+    unpacked = packed.select(
+        "part20",
+        "supp14",
+        "qty6",
+        "line3",
+        "packed",
+        F.expr("(packed >> 23) & 1048575").alias("u_part"),
+        F.expr("(packed >> 9) & 16383").alias("u_supp"),
+        F.expr("(packed >> 3) & 63").alias("u_qty"),
+        F.expr("packed & 7").alias("u_line"),
+    )
+    return unpacked.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("u_part") == F.col("part20"))
+                & (F.col("u_supp") == F.col("supp14"))
+                & (F.col("u_qty") == F.col("qty6"))
+                & (F.col("u_line") == F.col("line3")),
+                1,
+            ).otherwise(0)
+        ).alias("n_roundtrip_exact"),
+        F.countDistinct("packed").alias("n_distinct_packed"),
+        F.max("packed").alias("max_packed"),
+    )

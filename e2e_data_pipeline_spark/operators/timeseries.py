@@ -2354,3 +2354,75 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_time_high_cents"
         ),
     )
+
+
+@register(
+    "ts_error_budget",
+    oracle="""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS errs
+        FROM events GROUP BY epoch_us(ts) // 3600000000
+    ),
+    windows AS (
+        SELECT hr, n, errs,
+               SUM(n) OVER (ORDER BY hr
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+               SUM(errs) OVER (ORDER BY hr
+                    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS e6
+        FROM hourly
+    )
+    SELECT CAST(hr AS BIGINT) AS hr, n, errs,
+           CAST(errs * 1000000 // n AS BIGINT) AS rate_1h_ppm,
+           CAST(e6 * 1000000 // n6 AS BIGINT) AS rate_6h_ppm,
+           CAST(CASE WHEN errs * 100 > n * 14 AND e6 * 100 > n6 * 14
+                THEN 1 ELSE 0 END AS BIGINT) AS page_alert
+    FROM windows
+    """,
+)
+def ts_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerting (the Google SRE multi-
+    window policy): page only when BOTH the fast (1h) and slow (6h)
+    windows burn above the threshold — the fast window gives
+    recall-to-incident, the slow one suppresses blips. With a 99%
+    SLO and 14.4× budget burn rounded to the 14% gate, the alert
+    condition is two cross-multiplied integer comparisons; burn
+    rates are reported in exact ppm alongside.
+
+    Hour-grain pre-aggregate map-side combines; the trailing window
+    runs over the calendar-bounded hourly frame. This is the batch
+    twin of what stream_rollup_cascade's minute→hour cascade would
+    feed in production.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600").alias("hr"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("e"),
+        )
+        .groupBy("hr")
+        .agg(F.count("*").alias("n"), F.sum("e").alias("errs"))
+    )
+    w = Window.orderBy("hr").rowsBetween(-5, 0)
+    windows = hourly.select(
+        "hr",
+        "n",
+        "errs",
+        F.sum("n").over(w).alias("n6"),
+        F.sum("errs").over(w).alias("e6"),
+    )
+    return windows.select(
+        F.col("hr").cast("bigint").alias("hr"),
+        "n",
+        "errs",
+        F.expr("errs * 1000000 div n").cast("bigint").alias("rate_1h_ppm"),
+        F.expr("e6 * 1000000 div n6").cast("bigint").alias("rate_6h_ppm"),
+        F.when(
+            F.expr("errs * 100 > n * 14") & F.expr("e6 * 100 > n6 * 14"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("page_alert"),
+    )
