@@ -4457,3 +4457,61 @@ def agg_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(ceil(1.644854 * {sd} * sqrt(7.0)) AS BIGINT)"
         ).alias("safety_stock_units"),
     )
+
+
+@register(
+    "agg_score_percentile",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    marks AS (
+        SELECT unnest([5000000::BIGINT, 15000000::BIGINT,
+                       30000000::BIGINT]) AS mark
+    )
+    SELECT c.o_orderpriority,
+           m.mark AS mark_cents,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c.c <= m.mark THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_at_or_below,
+           CAST(SUM(CASE WHEN c.c <= m.mark THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS percentile_ppm
+    FROM cents c CROSS JOIN marks m
+    GROUP BY c.o_orderpriority, m.mark
+    """,
+)
+def agg_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse percentile ("where does $X fall?"): the empirical-CDF
+    value of reference amounts ($50k/$150k/$300k) within each
+    priority class — the question percentile functions answer
+    backwards (they map rank→value; dashboards and threshold reviews
+    need value→rank). Exact ppm via count-at-or-below over the group
+    count; the mark set broadcasts and expands BEFORE the partial
+    aggregate (the threshold-sweep shape), so all marks ride one
+    scan.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    marks = spark.createDataFrame(
+        [(5000000,), (15000000,), (30000000,)], "mark long"
+    )
+    return (
+        cents.crossJoin(F.broadcast(marks))
+        .groupBy("o_orderpriority", F.col("mark").alias("mark_cents"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c") <= F.col("mark"), 1).otherwise(0)).alias(
+                "n_at_or_below"
+            ),
+            F.expr(
+                "SUM(CASE WHEN c <= mark THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("percentile_ppm"),
+        )
+    )

@@ -2426,3 +2426,154 @@ def ts_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("page_alert"),
     )
+
+
+@register(
+    "agg_cart_abandonment",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS vsec,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events WHERE event_type = 'view'
+    ),
+    converted AS (
+        SELECT DISTINCT v.event_id
+        FROM views v
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) // 1000000 > v.vsec
+         AND epoch_us(p.ts) // 1000000 <= v.vsec + 3600
+    )
+    SELECT CAST(v.day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN c.event_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS abandonment_ppm
+    FROM views v LEFT JOIN converted c ON c.event_id = v.event_id
+    GROUP BY v.day
+    """,
+)
+def agg_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment rate: views NOT followed by a purchase within the
+    hour, per day — the negative-space funnel metric (conversion's
+    complement) that needs an anti-semantics band join: a view
+    converts if ANY purchase by the same user lands in its window,
+    so the existence check must dedup before counting (the classic
+    fan-out bug — joining and counting inflates converted views by
+    the number of qualifying purchases; the DISTINCT/semi-join is the
+    point of the op). Abandonment in exact ppm per day.
+
+    The band join is user-keyed (hour-bucket-explodable at scale, as
+    join_interval_overlap); the existence set joins back LEFT on the
+    view id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        "event_id",
+        sec.alias("vsec"),
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("psec")
+    )
+    converted = (
+        views.join(
+            purch,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("psec") > F.col("vsec"))
+            & (F.col("psec") <= F.col("vsec") + 3600),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    return (
+        views.join(converted, "event_id", "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum(F.when(F.col("conv").isNotNull(), 1).otherwise(0)).alias(
+                "n_converted"
+            ),
+            F.expr(
+                "SUM(CASE WHEN conv IS NULL THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*)"
+            )
+            .cast("bigint")
+            .alias("abandonment_ppm"),
+        )
+    )
+
+
+@register(
+    "ts_vwap",
+    oracle="""
+    WITH trades AS (
+        SELECT l_partkey % 10 AS cat,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS notional
+        FROM lineitem
+    ),
+    daily AS (
+        SELECT cat, day,
+               CAST(SUM(q) AS BIGINT) AS vol,
+               CAST(SUM(notional) AS BIGINT) AS flow_cents
+        FROM trades GROUP BY cat, day
+    )
+    SELECT CAST(cat AS BIGINT) AS cat,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(vol) AS BIGINT) AS total_vol,
+           CAST(SUM(flow_cents) AS BIGINT) AS total_flow_cents,
+           CAST(CAST(SUM(flow_cents) AS DOUBLE)
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE)
+               AS vwap_cents_per_unit,
+           CAST(MAX(CAST(flow_cents AS DOUBLE) / CAST(vol AS DOUBLE))
+                AS DOUBLE) AS max_daily_vwap
+    FROM daily GROUP BY cat
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per category — the execution
+    benchmark (am I buying above or below the flow?) and the volume
+    twin of ts_twap's time weighting. Both levels are single double
+    divisions of exact integers (flow cents / unit volume at sf0.1:
+    Σflow ≈ 2×10¹² < 2⁵³, so the operands enter exact); the per-day
+    maximum takes the max over per-day single-rounded quotients —
+    deterministic because each quotient is bit-identical first.
+
+    Day-grain pre-aggregate map-side combines; the per-category
+    rollup is k rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.select(
+        (F.col("l_partkey") % 10).alias("cat"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "notional"
+        ),
+    )
+    daily = trades.groupBy("cat", "day").agg(
+        F.sum("q").alias("vol"), F.sum("notional").alias("flow_cents")
+    )
+    return daily.groupBy(F.col("cat").cast("bigint").alias("cat")).agg(
+        F.count("*").alias("n_days"),
+        F.sum("vol").alias("total_vol"),
+        F.sum("flow_cents").alias("total_flow_cents"),
+        F.expr(
+            "CAST(CAST(SUM(flow_cents) AS DOUBLE)"
+            " / CAST(SUM(vol) AS DOUBLE) AS DOUBLE)"
+        ).alias("vwap_cents_per_unit"),
+        F.expr(
+            "CAST(MAX(CAST(flow_cents AS DOUBLE) / CAST(vol AS DOUBLE))"
+            " AS DOUBLE)"
+        ).alias("max_daily_vwap"),
+    )
