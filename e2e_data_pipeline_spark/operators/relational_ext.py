@@ -2339,3 +2339,118 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exposure_cents"
         ),
     )
+
+
+@register(
+    "dq_health_score",
+    oracle="""
+    WITH null_leg AS (
+        SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                        OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+    ),
+    dup_leg AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS bad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+    ),
+    orphan_leg AS (
+        SELECT CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    range_leg AS (
+        SELECT CAST(SUM(CASE WHEN o_totalprice <= 0
+                        OR o_totalprice > 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+    ),
+    legs AS (
+        SELECT 'completeness' AS component, 40 AS weight, bad, n
+            FROM null_leg
+        UNION ALL SELECT 'uniqueness', 25, bad, n FROM dup_leg
+        UNION ALL SELECT 'referential', 25, bad, n FROM orphan_leg
+        UNION ALL SELECT 'validity', 10, bad, n FROM range_leg
+    )
+    SELECT component,
+           CAST(weight AS BIGINT) AS weight,
+           bad AS n_bad, n,
+           CAST((n - bad) * 1000000 // n AS BIGINT) AS component_ppm,
+           CAST((SELECT SUM(weight * ((n - bad) * 1000000 // n)) // 100
+                 FROM legs) AS BIGINT) AS overall_health_ppm
+    FROM legs
+    """,
+)
+def dq_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite data-health score — the executive rollup of the DQ
+    family: completeness (40%), key uniqueness (25%), referential
+    integrity (25%), and range validity (10%) each scored in exact
+    ppm and folded into one weighted figure (integer weights, floor
+    divisions — the score is reproducible to the ppm, so a dashboard
+    diff IS a data change, never float noise). Component rows ride
+    along so the headline number is always decomposable — the
+    anti-pattern this op exists to prevent is an opaque "87" nobody
+    can drill into.
+
+    Each leg is one aggregate (the orphan leg broadcasts the customer
+    dim); the rollup is O(4).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    null_leg = orders.agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isNull()
+                | F.col("o_totalprice").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.count("*").alias("n"),
+    ).select(F.lit("completeness").alias("component"), F.lit(40).alias("weight"), "bad", "n")
+    dup_leg = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("bad"),
+        F.count("*").alias("n"),
+    ).select(F.lit("uniqueness").alias("component"), F.lit(25).alias("weight"), "bad", "n")
+    orphan_leg = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+                "bad"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(F.lit("referential").alias("component"), F.lit(25).alias("weight"), "bad", "n")
+    )
+    range_leg = orders.agg(
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1000000),
+                1,
+            ).otherwise(0)
+        ).alias("bad"),
+        F.count("*").alias("n"),
+    ).select(F.lit("validity").alias("component"), F.lit(10).alias("weight"), "bad", "n")
+    legs = null_leg.unionAll(dup_leg).unionAll(orphan_leg).unionAll(range_leg)
+    overall = legs.agg(
+        F.expr("SUM(weight * ((n - bad) * 1000000 div n)) div 100")
+        .cast("bigint")
+        .alias("overall_health_ppm")
+    )
+    return legs.crossJoin(F.broadcast(overall)).select(
+        "component",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("bad").alias("n_bad"),
+        "n",
+        F.expr("(n - bad) * 1000000 div n").cast("bigint").alias(
+            "component_ppm"
+        ),
+        "overall_health_ppm",
+    )

@@ -154,3 +154,19 @@ def test_semantic_det_clusters_are_sound(spark):
         i = idx[r]
         close = np.where(sims[i] >= 0.35 - 1e-9)[0]
         assert len(close) > 1, f"rep {r} has no true neighbor at 0.35"
+
+
+def test_vwap_and_elasticity_share_bases(spark):
+    """ts_vwap and agg_price_elasticity aggregate the same lineitem
+    cents/quantities by the same category key through different
+    pipelines — their totals must agree exactly: total_flow = c1+c2
+    and total_vol = q1+q2 per category."""
+    vwap = {
+        r.cat: (r.total_vol, r.total_flow_cents)
+        for r in QUERIES["ts_vwap"](spark, SF_SMALL).collect()
+    }
+    elas = {
+        r.cat: (r.q1 + r.q2, r.c1 + r.c2)
+        for r in QUERIES["agg_price_elasticity"](spark, SF_SMALL).collect()
+    }
+    assert vwap == elas
