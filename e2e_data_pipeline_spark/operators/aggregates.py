@@ -4515,3 +4515,106 @@ def agg_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("percentile_ppm"),
         )
     )
+
+
+@register(
+    "agg_shapley_channels",
+    oracle="""
+    WITH exposure AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT v, c,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(conv) AS BIGINT) AS k
+        FROM exposure GROUP BY v, c
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN v = 0 AND c = 0 THEN k END) AS k00,
+          MAX(CASE WHEN v = 0 AND c = 0 THEN n END) AS n00,
+          MAX(CASE WHEN v = 1 AND c = 0 THEN k END) AS k10,
+          MAX(CASE WHEN v = 1 AND c = 0 THEN n END) AS n10,
+          MAX(CASE WHEN v = 0 AND c = 1 THEN k END) AS k01,
+          MAX(CASE WHEN v = 0 AND c = 1 THEN n END) AS n01,
+          MAX(CASE WHEN v = 1 AND c = 1 THEN k END) AS k11,
+          MAX(CASE WHEN v = 1 AND c = 1 THEN n END) AS n11
+        FROM cells
+    )
+    SELECT k00, n00, k10, n10, k01, n01, k11, n11,
+           CAST(((CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE)
+                  - CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+                 + (CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                    - CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE))) / 2.0
+               AS DOUBLE) AS shapley_view,
+           CAST(((CAST(k01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                  - CAST(k00 AS DOUBLE) / CAST(n00 AS DOUBLE))
+                 + (CAST(k11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+                    - CAST(k10 AS DOUBLE) / CAST(n10 AS DOUBLE))) / 2.0
+               AS DOUBLE) AS shapley_click
+    FROM wide
+    """,
+)
+def agg_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution for the two-channel game:
+    each channel's credit is its average marginal contribution to the
+    conversion rate over both join orders — φ_view = [(r_V − r_∅) +
+    (r_VC − r_C)]/2 — the game-theoretically fair split that
+    last-touch and linear attribution only approximate, computed
+    EXACTLY here because the 2-player game needs just the four
+    exposure-cell rates (2^k cells generally — the reason production
+    Shapley attribution samples coalitions; at k=2 it's closed-form).
+    Each rate is a single-rounded division of exact counts, the
+    marginal sums a fixed-order chain, and /2.0 is lossless — the
+    doubles hash bit-identically.
+
+    One per-user exposure aggregate, a 4-cell pivot, O(1) arithmetic.
+    By construction φ_view + φ_click = r_full − r_none (efficiency
+    axiom) — auditable from the emitted cells.
+    """
+    exposure = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "c"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = exposure.groupBy("v", "c").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("k")
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when((F.col("v") == v) & (F.col("c") == c), F.col(x))
+            ).alias(f"{x}{v}{c}")
+            for v in (0, 1)
+            for c in (0, 1)
+            for x in ("k", "n")
+        ]
+    )
+    r = lambda k, n: f"CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE)"
+    return wide.select(
+        "k00",
+        "n00",
+        "k10",
+        "n10",
+        "k01",
+        "n01",
+        "k11",
+        "n11",
+        F.expr(
+            f"CAST((({r('k10','n10')} - {r('k00','n00')})"
+            f" + ({r('k11','n11')} - {r('k01','n01')})) / 2.0 AS DOUBLE)"
+        ).alias("shapley_view"),
+        F.expr(
+            f"CAST((({r('k01','n01')} - {r('k00','n00')})"
+            f" + ({r('k11','n11')} - {r('k10','n10')})) / 2.0 AS DOUBLE)"
+        ).alias("shapley_click"),
+    )

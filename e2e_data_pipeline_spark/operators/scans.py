@@ -1657,3 +1657,92 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
         ).alias("cents"),
     )
+
+
+@register(
+    "scan_jsonl_malformed",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CASE WHEN event_id % 53 = 0 THEN 1 ELSE 0 END AS corrupted
+        FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(corrupted) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN corrupted = 0 THEN cents ELSE 0 END) AS BIGINT)
+               AS good_cents,
+           CAST(COUNT(DISTINCT CASE WHEN corrupted = 0 THEN event_type END)
+                AS BIGINT) AS n_types_parsed
+    FROM src
+    """,
+)
+def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingestion: every 53rd record is written
+    with a deliberately truncated JSON body, and the re-read uses
+    PERMISSIVE mode with a `_corrupt_record` capture column — the
+    production posture for third-party feeds (count and quarantine
+    bad lines; never fail the job, never silently drop). The oracle
+    knows the corruption rule, so the hash proves the reader
+    classified every line correctly AND parsed the survivors
+    losslessly. Completes the malformed-input family
+    (scan_csv_malformed for CSV).
+
+    The corrupt column must be the only projection difference: Spark
+    requires selecting `_corrupt_record` only after a cache/persist
+    or with the column in the schema — pinned here via explicit
+    schema, the documented contract.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % 53 == 0,
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "event_type": "x'),  # truncated on purpose
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "event_type": "'),
+                F.col("event_type"),
+                F.lit('", "cents": '),
+                F.col("cents").cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="e2e_badjsonl_")
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, cents long,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    back = back.cache()  # Spark contract: corrupt-record queries need this
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("cents")).otherwise(
+                0
+            )
+        ).alias("good_cents"),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
+        ).alias("n_types_parsed"),
+    )
