@@ -4618,3 +4618,106 @@ def agg_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + ({r('k11','n11')} - {r('k10','n10')})) / 2.0 AS DOUBLE)"
         ).alias("shapley_click"),
     )
+
+
+@register(
+    "stats_sign_test",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    diffs AS (
+        SELECT CASE WHEN cents > lag(cents) OVER (ORDER BY day) THEN 1
+                    WHEN cents < lag(cents) OVER (ORDER BY day) THEN 0
+                    END AS up
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(up) AS BIGINT) AS nn,
+               CAST(SUM(up) AS BIGINT) AS s
+        FROM diffs WHERE up IS NOT NULL
+    ),
+    binom(k, c) AS (
+        SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT b.k + 1, (b.c * (m.nn - b.k)) // (b.k + 1)
+        FROM binom b, m WHERE b.k < m.nn
+    ),
+    tail AS (
+        SELECT CAST(SUM(b.c) AS BIGINT) AS tail_paths
+        FROM binom b, m
+        WHERE b.k >= greatest(m.s, m.nn - m.s)
+    )
+    SELECT m.nn AS n_days, m.s AS n_up,
+           t.tail_paths,
+           CAST((CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
+               AS total_paths,
+           CAST(t.tail_paths * 1000000
+                // (CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
+               AS p_one_sided_ppm
+    FROM m CROSS JOIN tail t
+    """,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT binomial sign test on daily revenue direction — no
+    normal approximation, no float CDF: the binomial coefficients
+    come from a RECURSIVE CTE walking Pascal's row with the
+    multiplicative identity C(n,k+1) = C(n,k)·(n−k)/(k+1) (each step
+    exactly divisible, so integer floor division stays exact), the
+    tail mass Σ C(n,j) for j ≥ max(s, n−s) is an exact int64, the
+    denominator is a bit shift, and the p-value is a dyadic rational
+    in exact ppm. The same recursive text runs on Spark 4's native
+    WITH RECURSIVE and DuckDB. Complements stats_runs_test (pattern)
+    and stats_mann_kendall (monotonic trend) with the exact-small-n
+    member of the family — usable whenever n ≤ 62 days (the shift
+    bound), which is exactly the regime where the normal
+    approximation is worst.
+
+    The data-sized work is one day-grain aggregate; the recursion is
+    n rows of O(1) arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), 0)
+        .alias("up")
+    )
+    m = diffs.where(F.col("up").isNotNull()).agg(
+        F.count("up").alias("nn"), F.sum("up").alias("s")
+    )
+    m.createOrReplaceTempView("sign_test_m")
+    return spark.sql(
+        """
+        WITH RECURSIVE binom(k, c) AS (
+            SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT b.k + 1, (b.c * (m.nn - b.k)) div (b.k + 1)
+            FROM binom b, sign_test_m m WHERE b.k < m.nn
+        ),
+        tail AS (
+            SELECT CAST(SUM(b.c) AS BIGINT) AS tail_paths
+            FROM binom b, sign_test_m m
+            WHERE b.k >= greatest(m.s, m.nn - m.s)
+        )
+        SELECT m.nn AS n_days, m.s AS n_up,
+               t.tail_paths,
+               CAST((CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
+                   AS total_paths,
+               CAST(t.tail_paths * 1000000
+                    div (CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
+                   AS p_one_sided_ppm
+        FROM sign_test_m m CROSS JOIN tail t
+        """
+    )
