@@ -119,6 +119,16 @@ _CHECKED_PREFIX = [
     "dedup_chunks",
     "join_interval_overlap",
     "dq_mad_outliers",
+    "stats_sign_test",
+    "agg_kmv_sketch",
+    "dq_bloom_audit",
+    "ml_pca_power",
+    "stats_cuped",
+    "stats_permutation_test",
+    "agg_littles_law",
+    "corpus_pack_harmonic",
+    "dedup_semantic_det",
+    "agg_shapley_channels",
     "stream_stream_outer",
     "scan_partition_pruned",
     "text_lm_score",
