@@ -2117,3 +2117,95 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_doc",
         "tokens_at_risk",
     )
+
+
+@register(
+    "graph_reach2",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+        SELECT p1 AS u, p2 AS v FROM edges
+        UNION ALL SELECT p2 AS u, p1 AS v FROM edges
+    ),
+    two_hop AS (
+        SELECT a.u, b.v AS w
+        FROM adj a JOIN adj b ON b.u = a.v
+        WHERE b.v <> a.u
+        UNION
+        SELECT u, v AS w FROM adj
+    ),
+    reach AS (
+        SELECT u, CAST(COUNT(DISTINCT w) AS BIGINT) AS reach2
+        FROM two_hop GROUP BY u
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u)
+    SELECT r.u AS node, d.d AS degree, r.reach2,
+           CAST(r.reach2 * 1000000 // NULLIF(d.d, 0) AS BIGINT)
+               AS amplification_ppm
+    FROM reach r JOIN deg d ON d.u = r.u
+    ORDER BY r.reach2 DESC, r.u LIMIT 20
+    """,
+)
+def graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach (friend-of-friend audience size) per node on the
+    co-purchase graph: distinct nodes within distance ≤2, the
+    influence/propagation metric behind seeding and recommendation
+    fan-out estimates, with the reach-to-degree amplification ratio
+    in exact ppm (hub detection: low degree + high amplification =
+    a bridge node). The union-with-direct-neighbors before the
+    distinct count makes "within two hops" inclusive without a
+    separate pass.
+
+    One wedge join over the pruned adjacency (Σdeg² work — same
+    budget as graph_triangles/jaccard) with a distinct-count rollup;
+    top-20 is a TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= 2)
+        .drop("co")
+    )
+    adj = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    two_hop = (
+        x.join(y, F.col("y.u") == F.col("x.v"))
+        .where(F.col("y.v") != F.col("x.u"))
+        .select(F.col("x.u").alias("u"), F.col("y.v").alias("w"))
+        .union(adj.select(F.col("u"), F.col("v").alias("w")))
+        .distinct()
+    )
+    reach = two_hop.groupBy("u").agg(F.countDistinct("w").alias("reach2"))
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        reach.join(deg, "u")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            "reach2",
+            F.expr("reach2 * 1000000 div NULLIF(d, 0)")
+            .cast("bigint")
+            .alias("amplification_ppm"),
+        )
+        .orderBy(F.desc("reach2"), "node")
+        .limit(20)
+    )

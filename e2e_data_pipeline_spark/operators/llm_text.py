@@ -1716,3 +1716,88 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_dev_ppm"
         ),
     )
+
+
+@register(
+    "text_lookalike_normalize",
+    oracle="""
+    WITH ids AS (
+        SELECT c_custkey,
+               'ID-' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') || '-'
+               || CASE c_custkey % 5 WHEN 0 THEN 'O' WHEN 1 THEN 'I'
+                  ELSE 'A' END AS clean_id
+        FROM customer
+    ),
+    perturbed AS (
+        SELECT c_custkey, clean_id,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN translate(clean_id, 'O0Il1', '0OlI1')
+                    ELSE clean_id END AS dirty_id
+        FROM ids
+    ),
+    normalized AS (
+        SELECT clean_id, dirty_id,
+               upper(translate(clean_id, '0l1', 'OII')) AS clean_canon,
+               upper(translate(dirty_id, '0l1', 'OII')) AS dirty_canon
+        FROM perturbed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN clean_id = dirty_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_match,
+           CAST(SUM(CASE WHEN clean_canon = dirty_canon THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical_match,
+           CAST(COUNT(DISTINCT clean_canon) AS BIGINT) AS n_canon_distinct
+    FROM normalized
+    """,
+)
+def text_lookalike_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph/lookalike normalization for identifier matching:
+    O↔0, I↔l↔1 confusions (scanner OCR, manual entry, font-trap
+    fraud) are canonicalized with a translate() character map + case
+    fold before joining. A third of the ids are deliberately
+    perturbed through the confusion map; exact matching recovers only
+    the untouched rows while canonical matching recovers ALL of them
+    — the audit that justifies the normalization to a reviewer, with
+    the canonical distinct count proving no two real ids collapsed.
+
+    translate() is a scan-local single-pass character map on both
+    engines — the cheapest possible normalizer, run before any
+    expensive fuzzy matcher (dedup_record_linkage is the escalation).
+    """
+    ids = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("ID-"),
+            F.lpad(F.col("c_custkey").cast("string"), 6, "0"),
+            F.lit("-"),
+            F.when(F.col("c_custkey") % 5 == 0, "O")
+            .when(F.col("c_custkey") % 5 == 1, "I")
+            .otherwise("A"),
+        ).alias("clean_id"),
+    )
+    perturbed = ids.select(
+        "clean_id",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.translate("clean_id", "O0Il1", "0OlI1"),
+        )
+        .otherwise(F.col("clean_id"))
+        .alias("dirty_id"),
+    )
+    canon = lambda c: F.upper(F.translate(c, "0l1", "OII"))
+    normalized = perturbed.select(
+        "clean_id",
+        "dirty_id",
+        canon("clean_id").alias("clean_canon"),
+        canon("dirty_id").alias("dirty_canon"),
+    )
+    return normalized.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("clean_id") == F.col("dirty_id"), 1).otherwise(0)
+        ).alias("n_exact_match"),
+        F.sum(
+            F.when(F.col("clean_canon") == F.col("dirty_canon"), 1).otherwise(0)
+        ).alias("n_canonical_match"),
+        F.countDistinct("clean_canon").alias("n_canon_distinct"),
+    )
