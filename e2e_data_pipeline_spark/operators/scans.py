@@ -1746,3 +1746,67 @@ def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
         ).alias("n_types_parsed"),
     )
+
+
+@register(
+    "sql_bom_rollup",
+    oracle="""
+    WITH RECURSIVE parts AS (
+        SELECT p_partkey AS p,
+               CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
+        FROM part
+    ),
+    paths(root, node, mult, depth) AS (
+        SELECT p, p, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        FROM parts WHERE p <= 2
+        UNION ALL
+        SELECT b.root, c.p, b.mult * (c.p % 3 + 1), b.depth + 1
+        FROM paths b JOIN parts c ON c.p // 3 = b.node AND c.p >= 3
+    )
+    SELECT CAST(pa.root AS BIGINT) AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(MAX(pa.depth) AS BIGINT) AS max_depth,
+           CAST(SUM(pa.mult * pr.cents) AS BIGINT) AS rolled_up_cents
+    FROM paths pa JOIN parts pr ON pr.p = pa.node
+    GROUP BY pa.root
+    """,
+)
+def sql_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials cost rollup by recursive CTE: the part keys
+    form a synthetic ternary assembly tree (parent = key div 3,
+    per-level quantity = key mod 3 + 1), and each root's fully-loaded
+    cost multiplies quantities down every path — the manufacturing /
+    package-dependency costing recursion that flat joins cannot
+    express because the multiplier composes along the path. Path
+    multipliers stay ≤3^depth (int64-safe at any realistic BOM
+    depth); costs are exact cents, so the rollup hashes exactly. The
+    third recursion shape in the suite: sql_recursive_cte climbs
+    paths, stats_sign_test walks a scalar row, this one JOINS the
+    fact table at every level with a composing measure.
+
+    Each recursion level is one equi-join against the broadcastable
+    parts frame; total work is the node count, not paths × nodes,
+    because the tree makes root-paths unique.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("p"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    parts.createOrReplaceTempView("bom_parts")
+    return spark.sql(
+        """
+        WITH RECURSIVE paths(root, node, mult, depth) AS (
+            SELECT p, p, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+            FROM bom_parts WHERE p <= 2
+            UNION ALL
+            SELECT b.root, c.p, b.mult * (c.p % 3 + 1), b.depth + 1
+            FROM paths b JOIN bom_parts c ON c.p div 3 = b.node AND c.p >= 3
+        )
+        SELECT CAST(pa.root AS BIGINT) AS root,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(MAX(pa.depth) AS BIGINT) AS max_depth,
+               CAST(SUM(pa.mult * pr.cents) AS BIGINT) AS rolled_up_cents
+        FROM paths pa JOIN bom_parts pr ON pr.p = pa.node
+        GROUP BY pa.root
+        """
+    )
