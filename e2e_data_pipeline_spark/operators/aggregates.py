@@ -4721,3 +4721,92 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sign_test_m m CROSS JOIN tail t
         """
     )
+
+
+@register(
+    "stats_anova_f",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    per_group AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               SUM(CAST(c AS HUGEINT) * c) AS s2
+        FROM cents GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(s AS HUGEINT) * s // n) AS group_term,
+               SUM(CAST(s2 AS HUGEINT)) AS sum_sq
+        FROM per_group
+    )
+    SELECT nn AS n, k,
+           CAST((group_term - CAST(ss AS HUGEINT) * ss // nn)
+                * (nn - k) * 1000000
+                // ((sum_sq - group_term) * (k - 1)) AS BIGINT)
+               AS f_ppm
+    FROM tot
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic: does mean order value differ across
+    priority classes? Between-group and within-group sums of squares
+    assemble from exact per-group moments kept ENTIRELY in wide
+    integers: each group's s²/n is floor-divided in HUGEINT/
+    DECIMAL(38) (≤1 cent² quantization, identical both engines — the
+    first attempt summed doubles and diverged immediately: double
+    sums are reduction-order-dependent), and F emerges as one exact
+    integer ppm division. No float ever exists. Completes the
+    hypothesis-test family: t/z, chi², KS, Mann-Whitney, runs, sign,
+    permutation, bootstrap — and now the k-sample F.
+
+    One grouped moment aggregate (map-side combining), a k-row
+    reduce, O(1) arithmetic.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    d = "DECIMAL(38,0)"
+    per_group = cents.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.expr(f"SUM(CAST(c AS {d}) * CAST(c AS {d}))").alias("s2"),
+    )
+    tot = per_group.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.count("*").alias("k"),
+        # decimal `div` returns BIGINT and silently wraps past 2^63
+        # (observed: ss^2 div nn went negative at sf0.01) — use exact
+        # decimal division of the pre-subtracted remainder instead
+        F.sum(
+            F.expr(
+                f"CAST((CAST(s AS {d}) * s - CAST(s AS {d}) * s % n) / n"
+                f" AS {d})"
+            )
+        ).alias("group_term"),
+        F.sum(F.expr(f"CAST(s2 AS {d})")).alias("sum_sq"),
+    )
+    return tot.select(
+        F.col("nn").alias("n"),
+        "k",
+        F.expr(
+            f"CAST(((group_term"
+            f" - CAST((CAST(ss AS {d}) * ss - CAST(ss AS {d}) * ss % nn) / nn"
+            f" AS {d}))"
+            f" * CAST(nn - k AS {d}) * 1000000"
+            f" - pmod((group_term"
+            f" - CAST((CAST(ss AS {d}) * ss - CAST(ss AS {d}) * ss % nn) / nn"
+            f" AS {d}))"
+            f" * CAST(nn - k AS {d}) * 1000000,"
+            f" CAST((sum_sq - group_term) * (k - 1) AS {d})))"
+            f" / CAST((sum_sq - group_term) * (k - 1) AS {d}) AS BIGINT)"
+        ).alias("f_ppm"),
+    )

@@ -2577,3 +2577,61 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("max_daily_vwap"),
     )
+
+
+@register(
+    "ts_hourly_band",
+    oracle="""
+    WITH cells AS (
+        SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY hod, day
+    )
+    SELECT CAST(hod AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(4 * quantile_cont(cents, 0.25) AS BIGINT) AS p25_quarter,
+           CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS p50_half,
+           CAST(4 * quantile_cont(cents, 0.75) AS BIGINT) AS p75_quarter
+    FROM cells GROUP BY hod
+    """,
+)
+def ts_hourly_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typical-day envelope: the p25/p50/p75 band of hourly revenue
+    across days, per hour-of-day — the observability chart behind
+    "is right now normal for 3pm?" alerting (the band IS the
+    baseline; ts_hampel_outliers answers the same question for whole
+    days). Quantiles stay at the dyadic-exact points (.25/.5/.75,
+    scaled ×4/×2/×4 to integers); hour-of-day comes from epoch-hour
+    mod 24, which is timezone-free and identical on both engines.
+
+    One (hour, day) cell aggregate with map-side combine, then a
+    24-group exact-quantile rollup over ≤days rows per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(
+                "(CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600) % 24"
+            ).alias("hod"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias(
+                "day"
+            ),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("hod", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    return cells.groupBy(F.col("hod").cast("bigint").alias("hour_of_day")).agg(
+        F.count("*").alias("n_days"),
+        (4 * F.percentile("cents", F.lit(0.25))).cast("bigint").alias(
+            "p25_quarter"
+        ),
+        (2 * F.percentile("cents", F.lit(0.5))).cast("bigint").alias(
+            "p50_half"
+        ),
+        (4 * F.percentile("cents", F.lit(0.75))).cast("bigint").alias(
+            "p75_quarter"
+        ),
+    )
