@@ -2635,3 +2635,84 @@ def ts_hourly_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p75_quarter"
         ),
     )
+
+
+@register(
+    "ts_trading_day_adjusted",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               o_orderdate AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY month, d
+    ),
+    monthly AS (
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS active_days,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM daily GROUP BY month
+    ),
+    seq AS (
+        SELECT strftime(month, '%Y-%m') AS month, active_days, cents,
+               lag(cents) OVER (ORDER BY month) AS prev_cents,
+               lag(active_days) OVER (ORDER BY month) AS prev_days
+        FROM monthly
+    )
+    SELECT month, active_days, cents,
+           CAST(cents * 1000000 // NULLIF(prev_cents, 0) AS BIGINT)
+               AS raw_growth_ppm,
+           CAST(cents * prev_days * 1000000
+                // NULLIF(prev_cents * active_days, 0) AS BIGINT)
+               AS adjusted_growth_ppm
+    FROM seq WHERE prev_cents IS NOT NULL
+    """,
+)
+def ts_trading_day_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-day-adjusted growth: month-over-month revenue ratios
+    both raw and normalized per active day — the adjustment that
+    keeps a 28-day February from reading as a 10% crash (the
+    cents·prev_days vs prev_cents·active_days cross-multiplication
+    IS the per-day-rate comparison, with no intermediate float
+    rate). Both ratios in exact ppm with NULLIF-guarded edges.
+
+    Day-grain then month-grain aggregates (both map-side combining)
+    and one lag window over the ~80-row monthly frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    monthly = daily.groupBy("month").agg(
+        F.count("*").alias("active_days"), F.sum("cents").alias("cents")
+    )
+    w = Window.orderBy("month")
+    seq = monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "active_days",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.lag("active_days").over(w).alias("prev_days"),
+    )
+    return seq.where(F.col("prev_cents").isNotNull()).select(
+        "month",
+        "active_days",
+        "cents",
+        F.expr("cents * 1000000 div NULLIF(prev_cents, 0)")
+        .cast("bigint")
+        .alias("raw_growth_ppm"),
+        F.expr(
+            "cents * prev_days * 1000000"
+            " div NULLIF(prev_cents * active_days, 0)"
+        )
+        .cast("bigint")
+        .alias("adjusted_growth_ppm"),
+    )
