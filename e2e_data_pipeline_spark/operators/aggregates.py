@@ -4810,3 +4810,168 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST((sum_sq - group_term) * (k - 1) AS {d}) AS BIGINT)"
         ).alias("f_ppm"),
     )
+
+
+@register(
+    "agg_ar_aging",
+    oracle="""
+    WITH book AS (SELECT MAX(o_orderdate) AS today FROM orders),
+    open_items AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+               datediff('day', o.o_orderdate, a.today) AS age_days
+        FROM orders o CROSS JOIN book a
+        WHERE o.o_orderstatus = 'O'
+    ),
+    bucketed AS (
+        SELECT CASE WHEN age_days <= 30 THEN '0-030'
+                    WHEN age_days <= 60 THEN '031-060'
+                    WHEN age_days <= 90 THEN '061-090'
+                    ELSE '090+' END AS bucket,
+               cents
+        FROM open_items
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM bucketed)
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_invoices,
+           CAST(SUM(b.cents) AS BIGINT) AS cents,
+           CAST(SUM(b.cents) * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM bucketed b CROSS JOIN tot t
+    GROUP BY b.bucket, t.t
+    """,
+)
+def agg_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging report: open orders bucketed by days
+    outstanding as of the book's latest date (0–30/31–60/61–90/90+),
+    with exact-cents balances and ppm shares — the collections
+    report every finance close produces, and the padded bucket
+    labels ('0-030') sort correctly as strings so the report needs
+    no separate ordering column. Integer date arithmetic against a
+    broadcast as-of scalar; one grouped sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("today"))
+    open_items = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+                "cents"
+            ),
+            F.datediff(F.col("today"), F.col("o_orderdate")).alias("age_days"),
+        )
+    )
+    bucketed = open_items.select(
+        F.when(F.col("age_days") <= 30, "0-030")
+        .when(F.col("age_days") <= 60, "031-060")
+        .when(F.col("age_days") <= 90, "061-090")
+        .otherwise("090+")
+        .alias("bucket"),
+        "cents",
+    )
+    tot = bucketed.agg(F.sum("cents").alias("t"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "t")
+        .agg(F.count("*").alias("n_invoices"), F.sum("cents").alias("cents"))
+        .select(
+            "bucket",
+            "n_invoices",
+            "cents",
+            F.expr("cents * 1000000 div t").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+@register(
+    "agg_comparable_growth",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(datediff('day', DATE '1970-01-01', o_orderdate))
+              + MAX(datediff('day', DATE '1970-01-01', o_orderdate)) + 1) // 2
+                   AS mid
+        FROM orders
+    ),
+    halves AS (
+        SELECT o_custkey,
+               CASE WHEN datediff('day', DATE '1970-01-01', o_orderdate)
+                         < (SELECT mid FROM mid) THEN 0 ELSE 1 END AS h,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey, h
+    ),
+    comp AS (
+        SELECT a.o_custkey, a.cents AS c1, b.cents AS c2
+        FROM halves a JOIN halves b
+          ON b.o_custkey = a.o_custkey AND a.h = 0 AND b.h = 1
+    ),
+    all_tot AS (
+        SELECT CAST(SUM(CASE WHEN h = 0 THEN cents ELSE 0 END) AS BIGINT)
+                   AS t1,
+               CAST(SUM(CASE WHEN h = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS t2
+        FROM halves
+    ),
+    comp_tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_comp,
+               CAST(SUM(c1) AS BIGINT) AS c1,
+               CAST(SUM(c2) AS BIGINT) AS c2
+        FROM comp
+    )
+    SELECT c.n_comp, c.c1 AS comp_h1_cents, c.c2 AS comp_h2_cents,
+           a.t1 AS all_h1_cents, a.t2 AS all_h2_cents,
+           CAST(c.c2 * 1000000 // c.c1 AS BIGINT) AS comp_growth_ppm,
+           CAST(a.t2 * 1000000 // a.t1 AS BIGINT) AS all_growth_ppm
+    FROM comp_tot c CROSS JOIN all_tot a
+    """,
+)
+def agg_comparable_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparable ("same-store") growth: period-over-period revenue
+    growth restricted to customers active in BOTH halves, reported
+    beside the headline all-customer growth — the retail metric that
+    separates organic growth from acquisition mix (headline up while
+    comp is down = you're buying growth). Both ratios are exact ppm;
+    the comp base is a self-join of the per-customer half aggregates.
+
+    One (customer × half) grouped sum, a keyed self-join on the
+    customer, two 1-row reduces.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    mid = orders.agg(((F.min(day) + F.max(day) + 1) / 2).cast("long").alias("mid"))
+    halves = (
+        orders.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "o_custkey",
+            F.when(day < F.col("mid"), 0).otherwise(1).alias("h"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    a = halves.where(F.col("h") == 0).select(
+        "o_custkey", F.col("cents").alias("c1")
+    )
+    b = halves.where(F.col("h") == 1).select(
+        "o_custkey", F.col("cents").alias("c2")
+    )
+    comp_tot = a.join(b, "o_custkey").agg(
+        F.count("*").alias("n_comp"),
+        F.sum("c1").alias("c1"),
+        F.sum("c2").alias("c2"),
+    )
+    all_tot = halves.agg(
+        F.sum(F.when(F.col("h") == 0, F.col("cents")).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("h") == 1, F.col("cents")).otherwise(0)).alias("t2"),
+    )
+    return comp_tot.crossJoin(F.broadcast(all_tot)).select(
+        "n_comp",
+        F.col("c1").alias("comp_h1_cents"),
+        F.col("c2").alias("comp_h2_cents"),
+        F.col("t1").alias("all_h1_cents"),
+        F.col("t2").alias("all_h2_cents"),
+        F.expr("c2 * 1000000 div c1").cast("bigint").alias("comp_growth_ppm"),
+        F.expr("t2 * 1000000 div t1").cast("bigint").alias("all_growth_ppm"),
+    )

@@ -2057,3 +2057,67 @@ def fn_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("packed").alias("n_distinct_packed"),
         F.max("packed").alias("max_packed"),
     )
+
+
+@register(
+    "fn_month_end_arith",
+    oracle="""
+    WITH dated AS (
+        SELECT o_orderkey, o_orderdate,
+               CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+               CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+                    - INTERVAL 1 DAY AS DATE) AS month_end
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN day(o_orderdate) <> day(plus_1m)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_1m,
+           CAST(SUM(CASE WHEN day(o_orderdate) <> day(plus_3m)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_3m,
+           CAST(SUM(CASE WHEN o_orderdate = month_end THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_on_month_end,
+           CAST(SUM(datediff('day', o_orderdate, plus_1m)) AS BIGINT)
+               AS total_shift_days
+    FROM dated
+    """,
+)
+def fn_month_end_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end date arithmetic audit: add_months clamping (Jan 31 +
+    1 month = Feb 28/29 — day-of-month changes), the last-day-of-month
+    construction (truncate, +1 month, −1 day), and the actual day
+    shift each addition produces — the billing/renewal-date semantics
+    that silently drift when one system clamps and another rolls
+    over. Spark's add_months and DuckDB's +INTERVAL both clamp, and
+    this op PINS that agreement (if either engine changed policy the
+    hash breaks — that's the regression the audit exists to catch).
+
+    Scan-local date arithmetic and one aggregate.
+    """
+    dated = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.add_months("o_orderdate", 1).alias("plus_1m"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.date_sub(
+            F.add_months(F.date_trunc("month", "o_orderdate").cast("date"), 1), 1
+        ).alias("month_end"),
+    )
+    return dated.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.dayofmonth("o_orderdate") != F.dayofmonth("plus_1m"), 1
+            ).otherwise(0)
+        ).alias("n_clamped_1m"),
+        F.sum(
+            F.when(
+                F.dayofmonth("o_orderdate") != F.dayofmonth("plus_3m"), 1
+            ).otherwise(0)
+        ).alias("n_clamped_3m"),
+        F.sum(
+            F.when(F.col("o_orderdate") == F.col("month_end"), 1).otherwise(0)
+        ).alias("n_on_month_end"),
+        F.sum(F.datediff(F.col("plus_1m"), F.col("o_orderdate"))).alias(
+            "total_shift_days"
+        ),
+    )
