@@ -4975,3 +4975,186 @@ def agg_comparable_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c2 * 1000000 div c1").cast("bigint").alias("comp_growth_ppm"),
         F.expr("t2 * 1000000 div t1").cast("bigint").alias("all_growth_ppm"),
     )
+
+
+@register(
+    "agg_cr4",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, l_suppkey) AS rn,
+               SUM(cents) OVER () AS total
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END) * 1000000
+                // MAX(total) AS BIGINT) AS cr4_ppm,
+           CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000000
+                // MAX(total) AS BIGINT) AS cr8_ppm,
+           CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END) * 1000000
+                // MAX(total) AS BIGINT) AS cr20_ppm
+    FROM ranked
+    """,
+)
+def agg_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration ratios CR4/CR8/CR20 — the antitrust/supply-risk
+    view of supplier revenue share (agg_hhi's scalar squares every
+    share; regulators and procurement read the top-k cumulative
+    shares directly). One ranked pass with conditional sums at the
+    three cutoffs — not three queries — and every share an exact ppm.
+
+    Supplier-grain aggregate then one global rank window (small
+    domain; the stats_mannwhitney prefix-sum construction at scale).
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), "l_suppkey")
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_suppliers"),
+        F.max("total").alias("total_cents"),
+        F.expr(
+            "SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END) * 1000000"
+            " div MAX(total)"
+        )
+        .cast("bigint")
+        .alias("cr4_ppm"),
+        F.expr(
+            "SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000000"
+            " div MAX(total)"
+        )
+        .cast("bigint")
+        .alias("cr8_ppm"),
+        F.expr(
+            "SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END) * 1000000"
+            " div MAX(total)"
+        )
+        .cast("bigint")
+        .alias("cr20_ppm"),
+    )
+
+
+@register(
+    "agg_fifo_cogs",
+    oracle="""
+    WITH layers AS (
+        SELECT l_partkey % 10 AS cat,
+               datediff('day', DATE '1970-01-01', l_shipdate) AS day,
+               l_orderkey, l_linenumber,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    demand AS (
+        SELECT cat, CAST(SUM(qty) * 6 // 10 AS BIGINT) AS sold_qty
+        FROM layers GROUP BY cat
+    ),
+    swept AS (
+        SELECT l.cat, l.qty, l.cents, d.sold_qty,
+               SUM(l.qty) OVER (PARTITION BY l.cat
+                    ORDER BY l.day, l.l_orderkey, l.l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_qty
+        FROM layers l JOIN demand d USING (cat)
+    ),
+    costed AS (
+        SELECT cat, sold_qty,
+               CASE
+                 WHEN cum_qty <= sold_qty THEN cents
+                 WHEN cum_qty - qty < sold_qty
+                   THEN (sold_qty - (cum_qty - qty)) * cents // qty
+                 ELSE 0 END AS consumed_cents,
+               CASE
+                 WHEN cum_qty <= sold_qty THEN qty
+                 WHEN cum_qty - qty < sold_qty
+                   THEN sold_qty - (cum_qty - qty)
+                 ELSE 0 END AS consumed_qty
+        FROM swept
+    )
+    SELECT CAST(cat AS BIGINT) AS cat, sold_qty,
+           CAST(SUM(consumed_qty) AS BIGINT) AS consumed_qty,
+           CAST(SUM(consumed_cents) AS BIGINT) AS fifo_cogs_cents
+    FROM costed GROUP BY cat, sold_qty
+    """,
+)
+def agg_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO cost-of-goods-sold: purchase layers consume in receipt
+    order until the sold quantity (60% of supply per category) is
+    covered — whole layers at full cost, the boundary layer prorated
+    (floor-divided cents, documented ≤1-cent quantization). The
+    inventory-costing recurrence looks sequential but is ONE
+    prefix-sum classification: a layer is fully consumed iff its
+    cumulative quantity ≤ demand, partially iff the boundary crosses
+    it — the same running-sum algebra as win_clamped_balance, applied
+    to accounting. Consumed-quantity sums prove coverage equals
+    demand exactly (the audit column).
+
+    A per-category ordered window over the layer stream (total order
+    via (day, orderkey, linenumber)) and one grouped sum — no loop,
+    no recursion.
+    """
+    layers = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 10).alias("cat"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    demand = layers.groupBy("cat").agg(
+        F.expr("SUM(qty) * 6 div 10").cast("bigint").alias("sold_qty")
+    )
+    w = Window.partitionBy("cat").orderBy(
+        "day", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    swept = layers.join(F.broadcast(demand), "cat").select(
+        "cat",
+        "qty",
+        "cents",
+        "sold_qty",
+        F.sum("qty").over(w).alias("cum_qty"),
+    )
+    costed = swept.select(
+        "cat",
+        "sold_qty",
+        F.expr(
+            "CASE WHEN cum_qty <= sold_qty THEN cents"
+            " WHEN cum_qty - qty < sold_qty"
+            " THEN (sold_qty - (cum_qty - qty)) * cents div qty"
+            " ELSE 0 END"
+        ).alias("consumed_cents"),
+        F.expr(
+            "CASE WHEN cum_qty <= sold_qty THEN qty"
+            " WHEN cum_qty - qty < sold_qty"
+            " THEN sold_qty - (cum_qty - qty)"
+            " ELSE 0 END"
+        ).alias("consumed_qty"),
+    )
+    return costed.groupBy(
+        F.col("cat").cast("bigint").alias("cat"), "sold_qty"
+    ).agg(
+        F.sum("consumed_qty").alias("consumed_qty"),
+        F.sum("consumed_cents").alias("fifo_cogs_cents"),
+    )
