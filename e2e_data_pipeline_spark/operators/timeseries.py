@@ -2716,3 +2716,112 @@ def ts_trading_day_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("adjusted_growth_ppm"),
     )
+
+
+@register(
+    "ts_mtbf_mttr",
+    oracle="""
+    WITH errs AS (
+        SELECT epoch_us(ts) // 1000000 AS sec,
+               event_id
+        FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+        SELECT sec, event_id,
+               CASE WHEN sec - lag(sec) OVER (ORDER BY sec, event_id) > 600
+                    OR lag(sec) OVER (ORDER BY sec, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_episode
+        FROM errs
+    ),
+    episodes AS (
+        SELECT SUM(new_episode) OVER (ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ep, sec
+        FROM marked
+    ),
+    spans AS (
+        SELECT ep,
+               MIN(sec) AS start_s,
+               MAX(sec) AS end_s,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM episodes GROUP BY ep
+    ),
+    gaps AS (
+        SELECT start_s - lag(end_s) OVER (ORDER BY start_s) AS recovery_gap
+        FROM spans
+    )
+    SELECT CAST((SELECT COUNT(*) FROM spans) AS BIGINT) AS n_episodes,
+           CAST((SELECT SUM(end_s - start_s) FROM spans) AS BIGINT)
+               AS total_outage_s,
+           CAST((SELECT SUM(end_s - start_s) FROM spans)
+                // (SELECT COUNT(*) FROM spans) AS BIGINT) AS mttr_s,
+           CAST((SELECT SUM(recovery_gap) FROM gaps
+                 WHERE recovery_gap IS NOT NULL)
+                // NULLIF((SELECT COUNT(*) - 1 FROM spans), 0) AS BIGINT)
+               AS mtbf_s,
+           CAST((SELECT MAX(n_errors) FROM spans) AS BIGINT)
+               AS worst_episode_errors
+    """,
+)
+def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTBF / MTTR from the raw error stream: failure episodes are
+    maximal error runs separated by >10 minutes of quiet (the
+    gaps-and-islands sessionization applied to incidents), mean time
+    to recover is the average episode span, mean time between
+    failures the average healthy gap — the reliability pair that
+    closes the SRE family (ts_uptime_sla for availability,
+    ts_error_budget for alerting, this for the postmortem numbers).
+    Exact integer seconds with floor-divided means; the single-run
+    edge (no gaps) NULLIFs identically.
+
+    One ordered window for episode marking (global order on the
+    error substream — errors are sparse; partition by service key in
+    a multi-tenant deployment), then tiny span/gap aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").cast("timestamp").cast("long").alias("sec"), "event_id"
+    )
+    w = Window.orderBy("sec", "event_id")
+    marked = errs.select(
+        "sec",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 600)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_episode"),
+        "event_id",
+    )
+    episodes = marked.select(
+        F.sum("new_episode")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("ep"),
+        "sec",
+    )
+    spans = episodes.groupBy("ep").agg(
+        F.min("sec").alias("start_s"),
+        F.max("sec").alias("end_s"),
+        F.count("*").alias("n_errors"),
+    )
+    wg = Window.orderBy("start_s")
+    gaps = spans.select(
+        (F.col("start_s") - F.lag("end_s").over(wg)).alias("recovery_gap")
+    )
+    stats = spans.agg(
+        F.count("*").alias("n_episodes"),
+        F.sum(F.col("end_s") - F.col("start_s")).alias("total_outage_s"),
+        F.max("n_errors").alias("worst_episode_errors"),
+    )
+    gap_stats = gaps.where(F.col("recovery_gap").isNotNull()).agg(
+        F.sum("recovery_gap").alias("gap_sum"),
+        F.count("*").alias("gap_n"),
+    )
+    return stats.crossJoin(F.broadcast(gap_stats)).select(
+        "n_episodes",
+        "total_outage_s",
+        F.expr("total_outage_s div n_episodes").cast("bigint").alias("mttr_s"),
+        F.expr("gap_sum div NULLIF(gap_n, 0)").cast("bigint").alias("mtbf_s"),
+        "worst_episode_errors",
+    )
