@@ -2121,3 +2121,80 @@ def fn_month_end_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_shift_days"
         ),
     )
+
+
+@register(
+    "fn_logline_parse",
+    oracle="""
+    WITH lines AS (
+        SELECT 'ts=' || CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+               || ' user=' || CAST(user_id AS VARCHAR)
+               || ' type=' || event_type
+               || ' cents=' || CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                    AS VARCHAR)
+               || CASE WHEN event_id % 11 = 0 THEN ' retry=true' ELSE '' END
+                   AS line
+        FROM events
+    ),
+    parsed AS (
+        SELECT CAST(regexp_extract(line, 'user=([0-9]+)', 1) AS BIGINT)
+                   AS user_id,
+               regexp_extract(line, 'type=([a-z]+)', 1) AS event_type,
+               CAST(regexp_extract(line, 'cents=(-?[0-9]+)', 1) AS BIGINT)
+                   AS cents,
+               CASE WHEN line LIKE '%retry=true%' THEN 1 ELSE 0 END AS retry
+        FROM lines
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(retry) AS BIGINT) AS n_retries
+    FROM parsed GROUP BY event_type
+    """,
+)
+def fn_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key=value log-line parsing: events rendered into classic
+    logfmt ('ts=… user=… type=… cents=…' with an optional trailing
+    flag), then recovered field-by-field with anchored capture-group
+    regexps and re-aggregated — the observability-pipeline ingest
+    shape (fluentd/vector do exactly this), proven lossless because
+    the oracle computes the same rollup from the source columns. The
+    optional `retry=true` token exercises absent-key handling (LIKE
+    flag, not a failed extract).
+
+    Scan-local regexp work; at 100 TB the per-field regexps fuse
+    into one whole-stage-codegen pass over the line.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("ts="),
+            F.col("ts").cast("timestamp").cast("long").cast("string"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" cents="),
+            F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            F.when(F.col("event_id") % 11 == 0, " retry=true").otherwise(""),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.regexp_extract("line", "user=([0-9]+)", 1).cast("bigint").alias(
+            "user_id"
+        ),
+        F.regexp_extract("line", "type=([a-z]+)", 1).alias("event_type"),
+        F.regexp_extract("line", "cents=(-?[0-9]+)", 1).cast("bigint").alias(
+            "cents"
+        ),
+        F.when(F.col("line").like("%retry=true%"), 1).otherwise(0).alias(
+            "retry"
+        ),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("cents"),
+        F.sum("retry").alias("n_retries"),
+    )
