@@ -5158,3 +5158,64 @@ def agg_fifo_cogs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("consumed_qty").alias("consumed_qty"),
         F.sum("consumed_cents").alias("fifo_cogs_cents"),
     )
+
+
+@register(
+    "agg_price_ladder",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+    ),
+    digits AS (
+        SELECT c, c % 100 AS cent_part,
+               (c // 100) % 10 AS dollar_last
+        FROM cents
+    )
+    SELECT CAST(cent_part AS BIGINT) AS cent_ending,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM cents)
+                AS BIGINT) AS share_ppm,
+           CAST(SUM(CASE WHEN dollar_last = 9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nine_dollar
+    FROM digits GROUP BY cent_part
+    ORDER BY n DESC, cent_ending LIMIT 10
+    """,
+)
+def agg_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-point ladder analysis: the distribution of cent endings
+    (.99, .95, .00 …) and nine-ending dollar digits — the
+    psychological-pricing audit that distinguishes deliberate price
+    architecture from arithmetic artifacts (a uniform cent
+    distribution, as in this synthetic fixture, is itself the
+    finding: no pricing policy exists). Shares in exact ppm; top-10
+    endings with a deterministic tie order. A digit-distribution
+    sibling of dq_benford_digits aimed at pricing instead of fraud.
+
+    One modular-arithmetic scan and a 100-cell groupBy.
+    """
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    tot = cents.agg(F.count("*").alias("t"))
+    digits = cents.select(
+        (F.col("c") % 100).alias("cent_part"),
+        F.expr("(c div 100) % 10").alias("dollar_last"),
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("cent_part").cast("bigint").alias("cent_ending"), "t")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("dollar_last") == 9, 1).otherwise(0)).alias(
+                "n_nine_dollar"
+            ),
+        )
+        .select(
+            "cent_ending",
+            "n",
+            F.expr("n * 1000000 div t").cast("bigint").alias("share_ppm"),
+            "n_nine_dollar",
+        )
+        .orderBy(F.desc("n"), "cent_ending")
+        .limit(10)
+    )
