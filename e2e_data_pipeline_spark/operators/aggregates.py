@@ -5219,3 +5219,123 @@ def agg_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "cent_ending")
         .limit(10)
     )
+
+
+@register(
+    "agg_discount_response",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(SUM(qty) * 1000000 // COUNT(*) AS BIGINT)
+               AS qty_per_line_micro,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM b GROUP BY disc_pct
+    """,
+)
+def agg_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth response curve: volume per line at each discount
+    percentage — the merchandising question behind every promo
+    calendar ("does 7% move more units than 5%?"), and the tabular
+    input to agg_price_elasticity's scalar. Discount percentages are
+    exact integers (the fixture's discounts are hundredths), units
+    per line is an exact micro-units floor ratio, and a flat curve —
+    as synthetic data produces — is the "discounts don't drive
+    volume here" finding.
+
+    One modular scan and a ≤11-cell groupBy with map-side combine.
+    """
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    return b.groupBy("disc_pct").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("qty").alias("total_qty"),
+        F.expr("SUM(qty) * 1000000 div COUNT(*)").cast("bigint").alias(
+            "qty_per_line_micro"
+        ),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@register(
+    "agg_otif",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey,
+               CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                    THEN 1 ELSE 0 END AS on_time,
+               CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END AS in_full
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_supplier AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(on_time * in_full) AS BIGINT) AS n_otif
+        FROM shipped GROUP BY l_suppkey
+        HAVING COUNT(*) >= 50
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, n_lines, n_otif,
+           CAST(n_otif * 1000000 // n_lines AS BIGINT) AS otif_ppm
+    FROM per_supplier
+    ORDER BY otif_ppm, l_suppkey LIMIT 15
+    """,
+)
+def agg_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Time-In-Full supplier scorecard: lines shipped within 30
+    days of order AND not returned, as an exact ppm per supplier —
+    the procurement KPI behind vendor penalties, reported as the
+    WORST 15 qualified suppliers (the review targets; a ≥50-line
+    floor keeps small-sample suppliers out of the penalty list — the
+    cross-multiplied alternative would be a Wilson lower bound,
+    stats_wilson_ci's machinery). Both conditions are integer flags;
+    the conjunction is their product.
+
+    One fact join on the order key (orders side pruned to two
+    columns), a supplier-grain aggregate, TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    shipped = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1
+        )
+        .otherwise(0)
+        .alias("on_time"),
+        F.when(F.col("l_returnflag") != "R", 1).otherwise(0).alias("in_full"),
+    )
+    per_supplier = (
+        shipped.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("on_time") * F.col("in_full")).alias("n_otif"),
+        )
+        .where(F.col("n_lines") >= 50)
+    )
+    return (
+        per_supplier.select(
+            F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+            "n_lines",
+            "n_otif",
+            F.expr("n_otif * 1000000 div n_lines").cast("bigint").alias(
+                "otif_ppm"
+            ),
+        )
+        .orderBy("otif_ppm", "l_suppkey")
+        .limit(15)
+    )
