@@ -5339,3 +5339,156 @@ def agg_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("otif_ppm", "l_suppkey")
         .limit(15)
     )
+
+
+@register(
+    "agg_cross_sell_gap",
+    oracle="""
+    WITH owned AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey % 10 AS cat
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    base AS (
+        SELECT cat, CAST(COUNT(*) AS BIGINT) AS owners
+        FROM owned GROUP BY cat
+    ),
+    both_cats AS (
+        SELECT a.cat AS cat_a, b.cat AS cat_b,
+               CAST(COUNT(*) AS BIGINT) AS own_both
+        FROM owned a JOIN owned b
+          ON b.o_custkey = a.o_custkey AND a.cat <> b.cat
+        GROUP BY a.cat, b.cat
+    )
+    SELECT bc.cat_a, bc.cat_b,
+           ba.owners AS owners_a,
+           CAST(ba.owners - bc.own_both AS BIGINT) AS gap_customers,
+           CAST((ba.owners - bc.own_both) * 1000000 // ba.owners AS BIGINT)
+               AS gap_ppm
+    FROM both_cats bc JOIN base ba ON ba.cat = bc.cat_a
+    ORDER BY gap_ppm DESC, cat_a, cat_b LIMIT 15
+    """,
+)
+def agg_cross_sell_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sell whitespace: for every ordered category pair, the
+    customers who own A but not B — the gap matrix sales teams
+    actually work from (agg_basket_affinity says what goes together;
+    this says where the untapped pairs are). Gap = owners(A) −
+    owners(A∧B), computed from one distinct-ownership frame and its
+    self-join; gap share in exact ppm, top-15 worst gaps.
+
+    Distinct-before-pairing keeps the self-join categories²-bounded
+    per customer; the category bases broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    owned = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", (F.col("l_partkey") % 10).alias("cat"))
+        .distinct()
+    )
+    base = owned.groupBy("cat").agg(F.count("*").alias("owners"))
+    a, b = owned.alias("a"), owned.alias("b")
+    both_cats = (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("a.cat") != F.col("b.cat")),
+        )
+        .groupBy(F.col("a.cat").alias("cat_a"), F.col("b.cat").alias("cat_b"))
+        .agg(F.count("*").alias("own_both"))
+    )
+    return (
+        both_cats.join(
+            F.broadcast(base.withColumnRenamed("cat", "cat_a")), "cat_a"
+        )
+        .select(
+            "cat_a",
+            "cat_b",
+            F.col("owners").alias("owners_a"),
+            (F.col("owners") - F.col("own_both")).cast("bigint").alias(
+                "gap_customers"
+            ),
+            F.expr("(owners - own_both) * 1000000 div owners")
+            .cast("bigint")
+            .alias("gap_ppm"),
+        )
+        .orderBy(F.desc("gap_ppm"), "cat_a", "cat_b")
+        .limit(15)
+    )
+
+
+@register(
+    "agg_subscription_detect",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               datediff('day', lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey), o_orderdate) AS g
+        FROM orders
+    ),
+    m AS (
+        SELECT o_custkey,
+               CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               CAST(SUM(g * g) AS BIGINT) AS s2
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY o_custkey HAVING COUNT(g) >= 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_qualified,
+           CAST(SUM(CASE WHEN 4 * (n * s2 - s * s) < s * s
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_regular,
+           CAST(SUM(CASE WHEN 4 * (n * s2 - s * s) < s * s
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+               AS regular_ppm,
+           CAST(MIN(CASE WHEN 4 * (n * s2 - s * s) < s * s
+                    THEN s // n END) AS BIGINT) AS min_regular_cadence_days
+    FROM m
+    """,
+)
+def agg_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription-behavior detection: customers whose order cadence
+    is REGULAR — coefficient of variation of inter-order gaps below
+    1/2 — found without a single float: CV² < 1/4 cross-multiplies to
+    4·(n·Σg² − (Σg)²) < (Σg)² over exact integer day gaps (the
+    biased-variance form keeps one n factor; fine for a threshold).
+    ≥5 gaps to qualify. Regular cadence is the replenishment /
+    subscription signal that retention teams treat differently from
+    impulse buyers.
+
+    One per-customer lag window and moment aggregate; the decision is
+    O(customers) integer comparisons.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    m = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("g").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("s2"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    regular = F.expr("4 * (n * s2 - s * s) < s * s")
+    return m.agg(
+        F.count("*").alias("n_qualified"),
+        F.sum(F.when(regular, 1).otherwise(0)).alias("n_regular"),
+        F.expr(
+            "SUM(CASE WHEN 4 * (n * s2 - s * s) < s * s THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("regular_ppm"),
+        F.min(F.when(regular, F.expr("s div n"))).cast("bigint").alias(
+            "min_regular_cadence_days"
+        ),
+    )
