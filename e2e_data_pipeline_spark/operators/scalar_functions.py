@@ -2198,3 +2198,76 @@ def fn_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.sum("retry").alias("n_retries"),
     )
+
+
+@register(
+    "fn_iban_check",
+    oracle="""
+    WITH acct AS (
+        SELECT c_custkey,
+               lpad(CAST(c_custkey * 7919 % 10000000000 AS VARCHAR), 10, '0')
+                   AS bban
+        FROM customer
+    ),
+    rearranged AS (
+        -- IBAN mod-97: BBAN ++ country('DE'->1314) ++ check('00'),
+        -- as the integer BBAN*10^6 + 131400, taken mod 97 in chunks
+        SELECT c_custkey, bban,
+               (CAST(bban AS BIGINT) % 97 * 1000000 + 131400) % 97 AS r
+        FROM acct
+    ),
+    finished AS (
+        SELECT c_custkey, bban,
+               98 - r AS check_digits,
+               ((CAST(bban AS BIGINT) % 97) * 1000000
+                + 131400 + (98 - r)) % 97 AS verify
+        FROM rearranged
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN verify = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self_valid,
+           CAST(COUNT(DISTINCT check_digits) AS BIGINT)
+               AS n_distinct_checks,
+           CAST(MIN(check_digits) AS BIGINT) AS min_check,
+           CAST(MAX(check_digits) AS BIGINT) AS max_check
+    FROM finished
+    """,
+)
+def fn_iban_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN check-digit computation by the ISO 7064 mod-97 scheme:
+    the rearranged number (BBAN ++ country-as-digits ++ '00') is far
+    past int64 for real IBANs, so the residue is taken in CHUNKS —
+    (bban mod 97)·10⁶ + tail, re-reduced — the Horner trick that
+    makes arbitrary-length mod-97 pure int64 arithmetic. Check
+    digits = 98 − r, and re-verifying the finished IBAN ≡ 1 (mod 97)
+    for every row is the in-query proof (the Luhn/EAN/Bloom
+    self-validation pattern; n_self_valid must equal n).
+
+    Scan-local integer arithmetic; completes the finance-identifier
+    family: fn_checkdigit (Luhn/EAN), fn_money_parse, this.
+    """
+    acct = load_table(spark, sf_dir, "customer").select(
+        F.lpad(
+            (F.col("c_custkey") * 7919 % 10000000000).cast("string"), 10, "0"
+        ).alias("bban")
+    )
+    finished = acct.select(
+        "bban",
+        F.expr(
+            "98 - (CAST(bban AS BIGINT) % 97 * 1000000 + 131400) % 97"
+        ).alias("check_digits"),
+        F.expr(
+            "((CAST(bban AS BIGINT) % 97) * 1000000 + 131400"
+            " + (98 - (CAST(bban AS BIGINT) % 97 * 1000000 + 131400) % 97))"
+            " % 97"
+        ).alias("verify"),
+    )
+    return finished.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("verify") == 1, 1).otherwise(0)).alias(
+            "n_self_valid"
+        ),
+        F.countDistinct("check_digits").alias("n_distinct_checks"),
+        F.min("check_digits").alias("min_check"),
+        F.max("check_digits").alias("max_check"),
+    )

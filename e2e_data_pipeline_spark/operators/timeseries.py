@@ -2825,3 +2825,66 @@ def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("gap_sum div NULLIF(gap_n, 0)").cast("bigint").alias("mtbf_s"),
         "worst_episode_errors",
     )
+
+
+@register(
+    "ts_time_in_state",
+    oracle="""
+    WITH seqd AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) // 1000000 AS sec,
+               event_id
+        FROM events
+    ),
+    spans AS (
+        SELECT event_type,
+               lead(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) - sec AS dwell_s
+        FROM seqd
+    ),
+    occupied AS (
+        SELECT event_type, CAST(SUM(dwell_s) AS BIGINT) AS seconds
+        FROM spans WHERE dwell_s IS NOT NULL
+        GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(seconds) AS BIGINT) AS t FROM occupied)
+    SELECT o.event_type,
+           o.seconds,
+           CAST(o.seconds * 1000000 // t.t AS BIGINT) AS share_ppm
+    FROM occupied o CROSS JOIN tot t
+    """,
+)
+def ts_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting: each event opens a state that lasts
+    until the user's next event, and the dwell seconds attribute to
+    the OPENING state — the state-machine occupancy metric behind
+    device analytics, UI funnel dwell, and machine-status reporting
+    (a count of events says what happened; this says where the time
+    went). One lead window per user with a total (sec, event_id)
+    order; terminal events (no successor) drop identically on both
+    engines. Shares in exact ppm.
+
+    One shuffle on user_id, a state-grain rollup, and a 1-row total
+    broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seqd = ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+    )
+    spans = seqd.select(
+        "event_type",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dwell_s"),
+    ).where(F.col("dwell_s").isNotNull())
+    occupied = spans.groupBy("event_type").agg(
+        F.sum("dwell_s").alias("seconds")
+    )
+    tot = occupied.agg(F.sum("seconds").alias("t"))
+    return occupied.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "seconds",
+        F.expr("seconds * 1000000 div t").cast("bigint").alias("share_ppm"),
+    )
