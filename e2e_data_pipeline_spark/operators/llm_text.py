@@ -1902,3 +1902,58 @@ def text_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flagged_ppm"),
     )
+
+
+@register(
+    "text_hapax",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(f) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_legomena,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_vocab_ppm,
+           CAST(COUNT(*) * 1000000 // SUM(f) AS BIGINT) AS ttr_ppm
+    FROM freq
+    """,
+)
+def text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile: words occurring exactly once (and
+    twice), the hapax share of the vocabulary, and the type-token
+    ratio — the lexical-richness numbers that drive Good-Turing
+    smoothing mass (unseen-event probability ≈ hapax/tokens) and
+    flag template-generated corpora (natural text runs ~40-60% hapax;
+    this fixture's tiny vocabulary runs near zero, which is the
+    finding). All exact ppm; complements text_vocab_growth's curve
+    with the point diagnostics.
+
+    One token explode + vocabulary-grain count + 1-row reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    return freq.agg(
+        F.count("*").alias("vocab"),
+        F.sum("f").alias("tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("dis_legomena"),
+        F.expr(
+            "SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000 div COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("hapax_vocab_ppm"),
+        F.expr("COUNT(*) * 1000000 div SUM(f)").cast("bigint").alias(
+            "ttr_ppm"
+        ),
+    )

@@ -2888,3 +2888,72 @@ def ts_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seconds",
         F.expr("seconds * 1000000 div t").cast("bigint").alias("share_ppm"),
     )
+
+
+@register(
+    "ts_burstiness",
+    oracle="""
+    WITH gaps AS (
+        SELECT epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000) OVER (
+                     ORDER BY epoch_us(ts), event_id) AS g
+        FROM events
+    ),
+    m AS (
+        SELECT CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS s,
+               SUM(CAST(g AS HUGEINT) * g) AS s2
+        FROM gaps WHERE g IS NOT NULL
+    )
+    SELECT n, s,
+           CAST((sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)
+               AS burstiness
+    FROM m
+    """,
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of the global
+    inter-event gaps: −1 for a metronome, 0 for a Poisson process,
+    →1 for heavy-tailed bursts — the single number that says whether
+    ts_burst_detect will have anything to find, and the
+    traffic-model classifier beside ts_interarrival's quantiles and
+    stats_dispersion_poisson's count-based index. Exact integer
+    moments (Σg² in HUGEINT/DECIMAL — sub-2⁵³ operands enter the
+    float chain exact), then a fixed-order σ/μ expression with one
+    sqrt — bit-identical doubles.
+
+    One global lag window over the event stream (partition by stream
+    key in production), a 1-row moment reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gaps = ev.select((sec - F.lag(sec).over(w)).alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    d = "DECIMAL(38,0)"
+    m = gaps.agg(
+        F.count("g").alias("n"),
+        F.sum("g").alias("s"),
+        F.expr(f"SUM(CAST(g AS {d}) * CAST(g AS {d}))").alias("s2"),
+    )
+    sigma = (
+        "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    mu = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    return m.select(
+        "n",
+        "s",
+        F.expr(
+            f"CAST(({sigma} - {mu}) / ({sigma} + {mu}) AS DOUBLE)"
+        ).alias("burstiness"),
+    )
