@@ -1492,3 +1492,89 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap_s").alias("total_overlap_s"),
         F.max("overlap_s").alias("max_overlap_s"),
     )
+
+
+@register(
+    "join_role_playing_dim",
+    oracle="""
+    WITH cal AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS month_start,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo
+        FROM orders
+    ),
+    facts AS (
+        SELECT o.o_orderkey,
+               date_trunc('month', o.o_orderdate) AS order_month,
+               date_trunc('month', l.l_shipdate) AS ship_month,
+               CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT oc.yr AS order_yr, oc.mo AS order_mo,
+           CAST(sc.yr * 12 + sc.mo - oc.yr * 12 - oc.mo AS BIGINT)
+               AS months_to_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.cents) AS BIGINT) AS cents
+    FROM facts f
+    JOIN cal oc ON oc.month_start = f.order_month
+    JOIN cal sc ON sc.month_start = f.ship_month
+    GROUP BY oc.yr, oc.mo, months_to_ship
+    """,
+)
+def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension: ONE calendar dimension joined twice —
+    as the order-date role and the ship-date role — the star-schema
+    pattern where every column must be disambiguated per role or the
+    second join silently resolves against the first (the alias trap
+    this op exists to pin; Spark raises ambiguity errors exactly
+    where aliases are missing). The fact rolls up by order month and
+    months-to-ship (integer y·12+m arithmetic across the two roles);
+    output is bounded by months × ship offsets, no floor needed.
+
+    The calendar dim derives from the data (distinct months — tiny),
+    broadcasts for both roles, and each role joins on its own key:
+    two broadcast joins, one grouped sum.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    cal = (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .distinct()
+    )
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    oc = cal.select(
+        F.col("month_start").alias("o_ms"),
+        F.col("yr").alias("o_yr"),
+        F.col("mo").alias("o_mo"),
+    )
+    sc = cal.select(
+        F.col("month_start").alias("s_ms"),
+        F.col("yr").alias("s_yr"),
+        F.col("mo").alias("s_mo"),
+    )
+    return (
+        facts.join(F.broadcast(oc), facts.order_month == oc.o_ms)
+        .join(F.broadcast(sc), facts.ship_month == sc.s_ms)
+        .groupBy(
+            F.col("o_yr").alias("order_yr"),
+            F.col("o_mo").alias("order_mo"),
+            F.expr("s_yr * 12 + s_mo - o_yr * 12 - o_mo")
+            .cast("bigint")
+            .alias("months_to_ship"),
+        )
+        .agg(F.count("*").alias("n_lines"), F.sum("cents").alias("cents"))
+    )
