@@ -1957,3 +1957,42 @@ def text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttr_ppm"
         ),
     )
+
+
+@register(
+    "text_word_length_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT length(unnest(string_split(text, ' '))) AS wl FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks)
+    SELECT CAST(wl AS BIGINT) AS word_length,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // MAX(tot.t) AS BIGINT) AS share_ppm
+    FROM toks CROSS JOIN tot
+    GROUP BY wl
+    """,
+)
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution in exact ppm — the zero-cost
+    stylometry signal (natural English peaks at 3–4 characters;
+    machine identifiers, URLs, and code skew long; a spike at one
+    length flags template tokens) that cheap corpus triage runs
+    before anything heavier. One explode, a ≤word-length-cells
+    groupBy, a broadcast total.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).select(F.length("w").alias("wl"))
+    tot = toks.agg(F.count("*").alias("t"))
+    return (
+        toks.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("wl").cast("bigint").alias("word_length"), "t")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "word_length",
+            "n",
+            F.expr("n * 1000000 div t").cast("bigint").alias("share_ppm"),
+        )
+    )

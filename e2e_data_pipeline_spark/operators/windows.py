@@ -1086,3 +1086,72 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.where(F.col("cents") > F.col("best_newer")).select(
         "o_orderkey", "day", "cents"
     )
+
+
+@register(
+    "win_gap_to_leader",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    gapped AS (
+        SELECT c_nationkey, o_custkey, cents,
+               MAX(cents) OVER (PARTITION BY c_nationkey) - cents AS gap,
+               row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY cents DESC, o_custkey) AS rn
+        FROM rev
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           cents, CAST(gap AS BIGINT) AS gap_cents,
+           CAST(rn AS BIGINT) AS rn
+    FROM gapped WHERE rn <= 3
+    """,
+)
+def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-to-leader leaderboard: each nation's top-3 customers with
+    their exact-cents distance to the #1 spot — the competitive-gap
+    framing (how far behind is second place?) that plain rankings
+    hide, used in sales-league and marketplace-seller dashboards.
+    One partition-max window and one rank window sharing the
+    partition key; the leader's own gap is zero by construction, a
+    free sanity row per nation.
+
+    Customer-grain aggregate (dims broadcast) then one shuffle on
+    nation for both windows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wmax = Window.partitionBy("c_nationkey")
+    wrank = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), "o_custkey"
+    )
+    return (
+        rev.select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "cents",
+            (F.max("cents").over(wmax) - F.col("cents"))
+            .cast("bigint")
+            .alias("gap_cents"),
+            F.row_number().over(wrank).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
