@@ -52,7 +52,6 @@ _CHECKED_PREFIX = [
     "sink_bucketed",
     # filter / project
     "filter_ne",
-    "filter_in_null",
     # joins (core strategies + TPC-H shapes)
     "join_broadcast",
     "join_shuffle",
@@ -60,18 +59,20 @@ _CHECKED_PREFIX = [
     "join_multiway",
     "join_skew_salted",
     "join_q3_shipping",
+    "join_q17_small_qty",
     "agg_q6_forecast",
     # aggregations
     "agg_groupby",
     "agg_rollup_cube",
     "agg_stats",
     "agg_bitmap_distinct",
+    "agg_kmv_sketch",
+    "stats_anova_f",
     "dq_profile",
     # windows
     "win_running",
     "win_topk_per_group",
     "win_range_frame",
-    "win_streaks",
     # sort / set
     "sort_limit",
     "set_intersect_except",
@@ -82,7 +83,6 @@ _CHECKED_PREFIX = [
     "scd2_history",
     # time series
     "ts_gapfill",
-    "ts_ohlc_bars",
     # scalar-function families
     "fn_json",
     "fn_higher_order",
@@ -90,11 +90,10 @@ _CHECKED_PREFIX = [
     # text analysis
     "text_langid",
     "text_quality",
-    "text_topterms",
     # dedup
     "dedup_exact",
     "dedup_near",
-    "dedup_cluster",
+    "dedup_minhash_det",
     # similarity
     "sim_topk",
     "sim_neardup_cosine",
@@ -109,9 +108,15 @@ _CHECKED_PREFIX = [
     "udf_arrow_batch",
     # SQL front-end + corpus curation composite
     "sql_lateral_topk",
+    "sql_recursive_cte",
     "corpus_pipeline",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "filter_in_null",
+    "win_streaks",
+    "ts_ohlc_bars",
+    "text_topterms",
+    "dedup_cluster",
     "join_cbo_reorder",
     "ml_kmeans_lloyd",
     "stats_permutation_test",
@@ -120,11 +125,9 @@ _CHECKED_PREFIX = [
     "join_interval_overlap",
     "dq_mad_outliers",
     "stats_sign_test",
-    "agg_kmv_sketch",
     "dq_bloom_audit",
     "ml_pca_power",
     "stats_cuped",
-    "stats_permutation_test",
     "agg_littles_law",
     "corpus_pack_harmonic",
     "dedup_semantic_det",
@@ -134,7 +137,6 @@ _CHECKED_PREFIX = [
     "text_lm_score",
     "text_chat_template",
     "dedup_containment",
-    "dedup_minhash_det",
     "dedup_simhash_det",
     "graph_bfs_layers",
     "win_sessionize_gap",
@@ -166,7 +168,6 @@ _CHECKED_PREFIX = [
     "agg_hhi",
     "stats_srm_check",
     "stats_dispersion_poisson",
-    "join_q17_small_qty",
     "scan_jdbc_pushdown",
     "dq_freshness",
     "dq_uniqueness",
@@ -185,7 +186,6 @@ _CHECKED_PREFIX = [
     "scan_cached_table",
     "udtf_dynamic_schema",
     "fn_try_arith",
-    "sql_recursive_cte",
     "graph_pagerank",
     "sim_hybrid_rrf",
     "text_bm25_rank",
@@ -243,6 +243,8 @@ _CHECKED_PREFIX = [
 _missing = [k for k in _CHECKED_PREFIX if k not in QUERIES]
 if _missing:  # pragma: no cover - registration bug guard
     raise RuntimeError(f"checked-prefix keys not registered: {_missing}")
+if len(set(_CHECKED_PREFIX)) != len(_CHECKED_PREFIX):  # pragma: no cover
+    raise RuntimeError("duplicate keys in _CHECKED_PREFIX shift curated order")
 _prefix_set = set(_CHECKED_PREFIX)
 _ordered = {k: QUERIES[k] for k in _CHECKED_PREFIX}
 _ordered.update((k, v) for k, v in QUERIES.items() if k not in _prefix_set)

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import dec_avg, dec_sum, register
+from e2e_data_pipeline_spark.operators.registry import (
+    dec_avg,
+    dec_sum,
+    global_rank,
+    ntile_from_rank,
+    register,
+)
 
 
 @register(
@@ -2479,7 +2485,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((r.rn - 1) * 20 // t.n + 1 AS BIGINT) AS ventile,
            CAST(MAX(r.rn) * 1000000 // t.n AS BIGINT) AS pop_share_ppm,
-           CAST(MAX(r.cum_cents) * 1000000 // t.s AS BIGINT)
+           CAST(CAST(MAX(r.cum_cents) AS HUGEINT) * 1000000 // t.s AS BIGINT)
                AS wealth_share_ppm
     FROM ranked r CROSS JOIN tot t
     GROUP BY (r.rn - 1) * 20 // t.n, t.n, t.s
@@ -2496,10 +2502,10 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 rows for any customer count n — no divisibility assumption —
     with every share an exact rational in ppm.
 
-    One customer aggregate, one global sort window (the one
-    genuinely-global sort in the family — at cluster scale swap in
-    the partition-prefix-sum construction stats_mannwhitney uses),
-    and a 1-row total broadcast.
+    One customer aggregate, then the DISTRIBUTED global rank+prefix-sum
+    (``registry.global_rank``: range-repartition + per-partition
+    offsets — no single-partition Exchange), with the grand totals
+    coming out of the same per-partition collect as literals.
     """
     c = (
         load_table(spark, sf_dir, "orders")
@@ -2510,26 +2516,24 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = c.select(
-        "cents",
-        # row_number is INT; rn*1e6 must not wrap at real customer counts
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_cents"
-        ),
+    ranked, n, sums = global_rank(
+        c, [F.col("cents").asc(), F.col("o_custkey").asc()], sum_cols=("cents",)
     )
-    tot = c.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    n = max(n, 1)
+    s = max(sums["cents"], 1)
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .groupBy(
-            F.expr("(rn - 1) * 20 div n + 1").cast("bigint").alias("ventile"),
-            "n",
-            "s",
+        ranked.groupBy(
+            F.expr(f"(rn - 1) * 20 div {n} + 1").cast("bigint").alias("ventile")
         )
         .agg(
-            F.expr("MAX(rn) * 1000000 div n").cast("bigint").alias("pop_share_ppm"),
-            F.expr("MAX(cum_cents) * 1000000 div s")
+            F.expr(f"MAX(rn) * 1000000 div {n}")
+            .cast("bigint")
+            .alias("pop_share_ppm"),
+            # widen before the x1e6 product: cum_cents * 1e6 can pass
+            # 2^63 (Spark DECIMAL(38) div bigint == DuckDB HUGEINT //)
+            F.expr(
+                f"CAST(MAX(cum_cents) AS DECIMAL(38,0)) * 1000000 div {s}"
+            )
             .cast("bigint")
             .alias("wealth_share_ppm"),
         )
@@ -3531,9 +3535,12 @@ def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved to precisely because VaR alone ignores tail shape. Tail sum
     and count are exact integers; ES is their single double division.
 
-    One global rank over the P&L (at scale: the partition-prefix-sum
-    ranking stats_mannwhitney uses), then a single conditional
-    aggregate — no second pass over the tail.
+    The rank is the DISTRIBUTED two-pass construction
+    (``registry.global_rank``: range-repartition on cents +
+    per-partition offsets — no single-partition Exchange), then a
+    single conditional aggregate — no second pass over the tail. The
+    total count n comes out of the same per-partition collect, so the
+    tail cutoff is a literal and the tail filter prunes partitions.
     """
     pnl = (
         load_table(spark, sf_dir, "events")
@@ -3545,15 +3552,10 @@ def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("cents")
-    ranked = pnl.select(
-        "cents",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
-    k = "greatest(1, n * 5 div 100)"
+    ranked, n, _ = global_rank(pnl, [F.col("cents").asc()])
+    k = max(1, n * 5 // 100)
     return ranked.agg(
-        F.max("n").alias("n"),
+        F.lit(n).cast("bigint").alias("n"),
         F.max(F.expr(f"CASE WHEN rn = {k} THEN cents END")).alias(
             "var95_cents"
         ),
@@ -3898,9 +3900,10 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integer comparisons on exact cumulative cents —
     a part never flips class from float drift.
 
-    One keyed aggregate, one global revenue-ordered running sum (the
-    family's sanctioned global sort — prefix-sum construction at
-    scale), O(3) output rows.
+    One keyed aggregate, then the DISTRIBUTED revenue-ordered running
+    sum (``registry.global_rank``: range-repartition + per-partition
+    prefix offsets — no single-partition Exchange); the grand total
+    falls out of the same collect as a literal. O(3) output rows.
     """
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -3911,21 +3914,17 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked, _, sums = global_rank(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey").asc()],
+        sum_cols=("cents",),
     )
-    wt = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "cents",
-        F.sum("cents").over(w).alias("cum_cents"),
-        F.sum("cents").over(wt).alias("total"),
-    )
+    total = sums["cents"]
     classed = ranked.select(
         "l_partkey",
         "cents",
-        F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
-        .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+        F.when(F.col("cum_cents") * 100 <= F.lit(total) * 80, "A")
+        .when(F.col("cum_cents") * 100 <= F.lit(total) * 95, "B")
         .otherwise("C")
         .alias("abc"),
     )
@@ -4994,12 +4993,12 @@ def agg_comparable_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
            CAST(MAX(total) AS BIGINT) AS total_cents,
-           CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END) * 1000000
-                // MAX(total) AS BIGINT) AS cr4_ppm,
-           CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000000
-                // MAX(total) AS BIGINT) AS cr8_ppm,
-           CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END) * 1000000
-                // MAX(total) AS BIGINT) AS cr20_ppm
+           CAST(CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END)
+                AS HUGEINT) * 1000000 // MAX(total) AS BIGINT) AS cr4_ppm,
+           CAST(CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END)
+                AS HUGEINT) * 1000000 // MAX(total) AS BIGINT) AS cr8_ppm,
+           CAST(CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END)
+                AS HUGEINT) * 1000000 // MAX(total) AS BIGINT) AS cr20_ppm
     FROM ranked
     """,
 )
@@ -5010,8 +5009,11 @@ def agg_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares directly). One ranked pass with conditional sums at the
     three cutoffs — not three queries — and every share an exact ppm.
 
-    Supplier-grain aggregate then one global rank window (small
-    domain; the stats_mannwhitney prefix-sum construction at scale).
+    Supplier-grain aggregate then the DISTRIBUTED global rank
+    (``registry.global_rank`` — range-repartition + per-partition
+    offsets, no single-partition Exchange); count and grand total come
+    out of the same collect as literals, so there is no
+    count-over-everything window either.
     """
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -5022,30 +5024,30 @@ def agg_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), "l_suppkey")
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    ranked, n, sums = global_rank(
+        rev, [F.col("cents").desc(), F.col("l_suppkey").asc()], sum_cols=("cents",)
     )
+    total = max(sums["cents"], 1)
     return ranked.agg(
-        F.count("*").alias("n_suppliers"),
-        F.max("total").alias("total_cents"),
+        F.lit(n).cast("bigint").alias("n_suppliers"),
+        F.lit(sums["cents"]).cast("bigint").alias("total_cents"),
+        # widen before the x1e6 product: tail sums * 1e6 can pass 2^63
+        # (Spark DECIMAL(38) div bigint == DuckDB HUGEINT //)
         F.expr(
-            "SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END) * 1000000"
-            " div MAX(total)"
+            f"CAST(SUM(CASE WHEN rn <= 4 THEN cents ELSE 0 END)"
+            f" AS DECIMAL(38,0)) * 1000000 div {total}"
         )
         .cast("bigint")
         .alias("cr4_ppm"),
         F.expr(
-            "SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000000"
-            " div MAX(total)"
+            f"CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END)"
+            f" AS DECIMAL(38,0)) * 1000000 div {total}"
         )
         .cast("bigint")
         .alias("cr8_ppm"),
         F.expr(
-            "SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END) * 1000000"
-            " div MAX(total)"
+            f"CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END)"
+            f" AS DECIMAL(38,0)) * 1000000 div {total}"
         )
         .cast("bigint")
         .alias("cr20_ppm"),

@@ -40,17 +40,36 @@ from e2e_data_pipeline_spark.operators.registry import dec, dec_avg, dec_sum, re
     """,
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-dimension equi-join with explicit broadcast of both dims."""
+    """Small-dimension equi-join where every join is a BroadcastHashJoin.
+
+    A naive ``customer RIGHT JOIN broadcast(nation)`` drops the hint
+    (Spark can't build-right a right outer join) and falls back to
+    shuffling all of customer on 25 skewed nationkeys.  Instead the
+    customer side is reduced FIRST — ``groupBy(c_nationkey).count()``
+    is a map-side partial aggregate whose exchange carries at most
+    25 rows per task — and the resulting 25-row count frame plus the
+    5-row region dim are broadcast into nation.  At 100x scale the
+    only data movement is the 25-cell partial-agg shuffle.
+    """
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     customer = load_table(spark, sf_dir, "customer")
+    cust_counts = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("cust_cnt")
+    )
     return (
-        customer.join(
-            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "right"
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(
+            F.broadcast(cust_counts),
+            nation.n_nationkey == cust_counts.c_nationkey,
+            "left",
         )
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_nationkey", "n_name", "r_name")
-        .agg(F.count("c_custkey").alias("n_customers"))
+        .select(
+            "n_nationkey",
+            "n_name",
+            "r_name",
+            F.coalesce(F.col("cust_cnt"), F.lit(0)).alias("n_customers"),
+        )
     )
 
 

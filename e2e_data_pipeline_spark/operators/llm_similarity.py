@@ -1129,7 +1129,16 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS q
         FROM embeddings
     ),
-    queries AS (SELECT * FROM pts WHERE vec_id % 10 = 0),
+    m AS (
+        SELECT CASE WHEN COUNT(*) // 64 > 1
+                    THEN CAST(COUNT(*) // 64 AS BIGINT) ELSE 1 END AS m
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT p.* FROM pts p, m
+        WHERE ('0x' || substr(md5(CAST(p.vec_id AS VARCHAR)), 1, 15))::BIGINT
+              % m.m = 0
+    ),
     scored AS (
         SELECT q.vec_id AS qid, q.label AS qlabel,
                c.vec_id AS cid, c.label AS clabel,
@@ -1168,12 +1177,17 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classifier evaluation over the labeled embedding table:
-    each held-out query (10% sample by key, leave-self-out) takes a
-    majority vote among its 5 nearest neighbors by integer dot
-    product, graded against its own label — the end-to-end "are these
-    embeddings any good" harness. Every ranking is integer-exact with
-    full (score, id) and (votes, label) tie-breaks, so the accuracy
-    is a hash-checkable exact ppm.
+    each held-out query takes a majority vote among its 5 nearest
+    neighbors by integer dot product, graded against its own label —
+    the end-to-end "are these embeddings any good" harness. Every
+    ranking is integer-exact with full (score, id) and (votes, label)
+    tie-breaks, so the accuracy is a hash-checkable exact ppm.
+
+    The query sample is BOUNDED: vec_ids whose portable 60-bit
+    md5-hash ≡ 0 (mod n div 64) — an expected ~64 queries at ANY
+    corpus size, derived identically in the oracle (the
+    dedup_semantic_det corpus-derived-parameter pattern), so eval
+    cost is O(K·n), not O(n²/10).
 
     Scale shape: query×corpus with the corpus never shuffling and
     per-query WindowGroupLimit top-k — sim_topk's plan with the vote
@@ -1189,7 +1203,12 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
         ).alias("q"),
     )
-    queries = pts.where(F.col("vec_id") % 10 == 0).select(
+    m = max(emb.count() // 64, 1)
+    qhash = F.expr(
+        "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    queries = pts.where(qhash % m == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("q").alias("qq"),

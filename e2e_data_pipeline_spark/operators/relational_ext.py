@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import dec_avg, dec_sum, register
+from e2e_data_pipeline_spark.operators.registry import (
+    dec_avg,
+    dec_sum,
+    global_rank,
+    ntile_from_rank,
+    register,
+)
 
 
 @register(
@@ -927,12 +933,15 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic customer-analytics pipeline (and the template for any
     multi-dimensional quantile bucketing).
 
-    Scores use ``ntile(5)`` with a custkey tie-break so bucket
+    Scores use NTILE(5) semantics with a custkey tie-break so bucket
     boundaries are engine-identical (ntile on a tied ordering is
-    otherwise arbitrary); monetary is exact integer cents. Three
-    windows share one global ordering cost over the CUSTOMER aggregate
-    (not the fact table) — at 100 TB, score windows run on |customers|
-    rows, and the segment CASE is free. Output is ≤5 segment rows.
+    otherwise arbitrary); monetary is exact integer cents. Each score
+    is a DISTRIBUTED global rank (``registry.global_rank``:
+    range-repartition + per-partition offsets — never a
+    single-partition NTILE window) folded through the exact NTILE
+    bucket formula (``registry.ntile_from_rank``) with the customer
+    count as a literal. Three rank passes over the CUSTOMER aggregate
+    (not the fact table); output is ≤5 segment rows.
     """
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -942,17 +951,21 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    def sc(col):
-        return (
-            F.ntile(5)
-            .over(Window.orderBy(F.desc(col), F.col("o_custkey").asc()))
-            .cast("long")
-        )
-    scored = rfm.select(
+    ck = F.col("o_custkey").asc()
+    ranked_r, n, _ = global_rank(
+        rfm, [F.col("last_order").desc(), ck], rn_name="rn_r"
+    )
+    ranked_f, _, _ = global_rank(
+        ranked_r, [F.col("frequency").desc(), ck], rn_name="rn_f"
+    )
+    ranked_m, _, _ = global_rank(
+        ranked_f, [F.col("monetary_cents").desc(), ck], rn_name="rn_m"
+    )
+    scored = ranked_m.select(
         "o_custkey",
-        sc("last_order").alias("r_score"),
-        sc("frequency").alias("f_score"),
-        sc("monetary_cents").alias("m_score"),
+        ntile_from_rank(F.col("rn_r"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("rn_f"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("rn_m"), n, 5).alias("m_score"),
     )
     seg = (
         F.when(
@@ -1163,13 +1176,13 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     report for targeting pipelines.
 
     NTILE over a deterministic total order (value DESC, event_id)
-    buckets exactly like the oracle; everything after the first
-    window is a 10-row frame. conversion and cumulative lift are
-    single divisions of exact int64 products. The global NTILE sort
-    is the one scale cost — at 100 TB you'd swap it for
-    approx-quantile boundaries; this exact variant is the
-    oracle-checkable twin (same pattern as dedup_near vs
-    dedup_near_lsh).
+    buckets exactly like the oracle; everything after the rank is a
+    10-row frame. conversion and cumulative lift are single divisions
+    of exact int64 products. The rank is the DISTRIBUTED two-pass
+    construction (``registry.global_rank``: range-repartition +
+    per-partition offsets — no single-partition NTILE window) folded
+    through the exact NTILE bucket formula with the total count as a
+    literal.
     """
     ev = load_table(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("long").alias("score_cents"),
@@ -1177,21 +1190,35 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
-    w = Window.orderBy(F.desc("value"), "event_id")
-    scored = ev.withColumn("decile", F.ntile(10).over(w))
+    ranked, n, _ = global_rank(
+        ev, [F.col("value").desc(), F.col("event_id").asc()]
+    )
+    scored = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), n, 10).cast("int")
+    )
     per_decile = scored.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("label").alias("n_pos")
     )
     tot = per_decile.agg(
         F.sum("n").alias("tot_n"), F.sum("n_pos").alias("tot_pos")
     )
-    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_decile.select(
-        "decile",
-        "n",
-        "n_pos",
-        F.sum("n").over(w_cum).alias("cum_n"),
-        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+    # running sums over the 10-row decile frame as a broadcast range
+    # self-join (10x10) — keeps the whole plan free of unpartitioned
+    # Window nodes
+    prior = per_decile.select(
+        F.col("decile").alias("p_decile"),
+        F.col("n").alias("p_n"),
+        F.col("n_pos").alias("p_n_pos"),
+    )
+    cum = (
+        per_decile.join(
+            F.broadcast(prior), F.col("p_decile") <= F.col("decile"), "inner"
+        )
+        .groupBy("decile", "n", "n_pos")
+        .agg(
+            F.sum("p_n").alias("cum_n"),
+            F.sum("p_n_pos").alias("cum_pos"),
+        )
     )
     return cum.crossJoin(F.broadcast(tot)).select(
         "decile",

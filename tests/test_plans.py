@@ -717,11 +717,52 @@ def test_attribution_touch_join_is_hash_on_user(spark):
 
 
 def test_abc_classification_single_scan(spark):
-    # one lineitem scan feeds the revenue agg; the running-sum window
-    # and total ride the same frame (no re-scan, no cartesian)
+    # the revenue agg is computed once and pinned by global_rank's
+    # localCheckpoint; the returned frame rides the checkpointed RDD
+    # (no parquet re-scan, no cartesian)
     import re
 
     plan = plan_of(spark, "agg_abc_classification")
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(scans) == 1, f"expected 1 scan, saw {len(scans)}"
+    assert len(scans) == 0, f"expected 0 parquet scans, saw {len(scans)}"
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+GLOBAL_RANK_KEYS = [
+    "agg_var_es",
+    "agg_lorenz_points",
+    "agg_abc_classification",
+    "agg_cr4",
+    "agg_rfm_segmentation",
+    "agg_decile_lift",
+]
+
+
+@pytest.mark.parametrize("key", GLOBAL_RANK_KEYS)
+def test_entity_grain_ranks_are_distributed(spark, key):
+    # the six formerly-global-sort ops must rank via the two-pass
+    # global_rank construction: every Window node partitioned by
+    # __pid (no single-partition WindowExec), the rank shuffle a
+    # 32-way hashpartitioning, and the only SinglePartition exchanges
+    # the partial->final cells of global aggregates (never feeding a
+    # Sort or Window)
+    import re
+
+    plan = plan_of(spark, key)
+    assert "hashpartitioning(__pid" in plan, f"{key}: rank shuffle missing"
+    for m in re.finditer(r"windowspecdefinition\((\w+)", plan):
+        assert m.group(1).startswith("__pid"), (
+            f"{key}: unpartitioned window over {m.group(1)}"
+        )
+    # an Exchange SinglePartition followed (tree-wise) by Sort/Window
+    # would be the old trap; in the formatted tree the offender shows
+    # as a Sort/Window node whose child is that exchange
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line or re.search(r"\bSort\b", line):
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "SinglePartition" not in below, (
+                f"{key}: sort/window fed by a single-partition exchange"
+            )
