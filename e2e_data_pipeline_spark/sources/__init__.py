@@ -13,12 +13,18 @@ from e2e_data_pipeline_spark.sources.jdbc import (
     jdbc_writer,
 )
 from e2e_data_pipeline_spark.sources.object_store import (
+    apply_sink_plan,
+    bigquery_sink_plan,
+    gcs_parquet_sink_plan,
     read_parquet_any,
     write_parquet_partitioned,
 )
 
 __all__ = [
+    "apply_sink_plan",
+    "bigquery_sink_plan",
     "fetch_to_staging",
+    "gcs_parquet_sink_plan",
     "jdbc_reader",
     "jdbc_schema_only_ddl",
     "jdbc_writer",

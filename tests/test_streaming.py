@@ -524,3 +524,64 @@ def test_foreachbatch_crash_recovery_exactly_once(spark, tmp_path):
     got = {(r.user_id, r.n, r.cents) for r in final.collect()}
     want = {(r.user_id, r.n, r.cents) for r in expect.collect()}
     assert got == want, "crash+restart must yield exactly the batch answer"
+
+
+def test_dedup_state_expiry_readmits_after_watermark(spark, tmp_path):
+    """Out-of-order injection for dropDuplicatesWithinWatermark — the
+    semantics the batch twin cannot witness. A redelivery inside the
+    watermark horizon is dropped (state still held); once the watermark
+    passes seen_ts + delay the dedup state for that key is EVICTED, so
+    a later redelivery of the same event_id is re-admitted as new.
+    Three availableNow runs share one checkpoint, so eviction is also
+    shown to persist across restarts."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, event_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, event_id long").parquet(
+            str(src) + "/*"
+        )
+        q = (
+            stream.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return (
+            spark.read.schema("ts timestamp, event_id long")
+            .parquet(out_dir)
+            .groupBy("event_id")
+            .count()
+            .collect()
+        )
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    write_file("a", [(t(10, 0), 1), (t(10, 2), 99)])
+    out1 = {r.event_id: r["count"] for r in run()}
+    assert out1 == {1: 1, 99: 1}
+
+    # duplicate of id 1 inside the horizon -> dropped; id 100 at 11:00
+    # advances the watermark to 10:50, evicting id 1's state (10:00+10m)
+    write_file("b", [(t(10, 1), 1), (t(11, 0), 100)])
+    out2 = {r.event_id: r["count"] for r in run()}
+    assert out2 == {1: 1, 99: 1, 100: 1}, out2
+
+    # same event_id redelivered AFTER eviction -> re-admitted
+    write_file("c", [(t(11, 5), 1)])
+    out3 = {r.event_id: r["count"] for r in run()}
+    assert out3 == {1: 2, 99: 1, 100: 1}, out3
