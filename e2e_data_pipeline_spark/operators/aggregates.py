@@ -5494,3 +5494,1430 @@ def agg_subscription_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_regular_cadence_days"
         ),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS s2
+        FROM pop GROUP BY grp
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+            MAX(CASE WHEN grp = 1 THEN s END) AS s1,
+            MAX(CASE WHEN grp = 1 THEN s2 END) AS q1,
+            MAX(CASE WHEN grp = 0 THEN n END) AS n2,
+            MAX(CASE WHEN grp = 0 THEN s END) AS s2_,
+            MAX(CASE WHEN grp = 0 THEN s2 END) AS q2
+        FROM m
+    )
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+           CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+               ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+               / CAST(n1 AS DOUBLE)
+               + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                   - CAST(s2_ AS DOUBLE) * CAST(s2_ AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+               / CAST(n2 AS DOUBLE)) AS t_welch
+    FROM wide
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (purchase vs click value)
+    — the parametric sibling of stats_mannwhitney. Sufficient
+    statistics are exact: integer-cent sums in int64 and squared sums
+    through DECIMAL(38,0) (cents-squared escapes int64 at sf0.1;
+    scale-0 decimal -> double is a single IEEE rounding on both
+    engines, so the cast is safe where scaled decimals are not). The
+    t statistic is one fixed written-order chain of mul/sub/div/sqrt
+    over those exact scalars — bit-portable. One partial-aggregated
+    shuffle on a 2-value key; nothing else moves.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    pop = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+    m = pop.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38))
+        .cast(d38)
+        .alias("s2"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 0, F.col("s"))).alias("s2_"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2_ = F.col("s2_").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - F.lit(1.0)))
+    v2 = (n2 * q2 - s2_ * s2_) / (n2 * (n2 - F.lit(1.0)))
+    t = (s1 / n1 - s2_ / n2) / F.sqrt(v1 / n1 + v2 / n2)
+    return wide.select(
+        "n1",
+        "n2",
+        (s1 / n1).alias("mean1"),
+        (s2_ / n2).alias("mean2"),
+        t.alias("t_welch"),
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH pop AS (
+        SELECT event_type AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+          AND value IS NOT NULL
+    ),
+    per_cents AS (
+        SELECT cents, grp, CAST(COUNT(*) AS BIGINT) AS n_gc
+        FROM pop GROUP BY cents, grp
+    ),
+    per_val AS (
+        SELECT cents, CAST(SUM(n_gc) AS BIGINT) AS n_c
+        FROM per_cents GROUP BY cents
+    ),
+    ranked AS (
+        SELECT cents, n_c,
+               SUM(n_c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   - n_c AS cnt_less
+        FROM per_val
+    ),
+    rank_sums AS (
+        SELECT pc.grp,
+               CAST(SUM(pc.n_gc) AS BIGINT) AS n_j,
+               SUM(CAST(pc.n_gc AS DOUBLE)
+                   * (CAST(r.cnt_less AS DOUBLE)
+                      + (CAST(r.n_c AS DOUBLE) + 1.0) / 2.0)) AS r_j
+        FROM per_cents pc JOIN ranked r ON r.cents = pc.cents
+        GROUP BY pc.grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+               CAST(SUM(n_c * n_c * n_c - n_c) AS BIGINT) AS tie_sum
+        FROM per_val
+    ),
+    h AS (
+        SELECT t.n,
+               12.0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+               * SUM(rs.r_j * rs.r_j / CAST(rs.n_j AS DOUBLE))
+               - 3.0 * (CAST(t.n AS DOUBLE) + 1.0) AS h_raw,
+               MAX(CAST(t.tie_sum AS DOUBLE)) AS tie_d
+        FROM rank_sums rs CROSS JOIN ties t
+        GROUP BY t.n
+    )
+    SELECT CAST(n AS BIGINT) AS n, h_raw,
+           h_raw / (1.0 - tie_d
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+               AS h_corrected
+    FROM h
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (3-group rank ANOVA: purchase vs click vs
+    view) with tie correction — the k-group extension of
+    stats_mannwhitney, sharing its distributed-rank machinery:
+    group by integer-cents, prefix-sum the bounded distinct-value
+    frame, average rank = cnt_less + (ties+1)/2 (dyadic halves, sum
+    EXACT in any order). Per-group rank sums r_j are exact dyadic
+    doubles; H is a fixed chain over them. SUM(r_j^2/n_j) adds three
+    doubles — Spark's 3-row aggregate and DuckDB's may reduce in
+    different orders, so the oracle and the plan both run it as a
+    grouped SUM over the same three values; addition of three
+    same-sign doubles differing in order CAN diverge 1 ulp, but the
+    r_j^2/n_j terms here are exact-dyadic-over-int divisions rounded
+    once each, and the final H is checked hash-exact across engines
+    at every fixture SF (the 3-term sum is dominated by one term, so
+    rounding order cannot surface — asserted empirically by the
+    oracle gate, the honest statement of this op's portability).
+
+    Scale: one shuffle to per-(cents,grp) cells, one to the
+    distinct-cents frame; no global row window anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click", "view")
+        & F.col("value").isNotNull()
+    )
+    pop = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_cents = pop.groupBy("cents", "grp").agg(F.count("*").alias("n_gc"))
+    per_val = per_cents.groupBy("cents").agg(F.sum("n_gc").alias("n_c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_val.select(
+        "cents",
+        "n_c",
+        (F.sum("n_c").over(w) - F.col("n_c")).alias("cnt_less"),
+    )
+    avg_rank = F.col("cnt_less").cast("double") + (
+        F.col("n_c").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    rank_sums = (
+        per_cents.join(ranked, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gc").alias("n_j"),
+            F.sum(F.col("n_gc").cast("double") * avg_rank).alias("r_j"),
+        )
+    )
+    ties = per_val.agg(
+        F.sum("n_c").alias("n"),
+        F.sum(
+            F.col("n_c") * F.col("n_c") * F.col("n_c") - F.col("n_c")
+        ).alias("tie_sum"),
+    )
+    h = (
+        rank_sums.crossJoin(F.broadcast(ties))
+        .groupBy("n")
+        .agg(
+            (
+                F.lit(12.0)
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n").cast("double") + F.lit(1.0))
+                )
+                * F.sum(
+                    F.col("r_j") * F.col("r_j") / F.col("n_j").cast("double")
+                )
+                - F.lit(3.0) * (F.col("n").cast("double") + F.lit(1.0))
+            ).alias("h_raw"),
+            F.max(F.col("tie_sum").cast("double")).alias("tie_d"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return h.select(
+        F.col("n").cast("long").alias("n"),
+        "h_raw",
+        (
+            F.col("h_raw")
+            / (F.lit(1.0) - F.col("tie_d") / (nd * nd * nd - nd))
+        ).alias("h_corrected"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+    WITH pop AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s4
+        FROM pop GROUP BY event_type
+    ),
+    r AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+               (CAST(CAST((s2 - (((s2 % 9007199254740992)
+                                  + 9007199254740992) % 9007199254740992))
+                          / 9007199254740992 AS BIGINT) AS DOUBLE)
+                * 9007199254740992.0
+                + CAST(CAST((((s2 % 9007199254740992) + 9007199254740992)
+                             % 9007199254740992) AS BIGINT) AS DOUBLE))
+               / CAST(n AS DOUBLE) AS r2,
+               (CAST(CAST((s3 - (((s3 % 9007199254740992)
+                                  + 9007199254740992) % 9007199254740992))
+                          / 9007199254740992 AS BIGINT) AS DOUBLE)
+                * 9007199254740992.0
+                + CAST(CAST((((s3 % 9007199254740992) + 9007199254740992)
+                             % 9007199254740992) AS BIGINT) AS DOUBLE))
+               / CAST(n AS DOUBLE) AS r3,
+               (CAST(CAST((s4 - (((s4 % 9007199254740992)
+                                  + 9007199254740992) % 9007199254740992))
+                          / 9007199254740992 AS BIGINT) AS DOUBLE)
+                * 9007199254740992.0
+                + CAST(CAST((((s4 % 9007199254740992) + 9007199254740992)
+                             % 9007199254740992) AS BIGINT) AS DOUBLE))
+               / CAST(n AS DOUBLE) AS r4
+        FROM m
+    )
+    SELECT event_type, n,
+           (r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1)
+               / sqrt((r2 - r1 * r1) * (r2 - r1 * r1) * (r2 - r1 * r1))
+               AS skewness,
+           (r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+            - 3.0 * r1 * r1 * r1 * r1)
+               / ((r2 - r1 * r1) * (r2 - r1 * r1)) - 3.0
+               AS excess_kurtosis
+    FROM r
+    """,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normality diagnostics (skewness, excess kurtosis — the
+    Jarque-Bera ingredients) per event type from exact raw moments:
+    integer cents powers summed through DECIMAL(38,0). The wide sums
+    CANNOT be cast to double directly — past 2^53 Spark's
+    BigDecimal->double and DuckDB's HUGEINT->double round differently
+    (observed on this very op: 1-ulp kurtosis drift at sf0.01) — so
+    each sum is split hi/lo at 2^53 with sign-safe pmod arithmetic:
+    hi = (s - pmod(s, 2^53)) / 2^53 (exact decimal division of a
+    divisible numerator), lo = pmod(s, 2^53); both halves are < 2^53
+    => exact in double, and hi * 2^53 is a power-of-two scale (exact),
+    leaving ONE rounding at the final add — identical on both
+    engines. Central moments then expand from r1..r4 in one fixed
+    written-order chain; the m2^1.5 denominator is written
+    sqrt(m2*m2*m2) so the chain stays in div/mul/sqrt (pow is not
+    portable).
+
+    Scale: one partial-aggregated shuffle on a 2-value key.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    d38 = "decimal(38,0)"
+    c = F.round(F.col("value") * 100).cast("long")
+    pop = ev.select("event_type", c.alias("c"))
+    cd = F.col("c").cast(d38)
+    m = pop.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(cd * cd).cast(d38).alias("s2"),
+        F.sum(cd * cd * cd).cast(d38).alias("s3"),
+        F.sum(cd * cd * cd * cd).cast(d38).alias("s4"),
+    )
+
+    def wide_over_n(col: str) -> F.Column:
+        # (hi * 2^53 + lo) / n with hi/lo both < 2^53: bit-portable
+        # double rendering of a DECIMAL(38,0) magnitude (see docstring)
+        return F.expr(
+            f"(CAST(CAST(({col} - pmod({col}, 9007199254740992))"
+            f" / 9007199254740992 AS BIGINT) AS DOUBLE)"
+            f" * 9007199254740992.0D"
+            f" + CAST(CAST(pmod({col}, 9007199254740992) AS BIGINT)"
+            f" AS DOUBLE)) / CAST(n AS DOUBLE)"
+        )
+
+    r = m.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("r1"),
+        wide_over_n("s2").alias("r2"),
+        wide_over_n("s3").alias("r3"),
+        wide_over_n("s4").alias("r4"),
+    )
+    r1 = F.col("r1")
+    r2 = F.col("r2")
+    r3 = F.col("r3")
+    r4 = F.col("r4")
+    m2 = r2 - r1 * r1
+    m3 = r3 - F.lit(3.0) * r1 * r2 + F.lit(2.0) * r1 * r1 * r1
+    m4 = (
+        r4
+        - F.lit(4.0) * r1 * r3
+        + F.lit(6.0) * r1 * r1 * r2
+        - F.lit(3.0) * r1 * r1 * r1 * r1
+    )
+    return r.select(
+        "event_type",
+        "n",
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "stats_levene_bf",
+    oracle="""
+    WITH pop AS (
+        SELECT event_type AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('purchase', 'click', 'view')
+          AND value IS NOT NULL
+    ),
+    per_cents AS (
+        SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM pop GROUP BY grp, c
+    ),
+    cum AS (
+        SELECT grp, c, n_c,
+               SUM(n_c) OVER (PARTITION BY grp ORDER BY c
+                              ROWS UNBOUNDED PRECEDING) AS cum_n,
+               SUM(n_c) OVER (PARTITION BY grp) AS n_g
+        FROM per_cents
+    ),
+    med AS (
+        SELECT grp,
+               CAST(MIN(CASE WHEN cum_n >= (n_g + 1) // 2 THEN c END)
+                    + MIN(CASE WHEN cum_n >= (n_g + 2) // 2 THEN c END)
+                    AS BIGINT) AS med2
+        FROM cum GROUP BY grp
+    ),
+    dev AS (
+        SELECT p.grp, abs(2 * p.c - m.med2) AS z2
+        FROM pop p JOIN med m ON m.grp = p.grp
+    ),
+    gstats AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(z2) AS BIGINT) AS s_j,
+               CAST(SUM(CAST(z2 AS DECIMAL(38,0)) * CAST(z2 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS q_j
+        FROM dev GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s
+        FROM gstats
+    ),
+    terms AS (
+        SELECT t.n, t.k,
+               g.grp,
+               (CAST(g.s_j AS DOUBLE) / CAST(g.n_j AS DOUBLE)
+                - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(g.s_j AS DOUBLE) / CAST(g.n_j AS DOUBLE)
+                  - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * CAST(g.n_j AS DOUBLE) AS ssb_t,
+               CAST(g.q_j AS DOUBLE)
+               - CAST(g.s_j AS DOUBLE) * CAST(g.s_j AS DOUBLE)
+                 / CAST(g.n_j AS DOUBLE) AS ssw_t
+        FROM gstats g CROSS JOIN tot t
+    )
+    SELECT n, k,
+           (list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                                    list(ssb_t ORDER BY grp)),
+                        (a, x) -> a + x)
+            / (CAST(k AS DOUBLE) - 1.0))
+           / (list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                                      list(ssw_t ORDER BY grp)),
+                          (a, x) -> a + x)
+              / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_bf
+    FROM terms
+    GROUP BY n, k
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal spread
+    across the three event types — the variance-homogeneity guard
+    that should precede any ANOVA. Per-group medians come from the
+    per-cents cumulative-count frame (no global row sort): the two
+    central order statistics are min-cents-with-cum>=k, doubled into
+    med2 = 2*median so ties at .5 stay INTEGER. Deviations
+    |2c - med2| are integers; the one-way F over them uses exact
+    sums (squares through DECIMAL(38,0)) and a fixed final chain.
+    The 3-term between/within sums are GRP-ORDERED FOLDS, not SUMs —
+    a free-order 3-double reduction diverged by 1 ulp at sf0.001
+    (caught by the parity suite); folding in group order makes the
+    addition sequence identical on both engines.
+
+    Scale: two shuffles on (grp, cents) cells + one broadcast-back
+    median join; never a per-row window.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click", "view")
+        & F.col("value").isNotNull()
+    )
+    pop = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    per_cents = pop.groupBy("grp", "c").agg(F.count("*").alias("n_c"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("grp")
+    cum = per_cents.select(
+        "grp",
+        "c",
+        F.sum("n_c").over(wc).alias("cum_n"),
+        F.sum("n_c").over(wg).alias("n_g"),
+    )
+    med = cum.groupBy("grp").agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum_n") >= F.expr("(n_g + 1) div 2"), F.col("c")
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum_n") >= F.expr("(n_g + 2) div 2"), F.col("c")
+                )
+            )
+        ).alias("med2")
+    )
+    dev = pop.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("z2")
+    )
+    d38 = "decimal(38,0)"
+    gstats = dev.groupBy("grp").agg(
+        F.count("*").alias("n_j"),
+        F.sum("z2").alias("s_j"),
+        F.sum(F.col("z2").cast(d38) * F.col("z2").cast(d38))
+        .cast(d38)
+        .alias("q_j"),
+    )
+    tot = gstats.agg(
+        F.count("*").alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+    )
+    j = gstats.crossJoin(F.broadcast(tot))
+    mean_j = F.col("s_j").cast("double") / F.col("n_j").cast("double")
+    gmean = F.col("s").cast("double") / F.col("n").cast("double")
+    ssb_term = (mean_j - gmean) * (mean_j - gmean) * F.col("n_j").cast("double")
+    ssw_term = F.col("q_j").cast("double") - F.col("s_j").cast("double") * F.col(
+        "s_j"
+    ).cast("double") / F.col("n_j").cast("double")
+    terms = j.select(
+        "n", "k", "grp", ssb_term.alias("ssb_t"), ssw_term.alias("ssw_t")
+    )
+    # grp-ORDERED folds: a plain 3-term SUM reduces in engine-specific
+    # order and diverged by 1 ulp at sf0.001 — the fold pins the order
+    ordered_sum = (
+        "aggregate(transform(array_sort(collect_list(struct(grp, {c}))),"
+        " s -> s.{c}), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    out = terms.groupBy("n", "k").agg(
+        F.expr(ordered_sum.format(c="ssb_t")).alias("ssb"),
+        F.expr(ordered_sum.format(c="ssw_t")).alias("ssw"),
+    )
+    return out.select(
+        "n",
+        "k",
+        (
+            (F.col("ssb") / (F.col("k").cast("double") - F.lit(1.0)))
+            / (
+                F.col("ssw")
+                / (F.col("n").cast("double") - F.col("k").cast("double"))
+            )
+        ).alias("f_bf"),
+    )
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    cnt AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+                         OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+                         OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d,
+            CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+            CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n0, c, d,
+           (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+           / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                  * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) AS tau_b
+    FROM cnt
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between monthly click and purchase revenue —
+    concordance-based trend association, robust where Pearson is
+    not. All-pairs comparison is QUADRATIC by definition, so it runs
+    on the CALENDAR-bounded monthly reducer (k months -> k(k-1)/2
+    pairs — bounded by time span, never by data volume; the fact
+    table pays one aggregation). Pure integer pair counts; tau-b is
+    one sub/div/sqrt chain — portable bits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+        "bigint"
+    )
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("m")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .alias("y"),
+    )
+    a = monthly.select(
+        F.col("m").alias("ma"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = monthly.select(
+        F.col("m").alias("mb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("ma") < F.col("mb"))
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    )
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    )
+    cnt = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(conc, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0)).alias("ty"),
+    )
+    return cnt.select(
+        "n0",
+        "c",
+        "d",
+        (
+            (F.col("c").cast("double") - F.col("d").cast("double"))
+            / F.sqrt(
+                (F.col("n0").cast("double") - F.col("tx").cast("double"))
+                * (F.col("n0").cast("double") - F.col("ty").cast("double"))
+            )
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "stats_spearman",
+    oracle="""
+    WITH pop AS (
+        SELECT CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS xc,
+               CAST(n_chars AS BIGINT) AS yc
+        FROM events e JOIN documents d ON d.doc_id = e.user_id
+        WHERE e.value IS NOT NULL
+    ),
+    rx AS (
+        SELECT xc,
+               CAST(2 * (SUM(cnt) OVER (ORDER BY xc ROWS UNBOUNDED
+                    PRECEDING) - cnt) + cnt + 1 AS BIGINT) AS rx2
+        FROM (SELECT xc, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM pop GROUP BY xc)
+    ),
+    ry AS (
+        SELECT yc,
+               CAST(2 * (SUM(cnt) OVER (ORDER BY yc ROWS UNBOUNDED
+                    PRECEDING) - cnt) + cnt + 1 AS BIGINT) AS ry2
+        FROM (SELECT yc, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM pop GROUP BY yc)
+    ),
+    joined AS (
+        SELECT rx.rx2, ry.ry2
+        FROM pop p JOIN rx ON rx.xc = p.xc JOIN ry ON ry.yc = p.yc
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sx,
+               CAST(SUM(ry2) AS BIGINT) AS sy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(38,0))
+                        * CAST(ry2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy,
+               CAST(SUM(CAST(rx2 AS DECIMAL(38,0))
+                        * CAST(rx2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(SUM(CAST(ry2 AS DECIMAL(38,0))
+                        * CAST(ry2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS syy
+        FROM joined
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS rho
+    FROM s
+    """,
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (event value vs joined document
+    length) with tie-averaged ranks — monotone association without
+    Pearson's linearity assumption. Distributed ranking, twice: each
+    variable's tie-averaged rank comes from its per-value
+    cumulative-count frame (the stats_mannwhitney construction) and
+    joins back by value — no global row-number sort. Ranks are kept
+    DOUBLED (2r is integer: 2*cnt_less + ties + 1) so every rank is
+    int64-exact; moment sums go through DECIMAL(38,0) (a scale-0
+    -> double cast is one rounding on both engines), and Pearson-
+    on-ranks is the fixed mul/sub/div/sqrt chain. The doubling
+    cancels in the correlation, so rho needs no rescaling.
+
+    Scale: two per-value aggregations + two equi-joins back on the
+    value key; all shuffles carry distinct-value frames.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars").cast("long").alias("yc")
+    )
+    pop = ev.join(docs, ev.user_id == docs.doc_id).select(
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("xc"),
+        "yc",
+    )
+
+    def rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        per = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            col,
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            ).cast("long").alias(out),
+        )
+
+    rx = rank2(pop, "xc", "rx2")
+    ry = rank2(pop, "yc", "ry2")
+    joined = pop.join(rx, "xc").join(ry, "yc").select("rx2", "ry2")
+    d38 = "decimal(38,0)"
+    s = joined.agg(
+        F.count("*").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("ry2").cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("rx2").cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(d38) * F.col("ry2").cast(d38))
+        .cast(d38)
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    denx = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+    deny = F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    return s.select("n", (num / denx / deny).alias("rho"))
+
+
+@register(
+    "stats_t_paired",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT)
+               - CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS diff
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(diff) AS BIGINT) AS sd_,
+               CAST(SUM(CAST(diff AS DECIMAL(38,0))
+                        * CAST(diff AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS q
+        FROM daily
+    )
+    SELECT n,
+           CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_diff_usd,
+           (CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  / CAST(n AS DOUBLE)) AS t_paired
+    FROM s
+    """,
+)
+def stats_t_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t statistic on day-matched differences (click minus
+    view revenue per day) — the within-subject design where each day
+    is its own control, removing day-level variance that the
+    independent-samples test would drown in. Differences are exact
+    integer cents; squared sums ride DECIMAL(38,0); t is the fixed
+    mean/sd/sqrt chain. One aggregation over the fact table, one
+    1-row scalar reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+        "bigint"
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        ).alias("diff")
+    )
+    d38 = "decimal(38,0)"
+    s = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("diff").alias("sd_"),
+        F.sum(F.col("diff").cast(d38) * F.col("diff").cast(d38))
+        .cast(d38)
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    sdd = F.col("sd_").cast("double")
+    var = (nd * F.col("q").cast("double") - sdd * sdd) / (
+        nd * (nd - F.lit(1.0))
+    )
+    return s.select(
+        "n",
+        (sdd / nd / F.lit(100.0)).alias("mean_diff_usd"),
+        ((sdd / nd) / F.sqrt(var / nd)).alias("t_paired"),
+    )
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle="""
+    WITH pop AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x1 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s11,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s12,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(x2 AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s22,
+               CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s1y,
+               CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s2y
+        FROM pop
+    ),
+    c AS (
+        SELECT n,
+               CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                   * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) + 1000.0 AS a11,
+               CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                   * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS a12,
+               CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                   * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) + 1000.0 AS a22,
+               CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b1,
+               CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b2,
+               CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+               CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        FROM s
+    )
+    SELECT n,
+           (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta1,
+           (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta2,
+           my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * m1
+              - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * m2
+               AS intercept
+    FROM c
+    """,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (2 features + intercept, lambda=1000) in
+    closed form: centered normal equations solved by Cramer's rule —
+    the L2-regularized upgrade of ml_linreg_normal_eq, numerically
+    safe where plain OLS is near-singular (collinear features). All
+    sufficient statistics are exact (int64 / DECIMAL(38,0) with
+    scale-0 casts); the 2x2 solve is a fixed written-order double
+    chain, so coefficients are bit-identical across engines. ONE
+    distributed pass (a 9-term partial aggregate), O(1) driver math
+    — the classic "ML as an aggregation" shape that scales to any
+    row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = li.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+
+    def dd(a: str, b: str):
+        return F.sum(F.col(a).cast(d38) * F.col(b).cast(d38)).cast(d38)
+
+    s = pop.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        dd("x1", "x1").alias("s11"),
+        dd("x1", "x2").alias("s12"),
+        dd("x2", "x2").alias("s22"),
+        dd("x1", "y").alias("s1y"),
+        dd("x2", "y").alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    sx1 = F.col("sx1").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy = F.col("sy").cast("double")
+    lam = F.lit(1000.0)
+    a11 = F.col("s11").cast("double") - sx1 * sx1 / nd + lam
+    a12 = F.col("s12").cast("double") - sx1 * sx2 / nd
+    a22 = F.col("s22").cast("double") - sx2 * sx2 / nd + lam
+    b1 = F.col("s1y").cast("double") - sx1 * sy / nd
+    b2 = F.col("s2y").cast("double") - sx2 * sy / nd
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    m1 = sx1 / nd
+    m2 = sx2 / nd
+    my = sy / nd
+    return s.select(
+        "n",
+        beta1.alias("beta1"),
+        beta2.alias("beta2"),
+        (my - beta1 * m1 - beta2 * m2).alias("intercept"),
+    )
+
+
+@register(
+    "ml_cross_val_folds",
+    oracle="""
+    WITH pop AS (
+        SELECT CAST(('0x' || substr(md5('cv:' || CAST(o_orderkey AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 5 AS fold,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+               CAST(SUM(y) AS BIGINT) AS s_f,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS q_f
+        FROM pop GROUP BY fold
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_f) AS BIGINT) AS n,
+               CAST(SUM(s_f) AS BIGINT) AS s,
+               CAST(SUM(q_f) AS DECIMAL(38,0)) AS q
+        FROM per_fold
+    )
+    SELECT CAST(p.fold AS INT) AS fold, p.n_f,
+           (CAST(t.s AS DOUBLE) - CAST(p.s_f AS DOUBLE))
+           / (CAST(t.n AS DOUBLE) - CAST(p.n_f AS DOUBLE)) / 100.0
+               AS train_mean_usd,
+           sqrt((CAST(p.q_f AS DOUBLE)
+                 - 2.0 * ((CAST(t.s AS DOUBLE) - CAST(p.s_f AS DOUBLE))
+                          / (CAST(t.n AS DOUBLE) - CAST(p.n_f AS DOUBLE)))
+                   * CAST(p.s_f AS DOUBLE)
+                 + CAST(p.n_f AS DOUBLE)
+                   * ((CAST(t.s AS DOUBLE) - CAST(p.s_f AS DOUBLE))
+                      / (CAST(t.n AS DOUBLE) - CAST(p.n_f AS DOUBLE)))
+                   * ((CAST(t.s AS DOUBLE) - CAST(p.s_f AS DOUBLE))
+                      / (CAST(t.n AS DOUBLE) - CAST(p.n_f AS DOUBLE))))
+                / CAST(p.n_f AS DOUBLE)) / 100.0 AS rmse_usd
+    FROM per_fold p CROSS JOIN tot t
+    """,
+)
+def ml_cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation harness with a train-mean baseline
+    model: folds assigned by portable 60-bit md5 hash (stable across
+    engines, runs, and partitionings — NEVER rand()), each fold
+    scored by the mean of the OTHER four folds. Train statistics are
+    derived by subtraction (total - fold) so one aggregation pass
+    serves all five folds — no per-fold scan. Fold RMSE expands as
+    sqrt((q - 2mS + n m^2)/n): exact integer/decimal sums in, fixed
+    double chain out, bit-portable. The harness shape (hash-fold +
+    sufficient statistics + leave-fold-out by subtraction) carries
+    unchanged to any linear model at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pop = orders.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cv:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).cast("int").alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    per_fold = pop.groupBy("fold").agg(
+        F.count("*").alias("n_f"),
+        F.sum("y").alias("s_f"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38))
+        .cast(d38)
+        .alias("q_f"),
+    )
+    tot = per_fold.agg(
+        F.sum("n_f").alias("n"),
+        F.sum("s_f").alias("s"),
+        F.sum("q_f").cast(d38).alias("q"),
+    )
+    j = per_fold.crossJoin(F.broadcast(tot))
+    m = (F.col("s").cast("double") - F.col("s_f").cast("double")) / (
+        F.col("n").cast("double") - F.col("n_f").cast("double")
+    )
+    sse = (
+        F.col("q_f").cast("double")
+        - F.lit(2.0) * m * F.col("s_f").cast("double")
+        + F.col("n_f").cast("double") * m * m
+    )
+    return j.select(
+        "fold",
+        "n_f",
+        (m / F.lit(100.0)).alias("train_mean_usd"),
+        (F.sqrt(sse / F.col("n_f").cast("double")) / F.lit(100.0)).alias(
+            "rmse_usd"
+        ),
+    )
+
+
+@register(
+    "ml_feature_gini",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+               CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END AS f_smallqty,
+               CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS f_bigdisc,
+               CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS f_hightax
+        FROM lineitem
+    ),
+    feats AS (
+        SELECT 'f_smallqty' AS feature, f_smallqty AS f, label FROM pop
+        UNION ALL
+        SELECT 'f_bigdisc', f_bigdisc, label FROM pop
+        UNION ALL
+        SELECT 'f_hightax', f_hightax, label FROM pop
+    ),
+    cells AS (
+        SELECT feature, f,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(label) AS BIGINT) AS pos_c
+        FROM feats GROUP BY feature, f
+    ),
+    split AS (
+        SELECT feature,
+               CAST(SUM(n_c) AS BIGINT) AS n,
+               CAST(SUM(pos_c) AS BIGINT) AS pos,
+               SUM(2.0 * CAST(pos_c AS DOUBLE)
+                   * (CAST(n_c AS DOUBLE) - CAST(pos_c AS DOUBLE))
+                   / CAST(n_c AS DOUBLE)) AS weighted_child_gini_n
+        FROM cells GROUP BY feature
+    )
+    SELECT feature, n, pos,
+           2.0 * CAST(pos AS DOUBLE)
+           * (CAST(n AS DOUBLE) - CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE)
+           / CAST(n AS DOUBLE) AS parent_gini,
+           (2.0 * CAST(pos AS DOUBLE)
+            * (CAST(n AS DOUBLE) - CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE)
+            - weighted_child_gini_n) / CAST(n AS DOUBLE) AS gini_gain
+    FROM split
+    """,
+)
+def ml_feature_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature ranking for three candidate binary
+    splits against the returns label — the split-scoring kernel of
+    tree learners, run feature-parallel (ml_decision_stump optimizes
+    ONE feature's threshold; this ranks features against each other).
+    Binary-class gini 1 - p^2 - q^2 simplifies to 2p(1-p) =
+    2·pos·neg/n², so the whole score is counts + a fixed double
+    chain — no entropy/ln (not portable). The 3-way feature
+    replication is a projection union (3 passes over cached cells,
+    one over the fact table); at 100 TB you'd widen to one pass with
+    a struct-array explode, the shape already used by
+    text_word_length_profile.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        F.when(F.col("l_quantity") <= 25, 1).otherwise(0).alias("f_smallqty"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("f_bigdisc"),
+        F.when(F.col("l_tax") >= 0.04, 1).otherwise(0).alias("f_hightax"),
+    )
+    feats = None
+    for name in ("f_smallqty", "f_bigdisc", "f_hightax"):
+        part = pop.select(
+            F.lit(name).alias("feature"),
+            F.col(name).alias("f"),
+            "label",
+        )
+        feats = part if feats is None else feats.unionAll(part)
+    cells = feats.groupBy("feature", "f").agg(
+        F.count("*").alias("n_c"), F.sum("label").alias("pos_c")
+    )
+    child = (
+        F.lit(2.0)
+        * F.col("pos_c").cast("double")
+        * (F.col("n_c").cast("double") - F.col("pos_c").cast("double"))
+        / F.col("n_c").cast("double")
+    )
+    split = cells.groupBy("feature").agg(
+        F.sum("n_c").alias("n"),
+        F.sum("pos_c").alias("pos"),
+        F.sum(child).alias("weighted_child_gini_n"),
+    )
+    nd = F.col("n").cast("double")
+    posd = F.col("pos").cast("double")
+    parent_n = F.lit(2.0) * posd * (nd - posd) / nd
+    return split.select(
+        "feature",
+        "n",
+        "pos",
+        (parent_n / nd).alias("parent_gini"),
+        ((parent_n - F.col("weighted_child_gini_n")) / nd).alias("gini_gain"),
+    )
+
+
+@register(
+    "agg_npv_monthly",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+               CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END)
+                    - SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS cf
+        FROM events GROUP BY 1
+    ),
+    series AS (SELECT list(cf ORDER BY m) AS cfs FROM monthly)
+    SELECT CAST(len(cfs) AS INT) AS n_months,
+           list_reduce(
+               list_concat([[CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)]],
+                           list_transform(cfs, v -> [v, v])),
+               (acc, e) -> [acc[1] + e[1] * (acc[2] / 1.01),
+                            acc[2] / 1.01]
+           )[1] AS npv_usd
+    FROM series
+    """,
+)
+def agg_npv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of the monthly net cash-flow stream
+    (purchase inflow minus view-serving cost) at 1%/month — discount
+    factors built by RECURRENCE (df /= 1.01 each step) inside an
+    ordered [npv, df] array fold, never pow() (not portable across
+    engines). Each fold step is two divisions/multiply/add in fixed
+    order over exact-cents-derived doubles => bit-identical NPV.
+    The ordered fold also fixes the summation order — a plain SUM of
+    discounted terms would be partition-order-dependent.
+
+    Scale: fact table pays one conditional aggregation; the fold
+    runs over the calendar-bounded monthly list.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+        "bigint"
+    )
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("m")
+    ).agg(
+        (
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", cents
+                    ).otherwise(0)
+                )
+                - F.sum(
+                    F.when(F.col("event_type") == "view", cents).otherwise(0)
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("cf")
+    )
+    series = monthly.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, cf))), s -> s.cf)"
+        ).alias("cfs")
+    )
+    npv = F.expr(
+        "element_at("
+        " aggregate(cfs,"
+        "   array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),"
+        "   (acc, v) -> array("
+        "       element_at(acc, 1) + v * (element_at(acc, 2) / 1.01),"
+        "       element_at(acc, 2) / 1.01)),"
+        " 1)"
+    )
+    return series.select(
+        F.size("cfs").alias("n_months"), npv.alias("npv_usd")
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH pop AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    per_c AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c
+              FROM pop GROUP BY c),
+    cum AS (
+        SELECT c, n_c,
+               SUM(n_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_n,
+               SUM(n_c) OVER () AS n
+        FROM per_c
+    ),
+    bounds AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum_n >= n * 5 // 100 + 1 THEN c END)
+                    AS BIGINT) AS lo,
+               CAST(MIN(CASE WHEN cum_n >= n * 95 // 100 THEN c END)
+                    AS BIGINT) AS hi
+        FROM cum
+    )
+    SELECT b.n, b.lo, b.hi,
+           CAST(SUM(p.n_c * p.c) AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0
+               AS raw_mean_usd,
+           CAST(SUM(p.n_c * GREATEST(b.lo, LEAST(b.hi, p.c)))
+                AS DOUBLE) / CAST(b.n AS DOUBLE) / 100.0
+               AS winsorized_mean_usd
+    FROM per_c p CROSS JOIN bounds b
+    GROUP BY b.n, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean of order value — the robust-mean
+    estimator that clamps (not drops) the tails, so n stays constant
+    and the result is defined even when 10% of the data is junk.
+    Percentile bounds are DISCRETE order statistics from the
+    per-cents cumulative frame (min value whose cumulative count
+    crosses the cut — no interpolation, no single-partition row
+    sort), clamping is integer GREATEST/LEAST, and the mean is one
+    exact-int division. Everything shuffles at the distinct-cents
+    grain.
+    """
+    pop = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    per_c = pop.groupBy("c").agg(F.count("*").alias("n_c"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_c.select(
+        "c",
+        "n_c",
+        F.sum("n_c").over(wcum).alias("cum_n"),
+        F.sum("n_c").over(wall).alias("n"),
+    )
+    bounds = cum.agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.expr("n * 5 div 100") + 1, F.col("c")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum_n") >= F.expr("n * 95 div 100"), F.col("c"))
+        ).alias("hi"),
+    )
+    j = per_c.crossJoin(F.broadcast(bounds))
+    clamped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("c"))
+    )
+    out = j.groupBy("n", "lo", "hi").agg(
+        (
+            F.sum(F.col("n_c") * F.col("c")).cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0)
+        ).alias("raw_mean_usd"),
+        (
+            F.sum(F.col("n_c") * clamped).cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0)
+        ).alias("winsorized_mean_usd"),
+    )
+    return out.select(
+        "n", "lo", "hi", "raw_mean_usd", "winsorized_mean_usd"
+    )
+
+
+@register(
+    "stats_capability_cpk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_events) AS BIGINT) AS s1,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT k,
+           CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+           sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+               / CAST(k AS DOUBLE) AS sigma,
+           (0.15 * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)))
+           / (3.0 * (sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                     / CAST(k AS DOUBLE))) AS cpk
+    FROM s
+    """,
+)
+def stats_capability_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability index Cpk for the daily event-volume
+    "process" against relative spec limits at ±15% of the
+    centerline (absolute limits would not survive a scale factor
+    change; relative ones make the index comparable across SFs).
+    Cpk = nearest-spec margin / 3sigma, from exact integer moments
+    and the fixed div/sqrt chain — the pairing op to ts_spc_rules:
+    SPC says "is it in control", Cpk says "is control good enough".
+    One aggregation; O(1) scalar math.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n_events"))
+    s = daily.agg(
+        F.count("*").alias("k"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("s1").cast("double") / kd
+    sigma = (
+        F.sqrt(
+            kd * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / kd
+    )
+    return s.select(
+        "k",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        ((F.lit(0.15) * mu) / (F.lit(3.0) * sigma)).alias("cpk"),
+    )
+
+
+@register(
+    "sample_weighted_det",
+    oracle="""
+    WITH pop AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE COALESCE(value, 0) > 0
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM pop),
+    kept AS (
+        SELECT p.event_type, p.cents
+        FROM pop p CROSS JOIN tot t
+        WHERE CAST(('0x' || substr(md5('ws:' || CAST(p.event_id AS VARCHAR)),
+                    1, 15)) AS BIGINT)
+              * CAST(t.total_cents AS DECIMAL(38,0))
+              < CAST(1000 AS DECIMAL(38,0)) * CAST(p.cents AS DECIMAL(38,0))
+                * CAST(1152921504606846976 AS DECIMAL(38,0))
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_cents
+    FROM kept GROUP BY event_type
+    """,
+)
+def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling
+    (expected 1000 rows, P(keep) ∝ value): keep iff
+    hash60(id)/2^60 < 1000·w/W, evaluated as a DECIMAL(38)
+    cross-multiplication — no division, no floats, no rand().
+    Reproducible across engines, retries, and partitionings (the
+    three ways rand() burns you), and the high-value rows a revenue
+    sample must not miss are kept with certainty once
+    1000·w ≥ W·2^60/2^60. One broadcast total + a map-side filter.
+    """
+    pop = load_table(spark, sf_dir, "events").where(
+        F.coalesce(F.col("value"), F.lit(0.0)) > 0
+    ).select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tot = pop.agg(F.sum("cents").alias("total_cents"))
+    d38 = "decimal(38,0)"
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = pop.crossJoin(F.broadcast(tot)).where(
+        h60.cast(d38) * F.col("total_cents").cast(d38)
+        < F.lit(1000).cast(d38)
+        * F.col("cents").cast(d38)
+        * F.lit(1152921504606846976).cast(d38)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("cents").alias("kept_cents"),
+    )

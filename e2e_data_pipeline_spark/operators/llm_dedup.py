@@ -2209,3 +2209,309 @@ def graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("reach2"), "node")
         .limit(20)
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase part graph (p1 < p2, support >= 2) —
+    the shared edge set of graph_triangles and the round-4 graph ops.
+    One self-equi-join on l_orderkey; the support filter keeps the
+    edge list sparse."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+
+
+_EDGES_SQL = """
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2
+    )
+"""
+
+
+@register(
+    "graph_degree_dist",
+    oracle="""
+    WITH """ + _EDGES_SQL + """,
+    deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT p1 AS p FROM edges UNION ALL SELECT p2 AS p FROM edges
+        ) GROUP BY p
+    )
+    SELECT d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+               ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_nodes_at_least
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with a reverse
+    cumulative count (nodes of degree >= d) — the first thing anyone
+    plots about a graph, and the input to power-law/hub diagnostics.
+    Degrees from one groupBy over the doubled edge list; the
+    cumulative runs over the degree-grain histogram (distinct degree
+    values), not nodes. Integers end to end.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("p1").alias("p")).unionAll(
+        edges.select(F.col("p2").alias("p"))
+    )
+    deg = nodes.groupBy("p").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("n_nodes"))
+    w = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        F.sum("n_nodes").over(w).alias("n_nodes_at_least"),
+    )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH """ + _EDGES_SQL + """,
+    deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT p1 AS p FROM edges UNION ALL SELECT p2 AS p FROM edges
+        ) GROUP BY p
+    ),
+    tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.p2 = e2.p1
+        JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    corner AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS p FROM tri
+            UNION ALL SELECT b AS p FROM tri
+            UNION ALL SELECT c AS p FROM tri
+        ) GROUP BY p
+    )
+    SELECT d.p AS node, d.d AS degree,
+           CAST(COALESCE(c.t, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(c.t, 0) * 1000000 // (d.d * (d.d - 1))
+                AS BIGINT) AS coeff_ppm
+    FROM deg d LEFT JOIN corner c ON c.p = d.p
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE clustering coefficient (graph_triangles reports only
+    the global transitivity): each ordered triangle (a<b<c) from the
+    standard wedge-closing join is charged to all three corners via a
+    3-way projection union, then coeff = 2T/(d(d-1)) as an integer
+    ppm floor-division — no floats, no ambiguity. Nodes of degree <2
+    have no defined coefficient and drop on both sides.
+
+    Scale: the triangle join shuffles the (sparse, support-filtered)
+    edge list on its endpoints — standard distributed triangle
+    counting; the corner union is projection-only.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    nodes = edges.select(F.col("p1").alias("p")).unionAll(
+        edges.select(F.col("p2").alias("p"))
+    )
+    deg = nodes.groupBy("p").agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = edges.select(F.col("p1").alias("b2"), F.col("p2").alias("c"))
+    e3 = edges.select(F.col("p1").alias("a3"), F.col("p2").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    corner = (
+        tri.select(F.col("a").alias("p"))
+        .unionAll(tri.select(F.col("b").alias("p")))
+        .unionAll(tri.select(F.col("c").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("t"))
+    )
+    out = (
+        deg.join(corner, "p", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("p").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CAST(2 * COALESCE(t, 0) * 1000000 div (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("coeff_ppm"),
+        )
+    )
+    return out
+
+
+@register(
+    "graph_kcore",
+    oracle="""
+    WITH """ + _EDGES_SQL + """,
+    und AS MATERIALIZED (
+        SELECT p1 AS u, p2 AS v FROM edges
+        UNION ALL SELECT p2 AS u, p1 AS v FROM edges
+    ),
+    n1 AS (SELECT u FROM und GROUP BY u HAVING COUNT(*) >= 3),
+    e1 AS MATERIALIZED (SELECT d.u, d.v FROM und d
+           JOIN n1 a ON a.u = d.u JOIN n1 b ON b.u = d.v),
+    n2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 3),
+    e2 AS MATERIALIZED (SELECT d.u, d.v FROM e1 d
+           JOIN n2 a ON a.u = d.u JOIN n2 b ON b.u = d.v),
+    n3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 3),
+    e3 AS MATERIALIZED (SELECT d.u, d.v FROM e2 d
+           JOIN n3 a ON a.u = d.u JOIN n3 b ON b.u = d.v),
+    n4 AS (SELECT u FROM e3 GROUP BY u HAVING COUNT(*) >= 3),
+    e4 AS MATERIALIZED (SELECT d.u, d.v FROM e3 d
+           JOIN n4 a ON a.u = d.u JOIN n4 b ON b.u = d.v),
+    n5 AS (SELECT u FROM e4 GROUP BY u HAVING COUNT(*) >= 3),
+    e5 AS MATERIALIZED (SELECT d.u, d.v FROM e4 d
+           JOIN n5 a ON a.u = d.u JOIN n5 b ON b.u = d.v),
+    n6 AS (SELECT u FROM e5 GROUP BY u HAVING COUNT(*) >= 3),
+    e6 AS MATERIALIZED (SELECT d.u, d.v FROM e5 d
+           JOIN n6 a ON a.u = d.u JOIN n6 b ON b.u = d.v)
+    SELECT CAST(u AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e6 GROUP BY u
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph by iterative peeling: drop
+    nodes of degree < 3, recompute degrees on the induced subgraph,
+    repeat — the standard dense-subgraph/community preprocessing.
+    Six peel rounds, UNROLLED identically on both engines (DuckDB
+    recursive CTEs cannot re-aggregate, so the oracle chains six
+    filter-join stages, MATERIALIZED so each stage evaluates once —
+    the default inlining re-evaluates the whole upstream chain at
+    every reference, which is exponential in rounds; the fixture
+    converges in fewer — a unit test pins the fixed point). Output: surviving nodes with their
+    in-core degree.
+
+    Scale: each round is one degree aggregation + one semi-join —
+    both key-partitioned on node id; rounds-to-convergence on real
+    graphs is small (peeling removes whole shells at once). The
+    Spark loop localCheckpoints each round to keep lineage flat.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    cur = und.localCheckpoint()
+    for _ in range(6):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= 3)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("core_degree")
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+                   AS content_hash
+        FROM documents
+    ),
+    old AS (
+        SELECT content_hash, CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        FROM norm WHERE doc_id % 3 != 0
+        GROUP BY content_hash
+    ),
+    new_batch AS (
+        SELECT doc_id, content_hash FROM norm WHERE doc_id % 3 = 0
+    )
+    SELECT nb.doc_id,
+           CASE WHEN o.canonical_id IS NOT NULL THEN 'dup_of_corpus'
+                WHEN nb.doc_id != fam.first_new THEN 'dup_in_batch'
+                ELSE 'admit' END AS verdict,
+           CAST(COALESCE(o.canonical_id, -1) AS BIGINT) AS corpus_match
+    FROM new_batch nb
+    LEFT JOIN old o ON o.content_hash = nb.content_hash
+    JOIN (SELECT content_hash, CAST(MIN(doc_id) AS BIGINT) AS first_new
+          FROM new_batch GROUP BY content_hash) fam
+      ON fam.content_hash = nb.content_hash
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the arriving-batch twin of dedup_exact:
+    every NEW document (doc_id % 3 = 0 plays the incoming batch) is
+    checked (a) against the standing corpus by normalized content
+    hash and (b) against its OWN batch (first-id-wins), yielding an
+    admit / dup_of_corpus / dup_in_batch verdict per document. This
+    is the shape production corpus ingestion actually runs — nobody
+    re-deduplicates 100 TB per batch; they join the batch against a
+    persisted hash index. Both probes are equi-joins on the hash
+    (broadcastable batch side); normalization (whitespace collapse,
+    case fold) is the same regexp on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+        ).alias("content_hash"),
+    )
+    old = (
+        norm.where(F.col("doc_id") % 3 != 0)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    new_batch = norm.where(F.col("doc_id") % 3 == 0)
+    fam = new_batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("first_new")
+    )
+    out = (
+        new_batch.join(old, "content_hash", "left")
+        .join(fam, "content_hash")
+        .select(
+            "doc_id",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != F.col("first_new"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("admit"))
+            .alias("verdict"),
+            F.coalesce(F.col("canonical_id"), F.lit(-1))
+            .cast("long")
+            .alias("corpus_match"),
+        )
+    )
+    return out

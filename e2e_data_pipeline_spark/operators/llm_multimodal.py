@@ -404,3 +404,77 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_dup_id"),
     )
     return grp.where(F.col("n_copies") > 1)
+
+
+@register(
+    "multimodal_magic_sniff",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id,
+               unhex(
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'ffd8ffe0'
+                     WHEN 1 THEN '89504e47'
+                     WHEN 2 THEN '47494638'
+                     ELSE '00000020'
+                   END || md5(text)) AS payload
+        FROM documents
+    ),
+    sniffed AS (
+        SELECT doc_id, payload,
+               CASE
+                 WHEN upper(substr(hex(payload), 1, 6)) = 'FFD8FF'
+                     THEN 'image/jpeg'
+                 WHEN upper(substr(hex(payload), 1, 8)) = '89504E47'
+                     THEN 'image/png'
+                 WHEN upper(substr(hex(payload), 1, 6)) = '474946'
+                     THEN 'image/gif'
+                 ELSE 'application/octet-stream'
+               END AS mime
+        FROM blobs
+    )
+    SELECT mime,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sniffed GROUP BY mime
+    """,
+)
+def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing from magic bytes — trust-the-bytes, not
+    the extension: classify each binary payload by its leading
+    signature (JPEG FFD8FF, PNG 89504E47, GIF 474946) via hex-prefix
+    comparison, entirely JVM-side (hex + substr + CASE — no codec,
+    no UDF). Payloads are synthesized deterministically with REAL
+    magic prefixes (the sandbox has no image libs; the sniffing
+    plumbing — binary column in, typed verdict out — is the real
+    contract, per multimodal_manifest). At 100 TB this is the
+    first gate of any media ingest: quarantine
+    application/octet-stream before wasting decode compute.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("ffd8ffe0"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("89504e47"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("47494638"))
+        .otherwise(F.lit("00000020"))
+    )
+    blobs = docs.select(
+        "doc_id",
+        F.unhex(F.concat(magic, F.md5("text"))).alias("payload"),
+    )
+    hx = F.upper(F.hex("payload"))
+    sniffed = blobs.select(
+        "doc_id",
+        "payload",
+        F.when(F.substring(hx, 1, 6) == "FFD8FF", F.lit("image/jpeg"))
+        .when(F.substring(hx, 1, 8) == "89504E47", F.lit("image/png"))
+        .when(F.substring(hx, 1, 6) == "474946", F.lit("image/gif"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+    )
+    return sniffed.groupBy("mime").agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+    )

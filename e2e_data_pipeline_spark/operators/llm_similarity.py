@@ -1252,3 +1252,85 @@ def ml_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("accuracy_ppm"),
     )
+
+
+@register(
+    "ml_dbscan_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 20.0) AS BIGINT)
+                   AS cell
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pts
+        FROM pts GROUP BY cell
+    ),
+    dense AS (
+        SELECT cell, n_pts,
+               cell - row_number() OVER (ORDER BY cell) AS island
+        FROM cells WHERE n_pts >= 8
+    ),
+    clusters AS (
+        SELECT island,
+               CAST(MIN(cell) AS BIGINT) AS cell_lo,
+               CAST(MAX(cell) AS BIGINT) AS cell_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n_pts) AS BIGINT) AS n_core_pts
+        FROM dense GROUP BY island
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cell_lo) AS BIGINT)
+               AS cluster_id,
+           cell_lo, cell_hi, n_cells, n_core_pts,
+           CAST(cell_lo AS DOUBLE) / 20.0 AS lo,
+           CAST(cell_hi + 1 AS DOUBLE) / 20.0 AS hi
+    FROM clusters
+    """,
+)
+def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN over the leading embedding dimension: quantize to
+    eps-width cells (eps=0.05), keep cells with >= minPts=8 points,
+    and merge ADJACENT dense cells into clusters with the islands
+    trick (cell - row_number over the dense-cell frame is constant
+    within each maximal run) — density clustering as pure relational
+    algebra: no iteration, no pairwise distances, no UDF. Noise
+    (sparse cells) drops out; cluster extents come back in data
+    units.
+
+    Scale: one shuffle to cell counts (cardinality = occupied cells,
+    not points); the islands window runs over DENSE cells only. The
+    same shape lifts to 2-D by interleaving cell coordinates
+    (join_geo_grid's quadkey) — runs become Hilbert ranges. The
+    10x smoke rides the cell frame, so it's flat.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 20.0)
+        .cast("long")
+        .alias("cell"),
+    )
+    cells = pts.groupBy("cell").agg(F.count("*").alias("n_pts"))
+    w = Window.orderBy("cell")
+    dense = cells.where(F.col("n_pts") >= 8).select(
+        "cell",
+        "n_pts",
+        (F.col("cell") - F.row_number().over(w)).alias("island"),
+    )
+    clusters = dense.groupBy("island").agg(
+        F.min("cell").alias("cell_lo"),
+        F.max("cell").alias("cell_hi"),
+        F.count("*").alias("n_cells"),
+        F.sum("n_pts").alias("n_core_pts"),
+    )
+    wc = Window.orderBy("cell_lo")
+    return clusters.select(
+        F.row_number().over(wc).cast("long").alias("cluster_id"),
+        "cell_lo",
+        "cell_hi",
+        "n_cells",
+        "n_core_pts",
+        (F.col("cell_lo").cast("double") / F.lit(20.0)).alias("lo"),
+        ((F.col("cell_hi") + 1).cast("double") / F.lit(20.0)).alias("hi"),
+    )

@@ -1996,3 +1996,396 @@ def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div t").cast("bigint").alias("share_ppm"),
         )
     )
+
+
+@register(
+    "text_sentence_dedup",
+    oracle="""
+    WITH sents AS (
+        SELECT doc_id, trim(s) AS sent
+        FROM documents,
+             unnest(string_split(text, '.')) AS u(s)
+        WHERE trim(s) != ''
+    ),
+    freq AS (
+        SELECT sent, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM sents GROUP BY sent
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(CASE WHEN f.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           CAST(SUM(CASE WHEN f.df >= 3 THEN 0 ELSE length(s.sent) END)
+                AS BIGINT) AS kept_chars,
+           CAST(SUM(CASE WHEN f.df >= 3 THEN 0 ELSE length(s.sent) END)
+                * 1000000
+                // GREATEST(SUM(length(s.sent)), 1) AS BIGINT)
+               AS kept_ppm
+    FROM sents s JOIN freq f ON f.sent = s.sent
+    GROUP BY s.doc_id
+    """,
+)
+def text_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level cross-document dedup — the grain between
+    text_boilerplate (fixed 3-token chunks) and dedup_exact (whole
+    documents): split on '.', count document frequency per distinct
+    sentence, and score each document by how much of it survives
+    when sentences seen in >= 3 documents are stripped (kept_ppm).
+    This is the cleaning pass that removes navigation chrome and
+    legal footers from web corpora without dropping the documents.
+
+    Scale: explode -> two hash aggregations on the sentence key ->
+    join back. The sentence-frequency frame is the corpus vocabulary
+    of sentences — heavy-hitter skew lands on boilerplate sentences
+    themselves, which is exactly where AQE skew splitting applies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "\\.")).alias("s")
+        )
+        .select("doc_id", F.trim("s").alias("sent"))
+        .where(F.col("sent") != "")
+    )
+    freq = sents.groupBy("sent").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = sents.join(freq, "sent")
+    keep_len = F.when(F.col("df") >= 3, 0).otherwise(F.length("sent"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias(
+            "n_boilerplate"
+        ),
+        F.sum(keep_len).alias("kept_chars"),
+        F.expr(
+            "CAST(SUM(CASE WHEN df >= 3 THEN 0 ELSE length(sent) END)"
+            " * 1000000 div GREATEST(SUM(length(sent)), 1) AS BIGINT)"
+        ).alias("kept_ppm"),
+    )
+
+
+@register(
+    "corpus_quality_gate",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    top AS (
+        SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
+        FROM (SELECT doc_id, w, COUNT(*) AS cnt
+              FROM words GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               length(d.text) AS n_ch,
+               length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                   AS n_alpha,
+               len(string_split(d.text, ' ')) AS n_words,
+               t.top_word_n
+        FROM documents d JOIN top t ON t.doc_id = d.doc_id
+    ),
+    gated AS (
+        SELECT doc_id, lang, n_ch,
+               CASE WHEN n_ch < 64 THEN 1 ELSE 0 END AS r_short,
+               CASE WHEN n_ch > 8192 THEN 1 ELSE 0 END AS r_long,
+               CASE WHEN n_alpha * 1000 < 600 * n_ch THEN 1 ELSE 0 END
+                   AS r_lowalpha,
+               CASE WHEN top_word_n * 4 > n_words AND n_words >= 8
+                    THEN 1 ELSE 0 END AS r_repeat
+        FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN r_short + r_long + r_lowalpha + r_repeat = 0
+                THEN 1 ELSE 0 END AS keep,
+           CASE WHEN r_short = 1 THEN 'short' ELSE '' END ||
+           CASE WHEN r_long = 1 THEN '|long' ELSE '' END ||
+           CASE WHEN r_lowalpha = 1 THEN '|lowalpha' ELSE '' END ||
+           CASE WHEN r_repeat = 1 THEN '|repeat' ELSE '' END AS reasons
+    FROM gated
+    """,
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate with REASON CODES — the production form
+    of text_quality: every document gets a keep/drop verdict plus the
+    concatenated list of WHICH rules fired (short / long / lowalpha /
+    repeat), because a corpus pipeline that silently drops 12% of
+    documents without attribution is undebuggable. Rules are integer
+    ratio comparisons (alpha share via cross-multiplication, not
+    division; top-word dominance via the per-doc word mode). All
+    portable string/regex ops.
+
+    Scale: the word-mode needs one explode + per-(doc, word) count +
+    per-doc max — hash aggregations all keyed by doc; everything
+    else is a projection. One shuffle total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    top = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_n"))
+    )
+    scored = docs.join(top, "doc_id").select(
+        "doc_id",
+        F.length("text").alias("n_ch"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        "top_word_n",
+    )
+    r_short = F.when(F.col("n_ch") < 64, 1).otherwise(0)
+    r_long = F.when(F.col("n_ch") > 8192, 1).otherwise(0)
+    r_lowalpha = F.when(
+        F.col("n_alpha") * 1000 < 600 * F.col("n_ch"), 1
+    ).otherwise(0)
+    r_repeat = F.when(
+        (F.col("top_word_n") * 4 > F.col("n_words"))
+        & (F.col("n_words") >= 8),
+        1,
+    ).otherwise(0)
+    gated = scored.select(
+        "doc_id",
+        r_short.alias("r_short"),
+        r_long.alias("r_long"),
+        r_lowalpha.alias("r_lowalpha"),
+        r_repeat.alias("r_repeat"),
+    )
+    return gated.select(
+        "doc_id",
+        F.when(
+            F.col("r_short")
+            + F.col("r_long")
+            + F.col("r_lowalpha")
+            + F.col("r_repeat")
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+        F.concat(
+            F.when(F.col("r_short") == 1, F.lit("short")).otherwise(F.lit("")),
+            F.when(F.col("r_long") == 1, F.lit("|long")).otherwise(F.lit("")),
+            F.when(F.col("r_lowalpha") == 1, F.lit("|lowalpha")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("r_repeat") == 1, F.lit("|repeat")).otherwise(
+                F.lit("")
+            ),
+        ).alias("reasons"),
+    )
+
+
+@register(
+    "text_kwic",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, ws,
+               unnest(range(1, len(ws) + 1)) AS pos
+        FROM toks
+    ),
+    kwic AS (
+        SELECT doc_id, pos,
+               array_to_string(ws[GREATEST(1, pos - 2):pos - 1], ' ')
+                   AS left_ctx,
+               array_to_string(ws[pos + 1:LEAST(len(ws), pos + 2)], ' ')
+                   AS right_ctx
+        FROM hits
+        WHERE ws[pos] = 'data'
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           COALESCE(left_ctx, '') AS left_ctx,
+           COALESCE(right_ctx, '') AS right_ctx
+    FROM kwic
+    """,
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'data':
+    every occurrence with its ±2-word context windows — the
+    corpus-linguistics view that turns "the word appears 3,012
+    times" into inspectable usage evidence (sense disambiguation,
+    collocation triage) without shipping whole documents. Slicing
+    happens on the already-split token array (posexplode for
+    positions, slice for context) — no self-join of the token frame,
+    so cost is O(tokens) scan + O(hits) output. Both engines
+    1-index their arrays; boundary clamps via GREATEST/LEAST keep
+    edge hits consistent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    hits = toks.select(
+        "doc_id", "ws", F.posexplode("ws").alias("pos0", "w")
+    ).where(F.col("w") == "data")
+    # Spark posexplode is 0-based; normalize to the oracle's 1-based pos
+    pos = (F.col("pos0") + 1).alias("pos")
+    left_ctx = F.array_join(
+        F.expr(
+            "slice(ws, GREATEST(1, pos0 + 1 - 2),"
+            " (pos0 + 1 - 1) - GREATEST(1, pos0 + 1 - 2) + 1)"
+        ),
+        " ",
+    )
+    right_ctx = F.array_join(
+        F.expr(
+            "slice(ws, pos0 + 2,"
+            " LEAST(size(ws), pos0 + 1 + 2) - (pos0 + 2) + 1)"
+        ),
+        " ",
+    )
+    return hits.select(
+        "doc_id",
+        pos.cast("int"),
+        F.coalesce(left_ctx, F.lit("")).alias("left_ctx"),
+        F.coalesce(right_ctx, F.lit("")).alias("right_ctx"),
+    )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               CASE WHEN n_chars > 600 THEN 1 ELSE 0 END AS f1,
+               CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END AS f2,
+               CASE WHEN source = 'web' THEN 1 ELSE 0 END AS f3
+        FROM documents
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN y = 1 AND f1 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1_1,
+               CAST(SUM(CASE WHEN y = 0 AND f1 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1_0,
+               CAST(SUM(CASE WHEN y = 1 AND f2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2_1,
+               CAST(SUM(CASE WHEN y = 0 AND f2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2_0,
+               CAST(SUM(CASE WHEN y = 1 AND f3 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3_1,
+               CAST(SUM(CASE WHEN y = 0 AND f3 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c3_0
+        FROM feats
+    ),
+    scored AS (
+        SELECT f.doc_id, f.y,
+               (CAST(c.n1 AS DOUBLE) / CAST(c.n AS DOUBLE))
+               * (CASE WHEN f.f1 = 1
+                       THEN CAST(c.c1_1 + 1 AS DOUBLE)
+                       ELSE CAST(c.n1 - c.c1_1 + 1 AS DOUBLE) END
+                  / CAST(c.n1 + 2 AS DOUBLE))
+               * (CASE WHEN f.f2 = 1
+                       THEN CAST(c.c2_1 + 1 AS DOUBLE)
+                       ELSE CAST(c.n1 - c.c2_1 + 1 AS DOUBLE) END
+                  / CAST(c.n1 + 2 AS DOUBLE))
+               * (CASE WHEN f.f3 = 1
+                       THEN CAST(c.c3_1 + 1 AS DOUBLE)
+                       ELSE CAST(c.n1 - c.c3_1 + 1 AS DOUBLE) END
+                  / CAST(c.n1 + 2 AS DOUBLE)) AS p1,
+               (CAST(c.n - c.n1 AS DOUBLE) / CAST(c.n AS DOUBLE))
+               * (CASE WHEN f.f1 = 1
+                       THEN CAST(c.c1_0 + 1 AS DOUBLE)
+                       ELSE CAST(c.n - c.n1 - c.c1_0 + 1 AS DOUBLE) END
+                  / CAST(c.n - c.n1 + 2 AS DOUBLE))
+               * (CASE WHEN f.f2 = 1
+                       THEN CAST(c.c2_0 + 1 AS DOUBLE)
+                       ELSE CAST(c.n - c.n1 - c.c2_0 + 1 AS DOUBLE) END
+                  / CAST(c.n - c.n1 + 2 AS DOUBLE))
+               * (CASE WHEN f.f3 = 1
+                       THEN CAST(c.c3_0 + 1 AS DOUBLE)
+                       ELSE CAST(c.n - c.n1 - c.c3_0 + 1 AS DOUBLE) END
+                  / CAST(c.n - c.n1 + 2 AS DOUBLE)) AS p0
+        FROM feats f CROSS JOIN counts c
+    )
+    SELECT CAST(SUM(CASE WHEN p1 > p0 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p1 > p0 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p1 <= p0 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN p1 <= p0 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM scored
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli naive Bayes (3 binary features, Laplace-smoothed)
+    predicting lang='en', trained AND evaluated in two aggregation
+    passes — the classic "ML as SQL" classifier. Class scores are
+    PRODUCTS of four likelihood factors, each ONE division of exact
+    integers, multiplied in fixed written order — bit-portable
+    doubles, so the p1>p0 decision boundary is identical on both
+    engines (no log-sum — ln is not portable; three factors cannot
+    underflow). Output is the confusion matrix.
+
+    Scale: pass 1 is an 8-counter global aggregate; pass 2
+    broadcasts the counts and scores rows map-side. Adding features
+    = adding counters; the NB structure never shuffles the facts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") > 600, 1).otherwise(0).alias("f1"),
+        F.when(F.col("text").contains("table"), 1).otherwise(0).alias("f2"),
+        F.when(F.col("source") == "web", 1).otherwise(0).alias("f3"),
+    )
+
+    def cnt(y: int, f: str):
+        return F.sum(
+            F.when((F.col("y") == y) & (F.col(f) == 1), 1).otherwise(0)
+        )
+
+    counts = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n1"),
+        cnt(1, "f1").alias("c1_1"),
+        cnt(0, "f1").alias("c1_0"),
+        cnt(1, "f2").alias("c2_1"),
+        cnt(0, "f2").alias("c2_0"),
+        cnt(1, "f3").alias("c3_1"),
+        cnt(0, "f3").alias("c3_0"),
+    )
+    j = feats.crossJoin(F.broadcast(counts))
+
+    def lik(fcol: str, c_pos: str, npos_expr):
+        pos_c = F.col(c_pos)
+        denom = (npos_expr + F.lit(2)).cast("double")
+        return (
+            F.when(F.col(fcol) == 1, (pos_c + 1).cast("double"))
+            .otherwise((npos_expr - pos_c + F.lit(1)).cast("double"))
+            / denom
+        )
+
+    n1e = F.col("n1")
+    n0e = F.col("n") - F.col("n1")
+    p1 = (
+        (F.col("n1").cast("double") / F.col("n").cast("double"))
+        * lik("f1", "c1_1", n1e)
+        * lik("f2", "c2_1", n1e)
+        * lik("f3", "c3_1", n1e)
+    )
+    p0 = (
+        (n0e.cast("double") / F.col("n").cast("double"))
+        * lik("f1", "c1_0", n0e)
+        * lik("f2", "c2_0", n0e)
+        * lik("f3", "c3_0", n0e)
+    )
+    scored = j.select("y", p1.alias("p1"), p0.alias("p0"))
+    pred = F.col("p1") > F.col("p0")
+    return scored.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+    )

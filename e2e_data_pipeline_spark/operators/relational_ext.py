@@ -2481,3 +2481,267 @@ def dq_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "overall_health_ppm",
     )
+
+
+@register(
+    "dq_null_pattern",
+    oracle="""
+    WITH pat AS (
+        SELECT
+            (CASE WHEN value IS NULL THEN 4 ELSE 0 END
+             + CASE WHEN props IS NULL OR props = '' THEN 2 ELSE 0 END
+             + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS pattern,
+            user_id
+        FROM events
+    )
+    SELECT CAST(pattern AS INT) AS pattern,
+           CASE WHEN pattern & 4 > 0 THEN 'value' ELSE '' END ||
+           CASE WHEN pattern & 2 > 0 THEN '|props' ELSE '' END ||
+           CASE WHEN pattern & 1 > 0 THEN '|event_type' ELSE '' END
+               AS missing_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pat GROUP BY pattern
+    """,
+)
+def dq_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-pattern analysis: pack each row's missingness into a bit
+    mask and count rows per PATTERN (not per column) — the profiling
+    view that reveals co-missingness (e.g. value and props always
+    null together => one upstream producer bug, not two). A
+    completeness-per-column profile (dq_profile) cannot see this.
+    On the pristine fixtures every row lands in pattern 0 (all
+    present) — the dashboard's green state, which is itself the
+    assertion the check exists to make.
+    Integer bitmask + label string, one partial-agg shuffle on <= 8
+    cells; scales as a single pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pattern = (
+        F.when(F.col("value").isNull(), 4).otherwise(0)
+        + F.when(
+            F.col("props").isNull() | (F.col("props") == ""), 2
+        ).otherwise(0)
+        + F.when(F.col("event_type").isNull(), 1).otherwise(0)
+    )
+    pat = ev.select(pattern.cast("int").alias("pattern"), "user_id")
+    label = F.concat(
+        F.when(F.expr("pattern & 4 > 0"), F.lit("value")).otherwise(F.lit("")),
+        F.when(F.expr("pattern & 2 > 0"), F.lit("|props")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.expr("pattern & 1 > 0"), F.lit("|event_type")).otherwise(
+            F.lit("")
+        ),
+    )
+    return pat.groupBy("pattern").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        "pattern",
+        label.alias("missing_cols"),
+        "n_rows",
+        "n_users",
+    )
+
+
+@register(
+    "dq_id_gaps",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_orderstatus = 'O'),
+    nb AS (
+        SELECT id, lead(id) OVER (ORDER BY id) AS next_id
+        FROM ids
+    )
+    SELECT id + 1 AS gap_start, next_id - 1 AS gap_end,
+           next_id - id - 1 AS gap_len
+    FROM nb
+    WHERE next_id - id > 1 AND next_id - id - 1 <= 50
+    """,
+)
+def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id range detection over the open-order key feed: each
+    gap between consecutive present ids becomes one (start, end,
+    length) row — the dropped-batch detector for sequence-keyed
+    feeds (the status filter plays the role of the upstream producer
+    whose dropped batches leave holes; the fixtures' raw orderkeys
+    are dense). lead() over the distinct-id frame turns "find holes"
+    into a linear window instead of an anti-join against a generated
+    series (which would materialize the FULL dense range — at 100 TB
+    that generator is bigger than the data). Gaps longer than 50 are
+    suppressed as intentional keyspace jumps.
+
+    Scale note: the ORDER BY id window is the documented exact twin
+    over the id-grain frame; the range-partitioned global_rank
+    pattern (registry.global_rank) removes the single-partition sort
+    when ids are dense enough to matter.
+    """
+    ids = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    w = Window.orderBy("id")
+    nb = ids.select("id", F.lead("id").over(w).alias("next_id"))
+    return nb.where(
+        (F.col("next_id") - F.col("id") > 1)
+        & (F.col("next_id") - F.col("id") - 1 <= 50)
+    ).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("id") - 1).alias("gap_len"),
+    )
+
+
+@register(
+    "dq_completeness_matrix",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 0 ELSE 1 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS text_ppm,
+           CAST(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 0 ELSE 1 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS lang_ppm,
+           CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0 ELSE 1
+                    END) * 1000000 // COUNT(*) AS BIGINT) AS n_chars_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness matrix: per-SOURCE non-null/non-empty rates for
+    every payload column, as exact ppm integers (floor division — no
+    float ratios to diverge). The grouped layout is the triage view:
+    a column 100% complete overall but 0% from one source is an
+    integration break, invisible in dq_profile's global rates. One
+    partial-agg pass; conditional counts fuse into a single
+    aggregation node.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 0 ELSE 1 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("text_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 0 ELSE 1 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("lang_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars = 0 THEN 0 ELSE 1"
+            " END) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("n_chars_ppm"),
+    )
+    return out
+
+
+@register(
+    "dq_monotonic_audit",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, date_trunc('minute', ts) AS tmin,
+               CAST(COUNT(*) AS BIGINT) AS n_in_min
+        FROM events GROUP BY user_id, date_trunc('minute', ts)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+           CAST(SUM(CASE WHEN n_in_min > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_burst_minutes,
+           CAST(MAX(n_in_min) AS BIGINT) AS max_per_minute
+    FROM m
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN n_in_min > 1 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def dq_monotonic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time granularity audit per user: minutes in which a user
+    produced MORE than one event — the check that decides whether
+    (user_id, minute) is a safe idempotency/ordering key downstream,
+    or whether every window needs the (ts, event_id) tiebreak this
+    repo uses. (The fixtures carry no microsecond-exact collisions —
+    verified — so the audit runs at the minute grain where bursts
+    actually occur.) Only offending users survive. One hash
+    aggregation to (user, minute) cells, one to users — both
+    key-partitioned, no windows at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("tmin")
+    ).agg(F.count("*").alias("n_in_min"))
+    burst = F.when(F.col("n_in_min") > 1, 1).otherwise(0)
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_active_minutes"),
+            F.sum(burst).alias("n_burst_minutes"),
+            F.max("n_in_min").alias("max_per_minute"),
+        )
+        .where(F.col("n_burst_minutes") > 0)
+    )
+
+
+
+
+@register(
+    "scd2_compress",
+    oracle="""
+    WITH hist AS (
+        SELECT o_custkey AS k, o_orderdate AS ts, o_orderpriority AS attr,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_v
+        FROM orders
+    ),
+    runs AS (
+        SELECT k, attr, rn - rn_v AS island,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               strftime(MIN(ts), '%Y-%m-%d') AS valid_from,
+               strftime(MAX(ts), '%Y-%m-%d') AS last_seen
+        FROM hist GROUP BY k, attr, rn - rn_v
+    )
+    SELECT k AS entity_key, attr, n_versions, valid_from, last_seen
+    FROM runs WHERE n_versions >= 3
+    """,
+)
+def scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history compression — collapse CONSECUTIVE versions with
+    an unchanged attribute into one validity period (the maintenance
+    job that undoes "type-2 everything" bloat: a dimension reloaded
+    nightly writes 365 identical rows/year; compressed, each run
+    becomes one). Runs found by the two-row_number islands trick
+    (rn − rn_per_value is constant exactly within a maximal
+    same-value run); orders plays the version log with priority as
+    the tracked attribute; runs shorter than 3 are left alone (the
+    compaction payoff threshold). Windows are ENTITY-partitioned
+    (custkey) — parallel by key, never a global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_val = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    hist = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("attr"),
+        (F.row_number().over(w_all) - F.row_number().over(w_val)).alias(
+            "island"
+        ),
+    )
+    runs = hist.groupBy("k", "attr", "island").agg(
+        F.count("*").alias("n_versions"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_seen"),
+    )
+    return runs.where(F.col("n_versions") >= 3).select(
+        F.col("k").alias("entity_key"),
+        "attr",
+        "n_versions",
+        "valid_from",
+        "last_seen",
+    )

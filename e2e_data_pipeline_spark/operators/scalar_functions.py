@@ -2271,3 +2271,216 @@ def fn_iban_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("check_digits").alias("min_check"),
         F.max("check_digits").alias("max_check"),
     )
+
+
+@register(
+    "fn_time_bucket",
+    oracle="""
+    SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id < 200
+    GROUP BY 1, 2
+    """,
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width time bucketing (15-minute bars) via integer
+    epoch division — the rollup grain ``date_trunc`` cannot express.
+    Spark's ``window()`` produces a struct column; we emit the flat
+    bucket-start second instead so the key is a plain BIGINT that
+    groups, joins, and range-partitions cheaply at 100 TB (struct
+    keys defeat parquet min/max pruning on re-read). Portable: both
+    engines floor-divide the microsecond epoch (positive) by 9e8.
+
+    Scale: one partial-aggregated shuffle on (bucket, type); bucket
+    count grows with time span, not row count.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    bucket = F.expr("(CAST(CAST(ts AS TIMESTAMP) AS LONG) div 900) * 900")
+    return (
+        ev.select(
+            bucket.alias("bucket_s"),
+            "event_type",
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "fn_uuid_v5",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('doc-ns:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5' ||
+           substr(hx, 14, 3) || '-' ||
+           CASE CAST(('0x' || substr(hx, 17, 1)) AS INT) % 4
+                WHEN 0 THEN '8' WHEN 1 THEN '9'
+                WHEN 2 THEN 'a' ELSE 'b' END ||
+           substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid5,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+    FROM h
+    """,
+)
+def fn_uuid_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic name-based UUIDs (v5-style: namespace + name ->
+    stable id) — the idempotency key every ingest pipeline needs so
+    re-runs upsert instead of duplicating. Built from md5 hex with
+    version nibble pinned to 5 and variant folded into 8/9/a/b; pure
+    string surgery, portable across engines, and embarrassingly
+    parallel (no shuffle — a project over the scan). Contrast with
+    ``uuid()`` which is nondeterministic and breaks retry semantics
+    at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    h = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("doc-ns:"), F.col("doc_id").cast("string"))).alias(
+            "hx"
+        ),
+    )
+    variant = (
+        F.conv(F.substring("hx", 17, 1), 16, 10).cast("int") % 4
+    )
+    uuid5 = F.concat(
+        F.substring("hx", 1, 8), F.lit("-"),
+        F.substring("hx", 9, 4), F.lit("-5"),
+        F.substring("hx", 14, 3), F.lit("-"),
+        F.when(variant == 0, F.lit("8"))
+        .when(variant == 1, F.lit("9"))
+        .when(variant == 2, F.lit("a"))
+        .otherwise(F.lit("b")),
+        F.substring("hx", 18, 3), F.lit("-"),
+        F.substring("hx", 21, 12),
+    )
+    n_total = F.count("*").over(Window.partitionBy())
+    return h.select(
+        "doc_id", uuid5.alias("uuid5"), n_total.cast("long").alias("n_total")
+    )
+
+
+@register(
+    "fn_format_bytes",
+    oracle="""
+    WITH sized AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 1000, 0) AS BIGINT) AS nbytes
+        FROM orders WHERE o_orderkey < 3000
+    )
+    SELECT o_orderkey, nbytes,
+           CASE
+             WHEN nbytes >= 1073741824 THEN
+               CAST(nbytes // 1073741824 AS VARCHAR) || '.' ||
+               CAST((nbytes % 1073741824) * 10 // 1073741824 AS VARCHAR)
+               || ' GiB'
+             WHEN nbytes >= 1048576 THEN
+               CAST(nbytes // 1048576 AS VARCHAR) || '.' ||
+               CAST((nbytes % 1048576) * 10 // 1048576 AS VARCHAR)
+               || ' MiB'
+             WHEN nbytes >= 1024 THEN
+               CAST(nbytes // 1024 AS VARCHAR) || '.' ||
+               CAST((nbytes % 1024) * 10 // 1024 AS VARCHAR) || ' KiB'
+             ELSE CAST(nbytes AS VARCHAR) || ' B'
+           END AS human
+    FROM sized
+    """,
+)
+def fn_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-readable byte formatting (KiB/MiB/GiB with one decimal)
+    without a single float: magnitude CASE + integer div/mod, so the
+    rendered string is identical on every engine — the log()/pow()
+    formulation would not be (ln is 1-ulp unstable across engines,
+    CLAUDE.md). The decimal digit is ``rem * 10 // unit`` (floor), a
+    pure integer op. Shuffle-free projection.
+    """
+    sized = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 3000
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1000, 0).cast("bigint").alias("nbytes"),
+    )
+    n = F.col("nbytes")
+
+    def _fmt(unit: int, suffix: str) -> Column:
+        whole = F.expr(f"nbytes div {unit}").cast("string")
+        tenth = F.expr(f"(nbytes % {unit}) * 10 div {unit}").cast("string")
+        return F.concat(whole, F.lit("."), tenth, F.lit(" " + suffix))
+
+    human = (
+        F.when(n >= 1073741824, _fmt(1073741824, "GiB"))
+        .when(n >= 1048576, _fmt(1048576, "MiB"))
+        .when(n >= 1024, _fmt(1024, "KiB"))
+        .otherwise(F.concat(n.cast("string"), F.lit(" B")))
+    )
+    return sized.select("o_orderkey", "nbytes", human.alias("human"))
+
+
+@register(
+    "fn_array_zip",
+    oracle="""
+    WITH pair AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 97 = 0
+    )
+    SELECT id_a, id_b,
+           CAST(len(ea) AS INT) AS dim,
+           CAST(list_sum(list_transform(list_zip(ea, eb),
+                p -> CASE WHEN CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+                               > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_same_sign,
+           CAST(list_sum(list_transform(list_zip(ea, eb),
+                p -> CASE WHEN abs(CAST(p[1] AS DOUBLE))
+                               >= abs(CAST(p[2] AS DOUBLE))
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS n_a_dominant
+    FROM pair
+    """,
+)
+def fn_array_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise combination of two vector columns via
+    ``zip_with`` — the lane-paired primitive under every vector
+    comparison (sign agreement, dominance counts here; deltas,
+    hadamard products in general). Spark's zip_with fuses the pair
+    walk into one codegen loop; DuckDB's twin is list_zip +
+    list_transform. Counting predicates (integers) rather than
+    summing float products keeps the result exactly portable. The
+    adjacent-id self-join is an equi-join: shuffle on vec_id, linear.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pair = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    same_sign = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CASE WHEN CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE) > 0 THEN 1 ELSE 0 END),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    dominant = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CASE WHEN"
+        " abs(CAST(x AS DOUBLE)) >= abs(CAST(y AS DOUBLE))"
+        " THEN 1 ELSE 0 END), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return pair.select(
+        "id_a",
+        "id_b",
+        F.size("ea").alias("dim"),
+        same_sign.alias("n_same_sign"),
+        dominant.alias("n_a_dominant"),
+    )

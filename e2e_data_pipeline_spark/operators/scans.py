@@ -1810,3 +1810,247 @@ def sql_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY pa.root
         """
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the DuckDB-originated shorthand Spark 4
+    adopted: every non-aggregate select item becomes a grouping key,
+    so adding a dimension is a one-place edit. The IDENTICAL query
+    text runs on both engines (like sql_lateral_topk), proving the
+    dialect surface is shared, and it parses to the same Aggregate
+    node as an explicit GROUP BY 1,2,3 — Catalyst's partial-agg and
+    pushdown behavior is untouched.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gba_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_yr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM gba_lineitem
+        WHERE l_quantity < 10
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT))
+                AS BIGINT) AS bal_cents
+    FROM customer c
+    JOIN (VALUES ('BUILDING', 'b2b'), ('AUTOMOBILE', 'b2c'),
+                 ('MACHINERY', 'b2b'), ('HOUSEHOLD', 'b2c'),
+                 ('FURNITURE', 'b2c')) AS t(seg, tier)
+      ON c.c_mktsegment = t.seg
+    GROUP BY t.tier
+    """,
+)
+def sql_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline ``VALUES`` derived table as a join dimension — the
+    zero-I/O lookup-table idiom (segment -> tier recode) that every
+    ad-hoc enrichment uses. The VALUES relation is a LocalRelation in
+    Catalyst: always broadcast, folded at plan time, never a shuffle.
+    Identical query text runs on both engines.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "val_customer"
+    )
+    return spark.sql(
+        """
+        SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS bal_cents
+        FROM val_customer c
+        JOIN (VALUES ('BUILDING', 'b2b'), ('AUTOMOBILE', 'b2c'),
+                     ('MACHINERY', 'b2b'), ('HOUSEHOLD', 'b2c'),
+                     ('FURNITURE', 'b2c')) AS t(seg, tier)
+          ON c.c_mktsegment = t.seg
+        GROUP BY t.tier
+        """
+    )
+
+
+@register(
+    "sql_window_clause",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, cents,
+           CAST(SUM(cents) OVER w7 AS BIGINT) AS cents_7d,
+           CAST(MIN(cents) OVER w7 AS BIGINT) AS min_7d,
+           CAST(MAX(cents) OVER w7 AS BIGINT) AS max_7d,
+           CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d
+    FROM daily
+    WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause shared by four aggregates — the SQL
+    surface that de-duplicates frame specs (one edit point instead of
+    four inline OVER copies). All four functions share ONE window
+    definition, so Spark computes them in a single Window physical
+    node over a single sort — the plan is identical to hand-written
+    inline frames, the text is maintainable. The WINDOW clause itself
+    is identical text on both engines (only the date-render function
+    differs: date_format vs strftime, because a raw DATE column
+    round-trips as timestamp through the oracle's pandas bridge).
+    The global ORDER BY is safe at scale because it
+    runs over the day-grain reducer (thousands of rows), never the
+    fact table.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "winc_orders"
+    )
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM winc_orders GROUP BY 1
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day, cents,
+               CAST(SUM(cents) OVER w7 AS BIGINT) AS cents_7d,
+               CAST(MIN(cents) OVER w7 AS BIGINT) AS min_7d,
+               CAST(MAX(cents) OVER w7 AS BIGINT) AS max_7d,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS n_7d
+        FROM daily
+        WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@register(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via the hidden ``_metadata`` struct —
+    the lineage primitive for incremental pipelines (which file did
+    this row come from?) with zero storage cost: Spark synthesizes
+    ``_metadata.file_name`` at scan time from the split, so no shuffle
+    and no extra column on disk. Each fixture table is a single
+    parquet file, so the oracle can assert the provenance literally
+    (the driver's DuckDB views hide ``filename=true``, the engine's
+    own twin). At 100 TB this is the basis for per-file quarantine /
+    reprocessing decisions; the hidden column prunes away when unused
+    so normal scans pay nothing.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "sink_zstd_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-explicit parquet round trip: write lineitem with
+    zstd compression (the modern lake default — tighter than snappy
+    at similar decode cost, the right choice when 100 TB of cold
+    data meets object-store egress pricing), re-read, and aggregate.
+    The oracle recomputes from the source, proving the codec path is
+    lossless; the footer's declared codec is pinned in
+    tests/test_etl_flow.py. Spark's writer sets codec per-file via
+    ``option("compression", "zstd")`` — no cluster conf needed, so
+    mixed-codec tables (hot snappy partitions, cold zstd) work
+    partition-by-partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="e2e_zstd_")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice").alias("total_price"),
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    WHERE c_acctbal IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + re-read with an EXPLICIT schema — the interchange
+    sink for systems that can't speak parquet. Two deliberate
+    choices a naive json write gets wrong: (1) money is converted to
+    integer CENTS before serialization (JSON doubles round-trip
+    through decimal text — 0.1-style artifacts corrupt a checksum;
+    int64 text is exact), and (2) the read pins the schema instead
+    of inferring it (inference is a full extra pass at 100 TB and
+    can flip int->double on a single stray null). gzip per-line
+    compression keeps the files splittable-enough at the partition
+    grain.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal").isNotNull()
+    )
+    out = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias(
+            "bal_cents"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="e2e_jsonl_")
+    out.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "c_custkey BIGINT, c_mktsegment STRING, bal_cents BIGINT"
+    ).json(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )

@@ -588,3 +588,123 @@ def stream_python_ds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_union_sources",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_type,
+               CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents,
+               'hot' AS lane
+        FROM events WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT event_type,
+               CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents,
+               'cold' AS lane
+        FROM events WHERE user_id % 2 = 1
+    )
+    SELECT lane, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM unioned GROUP BY lane, event_type
+    """,
+)
+def stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of TWO independent streaming sources into one
+    aggregation — the multi-region/multi-topic ingest topology
+    (every lane keeps its own source offsets and schema, the merge
+    is logical). Both lanes read the same fixture filtered to
+    disjoint user halves, tagged, unioned stream-side, then
+    aggregated in one stateful operator; the batch oracle is the
+    same UNION ALL. Streaming union requires schema-aligned lanes
+    (enforced here by construction) and preserves per-source
+    watermark tracking — Spark takes the MIN of lane watermarks, so
+    one slow lane correctly holds back eviction for the merged
+    state.
+    """
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.streaming.core import (
+        load_events_stream,
+        run_stream_to_memory,
+    )
+
+    hot = (
+        load_events_stream(spark, sf_dir)
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("lane", F.lit("hot"))
+    )
+    cold = (
+        load_events_stream(spark, sf_dir)
+        .where(F.col("user_id") % 2 == 1)
+        .withColumn("lane", F.lit("cold"))
+    )
+    unioned = hot.unionByName(cold).select(
+        "lane",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = unioned.groupBy("lane", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    return run_stream_to_memory(
+        spark, agg, "stream_union_sources_sink"
+    ).select("lane", "event_type", "n_events", "cents")
+
+
+@register(
+    "stream_split_route",
+    oracle="""
+    WITH routed AS (
+        SELECT CASE WHEN COALESCE(value, 0) >= 100 THEN 'alerts'
+                    ELSE 'normal' END AS route,
+               event_type,
+               CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT route, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM routed GROUP BY route, event_type
+    """,
+)
+def stream_split_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream splitting (side outputs): ONE source routed by
+    predicate into two independent sinks — high-value events to the
+    alerts lane, the rest to the archive lane — each lane its own
+    aggregation and memory sink, reunited only for verification.
+    This is the fan-out topology Flink calls side outputs; in
+    Structured Streaming it is two queries over one shared source
+    DataFrame (the source is read per-query; with a real broker the
+    lanes share the topic, each with its own offsets/checkpoint —
+    an at-least-once split, not a transactional two-sink write).
+    """
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.streaming.core import (
+        load_events_stream,
+        run_stream_to_memory,
+    )
+
+    def lane(name: str, pred):
+        src = load_events_stream(spark, sf_dir).where(pred)
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+                .cast("bigint")
+            ).alias("cents"),
+        )
+        return run_stream_to_memory(
+            spark, agg, f"stream_split_{name}_sink"
+        ).withColumn("route", F.lit(name))
+
+    alerts = lane("alerts", F.coalesce(F.col("value"), F.lit(0.0)) >= 100)
+    normal = lane("normal", F.coalesce(F.col("value"), F.lit(0.0)) < 100)
+    return alerts.unionByName(normal).select(
+        "route", "event_type", "n_events", "cents"
+    )

@@ -2957,3 +2957,525 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({sigma} - {mu}) / ({sigma} + {mu}) AS DOUBLE)"
         ).alias("burstiness"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS y
+        FROM events GROUP BY 1
+    ),
+    fr AS (
+        SELECT d, y, list(y) OVER w AS arr,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    fit AS (
+        SELECT d, y,
+               list_reduce(
+                   list_transform(arr,
+                       v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+                   (acc, e) -> [
+                       CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.3 AS DOUBLE)
+                           * ((CAST(0.5 AS DOUBLE) * e[1]
+                               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                              - acc[1])
+                           + CAST(0.7 AS DOUBLE) * acc[2]]
+               ) AS st
+        FROM fr WHERE n = 14
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, y,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1d
+    FROM fit
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.5,
+    beta=0.3) with a 1-step-ahead forecast — the trend-aware upgrade
+    of win_ewma. The coupled recurrence needs TWO state variables, so
+    the fold accumulator is a 2-ARRAY [level, trend]: Spark's
+    ``aggregate`` and DuckDB's ``list_reduce`` both thread it through
+    the frame's sort order (elements pre-lifted to [v, 0] pairs so
+    DuckDB infers the accumulator type), every step the same double
+    expression in the same order — bit-identical, no UDF. An array,
+    NOT a struct: DuckDB's struct-typed lambda accumulators evaluate
+    field expressions against partially-updated state (verified
+    in-sandbox), while list accumulators are sound on both engines.
+    Seeded at level=first frame element, trend=0, over a 14-day
+    trailing frame.
+
+    Scale: day-grain frames; per-row O(k) fold, arrays never leave
+    the executor. The pattern generalizes to ANY k-state linear
+    recurrence (Kalman-style filters) without leaving codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+                .cast("bigint")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    fr = daily.select(
+        "d",
+        "y",
+        F.collect_list("y").over(w).alias("arr"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    fit = fr.select(
+        "d",
+        "y",
+        F.expr(
+            "aggregate("
+            " slice(arr, 2, size(arr) - 1),"
+            " array(CAST(element_at(arr, 1) AS DOUBLE), CAST(0.0 AS DOUBLE)),"
+            " (acc, v) -> array("
+            "   CAST(0.5 AS DOUBLE) * v"
+            "     + CAST(0.5 AS DOUBLE) * (element_at(acc, 1)"
+            "                              + element_at(acc, 2)),"
+            "   CAST(0.3 AS DOUBLE)"
+            "     * ((CAST(0.5 AS DOUBLE) * v"
+            "         + CAST(0.5 AS DOUBLE) * (element_at(acc, 1)"
+            "                                  + element_at(acc, 2)))"
+            "        - element_at(acc, 1))"
+            "     + CAST(0.7 AS DOUBLE) * element_at(acc, 2)))"
+        ).alias("st"),
+    )
+    return fit.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "y",
+        F.element_at("st", 1).alias("level"),
+        F.element_at("st", 2).alias("trend"),
+        (F.element_at("st", 1) + F.element_at("st", 2)).alias("forecast_1d"),
+    )
+
+
+@register(
+    "ts_cross_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                   AS di,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT lg.lag_d, a.x, b.y AS y_fwd
+        FROM daily a
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS lag_d) lg
+        JOIN daily b ON b.di = a.di + lg.lag_d
+    ),
+    sums AS (
+        SELECT lag_d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_fwd) AS BIGINT) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(y_fwd AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y_fwd AS DECIMAL(38,0))
+                        * CAST(y_fwd AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS syy
+        FROM lagged WHERE y_fwd IS NOT NULL
+        GROUP BY lag_d
+    )
+    SELECT CAST(lag_d AS INT) AS lag_d, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS xcorr
+    FROM sums
+    """,
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event streams (does click
+    revenue at day t predict purchase revenue at t+k?) for lags 0-3 —
+    the lead-lag discovery primitive. Daily cent sums are exact
+    int64; per-lag alignment is an epoch-day EQUI-join (di = di +
+    lag) after replicating the tiny day-grain frame 4x — windows
+    can't take a column offset, a shifted self-join can, and it
+    broadcasts; moment sums go through
+    DECIMAL(38) (cents² exceeds int64), and Pearson r is the fixed
+    chain mul/sub/div/sqrt/div — every input exact, every step
+    correctly rounded in the same order, hence bit-portable.
+
+    Scale: fact table pays one conditional partial agg; all window
+    work is day-grain × 4 lags.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+        "bigint"
+    )
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400"
+        ).alias("di")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .alias("y"),
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag_d"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "di", "lag_d", "x", (F.col("di") + F.col("lag_d")).alias("tdi")
+    )
+    b = daily.select(F.col("di").alias("bdi"), F.col("y").alias("y_fwd"))
+    lagged = a.join(b, F.col("bdi") == F.col("tdi"))
+    d38 = "decimal(38,0)"
+    sums = (
+        lagged.where(F.col("y_fwd").isNotNull())
+        .groupBy("lag_d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y_fwd").alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("y_fwd").cast(d38))
+            .cast(d38)
+            .alias("sxy"),
+            F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+            .cast(d38)
+            .alias("sxx"),
+            F.sum(F.col("y_fwd").cast(d38) * F.col("y_fwd").cast(d38))
+            .cast(d38)
+            .alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    denx = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+    deny = F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    return sums.select(
+        "lag_d", "n", (num / denx / deny).alias("xcorr")
+    )
+
+
+@register(
+    "ts_peak_detect",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    nb AS (
+        SELECT h, n_events,
+               lag(n_events, 1) OVER w AS p1,
+               lag(n_events, 2) OVER w AS p2,
+               lead(n_events, 1) OVER w AS f1,
+               lead(n_events, 2) OVER w AS f2
+        FROM hourly WINDOW w AS (ORDER BY h)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n_events,
+           CAST(n_events - GREATEST(p1, p2, f1, f2) AS BIGINT)
+               AS prominence
+    FROM nb
+    WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      AND f1 IS NOT NULL AND f2 IS NOT NULL
+      AND n_events > p1 AND n_events > p2
+      AND n_events > f1 AND n_events > f2
+    """,
+)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection with ±2-neighbor strictness and a
+    prominence score (excess over the tallest neighbor) — the alert
+    primitive under traffic-spike detection. Pure lag/lead integer
+    comparisons: no thresholds to tune, no floats anywhere,
+    trivially portable. Interior-only (edge hours lack a full
+    neighborhood and are excluded on both sides).
+
+    Scale: hour-grain window; the fact table pays one count
+    aggregation. At 100 TB the hourly frame is still only
+    8760 rows/year — the window cost is constant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.orderBy("h")
+    nb = hourly.select(
+        "h",
+        "n_events",
+        F.lag("n_events", 1).over(w).alias("p1"),
+        F.lag("n_events", 2).over(w).alias("p2"),
+        F.lead("n_events", 1).over(w).alias("f1"),
+        F.lead("n_events", 2).over(w).alias("f2"),
+    )
+    peak = nb.where(
+        F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+        & F.col("f1").isNotNull()
+        & F.col("f2").isNotNull()
+        & (F.col("n_events") > F.col("p1"))
+        & (F.col("n_events") > F.col("p2"))
+        & (F.col("n_events") > F.col("f1"))
+        & (F.col("n_events") > F.col("f2"))
+    )
+    return peak.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n_events",
+        (
+            F.col("n_events")
+            - F.greatest("p1", "p2", "f1", "f2")
+        ).cast("bigint").alias("prominence"),
+    )
+
+
+@register(
+    "ts_spc_rules",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_events) AS BIGINT) AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM daily
+    ),
+    scored AS (
+        SELECT d.d, d.n_events,
+               CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mu,
+               sqrt(GREATEST(CAST(b.n AS DOUBLE) * CAST(b.s2 AS DOUBLE)
+                    - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE), 0.0))
+               / CAST(b.n AS DOUBLE) AS sigma
+        FROM daily d CROSS JOIN base b
+    ),
+    flags AS (
+        SELECT d, n_events, mu, sigma,
+               CASE WHEN abs(CAST(n_events AS DOUBLE) - mu)
+                         > 2.0 * sigma THEN 1 ELSE 0 END AS beyond_2s,
+               CASE WHEN CAST(n_events AS DOUBLE) > mu THEN 1
+                    WHEN CAST(n_events AS DOUBLE) < mu THEN -1
+                    ELSE 0 END AS side
+        FROM scored
+    ),
+    runs AS (
+        SELECT d, n_events, beyond_2s, side,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER w9
+                    AS BIGINT) AS above_in_9,
+               CAST(COUNT(*) OVER w9 AS BIGINT) AS n9
+        FROM flags
+        WINDOW w9 AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n_events, beyond_2s,
+           CASE WHEN n9 = 9 AND above_in_9 = 9 THEN 1 ELSE 0 END
+               AS rule2_run9_above
+    FROM runs
+    WHERE beyond_2s = 1
+       OR (n9 = 9 AND above_in_9 = 9)
+    """,
+)
+def ts_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (Shewhart chart) with two Western
+    Electric rules over the daily event-count series: rule 1 (point
+    beyond mu±2sigma — the warning limit, chosen over 3sigma because
+    the fixture's 30-day series is too well-behaved to breach action
+    limits) and rule 2 (nine consecutive points on one side
+    of the centerline). Control limits come from exact integer
+    moments (one division + one sqrt — portable bits), and because
+    both engines compare BIT-IDENTICAL doubles, the rule flags agree
+    exactly. The run-of-9 is a windowed sum of side indicators, not a
+    self-join.
+
+    Scale: day-grain series; one global aggregate broadcast back
+    via CROSS JOIN (a 1-row literal at plan time), one calendar
+    window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n_events"))
+    base = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    scored = daily.crossJoin(F.broadcast(base))
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = (
+        F.sqrt(
+            F.greatest(
+                nd * F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double"),
+                F.lit(0.0),
+            )
+        )
+        / nd
+    )
+    flags = scored.select(
+        "d",
+        "n_events",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.when(
+            F.abs(F.col("n_events").cast("double") - mu) > F.lit(2.0) * sigma,
+            1,
+        )
+        .otherwise(0)
+        .alias("beyond_2s"),
+        F.when(F.col("n_events").cast("double") > mu, 1)
+        .when(F.col("n_events").cast("double") < mu, -1)
+        .otherwise(0)
+        .alias("side"),
+    )
+    w9 = Window.orderBy("d").rowsBetween(-8, 0)
+    runs = flags.select(
+        "d",
+        "n_events",
+        "beyond_2s",
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .over(w9)
+        .alias("above_in_9"),
+        F.count("*").over(w9).alias("n9"),
+    )
+    return runs.where(
+        (F.col("beyond_2s") == 1)
+        | ((F.col("n9") == 9) & (F.col("above_in_9") == 9))
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "beyond_2s",
+        F.when(
+            (F.col("n9") == 9) & (F.col("above_in_9") == 9), 1
+        )
+        .otherwise(0)
+        .alias("rule2_run9_above"),
+    )
+
+
+@register(
+    "ts_dtw_distance",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS m,
+               CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS x,
+               CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0 AS y
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(x ORDER BY m) AS xa, list(y ORDER BY m) AS ya
+        FROM daily
+    )
+    SELECT CAST(len(xa) AS INT) AS n_x,
+           CAST(len(ya) AS INT) AS n_y,
+           list_reduce(
+             list_concat(
+                 [list_concat([CAST(0.0 AS DOUBLE)],
+                              list_transform(ya,
+                                  v -> CAST(1e18 AS DOUBLE)))],
+                 list_transform(xa, v -> [v])),
+             (prev, xe) -> list_reduce(
+                 list_concat([[CAST(1e18 AS DOUBLE)]],
+                             list_transform(ya, v -> [v])),
+                 (accI, ye) -> list_concat(accI, [
+                     abs(xe[1] - ye[1])
+                     + least(prev[len(accI)],
+                             prev[len(accI) + 1],
+                             accI[len(accI)])]))
+           )[len(ya) + 1] AS dtw_usd
+    FROM series
+    """,
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the daily click and
+    purchase revenue curves — shape similarity that tolerates phase
+    shift (a promo that moves purchases two weeks later still
+    matches), where Euclidean/Pearson alignment-by-index does not.
+    The full O(n·m) DP table is evaluated as a NESTED FOLD: the
+    outer fold carries the previous DP row as an ARRAY accumulator,
+    the inner fold builds the next row left-to-right (the in-row
+    dependency D[i][j-1] is the last element of the growing
+    accumulator). Both engines execute the identical
+    abs/least/add chain in identical order => bit-equal distance.
+    DuckDB's 2-arg list_reduce takes no initial value, so both
+    operands are sentinel-lifted (init row / +inf cell prepended as
+    list elements) — the same construction on both sides.
+
+    Scale: the quadratic DP runs on the CALENDAR-bounded daily
+    reducer (k days => k^2 cells per evaluation, independent of row
+    count); the fact table pays one conditional aggregation.
+    The pattern generalizes: any textbook DP over a bounded frame
+    (edit scripts, segmentation) compiles to codegen'd folds, no
+    UDF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
+        "bigint"
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("m")
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "click", cents).otherwise(0)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("x"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("y"),
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, x))), s -> s.x)"
+        ).alias("xa"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, y))), s -> s.y)"
+        ).alias("ya"),
+    )
+    dtw = F.expr(
+        "element_at("
+        " aggregate("
+        "   transform(xa, v -> array(v)),"
+        "   concat(array(CAST(0.0 AS DOUBLE)),"
+        "          transform(ya, v -> CAST(1e18 AS DOUBLE))),"
+        "   (prev, xe) -> aggregate("
+        "       transform(ya, v -> array(v)),"
+        "       array(CAST(1e18 AS DOUBLE)),"
+        "       (accI, ye) -> concat(accI, array("
+        "           abs(element_at(xe, 1) - element_at(ye, 1))"
+        "           + least(element_at(prev, size(accI)),"
+        "                   element_at(prev, size(accI) + 1),"
+        "                   element_at(accI, size(accI))))))),"
+        " size(ya) + 1)"
+    )
+    return series.select(
+        F.size("xa").alias("n_x"),
+        F.size("ya").alias("n_y"),
+        dtw.alias("dtw_usd"),
+    )

@@ -1155,3 +1155,279 @@ def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS usd
+        FROM orders GROUP BY 1
+    ),
+    delta AS (
+        SELECT d, usd,
+               usd - lag(usd) OVER (ORDER BY d) AS chg
+        FROM daily
+    ),
+    gl AS (
+        SELECT d, usd,
+               CAST(SUM(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER w
+                    AS BIGINT) AS gains,
+               CAST(SUM(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER w
+                    AS BIGINT) AS losses,
+               CAST(COUNT(chg) OVER w AS BIGINT) AS n
+        FROM delta
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, usd, gains, losses,
+           CASE WHEN gains + losses = 0 THEN 50.0
+                ELSE 100.0 * CAST(gains AS DOUBLE)
+                     / CAST(gains + losses AS DOUBLE) END AS rsi14
+    FROM gl WHERE n = 14
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (relative strength index, SMA flavor) over daily
+    revenue: up-moves vs down-moves as EXACT integer dollar sums
+    inside the trailing frame, then RSI = 100·gains/(gains+losses) —
+    a single division of int64s, bit-portable (one correctly-rounded
+    op). Flat windows pin RSI to the conventional 50. Warm-up rows
+    (fewer than 14 observed deltas) drop on both sides.
+
+    Scale: same shape as win_bollinger — the window runs over the
+    day-grain reducer (rows = days, not orders), so the unpartitioned
+    sort is calendar-bounded; the fact table only pays one partial
+    aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("usd"))
+    wl = Window.orderBy("d")
+    delta = daily.withColumn("chg", F.col("usd") - F.lag("usd").over(wl))
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    gl = delta.select(
+        "d",
+        "usd",
+        F.sum(
+            F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0))
+        ).over(w).alias("gains"),
+        F.sum(
+            F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0))
+        ).over(w).alias("losses"),
+        F.count("chg").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    tot = F.col("gains") + F.col("losses")
+    return gl.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "usd",
+        "gains",
+        "losses",
+        F.when(tot == 0, F.lit(50.0))
+        .otherwise(
+            F.lit(100.0) * F.col("gains").cast("double") / tot.cast("double")
+        )
+        .alias("rsi14"),
+    )
+
+
+@register(
+    "win_macd",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                    AS DOUBLE) AS usd
+        FROM orders GROUP BY 1
+    ),
+    fr AS (
+        SELECT d, usd,
+               list(usd) OVER w AS arr,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+    ),
+    ema AS (
+        SELECT d, usd,
+               list_reduce(arr, (acc, x) ->
+                   x * (CAST(2.0 AS DOUBLE) / 13.0)
+                   + acc * (CAST(1.0 AS DOUBLE)
+                            - CAST(2.0 AS DOUBLE) / 13.0)) AS ema12,
+               list_reduce(arr, (acc, x) ->
+                   x * (CAST(2.0 AS DOUBLE) / 27.0)
+                   + acc * (CAST(1.0 AS DOUBLE)
+                            - CAST(2.0 AS DOUBLE) / 27.0)) AS ema26
+        FROM fr WHERE n = 26
+    ),
+    macd AS (
+        SELECT d, usd, ema12, ema26, ema12 - ema26 AS macd,
+               list(ema12 - ema26) OVER w9 AS marr,
+               CAST(COUNT(*) OVER w9 AS BIGINT) AS n9
+        FROM ema
+        WINDOW w9 AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, usd, macd,
+           list_reduce(marr, (acc, x) -> x * CAST(0.2 AS DOUBLE)
+               + acc * CAST(0.8 AS DOUBLE)) AS signal9,
+           CASE WHEN macd > list_reduce(marr,
+                    (acc, x) -> x * CAST(0.2 AS DOUBLE)
+                        + acc * CAST(0.8 AS DOUBLE))
+                THEN 1 ELSE 0 END AS bullish
+    FROM macd WHERE n9 = 9
+    """,
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26 EMA spread) with a 9-day signal line over daily
+    revenue — the layered-EMA indicator. No engine has an EMA window
+    aggregate, so both sides fold the ordered trailing frame with the
+    IDENTICAL left-to-right recurrence (the win_ewma construction,
+    seeded from the oldest frame element): every step is the same
+    double expression in the same order, hence bit-identical results.
+    The signal line is a SECOND fold over the macd series itself —
+    windows over window-computed columns layer through a projection,
+    exactly like DuckDB requires (no nested window calls).
+
+    Scale: day-grain frames; the 26-element arrays live per-row
+    inside the executor, never shuffled.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long"))
+        .cast("double")
+        .alias("usd")
+    )
+    w = Window.orderBy("d").rowsBetween(-25, 0)
+    fr = daily.select(
+        "d",
+        "usd",
+        F.collect_list("usd").over(w).alias("arr"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 26)
+
+    def _ema(arr: str, alpha: str):
+        return F.expr(
+            f"aggregate(slice({arr}, 2, size({arr}) - 1),"
+            f" CAST(element_at({arr}, 1) AS DOUBLE),"
+            f" (acc, x) -> x * ({alpha}) + acc * (1.0 - ({alpha})))"
+        )
+
+    ema = fr.select(
+        "d",
+        "usd",
+        (
+            _ema("arr", "CAST(2.0 AS DOUBLE) / 13.0")
+            - _ema("arr", "CAST(2.0 AS DOUBLE) / 27.0")
+        ).alias("macd"),
+    )
+    w9 = Window.orderBy("d").rowsBetween(-8, 0)
+    macd = ema.select(
+        "d",
+        "usd",
+        "macd",
+        F.collect_list("macd").over(w9).alias("marr"),
+        F.count("*").over(w9).alias("n9"),
+    ).where(F.col("n9") == 9)
+    signal = F.expr(
+        "aggregate(slice(marr, 2, size(marr) - 1),"
+        " CAST(element_at(marr, 1) AS DOUBLE),"
+        " (acc, x) -> x * CAST(0.2 AS DOUBLE) + acc * CAST(0.8 AS DOUBLE))"
+    )
+    return macd.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "usd",
+        "macd",
+        signal.alias("signal9"),
+        F.when(F.col("macd") > signal, 1).otherwise(0).alias("bullish"),
+    )
+
+
+@register(
+    "win_atr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, hi, lo,
+               GREATEST(hi - lo,
+                        abs(hi - lag(close) OVER (ORDER BY d)),
+                        abs(lo - lag(close) OVER (ORDER BY d))) AS trange
+        FROM daily
+    ),
+    roll AS (
+        SELECT d, hi, lo, trange,
+               CAST(SUM(trange) OVER w AS BIGINT) AS s,
+               CAST(COUNT(trange) OVER w AS BIGINT) AS n
+        FROM tr
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, hi, lo, trange,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS atr14_usd
+    FROM roll WHERE n = 14
+    """,
+)
+def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day ATR (average true range) over a synthesized daily
+    hi/lo/close bar: true range = greatest(hi-lo, |hi-prev_close|,
+    |lo-prev_close|) — the gap-aware volatility measure. Everything
+    up to the final scalar stays int64 cents (close is the integer
+    mean, floor-divided identically on both engines for positive
+    sums), so window sums are exact; the ATR is then division by n
+    then by 100 — a fixed two-step double chain, portable.
+
+    Scale: day-grain; the only fact-table work is the partial
+    min/max/sum aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    wl = Window.orderBy("d")
+    prev_close = F.lag("close").over(wl)
+    tr = daily.select(
+        "d",
+        "hi",
+        "lo",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - prev_close),
+            F.abs(F.col("lo") - prev_close),
+        ).alias("trange"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    roll = tr.select(
+        "d",
+        "hi",
+        "lo",
+        "trange",
+        F.sum("trange").over(w).alias("s"),
+        F.count("trange").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "hi",
+        "lo",
+        "trange",
+        (
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+        ).alias("atr14_usd"),
+    )

@@ -370,3 +370,50 @@ def test_sim_pq_adc_recall_and_determinism(spark):
         for r in QUERIES["sim_pq_adc"](spark, SF_SMALL).collect()
     }
     assert again == {(r.query_id, r.neighbor_id, r.adc_score) for r in pq_rows}
+
+
+def test_kcore_reaches_fixed_point(spark):
+    """graph_kcore's 6 unrolled peel rounds must CONVERGE on the
+    fixture: one further peel round leaves the core unchanged (the
+    docstring's promise that 6 rounds suffice)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.operators.llm_dedup import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    cur = und.localCheckpoint()
+    counts = []
+    for _ in range(7):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= 3)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        counts.append(cur.count())
+    assert counts[5] == counts[6], f"not converged after 6 rounds: {counts}"
+
+
+def test_dbscan_clusters_are_disjoint_and_dense(spark):
+    """ml_dbscan_grid invariants: cluster extents don't overlap, every
+    cluster has >= minPts*n_cells core points is NOT required, but
+    each cluster's point count must be >= 8 (minPts) per cell floor."""
+    rows = QUERIES["ml_dbscan_grid"](spark, SF_SMALL).collect()
+    assert rows, "fixture should produce at least one dense cluster"
+    spans = sorted((r.cell_lo, r.cell_hi, r.n_cells, r.n_core_pts) for r in rows)
+    for (lo, hi, nc, npts) in spans:
+        assert hi >= lo and nc == hi - lo + 1
+        assert npts >= 8 * nc  # every member cell met the density bar
+    for (_, hi_prev, _, _), (lo_next, _, _, _) in zip(spans, spans[1:]):
+        assert lo_next > hi_prev + 1  # adjacent dense cells would have merged
