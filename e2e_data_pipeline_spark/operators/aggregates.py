@@ -6921,3 +6921,76 @@ def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("cents").alias("kept_cents"),
     )
+
+
+@register(
+    "stats_cochran_armitage",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN l_quantity <= 15 THEN 0
+                    WHEN l_quantity <= 30 THEN 1
+                    WHEN l_quantity <= 45 THEN 2
+                    ELSE 3 END AS dose,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    g AS (
+        SELECT dose, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(y) AS BIGINT) AS r_i
+        FROM pop GROUP BY dose
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS r,
+               CAST(SUM(n_i * dose) AS BIGINT) AS snw,
+               CAST(SUM(n_i * dose * dose) AS BIGINT) AS snw2,
+               CAST(SUM(r_i * dose) AS BIGINT) AS srw
+        FROM g
+    )
+    SELECT n, r,
+           (CAST(srw AS DOUBLE) - CAST(r AS DOUBLE) * CAST(snw AS DOUBLE)
+                / CAST(n AS DOUBLE))
+           / sqrt((CAST(r AS DOUBLE) * (CAST(n AS DOUBLE)
+                   - CAST(r AS DOUBLE)) / CAST(n AS DOUBLE))
+                  * (CAST(snw2 AS DOUBLE) - CAST(snw AS DOUBLE)
+                     * CAST(snw AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS z_trend
+    FROM tot
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does return probability increase
+    MONOTONICALLY across ordered quantity bands? One degree of
+    freedom aimed at the ordering — far more powerful than the
+    omnibus chi-square (stats_chi2_gof) when the alternative is a
+    dose-response trend. Integer dose weights keep every sufficient
+    statistic int64-exact; z is the standard fixed chain. One
+    4-cell aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = li.select(
+        F.when(F.col("l_quantity") <= 15, 0)
+        .when(F.col("l_quantity") <= 30, 1)
+        .when(F.col("l_quantity") <= 45, 2)
+        .otherwise(3)
+        .alias("dose"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = pop.groupBy("dose").agg(
+        F.count("*").alias("n_i"), F.sum("y").alias("r_i")
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("n_i") * F.col("dose")).alias("snw"),
+        F.sum(F.col("n_i") * F.col("dose") * F.col("dose")).alias("snw2"),
+        F.sum(F.col("r_i") * F.col("dose")).alias("srw"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    snw = F.col("snw").cast("double")
+    z = (F.col("srw").cast("double") - rd * snw / nd) / F.sqrt(
+        (rd * (nd - rd) / nd)
+        * (F.col("snw2").cast("double") - snw * snw / nd)
+        / nd
+    )
+    return tot.select("n", "r", z.alias("z_trend"))

@@ -478,3 +478,58 @@ def multimodal_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "multimodal_tile_grid",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(256 + (doc_id * 37) % 1280 AS BIGINT) AS width,
+               CAST(256 + (doc_id * 53) % 720 AS BIGINT) AS height
+        FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id, width, height,
+           CAST((width + 511) // 512 AS BIGINT) AS tiles_x,
+           CAST((height + 511) // 512 AS BIGINT) AS tiles_y,
+           CAST(((width + 511) // 512) * ((height + 511) // 512)
+                AS BIGINT) AS n_tiles,
+           CAST(((width + 511) // 512) * ((height + 511) // 512) * 85
+                + 170 AS BIGINT) AS est_tokens
+    FROM dims
+    """,
+)
+def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-model tile accounting: ceil-divide each image's
+    (width, height) into 512px tiles and estimate the token bill
+    (85/tile + 170 base — the arithmetic every multimodal batch
+    planner runs before submitting). Dimensions are synthesized
+    deterministically (no image libs in-sandbox; the real pipeline
+    reads them from decoded headers via the multimodal_pipeline
+    plumbing). Ceil division as (w + 511) // 512 — positive
+    integers, portable. Shuffle-free projection: the token budget
+    for a 100 TB image corpus is one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400
+    )
+    dims = docs.select(
+        "doc_id",
+        (F.lit(256) + (F.col("doc_id") * 37) % 1280)
+        .cast("long")
+        .alias("width"),
+        (F.lit(256) + (F.col("doc_id") * 53) % 720)
+        .cast("long")
+        .alias("height"),
+    )
+    tx = F.expr("(width + 511) div 512")
+    ty = F.expr("(height + 511) div 512")
+    return dims.select(
+        "doc_id",
+        "width",
+        "height",
+        tx.cast("long").alias("tiles_x"),
+        ty.cast("long").alias("tiles_y"),
+        (tx * ty).cast("long").alias("n_tiles"),
+        (tx * ty * 85 + 170).cast("long").alias("est_tokens"),
+    )

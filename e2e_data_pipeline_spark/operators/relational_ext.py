@@ -2745,3 +2745,67 @@ def scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "last_seen",
     )
+
+
+@register(
+    "dq_cross_table_rule",
+    oracle="""
+    WITH j AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ship_before_order,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate
+                         AND l_shipdate < o_orderdate + INTERVAL 180 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_in_sla,
+           CAST(SUM(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 180 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM j GROUP BY yr
+    """,
+)
+def dq_cross_table_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE integrity rule (ship date must fall within
+    [order date, order date + 180d)) — the class of constraint
+    single-table profilers (dq_profile, dq_expectations) cannot
+    check because it lives on the JOIN. Violations bucketed by year
+    so a regression pins itself to the load that introduced it. One
+    key-partitioned join (the same shuffle any o⋈l query pays) +
+    conditional counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        "l_shipdate",
+        "o_orderdate",
+    )
+    before = F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(
+        0
+    )
+    in_sla = F.when(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 180 DAY")
+        ),
+        1,
+    ).otherwise(0)
+    late = F.when(
+        F.col("l_shipdate")
+        >= F.col("o_orderdate") + F.expr("INTERVAL 180 DAY"),
+        1,
+    ).otherwise(0)
+    return j.groupBy("yr").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(before).alias("n_ship_before_order"),
+        F.sum(in_sla).alias("n_in_sla"),
+        F.sum(late).alias("n_late"),
+    )

@@ -2484,3 +2484,84 @@ def fn_array_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         same_sign.alias("n_same_sign"),
         dominant.alias("n_a_dominant"),
     )
+
+
+@register(
+    "fn_slug_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(
+               substr(text, 1, 40)),
+               '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g')) AS slug,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(
+               substr(text, 1, 40)),
+               '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g'))) AS INT)
+               AS slug_len
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def fn_slug_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-slug normalization (lowercase, non-alphanumeric runs
+    collapsed to single hyphens, edge hyphens trimmed) of document
+    title prefixes — the canonical-id primitive for content URLs
+    and file names. Pure lower/regexp/trim chain with character-
+    class-only patterns (both engines' regex dialects agree on
+    classes and anchors; avoid lookarounds/unicode properties,
+    which they do not share). Shuffle-free projection.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300
+    )
+    slug = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.substring("text", 1, 40)), "[^a-z0-9]+", "-"
+            ),
+            "^-+|-+$",
+            "",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        slug.alias("slug"),
+        F.length(slug).cast("int").alias("slug_len"),
+    )
+
+
+@register(
+    "sql_generate_series",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(range(0, 24)) AS hod
+    ),
+    actual AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT CAST(s.hod AS BIGINT) AS hod,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_purchases
+    FROM spine s LEFT JOIN actual a ON a.hod = s.hod
+    """,
+)
+def sql_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated integer series as a dimension spine (all 24 hours
+    LEFT JOINed against observed purchase hours) — the zero-filled
+    axis every report needs so empty hours show as 0, not as
+    missing rows. Spark's twin of DuckDB range() is
+    spark.range()/sequence(); the spine is a LocalRelation-sized
+    broadcast, never a shuffle. (ts_gapfill does this for dates
+    with interpolation; this is the minimal integer-series surface.)
+    """
+    spine = spark.range(24).select(F.col("id").alias("hod"))
+    actual = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return spine.join(actual, "hod", "left").select(
+        "hod",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_purchases"),
+    )

@@ -3479,3 +3479,46 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ya").alias("n_y"),
         dtw.alias("dtw_usd"),
     )
+
+
+@register(
+    "ts_calendar_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 % 7
+                    AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n FROM cells)
+    SELECT c.dow, c.hod, c.n_events,
+           CAST(c.n_events * 1000000 // t.n AS BIGINT) AS share_ppm
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with exact ppm
+    shares — the 168-cell load profile behind capacity planning and
+    anomaly baselines. Weekday comes from EPOCH-DAYS % 7, not the
+    engines' dayofweek() (their numbering conventions differ —
+    CLAUDE.md); shares are integer floor divisions. One partial-agg
+    shuffle onto at most 168 cells, then a broadcast total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr(
+            "CAST(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400 % 7 AS INT)"
+        ).alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.expr("CAST(n_events * 1000000 div n AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

@@ -42,7 +42,11 @@ def test_query_runs_on_empty_inputs(spark, empty_sf_dir, name):
     # Executing must not throw. Row-count sanity: per-row operators
     # yield 0; only data-independent outputs survive — global/labeled
     # aggregates (1-2 rows), static band/table enumerations
-    # (join_theta_range 5, scan_parquet 10, seq_explode 20). Anything
-    # larger means rows were fabricated from nothing.
+    # (join_theta_range 5, scan_parquet 10, seq_explode 20,
+    # sql_generate_series' 24-hour spine — which EXISTS to emit the
+    # zero-filled axis when data is absent). Anything larger means
+    # rows were fabricated from nothing.
+    static_caps = {"sql_generate_series": 24}
+    cap = static_caps.get(name, 20)
     n = empty_df.count()
-    assert n <= 20, f"{name} produced {n} rows from nothing"
+    assert n <= cap, f"{name} produced {n} rows from nothing"
