@@ -2515,3 +2515,260 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH """ + _EDGES_SQL + """,
+    und AS MATERIALIZED (
+        SELECT p1 AS u, p2 AS v FROM edges
+        UNION ALL SELECT p2 AS u, p1 AS v FROM edges
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS lab FROM und
+    ),
+    l1 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l0 l JOIN und e ON e.u = l.node
+        JOIN l0 n ON n.node = e.v
+        GROUP BY l.node
+    ),
+    l2 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l1 l JOIN und e ON e.u = l.node
+        JOIN l1 n ON n.node = e.v
+        GROUP BY l.node
+    ),
+    l3 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l2 l JOIN und e ON e.u = l.node
+        JOIN l2 n ON n.node = e.v
+        GROUP BY l.node
+    ),
+    l4 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l3 l JOIN und e ON e.u = l.node
+        JOIN l3 n ON n.node = e.v
+        GROUP BY l.node
+    ),
+    l5 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l4 l JOIN und e ON e.u = l.node
+        JOIN l4 n ON n.node = e.v
+        GROUP BY l.node
+    ),
+    l6 AS MATERIALIZED (
+        SELECT l.node, LEAST(MIN(l.lab), MIN(n.lab)) AS lab
+        FROM l5 l JOIN und e ON e.u = l.node
+        JOIN l5 n ON n.node = e.v
+        GROUP BY l.node
+    )
+    SELECT CAST(lab AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM l6 GROUP BY lab
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph by min-label
+    propagation: every node starts labelled with its own id, and each
+    round takes the min of its label and its neighbours' labels. Six
+    rounds, UNROLLED identically on both engines (the graph_kcore
+    pattern — DuckDB recursive CTEs cannot re-aggregate, so the
+    oracle chains six MATERIALIZED stages); a unit test pins the
+    fixed point (a seventh round changes nothing on the fixture).
+    Output is the component summary — id (min member), size, and the
+    member id range.
+
+    Scale: each round is one neighbour join + one min aggregation,
+    both hash-partitioned on node id — the standard BSP/Pregel CC
+    step expressed as DataFrame ops; localCheckpoint keeps lineage
+    flat so the plan does not grow exponentially with rounds.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint()
+    lab = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint()
+    for _ in range(6):
+        nbr = (
+            lab.join(und, lab.node == und.u)
+            .join(
+                lab.select(
+                    F.col("node").alias("vnode"), F.col("lab").alias("vlab")
+                ),
+                F.col("v") == F.col("vnode"),
+            )
+            .groupBy("node")
+            .agg(F.least(F.min("lab"), F.min("vlab")).alias("lab"))
+        )
+        lab = nbr.localCheckpoint()
+    return lab.groupBy(F.col("lab").alias("component")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+@register(
+    "graph_resource_allocation",
+    oracle="""
+    WITH """ + _EDGES_SQL + """,
+    und AS MATERIALIZED (
+        SELECT p1 AS u, p2 AS v FROM edges
+        UNION ALL SELECT p2 AS u, p1 AS v FROM edges
+    ),
+    deg AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    wedge AS (
+        SELECT a.u AS x, b.v AS y, a.v AS z
+        FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+    ),
+    scored AS (
+        SELECT w.x, w.y,
+               CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+               CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_ppm
+        FROM wedge w JOIN deg dz ON dz.u = w.z
+        GROUP BY w.x, w.y
+    )
+    SELECT s.x, s.y, s.common_nbrs, s.ra_ppm,
+           CASE WHEN e.p1 IS NOT NULL THEN 1 ELSE 0 END AS is_edge
+    FROM scored s
+    LEFT JOIN edges e ON e.p1 = s.x AND e.p2 = s.y
+    WHERE s.ra_ppm >= 200000
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou/Lü/Zhang):
+    RA(x,y) = Σ_z 1/deg(z) over common neighbours z — the strongest
+    of the simple local similarity indices. 1/deg is an INTEGER ppm
+    floor-division (positive operands, so Spark div == DuckDB //) so
+    the sum is exact; candidate pairs come from the wedge join
+    (x-z-y, x<y) and carry an is_edge flag so the non-edge rows are
+    the actual predictions. Thresholded at 0.2 to keep output at the
+    interesting end.
+
+    Scale: the wedge join shuffles the doubled edge list on the
+    middle node — the same distributed pattern as triangle counting;
+    degree lookup broadcasts at dim size.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    a = und.alias("a")
+    b = und.alias("b")
+    wedge = a.join(
+        b,
+        (F.col("a.v") == F.col("b.u")) & (F.col("a.u") < F.col("b.v")),
+    ).select(
+        F.col("a.u").alias("x"), F.col("b.v").alias("y"),
+        F.col("a.v").alias("z"),
+    )
+    scored = (
+        wedge.join(deg.select(F.col("u").alias("z"), "d"), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("common_nbrs"),
+            F.sum(F.expr("1000000 div d")).alias("ra_ppm"),
+        )
+    )
+    return (
+        scored.join(
+            edges.select(
+                F.col("p1").alias("x"), F.col("p2").alias("y"),
+                F.lit(1).alias("hit"),
+            ),
+            ["x", "y"],
+            "left",
+        )
+        .where(F.col("ra_ppm") >= 200000)
+        .select(
+            "x",
+            "y",
+            "common_nbrs",
+            "ra_ppm",
+            F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("is_edge"),
+        )
+    )
+
+
+@register(
+    "graph_edge_reciprocity",
+    oracle="""
+    WITH seq AS (
+        SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+    ),
+    dir_edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM seq a
+        JOIN seq b ON a.l_orderkey = b.l_orderkey
+                  AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_partkey != b.l_partkey
+    ),
+    marked AS (
+        SELECT e.src, e.dst,
+               CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+        FROM dir_edges e
+        LEFT JOIN dir_edges r ON r.src = e.dst AND r.dst = e.src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(recip) AS BIGINT) AS n_reciprocal,
+           CAST(SUM(recip) * 1000000 // COUNT(*) AS BIGINT)
+               AS reciprocity_ppm
+    FROM marked
+    """,
+)
+def graph_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED line-sequence graph (part at line
+    i -> part at line i+1 within an order): the fraction of directed
+    edges whose reverse edge also exists — the standard directed-
+    graph cohesion measure. Distinct edges, a self anti/equi join on
+    the reversed key, and an integer ppm ratio; no floats anywhere.
+
+    Scale: the sequential pair join is key-partitioned on
+    l_orderkey (co-partitioned with the fact table); the reverse
+    lookup shuffles the DISTINCT edge list only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    dir_edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    rev = dir_edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("hit"),
+    )
+    marked = dir_edges.join(rev, ["src", "dst"], "left").select(
+        F.when(F.col("hit").isNotNull(), 1).otherwise(0).alias("recip")
+    )
+    return marked.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("recip").alias("n_reciprocal"),
+        F.expr(
+            "CAST(SUM(recip) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("reciprocity_ppm"),
+    )

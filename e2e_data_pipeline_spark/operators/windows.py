@@ -1431,3 +1431,343 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
         ).alias("atr14_usd"),
     )
+
+
+@register(
+    "win_donchian",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    chan AS (
+        SELECT d, close,
+               CAST(MAX(hi) OVER w AS BIGINT) AS upper_c,
+               CAST(MIN(lo) OVER w AS BIGINT) AS lower_c,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           close, upper_c, lower_c,
+           CAST((upper_c + lower_c - ((upper_c + lower_c) % 2 + 2) % 2)
+                // 2 AS BIGINT) AS mid_c,
+           CASE WHEN close > upper_c THEN 1
+                WHEN close < lower_c THEN -1 ELSE 0 END AS breakout
+    FROM chan WHERE n = 20
+    ORDER BY day
+    """,
+)
+def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Donchian channel with breakout signal: upper = rolling
+    max of the PRIOR 20 highs (current bar excluded, the classic
+    turtle-trader rule), lower = rolling min, mid = floor-mean, and
+    breakout = sign of the close vs the channel. All channel math is
+    int64 cents (exact); the mid uses the portable floor-div identity
+    ``(a - pmod(a, 2)) div 2`` so negative-safe semantics match
+    DuckDB's flooring ``//``.
+
+    Scale: day-grain after a partial min/max/sum aggregation — the
+    window frame is calendar-bounded, never fact-row-bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    w = Window.orderBy("d").rowsBetween(-20, -1)
+    chan = daily.select(
+        "d",
+        "close",
+        F.max("hi").over(w).alias("upper_c"),
+        F.min("lo").over(w).alias("lower_c"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 20)
+    tot = F.col("upper_c") + F.col("lower_c")
+    return chan.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "close",
+        "upper_c",
+        "lower_c",
+        ((tot - F.pmod(tot, F.lit(2))) / F.lit(2)).cast("long").alias("mid_c"),
+        F.when(F.col("close") > F.col("upper_c"), 1)
+        .when(F.col("close") < F.col("lower_c"), -1)
+        .otherwise(0)
+        .alias("breakout"),
+    ).orderBy("day")
+
+
+@register(
+    "win_stochastic_osc",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    rng AS (
+        SELECT d, close,
+               CAST(MAX(hi) OVER w AS BIGINT) AS hh,
+               CAST(MIN(lo) OVER w AS BIGINT) AS ll,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT d, close, hh, ll,
+               CAST((close - ll) * 10000 // NULLIF(hh - ll, 0) AS BIGINT)
+                   AS k_bp
+        FROM rng WHERE n = 14
+    ),
+    kd AS (
+        SELECT d, close, k_bp,
+               CAST(SUM(k_bp) OVER v AS BIGINT) AS s3,
+               CAST(COUNT(k_bp) OVER v AS BIGINT) AS n3
+        FROM k
+        WINDOW v AS (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, close, k_bp,
+           CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) / 100.0 AS d_pct
+    FROM kd WHERE n3 = 3 AND k_bp IS NOT NULL
+    ORDER BY day
+    """,
+)
+def win_stochastic_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over 14-day synthesized bars. %K is
+    kept as INTEGER basis points — ``(close - ll) * 10000 div
+    (hh - ll)`` with all-positive operands, where Spark's truncating
+    ``div`` equals DuckDB's flooring ``//`` — so the 3-day %D smoothing
+    sums exact integers; the only float op is the final division pair
+    (fixed order, portable bits).
+
+    Scale: day-grain; fact-table work is one partial aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    rng = daily.select(
+        "d",
+        "close",
+        F.max("hi").over(w).alias("hh"),
+        F.min("lo").over(w).alias("ll"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    k = rng.select(
+        "d",
+        "close",
+        F.expr(
+            "CAST((close - ll) * 10000 div NULLIF(hh - ll, 0) AS BIGINT)"
+        ).alias("k_bp"),
+    )
+    v = Window.orderBy("d").rowsBetween(-2, 0)
+    kd = (
+        k.select(
+            "d",
+            "close",
+            "k_bp",
+            F.sum("k_bp").over(v).alias("s3"),
+            F.count("k_bp").over(v).alias("n3"),
+        )
+        .where((F.col("n3") == 3) & F.col("k_bp").isNotNull())
+    )
+    return kd.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "close",
+        "k_bp",
+        (F.col("s3").cast("double") / F.col("n3").cast("double") / F.lit(100.0)).alias(
+            "d_pct"
+        ),
+    ).orderBy("day")
+
+
+@register(
+    "win_aroon",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT d, hi, lo,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+    ),
+    arg AS (
+        SELECT d, rn,
+               CAST(MAX(hi * 100000 + rn) OVER w AS BIGINT) AS hi_arg,
+               CAST(MIN(lo * 100000 + (100000 - rn)) OVER w AS BIGINT)
+                   AS lo_arg,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM seq
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(4 * (25 - (rn - hi_arg % 100000)) AS BIGINT) AS aroon_up,
+           CAST(4 * (25 - (rn - (100000 - lo_arg % 100000))) AS BIGINT)
+               AS aroon_down
+    FROM arg WHERE n = 25
+    ORDER BY day
+    """,
+)
+def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-day Aroon indicator: 100 * (25 - days since the 25-day
+    high) / 25 (and the low twin). days-since is recovered by an
+    integer argmax trick — ``max(hi * 100000 + rn)`` packs the row
+    number into the low digits so ties break toward the most RECENT
+    bar (the standard Aroon convention), and ``% 100000`` unpacks it;
+    the low side packs ``lo * 100000 + (100000 - rn)`` — positive, so
+    ``%`` agrees across engines — for the same recency tiebreak under
+    MIN. 100/25 = 4 keeps the score an exact
+    integer, so the whole operator is int64 end-to-end (rn < 100000
+    bounds day-grain data for centuries; hi cents * 1e5 < 2^63).
+
+    Scale: day-grain calendar-bounded window after a partial agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(F.max(cents).alias("hi"), F.min(cents).alias("lo"))
+    seq = daily.select(
+        "d",
+        "hi",
+        "lo",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
+    )
+    w = Window.orderBy("d").rowsBetween(-24, 0)
+    arg = seq.select(
+        "d",
+        "rn",
+        F.max(F.col("hi") * 100000 + F.col("rn")).over(w).alias("hi_arg"),
+        F.min(F.col("lo") * 100000 + (100000 - F.col("rn")))
+        .over(w)
+        .alias("lo_arg"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 25)
+    return arg.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (4 * (25 - (F.col("rn") - F.col("hi_arg") % 100000)))
+        .cast("long")
+        .alias("aroon_up"),
+        (4 * (25 - (F.col("rn") - (100000 - F.col("lo_arg") % 100000))))
+        .cast("long")
+        .alias("aroon_down"),
+    ).orderBy("day")
+
+
+@register(
+    "win_ulcer_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    dd AS (
+        SELECT d, close,
+               CAST(MAX(close) OVER w AS BIGINT) AS peak,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    sq AS (
+        SELECT d, close, peak, n,
+               CAST((peak - close) * 10000 // peak AS BIGINT) AS dd_bp
+        FROM dd WHERE n = 14
+    ),
+    roll AS (
+        SELECT d, close, dd_bp,
+               CAST(SUM(dd_bp * dd_bp) OVER v AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER v AS BIGINT) AS m
+        FROM sq
+        WINDOW v AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, close, dd_bp,
+           sqrt(CAST(ss AS DOUBLE) / CAST(m AS DOUBLE)) / 100.0
+               AS ulcer_pct
+    FROM roll WHERE m = 14
+    ORDER BY day
+    """,
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Ulcer Index — RMS of the percentage drawdown from the
+    rolling peak, the downside-only volatility measure. Drawdowns are
+    INTEGER basis points (``(peak - close) * 10000 div peak``, all
+    positive so truncation == flooring), their squares sum exactly in
+    int64 (max 1e8 per bar * 14), and the final ``sqrt(ss/m)/100`` is
+    a fixed three-step double chain — division, sqrt (IEEE
+    correctly-rounded in both engines), division — hence bit-portable.
+
+    Scale: day-grain; two stacked calendar-bounded windows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close")
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    dd = daily.select(
+        "d",
+        "close",
+        F.max("close").over(w).alias("peak"),
+        F.count("*").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    sq = dd.select(
+        "d",
+        "close",
+        F.expr("CAST((peak - close) * 10000 div peak AS BIGINT)").alias("dd_bp"),
+    )
+    v = Window.orderBy("d").rowsBetween(-13, 0)
+    roll = sq.select(
+        "d",
+        "close",
+        "dd_bp",
+        F.sum(F.col("dd_bp") * F.col("dd_bp")).over(v).alias("ss"),
+        F.count("*").over(v).alias("m"),
+    ).where(F.col("m") == 14)
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "close",
+        "dd_bp",
+        (
+            F.sqrt(F.col("ss").cast("double") / F.col("m").cast("double"))
+            / F.lit(100.0)
+        ).alias("ulcer_pct"),
+    ).orderBy("day")

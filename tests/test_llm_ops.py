@@ -417,3 +417,44 @@ def test_dbscan_clusters_are_disjoint_and_dense(spark):
         assert npts >= 8 * nc  # every member cell met the density bar
     for (_, hi_prev, _, _), (lo_next, _, _, _) in zip(spans, spans[1:]):
         assert lo_next > hi_prev + 1  # adjacent dense cells would have merged
+
+
+def test_connected_components_reaches_fixed_point(spark):
+    """graph_connected_components' 6 unrolled propagation rounds must
+    CONVERGE on the fixture: a seventh min-label round changes no
+    label (the docstring's promise), so the component summary is the
+    true fixed point, not a truncated iteration."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.operators.llm_dedup import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint()
+    lab = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    snapshots = []
+    for _ in range(7):
+        lab = (
+            lab.join(und, lab.node == und.u)
+            .join(
+                lab.select(
+                    F.col("node").alias("vnode"), F.col("lab").alias("vlab")
+                ),
+                F.col("v") == F.col("vnode"),
+            )
+            .groupBy("node")
+            .agg(F.least(F.min("lab"), F.min("vlab")).alias("lab"))
+            .localCheckpoint()
+        )
+        snapshots.append({(r.node, r.lab) for r in lab.collect()})
+    assert snapshots[5] == snapshots[6], "6 rounds did not converge"
