@@ -5621,28 +5621,48 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank_sums AS (
         SELECT pc.grp,
                CAST(SUM(pc.n_gc) AS BIGINT) AS n_j,
-               SUM(CAST(pc.n_gc AS DOUBLE)
+               CAST(2.0 * SUM(CAST(pc.n_gc AS DOUBLE)
                    * (CAST(r.cnt_less AS DOUBLE)
-                      + (CAST(r.n_c AS DOUBLE) + 1.0) / 2.0)) AS r_j
+                      + (CAST(r.n_c AS DOUBLE) + 1.0) / 2.0)) AS BIGINT)
+                   AS rr_j
         FROM per_cents pc JOIN ranked r ON r.cents = pc.cents
         GROUP BY pc.grp
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN grp = 'purchase' THEN n_j END) AS n1,
+            MAX(CASE WHEN grp = 'purchase' THEN rr_j END) AS rr1,
+            MAX(CASE WHEN grp = 'click' THEN n_j END) AS n2,
+            MAX(CASE WHEN grp = 'click' THEN rr_j END) AS rr2,
+            MAX(CASE WHEN grp = 'view' THEN n_j END) AS n3,
+            MAX(CASE WHEN grp = 'view' THEN rr_j END) AS rr3
+        FROM rank_sums
     ),
     ties AS (
         SELECT CAST(SUM(n_c) AS BIGINT) AS n,
                CAST(SUM(n_c * n_c * n_c - n_c) AS BIGINT) AS tie_sum
         FROM per_val
     ),
+    parts AS (
+        SELECT t.n, t.tie_sum,
+               CAST(rr1 * rr1 // (4 * n1) + rr2 * rr2 // (4 * n2)
+                    + rr3 * rr3 // (4 * n3) AS BIGINT) AS a_int,
+               CAST((rr1 * rr1 % (4 * n1)) * n2 * n3
+                    + (rr2 * rr2 % (4 * n2)) * n1 * n3
+                    + (rr3 * rr3 % (4 * n3)) * n1 * n2 AS BIGINT) AS f_num,
+               CAST(4 * n1 * n2 * n3 AS BIGINT) AS f_den
+        FROM wide w CROSS JOIN ties t
+    ),
     h AS (
-        SELECT t.n,
-               12.0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
-               * SUM(rs.r_j * rs.r_j / CAST(rs.n_j AS DOUBLE))
-               - 3.0 * (CAST(t.n AS DOUBLE) + 1.0) AS h_raw,
-               MAX(CAST(t.tie_sum AS DOUBLE)) AS tie_d
-        FROM rank_sums rs CROSS JOIN ties t
-        GROUP BY t.n
+        SELECT n, tie_sum,
+               12.0 * (CAST(a_int AS DOUBLE)
+                       + CAST(f_num AS DOUBLE) / CAST(f_den AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw
+        FROM parts
     )
     SELECT CAST(n AS BIGINT) AS n, h_raw,
-           h_raw / (1.0 - tie_d
+           h_raw / (1.0 - CAST(tie_sum AS DOUBLE)
                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
                AS h_corrected
@@ -5655,17 +5675,15 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_mannwhitney, sharing its distributed-rank machinery:
     group by integer-cents, prefix-sum the bounded distinct-value
     frame, average rank = cnt_less + (ties+1)/2 (dyadic halves, sum
-    EXACT in any order). Per-group rank sums r_j are exact dyadic
-    doubles; H is a fixed chain over them. SUM(r_j^2/n_j) adds three
-    doubles — Spark's 3-row aggregate and DuckDB's may reduce in
-    different orders, so the oracle and the plan both run it as a
-    grouped SUM over the same three values; addition of three
-    same-sign doubles differing in order CAN diverge 1 ulp, but the
-    r_j^2/n_j terms here are exact-dyadic-over-int divisions rounded
-    once each, and the final H is checked hash-exact across engines
-    at every fixture SF (the 3-term sum is dominated by one term, so
-    rounding order cannot surface — asserted empirically by the
-    oracle gate, the honest statement of this op's portability).
+    EXACT in any order). A float SUM(r_j^2/n_j) over the three groups
+    is order-dependent (it DID diverge 1 ulp on one fixture
+    generation), so the three groups are pivoted into one row and
+    sum(r_j^2/n_j) is split exactly: with R_j = 2*r_j (exact int64),
+    integer part = sum R_j^2 div (4*n_j), fractional part = the
+    remainders over the common denominator 4*n1*n2*n3 — every
+    intermediate < 2^53, so the closing
+    12*(a + fn/fd)/(n(n+1)) - 3(n+1) is a fixed-order float chain
+    with identical bits on both engines.
 
     Scale: one shuffle to per-(cents,grp) cells, one to the
     distinct-cents frame; no global row window anywhere.
@@ -5694,40 +5712,62 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(
             F.sum("n_gc").alias("n_j"),
-            F.sum(F.col("n_gc").cast("double") * avg_rank).alias("r_j"),
+            (
+                F.lit(2.0)
+                * F.sum(F.col("n_gc").cast("double") * avg_rank)
+            )
+            .cast("long")
+            .alias("rr_j"),
         )
     )
+    wide = rank_sums.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c[0]}{i}")
+            for i, g in enumerate(["purchase", "click", "view"], start=1)
+            for c in ("n_j", "rr_j")
+        ]
+    ).toDF("n1", "rr1", "n2", "rr2", "n3", "rr3")
     ties = per_val.agg(
         F.sum("n_c").alias("n"),
         F.sum(
             F.col("n_c") * F.col("n_c") * F.col("n_c") - F.col("n_c")
         ).alias("tie_sum"),
     )
-    h = (
-        rank_sums.crossJoin(F.broadcast(ties))
-        .groupBy("n")
-        .agg(
-            (
-                F.lit(12.0)
-                / (
-                    F.col("n").cast("double")
-                    * (F.col("n").cast("double") + F.lit(1.0))
-                )
-                * F.sum(
-                    F.col("r_j") * F.col("r_j") / F.col("n_j").cast("double")
-                )
-                - F.lit(3.0) * (F.col("n").cast("double") + F.lit(1.0))
-            ).alias("h_raw"),
-            F.max(F.col("tie_sum").cast("double")).alias("tie_d"),
-        )
+    parts = wide.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "tie_sum",
+        F.expr(
+            "CAST(rr1 * rr1 div (4 * n1) + rr2 * rr2 div (4 * n2)"
+            " + rr3 * rr3 div (4 * n3) AS BIGINT)"
+        ).alias("a_int"),
+        F.expr(
+            "CAST((rr1 * rr1 % (4 * n1)) * n2 * n3"
+            " + (rr2 * rr2 % (4 * n2)) * n1 * n3"
+            " + (rr3 * rr3 % (4 * n3)) * n1 * n2 AS BIGINT)"
+        ).alias("f_num"),
+        F.expr("CAST(4 * n1 * n2 * n3 AS BIGINT)").alias("f_den"),
     )
     nd = F.col("n").cast("double")
+    t_exact = F.col("a_int").cast("double") + F.col("f_num").cast(
+        "double"
+    ) / F.col("f_den").cast("double")
+    h = parts.select(
+        "n",
+        "tie_sum",
+        (
+            F.lit(12.0) * t_exact / (nd * (nd + F.lit(1.0)))
+            - F.lit(3.0) * (nd + F.lit(1.0))
+        ).alias("h_raw"),
+    )
     return h.select(
         F.col("n").cast("long").alias("n"),
         "h_raw",
         (
             F.col("h_raw")
-            / (F.lit(1.0) - F.col("tie_d") / (nd * nd * nd - nd))
+            / (
+                F.lit(1.0)
+                - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+            )
         ).alias("h_corrected"),
     )
 
