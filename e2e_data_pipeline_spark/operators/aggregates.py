@@ -7034,3 +7034,98 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         / nd
     )
     return tot.select("n", "r", z.alias("z_trend"))
+
+
+@register(
+    "ml_one_rule",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(month(o_orderdate) AS VARCHAR) AS mth,
+               CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         > 15000000 THEN 1 ELSE 0 END AS hi
+        FROM orders
+    ),
+    melted AS (
+        SELECT 'status' AS feature, o_orderstatus AS val, hi FROM base
+        UNION ALL
+        SELECT 'priority' AS feature, o_orderpriority AS val, hi FROM base
+        UNION ALL
+        SELECT 'month' AS feature, mth AS val, hi FROM base
+    ),
+    cells AS (
+        SELECT feature, val, hi, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM melted GROUP BY feature, val, hi
+    ),
+    per_value AS (
+        SELECT feature, val,
+               CAST(MAX(cnt) AS BIGINT) AS correct,
+               CAST(SUM(cnt) AS BIGINT) AS total
+        FROM cells GROUP BY feature, val
+    ),
+    per_feature AS (
+        SELECT feature,
+               CAST(SUM(correct) AS BIGINT) AS n_correct,
+               CAST(SUM(total) AS BIGINT) AS n_total
+        FROM per_value GROUP BY feature
+    )
+    SELECT feature, n_correct, n_total,
+           CAST((n_total - n_correct) * 1000000 // n_total AS BIGINT)
+               AS error_ppm,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY (n_total - n_correct) * 1000000 // n_total,
+                        feature) AS BIGINT) AS rnk
+    FROM per_feature
+    """,
+)
+def ml_one_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OneR baseline classifier (Holte 1993): for each candidate
+    categorical feature (order status, priority, order month) predict
+    the high-value label (> $150k) by the per-value majority class;
+    the feature with the lowest total error wins. The majority-class
+    correct count per value is just MAX(cnt) over the (feature,
+    value, label) cells, so the whole model fit is two integer
+    aggregations and an error ppm floor-division — the sanity
+    baseline every fancier model (ml_decision_stump, ml_naive_bayes)
+    must beat.
+
+    Scale: one melt projection (3x fan-out) + two partial-agg
+    shuffles over bounded-cardinality cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.month("o_orderdate").cast("string").alias("mth"),
+        F.when(
+            F.round(F.col("o_totalprice") * 100).cast("long") > 15000000, 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+    )
+    melted = base.selectExpr(
+        "stack(3, 'status', o_orderstatus, 'priority', o_orderpriority,"
+        " 'month', mth) AS (feature, val)",
+        "hi",
+    )
+    cells = melted.groupBy("feature", "val", "hi").agg(
+        F.count("*").alias("cnt")
+    )
+    per_value = cells.groupBy("feature", "val").agg(
+        F.max("cnt").alias("correct"), F.sum("cnt").alias("total")
+    )
+    per_feature = per_value.groupBy("feature").agg(
+        F.sum("correct").alias("n_correct"),
+        F.sum("total").alias("n_total"),
+    )
+    err = F.expr("(n_total - n_correct) * 1000000 div n_total")
+    return per_feature.select(
+        "feature",
+        "n_correct",
+        "n_total",
+        err.cast("long").alias("error_ppm"),
+        F.row_number()
+        .over(Window.orderBy(err, "feature"))
+        .cast("long")
+        .alias("rnk"),
+    )

@@ -1334,3 +1334,143 @@ def ml_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cell_lo").cast("double") / F.lit(20.0)).alias("lo"),
         ((F.col("cell_hi") + 1).cast("double") / F.lit(20.0)).alias("hi"),
     )
+
+
+@register(
+    "ml_eval_rank_metrics",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {{nq}}
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, rel,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 10
+    ),
+    runs AS (
+        SELECT query_id, rel, rnk,
+               CAST(SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS relcnt
+        FROM topk
+    ),
+    agg AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS n_rel10,
+               CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT)
+                   AS first_rel_rank,
+               CAST(SUM(CASE WHEN rel = 1
+                             THEN relcnt * (2520 // rnk) ELSE 0 END)
+                    AS BIGINT) AS ap_num
+        FROM runs GROUP BY query_id
+    )
+    SELECT query_id, n_rel10, first_rel_rank,
+           CASE WHEN first_rel_rank IS NULL THEN 0.0
+                ELSE CAST(2520 // first_rel_rank AS DOUBLE) / 2520.0
+           END AS rr,
+           CASE WHEN n_rel10 = 0 THEN NULL
+                ELSE CAST(ap_num AS DOUBLE) / 2520.0
+                     / CAST(n_rel10 AS DOUBLE)
+           END AS ap10
+    FROM agg
+    """.replace("{nq}", str(N_QUERIES)),
+)
+def ml_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and MAP@10 for the dense-retrieval ranking — the two
+    rank-position evals ml_eval_ndcg doesn't cover, computed EXACTLY
+    (not fixed-point): every reciprocal 1/r for r <= 10 is expressed
+    in units of 1/2520 (lcm(1..10)), so ``2520 div r`` is an exact
+    integer, running precision numerators relcnt*(2520/r) sum exactly
+    in int64, and the closing /2520.0 /n divisions are a fixed-order
+    float chain — identical bits on both engines. rr = 0.0 when no
+    relevant neighbour lands in the top 10 (the MRR convention); AP
+    normalizes by relevant-retrieved (the @k variant), NULL when
+    none.
+
+    Scale: same broadcast-query crossJoin + per-query top-k
+    (WindowGroupLimit) as the sim_* family — corpus-linear.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cosine = F.round(
+        dot(F.col("c_emb"), F.col("q_emb"))
+        / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("c_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            cosine.alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id").asc()
+    )
+    topk = scored.select(
+        "*", F.row_number().over(wr).cast("long").alias("rnk")
+    ).where(F.col("rnk") <= 10)
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = topk.select(
+        "query_id",
+        "rel",
+        "rnk",
+        F.sum("rel").over(wrun).cast("long").alias("relcnt"),
+    )
+    agg = runs.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("relcnt") * F.expr("2520 div rnk"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_num"),
+    )
+    return agg.select(
+        "query_id",
+        "n_rel10",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(
+            F.expr("CAST(2520 div first_rel_rank AS DOUBLE)") / F.lit(2520.0)
+        )
+        .alias("rr"),
+        F.when(F.col("n_rel10") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("ap_num").cast("double")
+            / F.lit(2520.0)
+            / F.col("n_rel10").cast("double")
+        )
+        .alias("ap10"),
+    )

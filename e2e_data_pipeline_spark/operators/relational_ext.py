@@ -2809,3 +2809,108 @@ def dq_cross_table_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_sla).alias("n_in_sla"),
         F.sum(late).alias("n_late"),
     )
+
+
+@register(
+    "ml_apriori_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    item_cnt AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM items GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey != b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.ant, p.cons, p.n_ab,
+           CAST(p.n_ab * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+           CAST(p.n_ab * 1000000 // ca.cnt AS BIGINT) AS confidence_ppm,
+           CAST(CAST(p.n_ab AS HUGEINT) * n.n_orders * 1000000
+                // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item_cnt ca ON ca.l_partkey = p.ant
+    JOIN item_cnt cb ON cb.l_partkey = p.cons
+    CROSS JOIN n
+    WHERE p.n_ab * 1000000 // ca.cnt >= 100000
+    """,
+)
+def ml_apriori_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A -> B from order baskets — the
+    Apriori output agg_basket_affinity (undirected pair ranking)
+    doesn't give: per-rule support, CONFIDENCE n_ab/n_a, and lift,
+    pruned at min-support 3 orders and min-confidence 10%. All three
+    ratios are integer ppm floor-divisions (positive ⇒ Spark div ==
+    DuckDB //); lift's n_ab·N·1e6 product is widened to DECIMAL(38)
+    / HUGEINT before the division — Spark's decimal div returns
+    BIGINT and matches DuckDB exactly on positive operands — so no
+    int64 overflow at any corpus size.
+
+    Scale: pair generation is keyed on l_orderkey (basket size
+    bounded at 7 lines ⇒ O(n·42)); item counts join at part-dim
+    size; the support filter keeps the rule list sparse.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ant"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    return (
+        pair.join(
+            item_cnt.select(
+                F.col("l_partkey").alias("ant"), F.col("cnt").alias("cnt_a")
+            ),
+            "ant",
+        )
+        .join(
+            item_cnt.select(
+                F.col("l_partkey").alias("cons"), F.col("cnt").alias("cnt_b")
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.expr("n_ab * 1000000 div cnt_a >= 100000"))
+        .select(
+            "ant",
+            "cons",
+            "n_ab",
+            F.expr("CAST(n_ab * 1000000 div n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_ab * 1000000 div cnt_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (cnt_a * cnt_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
