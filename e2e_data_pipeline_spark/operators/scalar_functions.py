@@ -2565,3 +2565,205 @@ def sql_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_purchases"),
     )
+
+
+@register(
+    "fn_geohash",
+    oracle="""
+    WITH geo AS (
+        SELECT s_suppkey AS k,
+               (s_suppkey * 7919) % 18000 - 9000 AS lat_c,
+               (s_suppkey * 104729) % 36000 - 18000 AS lon_c
+        FROM supplier
+    ),
+    q AS (
+        SELECT k, lat_c, lon_c,
+               CAST((lat_c + 9000) * 32768 // 18000 AS BIGINT) AS ylat,
+               CAST((lon_c + 18000) * 32768 // 36000 AS BIGINT) AS xlon
+        FROM geo
+    ),
+    sp1 AS (SELECT *, ((ylat | (ylat << 8)) & 16711935) AS y1,
+                      ((xlon | (xlon << 8)) & 16711935) AS x1 FROM q),
+    sp2 AS (SELECT *, ((y1 | (y1 << 4)) & 252645135) AS y2,
+                      ((x1 | (x1 << 4)) & 252645135) AS x2 FROM sp1),
+    sp3 AS (SELECT *, ((y2 | (y2 << 2)) & 858993459) AS y3,
+                      ((x2 | (x2 << 2)) & 858993459) AS x3 FROM sp2),
+    sp4 AS (SELECT *, ((y3 | (y3 << 1)) & 1431655765) AS y4,
+                      ((x3 | (x3 << 1)) & 1431655765) AS x4 FROM sp3),
+    z AS (SELECT k, lat_c, lon_c, CAST((x4 << 1) | y4 AS BIGINT) AS morton
+          FROM sp4)
+    SELECT k AS suppkey, lat_c, lon_c, morton,
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton // 33554432 % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton // 1048576 % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton // 32768 % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton // 1024 % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton // 32 % 32 AS INT) + 1, 1) ||
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  CAST(morton % 32 AS INT) + 1, 1) AS geohash6
+    FROM z
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-character geohash from scratch — quantize lat/lon (synthetic
+    centidegrees off the supplier key) to 15-bit cells, interleave
+    with the classic magic-mask Morton spread (x|x<<8 & 0x00FF00FF,
+    then <<4/<<2/<<1 — four shift-and-mask rounds instead of a 15-term
+    bit loop), longitude on the odd bits per the geohash convention,
+    and base32-encode the 30-bit code in six substr picks. Everything
+    is positive-int64 shift/mask/divmod, so Spark's shiftleft/&/| and
+    DuckDB's <<,&,| agree bit-for-bit; the construction is verified
+    against a bit-by-bit reference geohash in the unit layer. This is
+    also the z-order clustering key you'd bucket or range-partition
+    spatial joins on at scale (join_geo_grid's grid, refined).
+
+    Scale: pure map-side projection, no shuffle.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    geo = sup.select(
+        F.col("s_suppkey").alias("k"),
+        ((F.col("s_suppkey") * 7919) % 18000 - 9000).alias("lat_c"),
+        ((F.col("s_suppkey") * 104729) % 36000 - 18000).alias("lon_c"),
+    )
+    q = geo.select(
+        "*",
+        F.expr("CAST((lat_c + 9000) * 32768 div 18000 AS BIGINT)").alias(
+            "ylat"
+        ),
+        F.expr("CAST((lon_c + 18000) * 32768 div 36000 AS BIGINT)").alias(
+            "xlon"
+        ),
+    )
+    out = q
+    for name, src, (sh, mask) in [
+        ("y1", "ylat", (8, 16711935)),
+        ("x1", "xlon", (8, 16711935)),
+        ("y2", "y1", (4, 252645135)),
+        ("x2", "x1", (4, 252645135)),
+        ("y3", "y2", (2, 858993459)),
+        ("x3", "x2", (2, 858993459)),
+        ("y4", "y3", (1, 1431655765)),
+        ("x4", "x3", (1, 1431655765)),
+    ]:
+        out = out.withColumn(
+            name,
+            F.expr(f"({src} | shiftleft({src}, {sh})) & {mask}"),
+        )
+    z = out.select(
+        "k",
+        "lat_c",
+        "lon_c",
+        F.expr("CAST(shiftleft(x4, 1) | y4 AS BIGINT)").alias("morton"),
+    )
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        F.expr(
+            f"substr('{alpha}',"
+            f" CAST(morton div {32 ** j} % 32 AS INT) + 1, 1)"
+        )
+        for j in range(5, -1, -1)
+    ]
+    return z.select(
+        F.col("k").alias("suppkey"),
+        "lat_c",
+        "lon_c",
+        "morton",
+        F.concat(*chars).alias("geohash6"),
+    )
+
+
+@register(
+    "fn_snowflake_decode",
+    oracle="""
+    WITH src AS (
+        SELECT event_id, user_id,
+               epoch_ms(ts) AS ms
+        FROM events
+    ),
+    packed AS (
+        SELECT event_id,
+               ms * 4194304
+                 + (user_id % 1024) * 4096
+                 + (event_id % 4096) AS snow_id,
+               ms, user_id % 1024 AS worker, event_id % 4096 AS seq
+        FROM src
+    ),
+    decoded AS (
+        SELECT snow_id,
+               snow_id // 4194304 AS ms_out,
+               (snow_id // 4096) % 1024 AS worker_out,
+               snow_id % 4096 AS seq_out,
+               ms, worker, seq
+        FROM packed
+    )
+    SELECT CAST(worker_out AS BIGINT) AS worker,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(MIN(ms_out) AS BIGINT) AS first_ms,
+           CAST(MAX(ms_out) AS BIGINT) AS last_ms,
+           CAST(SUM(CASE WHEN ms_out = ms AND worker_out = worker
+                          AND seq_out = seq THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_roundtrip_ok
+    FROM decoded
+    GROUP BY worker_out
+    """,
+)
+def fn_snowflake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style distributed id pack/unpack: 41-bit epoch-ms |
+    10-bit worker | 12-bit sequence, the id scheme every
+    high-throughput ingest assigns. Pack is pure multiply/add
+    (ms * 2^22 stays under 2^63 through year 2088), decode is
+    div/mod by literal powers of two — positive operands, so Spark
+    div == DuckDB //. The n_roundtrip_ok column proves
+    decode(pack(x)) == x for every row, aggregated per worker shard
+    so the output doubles as a shard-balance report.
+
+    Scale: map-side projection + one bounded-cardinality (1024-key)
+    aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    packed = src.select(
+        "event_id",
+        (
+            F.col("ms") * 4194304
+            + (F.col("user_id") % 1024) * 4096
+            + (F.col("event_id") % 4096)
+        ).alias("snow_id"),
+        "ms",
+        (F.col("user_id") % 1024).alias("worker"),
+        (F.col("event_id") % 4096).alias("seq"),
+    )
+    decoded = packed.select(
+        "snow_id",
+        F.expr("snow_id div 4194304").alias("ms_out"),
+        F.expr("(snow_id div 4096) % 1024").alias("worker_out"),
+        (F.col("snow_id") % 4096).alias("seq_out"),
+        "ms",
+        "worker",
+        "seq",
+    )
+    return decoded.groupBy(
+        F.col("worker_out").cast("long").alias("worker")
+    ).agg(
+        F.count("*").alias("n_ids"),
+        F.min("ms_out").cast("long").alias("first_ms"),
+        F.max("ms_out").cast("long").alias("last_ms"),
+        F.sum(
+            F.when(
+                (F.col("ms_out") == F.col("ms"))
+                & (F.col("worker_out") == F.col("worker"))
+                & (F.col("seq_out") == F.col("seq")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+    )

@@ -492,3 +492,27 @@ def test_bitmap_inclusion_exclusion_intersection(spark, a, b):
         .i
     )
     assert (inter or 0) == len(a & b)
+
+
+def test_geohash_matches_bitwise_reference(spark):
+    """fn_geohash's magic-mask Morton spread + base32 pick must equal
+    a bit-by-bit reference geohash for every supplier row (the
+    docstring's promise)."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    rows = QUERIES["fn_geohash"](spark, "/root/testdata/sf0.001").collect()
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat_c: int, lon_c: int) -> tuple[int, str]:
+        ylat = (lat_c + 9000) * 32768 // 18000
+        xlon = (lon_c + 18000) * 32768 // 36000
+        m = 0
+        for i in range(14, -1, -1):
+            m = m * 2 + ((xlon >> i) & 1)
+            m = m * 2 + ((ylat >> i) & 1)
+        return m, "".join(alpha[(m >> (5 * j)) & 31] for j in range(5, -1, -1))
+
+    assert rows
+    for r in rows:
+        m, gh = ref(r.lat_c, r.lon_c)
+        assert (r.morton, r.geohash6) == (m, gh), r
