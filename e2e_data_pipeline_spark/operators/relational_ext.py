@@ -2914,3 +2914,180 @@ def ml_apriori_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    trail AS (
+        SELECT d, cnt,
+               list_sort(list(cnt) OVER w) AS prev7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_prev
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, cnt,
+           CAST(prev7[4] AS BIGINT) AS med7,
+           CASE WHEN abs(cnt - prev7[4]) * 2 > prev7[4]
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM trail WHERE n_prev = 7
+    ORDER BY day
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly monitor: each day's row count against the
+    MEDIAN of the trailing 7 days (current day excluded) — the
+    load-monitoring twin of dq_anomaly_iqr's value-level check, and
+    the first alarm for a stuck upstream or a double-load. The
+    median of 7 is the exact 4th order statistic of a sorted
+    collect_list (odd count, pure integer — no interpolation), and
+    the ±50% flag is the integer comparison |cnt−med|·2 > med. No
+    floats anywhere.
+
+    Scale: day-grain after one partial count aggregation; the
+    7-element lists are bounded by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    trail = daily.select(
+        "d",
+        "cnt",
+        F.sort_array(F.collect_list("cnt").over(w)).alias("prev7"),
+        F.count("*").over(w).alias("n_prev"),
+    ).where(F.col("n_prev") == 7)
+    med = F.element_at("prev7", 4)
+    return trail.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        med.cast("long").alias("med7"),
+        F.when(F.abs(F.col("cnt") - med) * 2 > med, 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    ).orderBy("day")
+
+
+@register(
+    "dq_recon_totals",
+    oracle="""
+    WITH line_net AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+                        * (10000 + CAST(ROUND(l_tax * 10000) AS BIGINT)))
+                    AS BIGINT) AS net_u
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cmp AS (
+        SELECT o.o_orderstatus,
+               abs(l.net_u - CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                             * 100000000) AS diff_u
+        FROM orders o JOIN line_net l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_u > 100000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           CAST(MAX(diff_u) // 100000000 AS BIGINT) AS max_diff_cents,
+           CAST(SUM(CASE WHEN diff_u > 100000000 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm
+    FROM cmp GROUP BY o_orderstatus
+    """,
+)
+def dq_recon_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: order-header total vs the sum of its
+    lines' net amounts (price x (1-discount) x (1+tax)) — the
+    header/detail consistency check every billing pipeline runs.
+    All arithmetic is EXACT scaled integers: cents x basis-points x
+    basis-points (units of cents·1e8, bounded ~8e15 per order, well
+    inside int64), so the mismatch verdict never hinges on float
+    rounding; tolerance is one cent. Grouped by order status so a
+    broken feed pins itself to a lifecycle stage.
+
+    Scale: one key-partitioned partial aggregation on the fact table
+    + the standard o⋈l join; report is status-grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    net_u = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000).cast("long"))
+        * (10000 + F.round(F.col("l_tax") * 10000).cast("long"))
+    ).alias("net_u")
+    line_net = li.groupBy("l_orderkey").agg(net_u)
+    cmp = orders.join(
+        line_net, orders.o_orderkey == line_net.l_orderkey
+    ).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("net_u")
+            - F.round(F.col("o_totalprice") * 100).cast("long") * 100000000
+        ).alias("diff_u"),
+    )
+    mismatch = F.when(F.col("diff_u") > 100000000, 1).otherwise(0)
+    return cmp.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(mismatch).cast("long").alias("n_mismatch"),
+        F.expr("CAST(MAX(diff_u) div 100000000 AS BIGINT)").alias(
+            "max_diff_cents"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN diff_u > 100000000 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("mismatch_ppm"),
+    )
+
+
+@register(
+    "dq_partition_balance",
+    oracle="""
+    WITH buckets AS (
+        SELECT o_custkey % 32 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MAX(cnt) * COUNT(*) * 1000000 // SUM(cnt) AS BIGINT)
+               AS max_over_avg_ppm,
+           CAST((MAX(cnt) - MIN(cnt)) * 1000000 // MAX(cnt) AS BIGINT)
+               AS spread_ppm
+    FROM buckets
+    """,
+)
+def dq_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for a prospective shuffle/bucket key:
+    row counts across 32 modulo buckets of o_custkey, summarized as
+    max/avg and (max−min)/max ratios in integer ppm — the check you
+    run BEFORE choosing a bucketing or repartitioning key at 100 TB,
+    where one hot bucket stalls a whole stage (the static complement
+    of AQE's runtime skew split, which test_plans pins on
+    join_skew_salted). Pure integer counting.
+
+    Scale: one partial-agg shuffle carrying 32 cells.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = orders.groupBy(
+        (F.col("o_custkey") % 32).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    return buckets.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr(
+            "CAST(MAX(cnt) * COUNT(*) * 1000000 div SUM(cnt) AS BIGINT)"
+        ).alias("max_over_avg_ppm"),
+        F.expr(
+            "CAST((MAX(cnt) - MIN(cnt)) * 1000000 div MAX(cnt) AS BIGINT)"
+        ).alias("spread_ppm"),
+    )
