@@ -2389,3 +2389,250 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0)).alias("tn"),
         F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
     )
+
+
+@register(
+    "corpus_length_stats",
+    oracle="""
+    WITH bucketed AS (
+        SELECT lang,
+               CAST(length(format('{:b}', n_chars)) - 1 AS BIGINT)
+                   AS len_bucket,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    cells AS (
+        SELECT lang, len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM bucketed GROUP BY lang, len_bucket
+    ),
+    per_lang AS (
+        SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs FROM cells
+        GROUP BY lang
+    )
+    SELECT c.lang, c.len_bucket,
+           CAST((1::BIGINT) << CAST(c.len_bucket AS INT) AS BIGINT)
+               AS bucket_floor,
+           c.n_docs, c.total_chars,
+           CAST(c.n_docs * 1000000 // p.lang_docs AS BIGINT) AS share_ppm
+    FROM cells c JOIN per_lang p ON p.lang = c.lang
+    """,
+)
+def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in power-of-two
+    buckets (bit-length bucketing, the agg_log2_histogram technique
+    — no float log at boundaries) with each bucket's share of its
+    language — the first table a training-mix planner looks at
+    (length histograms drive packing efficiency and truncation-loss
+    estimates; cross-language imbalance here propagates straight
+    into corpus_pack_harmonic and corpus_mixture_sample decisions).
+    Pure integer counting + ppm shares.
+
+    Scale: one (lang, bucket) partial agg — O(langs x 64) cells —
+    plus a lang-grain broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    bucketed = docs.select(
+        "lang",
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("long").alias(
+            "len_bucket"
+        ),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    cells = bucketed.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("n_docs").alias("lang_docs")
+    )
+    return cells.join(F.broadcast(per_lang), "lang").select(
+        "lang",
+        "len_bucket",
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(len_bucket AS INT))"
+            " AS BIGINT)"
+        ).alias("bucket_floor"),
+        "n_docs",
+        "total_chars",
+        F.expr("CAST(n_docs * 1000000 div lang_docs AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
+
+
+@register(
+    "corpus_upsample_weights",
+    oracle="""
+    WITH target AS (
+        SELECT * FROM (VALUES
+            ('en', 400000), ('zh', 150000), ('es', 150000),
+            ('de', 150000), ('fr', 150000)
+        ) AS t(lang, target_ppm)
+    ),
+    actual AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM actual)
+    SELECT a.lang, a.n_docs,
+           CAST(a.n_docs * 1000000 // t2.n_total AS BIGINT)
+               AS actual_ppm,
+           CAST(tg.target_ppm AS BIGINT) AS target_ppm,
+           CAST(tg.target_ppm * t2.n_total // a.n_docs AS BIGINT)
+               AS weight_ppm,
+           CAST(tg.target_ppm * t2.n_total // 1000000 AS BIGINT)
+               AS target_docs
+    FROM actual a
+    JOIN target tg ON tg.lang = a.lang
+    CROSS JOIN tot t2
+    """,
+)
+def corpus_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting for a target language distribution (the
+    epoch-weights every multilingual training run sets): per
+    language, the actual corpus share, the declared target share,
+    the sampling weight target/actual as integer ppm (weight > 1e6 ⇒
+    upsample), and the resulting document budget. weight_ppm =
+    target_ppm · n_total div n_lang keeps everything exact int64 —
+    at 1e9 docs the product is ~4e14, far inside range.
+
+    Scale: one lang-grain partial agg + a literal 5-row dim join.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    target = spark.createDataFrame(
+        [("en", 400000), ("zh", 150000), ("es", 150000),
+         ("de", 150000), ("fr", 150000)],
+        "lang string, target_ppm long",
+    )
+    actual = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = actual.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        actual.join(F.broadcast(target), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+                "actual_ppm"
+            ),
+            F.col("target_ppm").cast("long").alias("target_ppm"),
+            F.expr(
+                "CAST(target_ppm * n_total div n_docs AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr(
+                "CAST(target_ppm * n_total div 1000000 AS BIGINT)"
+            ).alias("target_docs"),
+        )
+    )
+
+
+@register(
+    "text_stylometry_footrule",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    sw AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE w != '' GROUP BY source, w
+    ),
+    topw AS (
+        SELECT w FROM (
+            SELECT w, SUM(cnt) AS g FROM sw GROUP BY w
+            ORDER BY g DESC, w LIMIT 20
+        )
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS tok FROM sw
+        GROUP BY source
+    ),
+    grid AS (
+        SELECT s.source, t.w, s.tok,
+               COALESCE(x.cnt, 0) AS cnt
+        FROM src_tot s
+        CROSS JOIN topw t
+        LEFT JOIN sw x ON x.source = s.source AND x.w = t.w
+    ),
+    ranked AS (
+        SELECT w, source,
+               CAST(row_number() OVER (PARTITION BY w
+                    ORDER BY cnt * 1000000000 // tok DESC, source)
+                    AS BIGINT) AS rnk
+        FROM grid
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(abs(a.rnk - b.rnk)) AS BIGINT) AS footrule
+    FROM ranked a
+    JOIN ranked b ON b.w = a.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_stylometry_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise stylometric distance between sources — Spearman's
+    FOOTRULE over rank profiles of the global top-20 words: for each
+    word, sources are ranked by relative frequency (integer ppb with
+    a source tie-break — no float ever enters the ranking), and the
+    distance between two sources is Σ|rank_a − rank_b|. The
+    rank-based form gives Burrows-Delta-style attribution signal
+    with ZERO floating point (a z-score Delta would need
+    order-dependent float sums). Missing words enter as zero counts
+    via the source × top-word grid, so every profile is complete.
+
+    Scale: token explode → (source, word) cells; the grid and
+    ranking are bounded at sources × 20; the pair join at
+    sources²·20 — all dim-sized after the first aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    topw = (
+        sw.groupBy("w")
+        .agg(F.sum("cnt").alias("g"))
+        .orderBy(F.desc("g"), "w")
+        .limit(20)
+        .select("w")
+    )
+    src_tot = sw.groupBy("source").agg(F.sum("cnt").alias("tok"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "tok",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    ranked = grid.select(
+        "w",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("w").orderBy(
+                F.expr("cnt * 1000000000 div tok").desc(), F.col("source")
+            )
+        )
+        .cast("long")
+        .alias("rnk"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.w") == F.col("a.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("a.rnk") - F.col("b.rnk"))).alias("footrule")
+        )
+    )
