@@ -3522,3 +3522,325 @@ def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+@register(
+    "ts_croston",
+    oracle="""
+    WITH demand AS (
+        SELECT CAST(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                    // 86400000000 AS BIGINT) AS di,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem WHERE l_partkey % 97 = 0
+        GROUP BY 1
+    ),
+    gapped AS (
+        SELECT di, x,
+               COALESCE(di - lag(di) OVER (ORDER BY di), 1) AS gap
+        FROM demand
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_demand_days,
+               CAST(SUM(x) AS BIGINT) AS total_demand,
+               list_reduce(
+                   list_transform(list([di, x, gap] ORDER BY di),
+                       e -> [CAST(e[2] AS DOUBLE), CAST(e[3] AS DOUBLE)]),
+                   (acc, e) -> [
+                       CAST(0.5 AS DOUBLE) * e[1]
+                           + CAST(0.5 AS DOUBLE) * acc[1],
+                       CAST(0.5 AS DOUBLE) * e[2]
+                           + CAST(0.5 AS DOUBLE) * acc[2]]
+               ) AS st
+        FROM gapped
+    )
+    SELECT n_demand_days, total_demand,
+           st[1] AS size_sm, st[2] AS interval_sm,
+           st[1] / st[2] AS croston_rate
+    FROM folded
+    """,
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the sparse-series
+    case where plain EWMA misreads zeros as demand collapse):
+    exponentially smooth the nonzero demand SIZES and the
+    inter-demand INTERVALS separately (alpha=0.5), forecast rate =
+    size/interval. The demand series is a sparse part family's daily
+    shipped quantity; both smoothings ride ONE array fold (the
+    ts_holt_linear 2-state pattern — list_reduce/aggregate thread
+    [size, interval] through the day-sorted list, first element
+    seeds the state), so every step is the same double expression in
+    the same order on both engines, and the closing rate is one
+    division.
+
+    Scale: the fold list is calendar-bounded (one element per demand
+    DAY, never per row); the heavy work is the day-grain partial
+    aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") % 97 == 0
+    )
+    demand = li.groupBy(
+        F.expr(
+            "CAST(CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG)"
+            " div 86400 AS BIGINT)"
+        ).alias("di")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("x"))
+    gapped = demand.select(
+        "di",
+        "x",
+        F.coalesce(
+            F.col("di") - F.lag("di").over(Window.orderBy("di")), F.lit(1)
+        ).alias("gap"),
+    )
+    listed = gapped.agg(
+        F.count("*").alias("n_demand_days"),
+        F.sum("x").alias("total_demand"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(di, x, gap))),"
+            " s -> array(CAST(s.x AS DOUBLE), CAST(s.gap AS DOUBLE)))"
+        ).alias("arr"),
+    )
+    folded = listed.select(
+        "n_demand_days",
+        "total_demand",
+        F.expr(
+            "aggregate("
+            " slice(arr, 2, size(arr) - 1),"
+            " array(CAST(element_at(arr, 1)[0] AS DOUBLE),"
+            "       CAST(element_at(arr, 1)[1] AS DOUBLE)),"
+            " (acc, e) -> array("
+            "   CAST(0.5 AS DOUBLE) * e[0]"
+            "     + CAST(0.5 AS DOUBLE) * element_at(acc, 1),"
+            "   CAST(0.5 AS DOUBLE) * e[1]"
+            "     + CAST(0.5 AS DOUBLE) * element_at(acc, 2)))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_demand_days",
+        "total_demand",
+        F.element_at("st", 1).alias("size_sm"),
+        F.element_at("st", 2).alias("interval_sm"),
+        (F.element_at("st", 1) / F.element_at("st", 2)).alias(
+            "croston_rate"
+        ),
+    )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    chunked AS (
+        SELECT di, x,
+               (di - ((di % 32) + 32) % 32) // 32 AS chunk
+        FROM hourly
+    ),
+    stats AS (
+        SELECT chunk,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM chunked GROUP BY chunk
+    ),
+    walk AS (
+        SELECT c.chunk, c.di,
+               st.n * SUM(c.x) OVER (PARTITION BY c.chunk ORDER BY c.di
+                   ROWS UNBOUNDED PRECEDING)
+                 - CAST(row_number() OVER (PARTITION BY c.chunk
+                       ORDER BY c.di) AS BIGINT) * st.s AS w
+        FROM chunked c JOIN stats st ON st.chunk = c.chunk
+        WHERE st.n = 32
+    ),
+    ranges AS (
+        SELECT chunk,
+               CAST(MAX(w) - MIN(w) AS BIGINT) AS r_num
+        FROM walk GROUP BY chunk
+    )
+    SELECT r.chunk, st.n,
+           r.r_num,
+           CAST(st.n * st.s2 - st.s * st.s AS BIGINT) AS var_num,
+           CAST(r.r_num AS DOUBLE)
+               / sqrt(CAST(st.n * st.s2 - st.s * st.s AS DOUBLE))
+               AS rs_ratio
+    FROM ranges r JOIN stats st ON st.chunk = r.chunk
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) statistic per 32-day chunk — the Hurst
+    long-memory diagnostic (R/S growing like n^H; H≈0.5 is a random
+    walk, persistent series trend higher). Exactness budget: daily
+    values are INTEGER DOLLARS (cents div 100) so x ≤ ~1e6,
+    the series is HOUR-grain (the 30-day fixture yields 22 full
+    chunks; a day-grain variant would match vacuously on 0 rows),
+    Σx² ≤ 3.2e13 and the cumulative-deviation walk is scaled by n —
+    w_i = n·P_i − i·S, exact int64 — making R/σ =
+    (max−min)(w) / sqrt(n·Σx² − S²) a division + sqrt over exact
+    integers < 2^53: one fixed-order chain, bit-identical. The chunk
+    id uses the portable floor-div identity (epoch-day can be
+    negative).
+
+    Scale: hour-grain; the walk window partitions BY CHUNK (32 rows
+    each) — no global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS LONG)"
+            " div 3600"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    chunked = hourly.select(
+        "di",
+        "x",
+        F.expr("(di - pmod(di, 32)) div 32").alias("chunk"),
+    )
+    stats = chunked.groupBy("chunk").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    wsum = Window.partitionBy("chunk").orderBy("di").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrn = Window.partitionBy("chunk").orderBy("di")
+    walk = (
+        chunked.join(stats, "chunk")
+        .where(F.col("n") == 32)
+        .select(
+            "chunk",
+            "di",
+            (
+                F.col("n") * F.sum("x").over(wsum)
+                - F.row_number().over(wrn).cast("long") * F.col("s")
+            ).alias("w"),
+        )
+    )
+    ranges = walk.groupBy("chunk").agg(
+        (F.max("w") - F.min("w")).alias("r_num")
+    )
+    return ranges.join(stats, "chunk").select(
+        "chunk",
+        "n",
+        "r_num",
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("var_num"),
+        (
+            F.col("r_num").cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            )
+        ).alias("rs_ratio"),
+    )
+
+
+@register(
+    "ts_pacf",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    mu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu0
+        FROM daily
+    ),
+    dev AS (
+        SELECT d.di, d.x - m.mu0 AS dv FROM daily d CROSS JOIN mu m
+    ),
+    nums AS (
+        SELECT
+            (SELECT CAST(SUM(a.dv * a.dv) AS BIGINT) FROM dev a) AS c0,
+            (SELECT CAST(SUM(a.dv * b.dv) AS BIGINT)
+             FROM dev a JOIN dev b ON b.di = a.di + 1) AS c1,
+            (SELECT CAST(SUM(a.dv * b.dv) AS BIGINT)
+             FROM dev a JOIN dev b ON b.di = a.di + 2) AS c2
+    )
+    SELECT m.n, nu.c0, nu.c1, nu.c2,
+           CAST(nu.c1 AS DOUBLE) / CAST(nu.c0 AS DOUBLE) AS phi11,
+           (CAST(nu.c2 AS DOUBLE) / CAST(nu.c0 AS DOUBLE)
+            - (CAST(nu.c1 AS DOUBLE) / CAST(nu.c0 AS DOUBLE))
+              * (CAST(nu.c1 AS DOUBLE) / CAST(nu.c0 AS DOUBLE)))
+           / (1.0 - (CAST(nu.c1 AS DOUBLE) / CAST(nu.c0 AS DOUBLE))
+                    * (CAST(nu.c1 AS DOUBLE) / CAST(nu.c0 AS DOUBLE)))
+               AS phi22
+    FROM nums nu CROSS JOIN mu m
+    """,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1 and 2 via Durbin-Levinson:
+    phi11 = r1, phi22 = (r2 − r1²)/(1 − r1²) — the AR-order
+    diagnostic on the daily revenue series (complements ts_autocorr,
+    which stops at the plain ACF). Deterministic across engines by
+    construction: deviations are taken from the FLOORED integer mean
+    (mu0 = S div n — a defined estimator variant, bias < 1 dollar),
+    so every autocovariance numerator is an exact int64
+    (|dv| ≤ 1e6 dollars, products ≤ 1e12, day-count ≤ ~2500 ⇒ sums
+    ≤ 2.5e15 < 2^53), and r1, r2, phi22 are fixed-order division
+    chains over those exact integers.
+
+    Scale: day-grain; the lag alignments are equi-joins on the day
+    index (windows can't take column offsets) — broadcast-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    mu = daily.agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("mu0"),
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "di", (F.col("x") - F.col("mu0")).alias("dv"), "n"
+    )
+    c0 = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("c0"))
+    a = dev.alias("a")
+    b = dev.alias("b")
+    c1 = (
+        a.join(b, F.col("b.di") == F.col("a.di") + 1)
+        .agg(F.sum(F.col("a.dv") * F.col("b.dv")).alias("c1"))
+    )
+    c2 = (
+        a.join(b, F.col("b.di") == F.col("a.di") + 2)
+        .agg(F.sum(F.col("a.dv") * F.col("b.dv")).alias("c2"))
+    )
+    nums = (
+        c0.crossJoin(c1)
+        .crossJoin(c2)
+        .crossJoin(F.broadcast(mu.select("n")))
+    )
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    return nums.select(
+        "n",
+        "c0",
+        "c1",
+        "c2",
+        r1.alias("phi11"),
+        ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("phi22"),
+    )
