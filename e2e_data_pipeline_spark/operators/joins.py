@@ -1597,3 +1597,216 @@ def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_lines"), F.sum("cents").alias("cents"))
     )
+
+
+@register(
+    "join_bitemporal",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(o_orderdate AS DATE)
+                   + CAST((o_orderkey % 30) AS INT) AS tx_from
+        FROM orders
+    ),
+    visible AS (
+        SELECT * FROM versions
+        WHERE valid_from <= DATE '1998-06-01'
+          AND tx_from <= DATE '1998-09-01'
+    ),
+    m1 AS (
+        SELECT o_custkey, MAX(valid_from) AS vf
+        FROM visible GROUP BY o_custkey
+    ),
+    m2 AS (
+        SELECT v.o_custkey, m.vf, MAX(v.tx_from) AS tf
+        FROM visible v JOIN m1 m
+          ON m.o_custkey = v.o_custkey AND v.valid_from = m.vf
+        GROUP BY v.o_custkey, m.vf
+    ),
+    m3 AS (
+        SELECT v.o_custkey, m.vf, m.tf, MAX(v.o_orderkey) AS chosen
+        FROM visible v JOIN m2 m
+          ON m.o_custkey = v.o_custkey AND v.valid_from = m.vf
+         AND v.tx_from = m.tf
+        GROUP BY v.o_custkey, m.vf, m.tf
+    )
+    SELECT o_custkey AS custkey, chosen AS version_orderkey,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(tf, '%Y-%m-%d') AS tx_from
+    FROM m3
+    """,
+)
+def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of lookup — the two-axis time join (VALID time:
+    when the fact was true in the world; TRANSACTION time: when the
+    system learned it) behind audit-grade reporting: "as of what we
+    KNEW on 1998-09-01, what was each customer's state ON
+    1998-06-01?". Versions are synthesized from orders (tx lag =
+    orderkey % 30 days models late-arriving records). The pick is a
+    per-key lexicographic argmax over (valid_from, tx_from,
+    orderkey) run as a THREE-PHASE cascaded max — max valid_from,
+    then max tx_from among those, then max orderkey — each phase a
+    partial-aggregable shuffle + equi-join, never a window sort
+    (DuckDB's max_by rejects list keys, and a packed-BIGINT key
+    would overflow at catalog scale); both cutoffs prune before the
+    first aggregation (at scale they become partition filters on a
+    date-partitioned layout).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    versions = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("tx_from"),
+    )
+    visible = versions.where(
+        (F.col("valid_from") <= F.lit("1998-06-01").cast("date"))
+        & (F.col("tx_from") <= F.lit("1998-09-01").cast("date"))
+    )
+    vis = visible.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("valid_from").alias("vf0"),
+        F.col("tx_from").alias("tf0"),
+    ).localCheckpoint()
+    m1 = vis.groupBy("ck").agg(F.max("vf0").alias("vf"))
+    m2 = (
+        vis.alias("v")
+        .join(
+            m1.alias("m"),
+            (F.col("v.ck") == F.col("m.ck"))
+            & (F.col("v.vf0") == F.col("m.vf")),
+        )
+        .groupBy(F.col("m.ck").alias("ck2"), F.col("m.vf").alias("vf"))
+        .agg(F.max("v.tf0").alias("tf"))
+    )
+    m3 = (
+        vis.alias("v")
+        .join(
+            m2.alias("m"),
+            (F.col("v.ck") == F.col("m.ck2"))
+            & (F.col("v.vf0") == F.col("m.vf"))
+            & (F.col("v.tf0") == F.col("m.tf")),
+        )
+        .groupBy(
+            F.col("m.ck2").alias("custkey"),
+            F.col("m.vf").alias("vf"),
+            F.col("m.tf").alias("tf"),
+        )
+        .agg(F.max("v.ok").alias("chosen"))
+    )
+    return m3.select(
+        "custkey",
+        F.col("chosen").alias("version_orderkey"),
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("tf", "yyyy-MM-dd").alias("tx_from"),
+    )
+
+
+@register(
+    "join_drill_across",
+    oracle="""
+    WITH fact_orders AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS order_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    ),
+    fact_events AS (
+        SELECT user_id % 25 AS nationkey,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS event_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT n.n_name,
+           COALESCE(fo.order_cents, 0) AS order_cents,
+           COALESCE(fo.n_orders, 0) AS n_orders,
+           COALESCE(fe.event_cents, 0) AS event_cents,
+           COALESCE(fe.n_events, 0) AS n_events,
+           CASE WHEN COALESCE(fo.order_cents, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(fe.event_cents, 0) * 1000000
+                          // fo.order_cents AS BIGINT)
+           END AS engagement_ppm
+    FROM nation n
+    LEFT JOIN fact_orders fo ON fo.nationkey = n.n_nationkey
+    LEFT JOIN fact_events fe ON fe.nationkey = n.n_nationkey
+    """,
+)
+def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across: two fact tables (order revenue and event
+    engagement) reported side-by-side at a CONFORMED dimension grain
+    (nation). The load-bearing rule — aggregate each fact to the
+    conformed grain FIRST, then join the two small aggregates to the
+    dimension — is what keeps this correct (a row-level fact×fact
+    join would fan out and double-count) and scalable (two
+    independent partial-agg shuffles, then dim-sized broadcast
+    joins; the facts never meet row-to-row). Events map to nations
+    via the synthetic user home rule user_id % 25. Ratio in integer
+    ppm; nations missing a fact report zeros, not dropped rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    fact_orders = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "order_cents"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    fact_events = ev.groupBy(
+        (F.col("user_id") % 25).alias("nationkey")
+    ).agg(
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+                "long"
+            )
+        ).alias("event_cents"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        nation.join(
+            F.broadcast(fact_orders),
+            nation.n_nationkey == fact_orders.nationkey,
+            "left",
+        )
+        .drop("nationkey")
+        .join(
+            F.broadcast(fact_events),
+            nation.n_nationkey == fact_events.nationkey,
+            "left",
+        )
+        .select(
+            "n_name",
+            F.coalesce("order_cents", F.lit(0)).alias("order_cents"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("event_cents", F.lit(0)).alias("event_cents"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(
+                F.coalesce("order_cents", F.lit(0)) == 0,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST(COALESCE(event_cents, 0) * 1000000"
+                    " div order_cents AS BIGINT)"
+                )
+            )
+            .alias("engagement_ppm"),
+        )
+    )
