@@ -7129,3 +7129,82 @@ def ml_one_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rnk"),
     )
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    slopes AS (
+        SELECT a.di AS di_a, b.di AS di_b,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    ranked AS (
+        SELECT slope, di_a, di_b,
+               CAST(row_number() OVER (ORDER BY slope, di_a, di_b)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+        FROM slopes
+    )
+    SELECT n_pairs, slope AS theil_sen_slope, di_a, di_b
+    FROM ranked WHERE rnk = (n_pairs + 1) // 2
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator on the daily revenue series:
+    the MEDIAN of all pairwise slopes (y_j−y_i)/(d_j−d_i) — immune
+    to outliers that wreck least squares (ml_linreg_normal_eq's
+    complement). Every slope is ONE division of exact integer-valued
+    operands (daily dollars, day indexes), so each is a single
+    correctly-rounded double — identical bits, identical ORDER — and
+    the median is the discrete lower-median order statistic with a
+    (di_a, di_b) tiebreak, never an interpolation. The fixture's
+    ~30-day span gives ~435 pairs; the pair join and rank are
+    calendar-bounded (documented: this estimator is O(days²) by
+    definition — at scale you'd subsample days first).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("b.di") > F.col("a.di")).select(
+        F.col("a.di").alias("di_a"),
+        F.col("b.di").alias("di_b"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.di") - F.col("a.di")).cast("double")
+        ).alias("slope"),
+    )
+    ranked = slopes.select(
+        "slope",
+        "di_a",
+        "di_b",
+        F.row_number()
+        .over(Window.orderBy("slope", "di_a", "di_b"))
+        .cast("long")
+        .alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("rnk") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "n_pairs", F.col("slope").alias("theil_sen_slope"), "di_a", "di_b"
+    )

@@ -2636,3 +2636,147 @@ def text_stylometry_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("a.rnk") - F.col("b.rnk"))).alias("footrule")
         )
     )
+
+
+@register(
+    "ml_eval_kappa",
+    oracle="""
+    WITH langs AS (
+        SELECT * FROM (VALUES
+            (0, 'en'), (1, 'zh'), (2, 'es'), (3, 'de'), (4, 'fr')
+        ) AS l(idx, code)
+    ),
+    rated AS (
+        SELECT d.lang AS rater_a,
+               l.code AS rater_b
+        FROM documents d
+        JOIN langs l
+          ON l.idx = CAST(substr(d.source, 4) AS BIGINT) % 5
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM rated
+    ),
+    chance AS (
+        SELECT CAST(SUM(ra.cnt * rb.cnt) AS BIGINT) AS pe_num
+        FROM (SELECT rater_a AS code, COUNT(*) AS cnt FROM rated
+              GROUP BY rater_a) ra
+        JOIN (SELECT rater_b AS code, COUNT(*) AS cnt FROM rated
+              GROUP BY rater_b) rb ON rb.code = ra.code
+    )
+    SELECT c.n, c.agree, ch.pe_num,
+           CAST(c.n * c.agree - ch.pe_num AS DOUBLE)
+               / CAST(c.n * c.n - ch.pe_num AS DOUBLE) AS kappa
+    FROM counts c CROSS JOIN chance ch
+    """,
+)
+def ml_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    labelers (here: the lang metadata vs a deterministic
+    source-derived guess, standing in for model-vs-human annotation
+    QA): kappa = (po − pe)/(1 − pe), algebraically cleared to the
+    all-integer form (N·agree − Σ row·col)/(N² − Σ row·col) so the
+    whole statistic is ONE division of exact int64 operands
+    (N² ≤ 2^53 up to N = 9.4e7 docs; beyond that widen to decimal).
+    Complements ml_eval_confusion (which reports raw cells, not the
+    chance-corrected scalar).
+
+    Scale: one pass for the contingency cells + two marginal aggs —
+    category-grain everywhere after the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    langs = spark.createDataFrame(
+        [(0, "en"), (1, "zh"), (2, "es"), (3, "de"), (4, "fr")],
+        "idx long, code string",
+    )
+    rated = docs.select(
+        F.col("lang").alias("rater_a"),
+        (F.substring("source", 4, 10).cast("long") % 5).alias("idx"),
+    ).join(F.broadcast(langs), "idx").select(
+        "rater_a", F.col("code").alias("rater_b")
+    )
+    counts = rated.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    ra = rated.groupBy(F.col("rater_a").alias("code")).agg(
+        F.count("*").alias("cnt_a")
+    )
+    rb = rated.groupBy(F.col("rater_b").alias("code")).agg(
+        F.count("*").alias("cnt_b")
+    )
+    chance = (
+        ra.join(rb, "code")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("pe_num"))
+    )
+    return counts.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "agree",
+        "pe_num",
+        (
+            (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM toks WHERE w != '' GROUP BY lang, w
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(f) AS BIGINT) AS tokens,
+               CAST(SUM(f * (f - 1)) AS BIGINT) AS rep_pairs
+        FROM freq GROUP BY lang
+    )
+    SELECT lang, vocab, tokens, rep_pairs,
+           CAST(rep_pairs AS DOUBLE)
+               / CAST(tokens * (tokens - 1) AS DOUBLE) AS simpson_lambda,
+           CAST(tokens * (tokens - 1) AS DOUBLE)
+               / CAST(rep_pairs AS DOUBLE) AS inv_simpson
+    FROM per_lang
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's diversity index per language — the probability two
+    random tokens are the same word, λ = Σf(f−1)/(N(N−1)), and its
+    inverse (the 'effective vocabulary size'). The entropy-family
+    diversity measure that needs NO logarithm (ln is not bit-portable
+    across engines — CLAUDE.md), so both outputs are single divisions
+    of exact int64 counts (Σf(f−1) ≤ N² — widen past ~9e7 tokens per
+    group). Complements corpus_entropy (ppm fixed-point) and
+    text_hapax (tail shape) with the repeat-mass view.
+
+    Scale: token explode → (lang, word) cells → lang-grain reduce.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("lang", "w").agg(F.count("*").alias("f"))
+    per_lang = freq.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.sum("f").alias("tokens"),
+        F.sum(F.col("f") * (F.col("f") - 1)).alias("rep_pairs"),
+    )
+    denom = (F.col("tokens") * (F.col("tokens") - 1)).cast("double")
+    return per_lang.select(
+        "lang",
+        "vocab",
+        "tokens",
+        "rep_pairs",
+        (F.col("rep_pairs").cast("double") / denom).alias("simpson_lambda"),
+        (denom / F.col("rep_pairs").cast("double")).alias("inv_simpson"),
+    )

@@ -2767,3 +2767,80 @@ def fn_snowflake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_roundtrip_ok"),
     )
+
+
+@register(
+    "fn_round_policies",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ),
+    pol AS (
+        SELECT o_orderkey, v,
+               v // 100 AS q, v % 100 AS r,
+               (v + 50) // 100 AS half_up,
+               v // 100 + CASE WHEN v % 100 > 50 THEN 1
+                               WHEN v % 100 = 50
+                                    AND (v // 100) % 2 = 1 THEN 1
+                               ELSE 0 END AS half_even,
+               v // 100 AS toward_zero
+        FROM cents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r = 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_half_boundary,
+           CAST(SUM(half_up) AS BIGINT) AS sum_half_up,
+           CAST(SUM(half_even) AS BIGINT) AS sum_half_even,
+           CAST(SUM(toward_zero) AS BIGINT) AS sum_truncate,
+           CAST(SUM(half_up) - SUM(half_even) AS BIGINT)
+               AS half_up_bias_dollars,
+           CAST(SUM(CASE WHEN half_up != half_even THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_policy_diff
+    FROM pol
+    """,
+)
+def fn_round_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-policy audit — half-up vs banker's half-even vs
+    truncation, applied to cents→dollars across the order book, with
+    the accumulated bias between policies (the number a finance team
+    asks for before standardizing rounding). Neither engine's
+    round() is trusted: Spark rounds the double's shortest decimal
+    repr, DuckDB the binary value (a known divergence class), so all
+    three policies are spelled as INTEGER div/mod arithmetic on
+    positive cents — half-even is q + (r>50 or (r=50 and q odd)) —
+    making every output exact and portable by construction.
+
+    Scale: map-side projection + one global reduce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    pol = cents.select(
+        F.expr("v div 100").alias("q"),
+        (F.col("v") % 100).alias("r"),
+        F.expr("(v + 50) div 100").alias("half_up"),
+        F.expr(
+            "v div 100 + CASE WHEN v % 100 > 50 THEN 1"
+            " WHEN v % 100 = 50 AND (v div 100) % 2 = 1 THEN 1"
+            " ELSE 0 END"
+        ).alias("half_even"),
+        F.expr("v div 100").alias("toward_zero"),
+    )
+    return pol.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("r") == 50, 1).otherwise(0)).alias(
+            "n_half_boundary"
+        ),
+        F.sum("half_up").alias("sum_half_up"),
+        F.sum("half_even").alias("sum_half_even"),
+        F.sum("toward_zero").alias("sum_truncate"),
+        (F.sum("half_up") - F.sum("half_even")).alias(
+            "half_up_bias_dollars"
+        ),
+        F.sum(
+            F.when(F.col("half_up") != F.col("half_even"), 1).otherwise(0)
+        ).alias("n_policy_diff"),
+    )

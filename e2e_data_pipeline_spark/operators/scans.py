@@ -2054,3 +2054,43 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.sum("bal_cents").alias("bal_cents"),
     )
+
+
+@register(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey AS custkey,
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS latest_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON dialect mapping — Postgres/DuckDB's
+    first-row-per-group shorthand, which Spark SQL lacks: the engine
+    expresses the same semantics as a per-key max_by over the full
+    ordering struct (o_orderdate, o_orderkey), one
+    partial-aggregable shuffle with a deterministic total tiebreak —
+    the migration recipe for the most common DISTINCT ON use
+    ("latest row per key"), with no window sort. The oracle runs
+    DuckDB's native DISTINCT ON text, so this key also PROVES the
+    translation is semantics-identical, not just plausible.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    picked = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.expr(
+            "max_by(struct(o_orderkey, o_orderdate, o_totalprice),"
+            " struct(o_orderdate, o_orderkey))"
+        ).alias("s")
+    )
+    return picked.select(
+        "custkey",
+        F.col("s.o_orderkey").alias("latest_orderkey"),
+        F.date_format("s.o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        F.round(F.col("s.o_totalprice") * 100)
+        .cast("long")
+        .alias("latest_cents"),
+    )

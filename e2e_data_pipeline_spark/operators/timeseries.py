@@ -3844,3 +3844,107 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1.alias("phi11"),
         ((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)).alias("phi22"),
     )
+
+
+@register(
+    "ts_renko_bricks",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_transform(list(close ORDER BY d),
+                       v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE)]),
+                   (acc, e) -> [
+                       acc[1] + 200000.0 * (CASE
+                           WHEN e[1] >= acc[1]
+                           THEN floor((e[1] - acc[1]) / 200000.0)
+                           ELSE 0.0 - floor((acc[1] - e[1]) / 200000.0)
+                           END),
+                       acc[2] + CASE WHEN e[1] >= acc[1]
+                           THEN floor((e[1] - acc[1]) / 200000.0)
+                           ELSE 0.0 END,
+                       acc[3] + CASE WHEN e[1] < acc[1]
+                           THEN floor((acc[1] - e[1]) / 200000.0)
+                           ELSE 0.0 END]
+               ) AS st
+        FROM daily
+    )
+    SELECT n_days,
+           CAST(st[1] AS BIGINT) AS final_level_c,
+           CAST(st[2] AS BIGINT) AS up_bricks,
+           CAST(st[3] AS BIGINT) AS down_bricks
+    FROM folded
+    """,
+)
+def ts_renko_bricks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renko brick chart summary: the price path quantized into
+    fixed-size ($2000) bricks — a brick is laid only when the close
+    moves a full brick past the last level, which filters noise and
+    makes trend-length statistics meaningful. The fold carries
+    [level, up_bricks, down_bricks]; each step moves the level by
+    whole bricks TOWARD the close — trunc(delta/brick), written as
+    sign-split floors so a sub-brick dip lays no brick. floor() over
+    the correctly-
+    rounded quotient of exact-integer-valued doubles is the same
+    bits on both engines (single division, fixed order), and brick
+    counts stay small integers. One global fold over the day-sorted
+    close list — calendar-bounded, the ts_croston discipline.
+
+    Scale: day-grain partial agg; the fold list never exceeds the
+    calendar span.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close")
+    )
+    listed = daily.agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, close))),"
+            " s -> CAST(s.close AS DOUBLE))"
+        ).alias("arr"),
+    )
+    folded = listed.select(
+        "n_days",
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1),"
+            " array(element_at(arr, 1), CAST(0.0 AS DOUBLE),"
+            "       CAST(0.0 AS DOUBLE)),"
+            " (acc, e) -> array("
+            "   element_at(acc, 1) + CAST(200000.0 AS DOUBLE)"
+            "     * (CASE WHEN e >= element_at(acc, 1)"
+            "        THEN floor((e - element_at(acc, 1))"
+            "                   / CAST(200000.0 AS DOUBLE))"
+            "        ELSE CAST(0.0 AS DOUBLE)"
+            "             - floor((element_at(acc, 1) - e)"
+            "                     / CAST(200000.0 AS DOUBLE)) END),"
+            "   element_at(acc, 2) + CASE"
+            "     WHEN e >= element_at(acc, 1)"
+            "     THEN floor((e - element_at(acc, 1))"
+            "                / CAST(200000.0 AS DOUBLE))"
+            "     ELSE CAST(0.0 AS DOUBLE) END,"
+            "   element_at(acc, 3) + CASE"
+            "     WHEN e < element_at(acc, 1)"
+            "     THEN floor((element_at(acc, 1) - e)"
+            "                / CAST(200000.0 AS DOUBLE))"
+            "     ELSE CAST(0.0 AS DOUBLE) END))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.element_at("st", 1).cast("long").alias("final_level_c"),
+        F.element_at("st", 2).cast("long").alias("up_bricks"),
+        F.element_at("st", 3).cast("long").alias("down_bricks"),
+    )
