@@ -766,3 +766,68 @@ def test_entity_grain_ranks_are_distributed(spark, key):
             assert "SinglePartition" not in below, (
                 f"{key}: sort/window fed by a single-partition exchange"
             )
+
+
+def test_drill_across_facts_never_meet_row_level(spark):
+    """join_drill_across must aggregate each fact to the conformed
+    grain BEFORE any join: both fact aggregates carry a partial
+    HashAggregate below their exchange, the dim joins are
+    BroadcastHashJoin, and no join input is an un-aggregated fact
+    scan pair (no fact x fact fan-out)."""
+    plan = plan_of(spark, "join_drill_across")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation below the shuffle for both facts
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_distinct_on_mapping_has_no_window_sort(spark):
+    """sql_distinct_on's max_by translation must be one
+    partial-aggregable shuffle: no Window, no global Sort."""
+    plan = plan_of(spark, "sql_distinct_on")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_connected_components_round_is_key_partitioned(spark):
+    """graph_connected_components' propagation round must be
+    hash-join based (no BroadcastNestedLoop/Cartesian from the
+    neighbour lookup)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.operators.llm_dedup import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, SF_SMALL)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint()
+    lab = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    one_round = (
+        lab.join(und, lab.node == und.u)
+        .join(
+            lab.select(
+                F.col("node").alias("vnode"), F.col("lab").alias("vlab")
+            ),
+            F.col("v") == F.col("vnode"),
+        )
+        .groupBy("node")
+        .agg(F.least(F.min("lab"), F.min("vlab")).alias("lab"))
+    )
+    plan = one_round._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
