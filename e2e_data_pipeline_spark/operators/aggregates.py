@@ -7208,3 +7208,85 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_pairs", F.col("slope").alias("theil_sen_slope"), "di_a", "di_b"
     )
+
+
+_FISHER_SQL = """
+WITH RECURSIVE flags AS (
+    SELECT c_nationkey AS nk,
+           CASE WHEN SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                     > 460000 * COUNT(*) THEN 1 ELSE 0 END AS fa
+    FROM customer GROUP BY c_nationkey
+),
+tab AS (
+    SELECT f.fa,
+           CASE WHEN n.n_regionkey <= 2 THEN 1 ELSE 0 END AS fb
+    FROM flags f JOIN nation n ON n.n_nationkey = f.nk
+),
+cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN fa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a_obs
+    FROM tab
+),
+ms AS (
+    SELECT DISTINCT m FROM (
+        SELECT r1 AS m FROM cells
+        UNION ALL SELECT n - r1 FROM cells
+        UNION ALL SELECT n FROM cells
+    ) t
+),
+binom AS (
+    SELECT m, CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS v FROM ms
+    UNION ALL
+    SELECT m, j + 1, CAST((v * (m - j)) / (j + 1) AS BIGINT)
+    FROM binom WHERE j < m
+),
+support AS (
+    SELECT c.a_obs, c.r1, c.k, c.n, b1.j AS a2,
+           b1.v * b2.v AS num
+    FROM cells c
+    JOIN binom b1 ON b1.m = c.r1 AND b1.j <= c.k
+    JOIN binom b2 ON b2.m = c.n - c.r1 AND b2.j = c.k - b1.j
+),
+obs AS (
+    SELECT num AS num_obs FROM support WHERE a2 = a_obs
+)
+SELECT MAX(s.n) AS n, MAX(s.r1) AS r1, MAX(s.k) AS k,
+       MAX(s.a_obs) AS a_obs,
+       CAST(MAX(o.num_obs) AS BIGINT) AS num_obs,
+       CAST(SUM(CASE WHEN s.num <= o.num_obs THEN s.num ELSE 0 END)
+            AS BIGINT) AS num_extreme,
+       CAST(MAX(d.v) AS BIGINT) AS denom,
+       CAST(SUM(CASE WHEN s.num <= o.num_obs THEN s.num ELSE 0 END)
+            AS DOUBLE) / CAST(MAX(d.v) AS DOUBLE) AS p_two_sided
+FROM support s
+CROSS JOIN obs o
+JOIN binom d ON d.m = s.n AND d.j = s.k
+"""
+
+
+@register("stats_fisher_exact", oracle=_FISHER_SQL)
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test (two-sided) on a 2x2 nation-grain table —
+    rich-nation (avg customer balance > $4,600) vs old-world region —
+    computed with NO approximation and NO special functions: the
+    hypergeometric numerators C(r1,a)·C(n−r1,k−a) are exact integers
+    built by a RECURSIVE-CTE multiplicative Pascal walk (C(m,j+1) =
+    C(m,j)·(m−j)/(j+1) — the intermediate product ≤ 1.3e8 makes the
+    double division exact, so the walk is integer-exact on both
+    engines), the two-sided tail sums numerators with num ≤ num_obs
+    (an INTEGER comparison — same denominator cancels), and the only
+    float op is the final division. The IDENTICAL query text runs on
+    Spark 4's recursive-CTE planner and DuckDB (the sql_recursive_cte
+    / stats_sign_test discipline).
+
+    Scale: margins are bounded by the DIMENSION cardinality (25
+    nations) at any fact scale, so the recursion depth and support
+    size never grow; the fact work is one partial aggregation.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FISHER_SQL)
