@@ -7290,3 +7290,227 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_FISHER_SQL)
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle="""
+    WITH labeled AS (
+        SELECT o.o_orderkey,
+               LEAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                     // 1000000, 49) AS bin,
+               CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_returnflag = 'R') r
+          ON r.l_orderkey = o.o_orderkey
+    ),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM labeled GROUP BY bin
+    ),
+    pre AS (
+        SELECT bin, w, pos,
+               CAST(SUM(w) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cw,
+               CAST(SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cp
+        FROM bins
+    ),
+    pairs AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(k.cp - j.cp + j.pos AS DOUBLE)
+                   / CAST(k.cw - j.cw + j.w AS DOUBLE) AS avg_jk
+        FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    step1 AS (
+        SELECT i.bin AS i, p.j, MIN(p.avg_jk) AS m_ij
+        FROM pre i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY i.bin, p.j
+    ),
+    iso AS (
+        SELECT i, MAX(m_ij) AS iso_rate FROM step1 GROUP BY i
+    )
+    SELECT b.bin, b.w AS n_orders, b.pos AS n_returned,
+           CAST(b.pos AS DOUBLE) / CAST(b.w AS DOUBLE) AS raw_rate,
+           s.iso_rate
+    FROM bins b JOIN iso s ON s.i = b.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of return rate against order-value
+    bins — the monotone-regression step of every probability
+    calibrator (Zadrozny/Elkan), computed EXACTLY via the minimax
+    identity iso_i = max_{j<=i} min_{k>=i} avg(y[j..k]) instead of
+    the sequential pool-adjacent-violators stack (which no SQL fold
+    can express): block averages come from integer prefix sums, each
+    is ONE division (identical bits), and min/max are pure
+    comparisons — so the fitted monotone curve is bit-identical on
+    both engines. O(bins^3) triples, but bins are CAPPED at 50, so
+    the cubic term is a constant 125k rows at any fact scale.
+
+    Scale: fact work = one labeled partial agg + the distinct-return
+    semi-join; everything after is 50-row dim-grain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    labeled = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left"
+    ).select(
+        F.least(
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 1000000"),
+            F.lit(49),
+        ).alias("bin"),
+        F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    bins = labeled.groupBy("bin").agg(
+        F.count("*").alias("w"), F.sum("y").alias("pos")
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "w",
+        "pos",
+        F.sum("w").over(wp).alias("cw"),
+        F.sum("pos").over(wp).alias("cp"),
+    )
+    j = pre.alias("j")
+    k = pre.alias("k")
+    pairs = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("j"),
+        F.col("k.bin").alias("k"),
+        (
+            (F.col("k.cp") - F.col("j.cp") + F.col("j.pos")).cast("double")
+            / (F.col("k.cw") - F.col("j.cw") + F.col("j.w")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    step1 = (
+        i.join(
+            pairs,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m_ij"))
+    )
+    iso = step1.groupBy("i").agg(F.max("m_ij").alias("iso_rate"))
+    return bins.join(iso, bins.bin == iso.i).select(
+        "bin",
+        F.col("w").alias("n_orders"),
+        F.col("pos").alias("n_returned"),
+        (F.col("pos").cast("double") / F.col("w").cast("double")).alias(
+            "raw_rate"
+        ),
+        "iso_rate",
+    )
+
+
+@register(
+    "agg_chain_ladder",
+    oracle="""
+    WITH claims AS (
+        SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                   AS cohort,
+               (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+                 - (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                   AS age,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS paid_c
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    tri AS (
+        SELECT cohort, age, CAST(SUM(paid_c) AS BIGINT) AS inc
+        FROM claims WHERE age BETWEEN 0 AND 5
+        GROUP BY cohort, age
+    ),
+    cum AS (
+        SELECT cohort, age,
+               CAST(SUM(inc) OVER (PARTITION BY cohort ORDER BY age
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        FROM tri
+    ),
+    dev AS (
+        SELECT a.age,
+               CAST(COUNT(*) AS BIGINT) AS n_cohorts,
+               CAST(SUM(a.cum_c) AS BIGINT) AS sum_cur,
+               CAST(SUM(b.cum_c) AS BIGINT) AS sum_next
+        FROM cum a
+        JOIN cum b ON b.cohort = a.cohort AND b.age = a.age + 1
+        GROUP BY a.age
+    )
+    SELECT age, n_cohorts, sum_cur, sum_next,
+           CAST(sum_next AS DOUBLE) / CAST(sum_cur AS DOUBLE)
+               AS dev_factor
+    FROM dev
+    """,
+)
+def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors — the actuarial reserving
+    primitive: build the (cohort month × development age) cumulative
+    payment triangle from order/ship dates, then f_age =
+    Σ cum_{age+1} / Σ cum_age over cohorts observed at both ages
+    (the volume-weighted all-cohort estimator). Integer month
+    arithmetic for cohort/age (no date subtraction ambiguity),
+    exact cent sums, ONE division per factor — portable bits.
+
+    Scale: one (cohort, age) partial agg over the o⋈l join; the
+    triangle is bounded by calendar-months × 6 ages.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    claims = orders.join(
+        li, li.l_orderkey == orders.o_orderkey
+    ).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "cohort"
+        ),
+        (
+            F.year("l_shipdate") * 12
+            + F.month("l_shipdate")
+            - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        ).alias("age"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "paid_c"
+        ),
+    )
+    tri = (
+        claims.where(F.col("age").between(0, 5))
+        .groupBy("cohort", "age")
+        .agg(F.sum("paid_c").alias("inc"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = tri.select(
+        "cohort", "age", F.sum("inc").over(wc).alias("cum_c")
+    )
+    a = cum.alias("a")
+    b = cum.alias("b")
+    dev = (
+        a.join(
+            b,
+            (F.col("b.cohort") == F.col("a.cohort"))
+            & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .groupBy(F.col("a.age").alias("age"))
+        .agg(
+            F.count("*").alias("n_cohorts"),
+            F.sum("a.cum_c").alias("sum_cur"),
+            F.sum("b.cum_c").alias("sum_next"),
+        )
+    )
+    return dev.select(
+        "age",
+        "n_cohorts",
+        "sum_cur",
+        "sum_next",
+        (
+            F.col("sum_next").cast("double")
+            / F.col("sum_cur").cast("double")
+        ).alias("dev_factor"),
+    )

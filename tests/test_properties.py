@@ -516,3 +516,50 @@ def test_geohash_matches_bitwise_reference(spark):
     for r in rows:
         m, gh = ref(r.lat_c, r.lon_c)
         assert (r.morton, r.geohash6) == (m, gh), r
+
+
+def test_isotonic_minimax_equals_sequential_pav(spark):
+    """ml_isotonic_calibration's minimax identity must produce the
+    SAME fit as the classic sequential pool-adjacent-violators
+    algorithm, and the fit must be monotone non-decreasing."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    rows = sorted(
+        QUERIES["ml_isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    # sequential PAV over the same (weight, positives) bins
+    blocks = []  # [sum_pos, weight]
+    for r in rows:
+        blocks.append([r.n_returned, r.n_orders])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p, w = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += w
+    # expand blocks back to per-bin rates
+    expanded = []
+    for p, w in blocks:
+        rate = p / w
+        # each block covers as many bins as its accumulated weight
+        # came from; recover the span by re-walking the bins
+        expanded.append((rate, w))
+    # walk bins against blocks
+    i = 0
+    acc_w = 0
+    fits = []
+    for r in rows:
+        rate, w = expanded[i]
+        fits.append(rate)
+        acc_w += r.n_orders
+        if acc_w >= w:
+            i += 1
+            acc_w = 0
+    for r, f in zip(rows, fits):
+        assert abs(r.iso_rate - f) < 1e-12, (r.bin, r.iso_rate, f)
+    for x, y in zip(fits, fits[1:]):
+        assert x <= y + 1e-12
