@@ -2772,3 +2772,101 @@ def graph_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(recip) * 1000000 div COUNT(*) AS BIGINT)"
         ).alias("reciprocity_ppm"),
     )
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH norm AS (
+        SELECT DISTINCT source,
+               md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+                   AS h
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uniq FROM norm
+        GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM norm a
+        JOIN norm b ON b.h = a.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           pa.n_uniq AS uniq_a, pb.n_uniq AS uniq_b,
+           CAST(s.n_shared * 1000000
+                // (pa.n_uniq + pb.n_uniq - s.n_shared) AS BIGINT)
+               AS jaccard_ppm
+    FROM shared s
+    JOIN per_source pa ON pa.source = s.src_a
+    JOIN per_source pb ON pb.source = s.src_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many 8-word BOILERPLATE-PREFIX fingerprints they share, plus the
+    Jaccard overlap in integer ppm — the table that decides which
+    feeds mirror or template each other before any training mix is
+    weighed (complements dedup_exact, which collapses full-text
+    duplicates but doesn't attribute overlap to feed pairs; the
+    prefix shingle is the standard shared-header/template detector
+    when full-text hashes are all distinct). The hash join is on the
+    content fingerprint, so only colliding documents ever pair;
+    sources with zero overlap simply don't appear.
+
+    Scale: fingerprint partial agg (DISTINCT per source) → hash-key
+    equi-join → source-pair cells (bounded by sources²).
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize_scan=True)
+    norm = docs.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("h"),
+    ).distinct()
+    per_source = norm.groupBy("source").agg(
+        F.count("*").alias("n_uniq")
+    )
+    a = norm.alias("a")
+    b = norm.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("b.h") == F.col("a.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            per_source.select(
+                F.col("source").alias("src_a"),
+                F.col("n_uniq").alias("uniq_a"),
+            ),
+            "src_a",
+        )
+        .join(
+            per_source.select(
+                F.col("source").alias("src_b"),
+                F.col("n_uniq").alias("uniq_b"),
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "uniq_a",
+            "uniq_b",
+            F.expr(
+                "CAST(n_shared * 1000000"
+                " div (uniq_a + uniq_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -1771,3 +1771,87 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("ulcer_pct"),
     ).orderBy("day")
+
+
+@register(
+    "win_pivot_points",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    prev AS (
+        SELECT d, close,
+               lag(hi) OVER (ORDER BY d) AS ph,
+               lag(lo) OVER (ORDER BY d) AS pl,
+               lag(close) OVER (ORDER BY d) AS pc
+        FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, close,
+           CAST((ph + pl + pc) // 3 AS BIGINT) AS pivot_c,
+           CAST(2 * ((ph + pl + pc) // 3) - pl AS BIGINT) AS r1_c,
+           CAST(2 * ((ph + pl + pc) // 3) - ph AS BIGINT) AS s1_c,
+           CAST((ph + pl + pc) // 3 + (ph - pl) AS BIGINT) AS r2_c,
+           CAST((ph + pl + pc) // 3 - (ph - pl) AS BIGINT) AS s2_c,
+           CASE WHEN close > 2 * ((ph + pl + pc) // 3) - pl THEN 2
+                WHEN close > (ph + pl + pc) // 3 THEN 1
+                WHEN close < 2 * ((ph + pl + pc) // 3) - ph THEN -2
+                WHEN close < (ph + pl + pc) // 3 THEN -1
+                ELSE 0 END AS zone
+    FROM prev WHERE ph IS NOT NULL
+    ORDER BY day
+    """,
+)
+def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot points from the PRIOR day's bar:
+    P = (H+L+C)/3 (integer floor-div — all cents positive), R1/S1 =
+    2P−L / 2P−H, R2/S2 = P±(H−L), plus the zone classification of
+    today's close against the ladder — the level framework intraday
+    desks quote every morning. Pure integer arithmetic end to end
+    (the /3 is the only division and it's a floor-div on positive
+    cents, identical on both engines).
+
+    Scale: day-grain lag window after a partial agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    wl = Window.orderBy("d")
+    prev = daily.select(
+        "d",
+        "close",
+        F.lag("hi").over(wl).alias("ph"),
+        F.lag("lo").over(wl).alias("pl"),
+        F.lag("close").over(wl).alias("pc"),
+    ).where(F.col("ph").isNotNull())
+    piv = F.expr("(ph + pl + pc) div 3")
+    return prev.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "close",
+        piv.cast("long").alias("pivot_c"),
+        (2 * piv - F.col("pl")).cast("long").alias("r1_c"),
+        (2 * piv - F.col("ph")).cast("long").alias("s1_c"),
+        (piv + (F.col("ph") - F.col("pl"))).cast("long").alias("r2_c"),
+        (piv - (F.col("ph") - F.col("pl"))).cast("long").alias("s2_c"),
+        F.when(F.col("close") > 2 * piv - F.col("pl"), 2)
+        .when(F.col("close") > piv, 1)
+        .when(F.col("close") < 2 * piv - F.col("ph"), -2)
+        .when(F.col("close") < piv, -1)
+        .otherwise(0)
+        .alias("zone"),
+    ).orderBy("day")
