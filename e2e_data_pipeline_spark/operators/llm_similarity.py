@@ -1474,3 +1474,261 @@ def ml_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ap10"),
     )
+
+
+_MMR_PAIR_DOT = """list_sum(list_transform(range(1, 65),
+    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"""
+_MMR_SQ = """list_sum(list_transform({t}.embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS rel
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT qid, nid, rel FROM (
+            SELECT qid, nid, rel,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, nid) AS rn
+            FROM scored
+        ) WHERE rn <= 8
+    ),
+    psim AS (
+        SELECT a.qid, a.nid AS na, b.nid AS nb,
+               round({_MMR_PAIR_DOT}
+                     / (sqrt({_MMR_SQ.format(t='ea')})
+                        * sqrt({_MMR_SQ.format(t='eb')})), 6) AS s
+        FROM cand a
+        JOIN cand b ON b.qid = a.qid AND b.nid <> a.nid
+        JOIN embeddings ea ON ea.vec_id = a.nid
+        JOIN embeddings eb ON eb.vec_id = b.nid
+    ),
+    sel1 AS (
+        SELECT qid, nid, rel, CAST(1 AS BIGINT) AS mmr_rank,
+               CAST(0.0 AS DOUBLE) AS penalty
+        FROM (
+            SELECT qid, nid, rel,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, nid) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    pen2 AS (
+        SELECT c.qid, c.nid, c.rel, MAX(p.s) AS pen
+        FROM cand c
+        JOIN psim p ON p.qid = c.qid AND p.na = c.nid
+        JOIN sel1 s ON s.qid = p.qid AND s.nid = p.nb
+        WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                          WHERE x.qid = c.qid AND x.nid = c.nid)
+        GROUP BY c.qid, c.nid, c.rel
+    ),
+    sel2 AS (
+        SELECT qid, nid, rel, CAST(2 AS BIGINT) AS mmr_rank,
+               pen AS penalty
+        FROM (
+            SELECT qid, nid, rel, pen,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY CAST(0.7 AS DOUBLE) * rel
+                                - CAST(0.3 AS DOUBLE) * pen DESC, nid)
+                   AS rn
+            FROM pen2
+        ) WHERE rn = 1
+    ),
+    s12 AS (SELECT qid, nid FROM sel1 UNION ALL SELECT qid, nid FROM sel2),
+    pen3 AS (
+        SELECT c.qid, c.nid, c.rel, MAX(p.s) AS pen
+        FROM cand c
+        JOIN psim p ON p.qid = c.qid AND p.na = c.nid
+        JOIN s12 s ON s.qid = p.qid AND s.nid = p.nb
+        WHERE NOT EXISTS (SELECT 1 FROM s12 x
+                          WHERE x.qid = c.qid AND x.nid = c.nid)
+        GROUP BY c.qid, c.nid, c.rel
+    ),
+    sel3 AS (
+        SELECT qid, nid, rel, CAST(3 AS BIGINT) AS mmr_rank,
+               pen AS penalty
+        FROM (
+            SELECT qid, nid, rel, pen,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY CAST(0.7 AS DOUBLE) * rel
+                                - CAST(0.3 AS DOUBLE) * pen DESC, nid)
+                   AS rn
+            FROM pen3
+        ) WHERE rn = 1
+    ),
+    s123 AS (SELECT qid, nid FROM s12 UNION ALL SELECT qid, nid FROM sel3),
+    pen4 AS (
+        SELECT c.qid, c.nid, c.rel, MAX(p.s) AS pen
+        FROM cand c
+        JOIN psim p ON p.qid = c.qid AND p.na = c.nid
+        JOIN s123 s ON s.qid = p.qid AND s.nid = p.nb
+        WHERE NOT EXISTS (SELECT 1 FROM s123 x
+                          WHERE x.qid = c.qid AND x.nid = c.nid)
+        GROUP BY c.qid, c.nid, c.rel
+    ),
+    sel4 AS (
+        SELECT qid, nid, rel, CAST(4 AS BIGINT) AS mmr_rank,
+               pen AS penalty
+        FROM (
+            SELECT qid, nid, rel, pen,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY CAST(0.7 AS DOUBLE) * rel
+                                - CAST(0.3 AS DOUBLE) * pen DESC, nid)
+                   AS rn
+            FROM pen4
+        ) WHERE rn = 1
+    )
+    SELECT qid AS query_id, mmr_rank, nid AS neighbor_id, rel, penalty
+    FROM sel1
+    UNION ALL SELECT qid, mmr_rank, nid, rel, penalty FROM sel2
+    UNION ALL SELECT qid, mmr_rank, nid, rel, penalty FROM sel3
+    UNION ALL SELECT qid, mmr_rank, nid, rel, penalty FROM sel4
+    """,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell/Goldstein) — the
+    diversified re-ranking every RAG retriever bolts onto plain
+    top-k: greedily select 4 of the top-8 candidates, each round
+    scoring 0.7·relevance − 0.3·max-similarity-to-already-selected.
+    The greedy loop is THREE UNROLLED rounds (the graph_kcore/CC
+    discipline), each an anti-join (not yet selected) + pair-sim max
+    + deterministic argmax; relevance and pair sims are 6-dp-rounded
+    cosines with id tie-breaks (the sim_topk determinism rules), and
+    the MMR score is one fixed mul/mul/sub chain — identical bits,
+    identical argmax, both engines. penalty column exposes the
+    diversity pressure that moved each pick.
+
+    Scale: candidate generation is the sim_topk broadcast pattern;
+    every MMR round runs at (queries × 8) grain — constant per
+    query, never corpus-quadratic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("c_emb")
+    )
+    rel = F.round(
+        dot(F.col("c_emb"), F.col("q_emb"))
+        / (F.sqrt(sq_norm(F.col("q_emb"))) * F.sqrt(sq_norm(F.col("c_emb")))),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", rel.alias("rel"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rel"), F.col("nid"))
+    cand = (
+        scored.select("*", F.row_number().over(wr).alias("rn"))
+        .where(F.col("rn") <= 8)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    ev = emb.select("vec_id", "embedding")
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pair_sim = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (
+            F.sqrt(sq_norm(F.col("ea")))
+            * F.sqrt(sq_norm(F.col("eb")))
+        ),
+        6,
+    )
+    psim = (
+        a.join(
+            b,
+            (F.col("b.qid") == F.col("a.qid"))
+            & (F.col("b.nid") != F.col("a.nid")),
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+            ),
+            F.col("a.nid") == F.col("va"),
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+            ),
+            F.col("b.nid") == F.col("vb"),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.nid").alias("na"),
+            F.col("b.nid").alias("nb"),
+            pair_sim.alias("s"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.select(
+            "qid",
+            "nid",
+            "rel",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "qid",
+            "nid",
+            "rel",
+            F.lit(1).cast("long").alias("mmr_rank"),
+            F.lit(0.0).alias("penalty"),
+        )
+    )
+    out = sel
+    for rnk in (2, 3, 4):
+        chosen = out.select("qid", "nid")
+        sim_to_sel = (
+            psim.join(
+                chosen.select(
+                    F.col("qid").alias("cq"), F.col("nid").alias("cn")
+                ),
+                (psim.qid == F.col("cq")) & (psim.nb == F.col("cn")),
+            )
+            .select("qid", F.col("na").alias("nid"), "s")
+        )
+        pen = (
+            cand.join(chosen, ["qid", "nid"], "left_anti")
+            .join(sim_to_sel, ["qid", "nid"])
+            .groupBy("qid", "nid", "rel")
+            .agg(F.max("s").alias("pen"))
+        )
+        wm = Window.partitionBy("qid").orderBy(
+            (
+                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("pen")
+            ).desc(),
+            F.col("nid"),
+        )
+        pick = (
+            pen.select("*", F.row_number().over(wm).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid",
+                "nid",
+                "rel",
+                F.lit(rnk).cast("long").alias("mmr_rank"),
+                F.col("pen").alias("penalty"),
+            )
+        )
+        out = out.unionAll(pick).localCheckpoint()
+    return out.select(
+        F.col("qid").alias("query_id"),
+        "mmr_rank",
+        F.col("nid").alias("neighbor_id"),
+        "rel",
+        "penalty",
+    )
