@@ -67,12 +67,12 @@ _CHECKED_PREFIX = [
     "agg_stats",
     "agg_bitmap_distinct",
     "agg_kmv_sketch",
-    "stats_anova_f",
+    "stats_fisher_exact",
     "dq_profile",
     # windows
     "win_running",
     "win_topk_per_group",
-    "win_range_frame",
+    "sim_mmr_diversify",
     # sort / set
     "sort_limit",
     "set_intersect_except",
@@ -112,6 +112,8 @@ _CHECKED_PREFIX = [
     "corpus_pipeline",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "stats_anova_f",
+    "win_range_frame",
     "filter_in_null",
     "win_streaks",
     "ts_ohlc_bars",

@@ -3655,7 +3655,7 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CAST(row_number() OVER (PARTITION BY c.chunk
                        ORDER BY c.di) AS BIGINT) * st.s AS w
         FROM chunked c JOIN stats st ON st.chunk = c.chunk
-        WHERE st.n = 32
+        WHERE st.n >= 24
     ),
     ranges AS (
         SELECT chunk,
@@ -3676,8 +3676,10 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-memory diagnostic (R/S growing like n^H; H≈0.5 is a random
     walk, persistent series trend higher). Exactness budget: daily
     values are INTEGER DOLLARS (cents div 100) so x ≤ ~1e6,
-    the series is HOUR-grain (the 30-day fixture yields 22 full
-    chunks; a day-grain variant would match vacuously on 0 rows),
+    the series is HOUR-grain (the 30-day fixture yields 22 chunks;
+    a day-grain variant would match vacuously on 0 rows) and a chunk
+    qualifies with >= 24 present hours (sparse fixtures gap some
+    hours; the R/S formula is already general in n),
     Σx² ≤ 3.2e13 and the cumulative-deviation walk is scaled by n —
     w_i = n·P_i − i·S, exact int64 — making R/σ =
     (max−min)(w) / sqrt(n·Σx² − S²) a division + sqrt over exact
@@ -3716,7 +3718,7 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrn = Window.partitionBy("chunk").orderBy("di")
     walk = (
         chunked.join(stats, "chunk")
-        .where(F.col("n") == 32)
+        .where(F.col("n") >= 24)
         .select(
             "chunk",
             "di",
