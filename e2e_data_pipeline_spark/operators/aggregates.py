@@ -7514,3 +7514,79 @@ def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sum_cur").cast("double")
         ).alias("dev_factor"),
     )
+
+
+_BH_FDR_SQL = """
+WITH RECURSIVE sample AS (
+    SELECT c_nationkey AS nk,
+           CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) > 450000
+                THEN 1 ELSE 0 END AS hit,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_custkey) AS rn
+    FROM customer
+),
+per_nation AS (
+    SELECT nk, CAST(SUM(hit) AS BIGINT) AS k
+    FROM sample WHERE rn <= 20 GROUP BY nk
+),
+binom AS (
+    SELECT CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS v
+    UNION ALL
+    SELECT j + 1, CAST((v * (20 - j)) / (j + 1) AS BIGINT)
+    FROM binom WHERE j < 20
+),
+pvals AS (
+    SELECT p.nk, p.k,
+           CAST(SUM(CASE WHEN b.v <= obs.v THEN b.v ELSE 0 END)
+                AS BIGINT) AS p_num
+    FROM per_nation p
+    JOIN binom obs ON obs.j = p.k
+    CROSS JOIN binom b
+    GROUP BY p.nk, p.k
+),
+ranked AS (
+    SELECT nk, k, p_num,
+           CAST(row_number() OVER (ORDER BY p_num, nk) AS BIGINT) AS rnk,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM pvals
+),
+flagged AS (
+    SELECT nk, k, p_num, rnk, m,
+           CASE WHEN p_num * m * 20 <= rnk * 1048576
+                THEN 1 ELSE 0 END AS passes_raw
+    FROM ranked
+)
+SELECT f.nk AS nationkey, f.k AS successes_of_20, f.p_num, f.rnk, f.m,
+       CAST(f.p_num AS DOUBLE) / 1048576.0 AS p_exact,
+       CASE WHEN f.rnk <= t.k_star THEN 1 ELSE 0 END AS significant_fdr05
+FROM flagged f
+CROSS JOIN (SELECT COALESCE(MAX(CASE WHEN passes_raw = 1 THEN rnk END),
+                            0) AS k_star
+            FROM flagged) t
+"""
+
+
+@register("stats_bh_fdr", oracle=_BH_FDR_SQL)
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction computed with ZERO floating
+    point in the decision path: each nation gets an exact two-sided
+    binomial sign test ("do the first 20 customers' balances sit
+    above $4,500 more often than a fair coin?") whose p-value is an
+    exact rational num/2^20 (numerator = sum of the binomial
+    coefficients at least as extreme, coefficients from the
+    recursive-CTE Pascal walk of stats_fisher_exact); the BH step-up
+    rule p_(k) <= k·alpha/m at alpha = 1/20 becomes the INTEGER
+    comparison p_num·m·20 <= k·2^20, and the step-up cutoff k* is a
+    plain MAX — so the significant/not verdict can never flip on a
+    rounding. The p_exact column (one closing division) is display
+    only. The IDENTICAL text runs on both engines.
+
+    Scale: the per-nation sample is FIXED at 20 (deterministic
+    custkey order), so binomials, p-values, and the BH scan are all
+    dim-grain constants at any fact scale; the fact work is one
+    windowed sample + partial agg.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_BH_FDR_SQL)

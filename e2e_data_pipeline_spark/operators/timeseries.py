@@ -3950,3 +3950,127 @@ def ts_renko_bricks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("st", 2).cast("long").alias("up_bricks"),
         F.element_at("st", 3).cast("long").alias("down_bricks"),
     )
+
+
+@register(
+    "ts_sax_words",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) % 24 AS hod,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS s2
+        FROM hourly GROUP BY d
+    ),
+    segs AS (
+        SELECT h.d, (h.hod - ((h.hod % 6) + 6) % 6) // 6 AS seg,
+               CAST(SUM(h.x) AS BIGINT) AS seg_sum
+        FROM hourly h JOIN days dd ON dd.d = h.d
+        WHERE dd.n = 24
+        GROUP BY h.d, (h.hod - ((h.hod % 6) + 6) % 6) // 6
+    ),
+    scored AS (
+        SELECT s.d, s.seg,
+               CAST(4 * s.seg_sum - dd.s AS DOUBLE) AS num,
+               sqrt(CAST(24 * dd.s2 - dd.s * dd.s AS DOUBLE)) AS sig
+        FROM segs s JOIN days dd ON dd.d = s.d
+    ),
+    symbols AS (
+        SELECT d, seg,
+               CASE WHEN num >= CAST(0.6745 AS DOUBLE) * sig THEN 'd'
+                    WHEN num >= CAST(0.0 AS DOUBLE) THEN 'c'
+                    WHEN num >= CAST(-0.6745 AS DOUBLE) * sig THEN 'b'
+                    ELSE 'a' END AS sym
+        FROM scored
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           string_agg(sym, '' ORDER BY seg) AS sax_word
+    FROM symbols GROUP BY d
+    ORDER BY day
+    """,
+)
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) words: each complete
+    day's 24 hourly values reduce to 4 six-hour PAA segments,
+    z-normalized against the day and mapped to a 4-letter alphabet
+    at the standard Gaussian breakpoints ±0.6745 — the
+    dimensionality reduction behind time-series motif/anomaly mining
+    (Lin/Keogh). The z comparison is CLEARED OF DIVISIONS:
+    z_i >= beta  <=>  (4·seg_sum − S) >= beta·sqrt(24·Σx² − S²),
+    so each side is exact int64 lifted to double, then one sqrt and
+    one multiply (fixed order, identical bits) — symbol boundaries
+    can never disagree across engines. Words assemble with an
+    ORDER BY string_agg / sorted-struct concat.
+
+    Scale: hour-grain partial agg; everything after is (day × 4)
+    cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        (
+            F.expr(
+                "CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS LONG)"
+                " div 3600"
+            )
+            % 24
+        ).alias("hod"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    days = hourly.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    segs = (
+        hourly.join(days, "d")
+        .where(F.col("n") == 24)
+        .groupBy("d", F.expr("(hod - pmod(hod, 6)) div 6").alias("seg"))
+        .agg(F.sum("x").alias("seg_sum"))
+    )
+    scored = segs.join(days, "d").select(
+        "d",
+        "seg",
+        (4 * F.col("seg_sum") - F.col("s")).cast("double").alias("num"),
+        F.sqrt(
+            (24 * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+        ).alias("sig"),
+    )
+    symbols = scored.select(
+        "d",
+        "seg",
+        F.when(
+            F.col("num") >= F.lit(0.6745) * F.col("sig"), F.lit("d")
+        )
+        .when(F.col("num") >= F.lit(0.0), F.lit("c"))
+        .when(
+            F.col("num") >= F.lit(-0.6745) * F.col("sig"), F.lit("b")
+        )
+        .otherwise(F.lit("a"))
+        .alias("sym"),
+    )
+    return (
+        symbols.groupBy("d")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(seg, sym))), p -> p.sym), '')"
+            ).alias("sax_word")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "sax_word"
+        )
+        .orderBy("day")
+    )
