@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
 from e2e_data_pipeline_spark.operators.registry import (
+    dec,
     dec_avg,
     dec_sum,
     global_rank,
@@ -3090,4 +3091,151 @@ def dq_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((MAX(cnt) - MIN(cnt)) * 1000000 div MAX(cnt) AS BIGINT)"
         ).alias("spread_ppm"),
+    )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS f_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + decimal
+    quantity sum per line status) — the surface where Spark's
+    ``pivot().agg()`` needs care: ``count("*")`` is invalid inside a
+    pivot agg (documented gotcha), so the count rides as
+    ``count(lit(1))``, and the auto-generated ``status_aggname``
+    columns are renamed to a stable schema. Values are pinned
+    explicitly (``pivot(col, ['F','O'])``) so the plan never runs the
+    distinct-scan pre-pass — at 100 TB an unpinned pivot is two jobs.
+
+    Scale: single partial-agg shuffle carrying (flag × status × 2)
+    cells; the oracle is the conditional-aggregation twin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("f_cnt"),
+        F.col("F_qty").alias("f_qty"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("o_cnt"),
+        F.col("O_qty").alias("o_qty"),
+    )
+
+
+@register(
+    "subq_exists_trio",
+    oracle="""
+    SELECT n.n_name,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                   AND EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_totalprice > 300000))
+                AS BIGINT) AS n_big_spenders,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT) AS n_dormant,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                   AND c.c_mktsegment IN ('BUILDING', 'MACHINERY'))
+                AS BIGINT) AS n_target_segment
+    FROM nation n
+    """,
+)
+def subq_exists_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery predicate trio — EXISTS, NOT EXISTS,
+    and IN — answered per nation in one statement: big spenders
+    (EXISTS a >$300k order), dormant customers (NOT EXISTS any
+    order), and a target-segment membership count. Spark plans the
+    EXISTS as a left-semi join, the NOT EXISTS as a left-anti join,
+    and the IN as a local predicate — all shuffle-partitioned on the
+    correlation key, which is exactly what you want at scale (no
+    per-row subquery re-execution anywhere). Complements
+    subq_scalar_corr (scalar correlated aggregate).
+
+    Scale: two key-partitioned semi/anti joins + one scan predicate,
+    then a 25-row dim aggregate.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    spenders = (
+        customer.join(
+            big, customer.c_custkey == big.o_custkey, "left_semi"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_big_spenders"))
+    )
+    dormant = (
+        customer.join(
+            orders.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_dormant"))
+    )
+    seg = (
+        customer.where(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_target_segment"))
+    )
+    return (
+        nation.join(
+            F.broadcast(spenders),
+            nation.n_nationkey == spenders.c_nationkey,
+            "left",
+        )
+        .drop("c_nationkey")
+        .join(
+            F.broadcast(dormant),
+            nation.n_nationkey == dormant.c_nationkey,
+            "left",
+        )
+        .drop("c_nationkey")
+        .join(
+            F.broadcast(seg),
+            nation.n_nationkey == seg.c_nationkey,
+            "left",
+        )
+        .select(
+            "n_name",
+            F.coalesce("n_big_spenders", F.lit(0)).alias(
+                "n_big_spenders"
+            ),
+            F.coalesce("n_dormant", F.lit(0)).alias("n_dormant"),
+            F.coalesce("n_target_segment", F.lit(0)).alias(
+                "n_target_segment"
+            ),
+        )
     )

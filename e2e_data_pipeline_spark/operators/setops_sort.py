@@ -188,3 +188,36 @@ def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("first_custkey"),
         F.max("c_custkey").alias("last_custkey"),
     )
+
+
+@register(
+    "sort_partial_cluster",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def sort_partial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions — the write-layout clustering primitive:
+    rows are ordered by (l_orderkey, l_linenumber) INSIDE each
+    partition with NO global exchange, which is how you lay out
+    parquet files for row-group min/max skipping (each file covers a
+    tight key range) without paying a cluster-wide range sort. The
+    result SET is unchanged (the oracle is the plain selection; the
+    driver's hash is row-order-insensitive); the plan property —
+    Sort[global=false] and zero added Exchange — is pinned by
+    test_plans.py. At 100 TB this is the difference between a
+    terasort and a free mapper-side pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )

@@ -831,3 +831,24 @@ def test_connected_components_round_is_key_partitioned(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sort_within_partitions_adds_no_exchange(spark):
+    """sort_partial_cluster must plan a LOCAL sort (global=false)
+    with no Exchange introduced above the scan."""
+    plan = plan_of(spark, "sort_partial_cluster")
+    assert "Sort" in plan
+    # a GLOBAL sort would require a range-partitioning Exchange; its
+    # absence proves the sort stayed partition-local
+    assert "Exchange" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_exists_trio_plans_semi_and_anti(spark):
+    """subq_exists_trio: EXISTS -> semi join, NOT EXISTS -> anti
+    join, both hash-based (no nested-loop correlation)."""
+    plan = plan_of(spark, "subq_exists_trio")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
