@@ -7590,3 +7590,113 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_BH_FDR_SQL)
+
+
+@register(
+    "ml_conformal_interval",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y,
+               o_orderkey % 4 AS fold
+        FROM orders
+    ),
+    model AS (
+        SELECT o_orderpriority,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS pred
+        FROM base WHERE fold <= 1 GROUP BY o_orderpriority
+    ),
+    calib AS (
+        SELECT abs(b.y - m.pred) AS score
+        FROM base b JOIN model m USING (o_orderpriority)
+        WHERE b.fold = 2
+    ),
+    qhat AS (
+        SELECT CAST(score AS BIGINT) AS q90, n_calib FROM (
+            SELECT score,
+                   CAST(row_number() OVER (ORDER BY score, score)
+                        AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_calib
+            FROM calib
+        ) WHERE rnk = ((n_calib + 1) * 9 + 9) // 10
+    ),
+    test AS (
+        SELECT abs(b.y - m.pred) AS err
+        FROM base b JOIN model m USING (o_orderpriority)
+        WHERE b.fold = 3
+    )
+    SELECT q.n_calib, q.q90,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.err <= q.q90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN t.err <= q.q90 THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM test t CROSS JOIN qhat q
+    GROUP BY q.n_calib, q.q90
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval — the
+    distribution-free uncertainty wrapper (Vovk; Angelopoulos/Bates):
+    fit a per-priority mean predictor on folds 0-1, take the
+    ceil(0.9(n+1))-th order statistic of absolute calibration
+    residuals on fold 2 as the interval half-width q̂, and verify
+    ~90% empirical coverage on held-out fold 3. Everything is exact:
+    the predictor is an integer floor-mean in cents, residuals are
+    exact ints, the conformal quantile is a DISCRETE order statistic
+    (rank ((n+1)·9+9) div 10 = ceil without floats), and coverage is
+    an integer ppm. The conformal guarantee needs exactly this
+    discrete rank — interpolated quantiles would void it AND the
+    cross-engine hash.
+
+    Scale: fold splits are scan predicates; the model is a 5-row
+    broadcast; the calibration rank runs on a single-column frame
+    (at 100 TB you'd range-partition it — the global_rank pattern).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        (F.col("o_orderkey") % 4).alias("fold"),
+    )
+    model = (
+        base.where(F.col("fold") <= 1)
+        .groupBy("o_orderpriority")
+        .agg(F.expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").alias("pred"))
+    )
+    calib = (
+        base.where(F.col("fold") == 2)
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(F.abs(F.col("y") - F.col("pred")).alias("score"))
+    )
+    ranked = calib.select(
+        "score",
+        F.row_number()
+        .over(Window.orderBy("score"))
+        .cast("long")
+        .alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n_calib"),
+    )
+    qhat = ranked.where(
+        F.col("rnk") == F.expr("((n_calib + 1) * 9 + 9) div 10")
+    ).select(F.col("score").alias("q90"), "n_calib")
+    test = (
+        base.where(F.col("fold") == 3)
+        .join(F.broadcast(model), "o_orderpriority")
+        .select(F.abs(F.col("y") - F.col("pred")).alias("err"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n_calib", "q90")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("err") <= F.col("q90"), 1).otherwise(0)
+            ).alias("n_covered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN err <= q90 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -3239,3 +3239,139 @@ def subq_exists_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_survivorship_merge",
+    oracle="""
+    WITH recs AS (
+        SELECT c_custkey // 3 AS cluster_id,
+               c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ),
+    oldest AS (
+        SELECT cluster_id, MIN(c_custkey) AS first_key
+        FROM recs GROUP BY cluster_id
+    ),
+    best_bal AS (
+        SELECT r.cluster_id, MAX(r.bal_c) AS max_bal
+        FROM recs r GROUP BY r.cluster_id
+    ),
+    bal_owner AS (
+        SELECT r.cluster_id, b.max_bal,
+               MIN(r.c_custkey) AS bal_key
+        FROM recs r JOIN best_bal b
+          ON b.cluster_id = r.cluster_id AND r.bal_c = b.max_bal
+        GROUP BY r.cluster_id, b.max_bal
+    ),
+    seg_mode AS (
+        SELECT cluster_id, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM recs GROUP BY cluster_id, c_mktsegment
+    ),
+    seg_pick AS (
+        SELECT s.cluster_id,
+               MIN(s.c_mktsegment) AS segment
+        FROM seg_mode s
+        JOIN (SELECT cluster_id, MAX(cnt) AS mx FROM seg_mode
+              GROUP BY cluster_id) m
+          ON m.cluster_id = s.cluster_id AND s.cnt = m.mx
+        GROUP BY s.cluster_id
+    )
+    SELECT o.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MAX(CASE WHEN r.c_custkey = o.first_key
+                    THEN r.c_name END) AS golden_name,
+           MAX(bo.max_bal) AS golden_bal_c,
+           MAX(CASE WHEN r.c_custkey = bo.bal_key
+                    THEN r.c_nationkey END) AS golden_nationkey,
+           MAX(sp.segment) AS golden_segment
+    FROM recs r
+    JOIN oldest o ON o.cluster_id = r.cluster_id
+    JOIN bal_owner bo ON bo.cluster_id = r.cluster_id
+    JOIN seg_pick sp ON sp.cluster_id = r.cluster_id
+    GROUP BY o.cluster_id
+    """,
+)
+def agg_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record SURVIVORSHIP — the merge step after record
+    linkage (dedup_record_linkage finds the clusters; this op
+    decides what survives): per cluster, name from the OLDEST record
+    (min key), balance = MAX across records, nation from the
+    record that OWNS the max balance (min-key tiebreak on balance
+    ties — a cascaded argmax, the join_bitemporal discipline), and
+    segment by MODE with alphabetical tiebreak. Every rule is a
+    partial-aggregable aggregation or an equi-join — no window
+    sorts, no nondeterministic first().
+
+    Scale: all aggregations key on cluster_id — one shuffle family;
+    rule lookups join back at cluster grain.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    recs = cust.select(
+        F.expr("c_custkey div 3").alias("cluster_id"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    oldest = recs.groupBy("cluster_id").agg(
+        F.min("c_custkey").alias("first_key")
+    )
+    best_bal = recs.groupBy("cluster_id").agg(
+        F.max("bal_c").alias("max_bal")
+    )
+    bal_owner = (
+        recs.alias("r")
+        .join(
+            best_bal.alias("b"),
+            (F.col("b.cluster_id") == F.col("r.cluster_id"))
+            & (F.col("r.bal_c") == F.col("b.max_bal")),
+        )
+        .groupBy(
+            F.col("r.cluster_id").alias("cluster_id"),
+            F.col("b.max_bal").alias("max_bal"),
+        )
+        .agg(F.min("r.c_custkey").alias("bal_key"))
+    )
+    seg_mode = recs.groupBy("cluster_id", "c_mktsegment").agg(
+        F.count("*").alias("cnt")
+    )
+    seg_max = seg_mode.groupBy("cluster_id").agg(
+        F.max("cnt").alias("mx")
+    )
+    seg_pick = (
+        seg_mode.alias("s")
+        .join(
+            seg_max.alias("m"),
+            (F.col("m.cluster_id") == F.col("s.cluster_id"))
+            & (F.col("s.cnt") == F.col("m.mx")),
+        )
+        .groupBy(F.col("s.cluster_id").alias("cluster_id"))
+        .agg(F.min("s.c_mktsegment").alias("segment"))
+    )
+    return (
+        recs.join(oldest, "cluster_id")
+        .join(bal_owner, "cluster_id")
+        .join(seg_pick, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max(
+                F.when(
+                    F.col("c_custkey") == F.col("first_key"),
+                    F.col("c_name"),
+                )
+            ).alias("golden_name"),
+            F.max("max_bal").alias("golden_bal_c"),
+            F.max(
+                F.when(
+                    F.col("c_custkey") == F.col("bal_key"),
+                    F.col("c_nationkey"),
+                )
+            ).alias("golden_nationkey"),
+            F.max("segment").alias("golden_segment"),
+        )
+    )

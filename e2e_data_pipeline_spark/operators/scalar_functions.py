@@ -2844,3 +2844,123 @@ def fn_round_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("half_up") != F.col("half_even"), 1).otherwise(0)
         ).alias("n_policy_diff"),
     )
+
+
+@register(
+    "fn_easter_gauss",
+    oracle="""
+    WITH years AS (
+        SELECT DISTINCT year(o_orderdate) AS y FROM orders
+    ),
+    comp AS (
+        SELECT y,
+               y % 19 AS a, y // 100 AS b, y % 100 AS c
+        FROM years
+    ),
+    comp2 AS (
+        SELECT *, b // 4 AS d, b % 4 AS e,
+               (b + 8) // 25 AS f
+        FROM comp
+    ),
+    comp3 AS (
+        SELECT *, (b - f + 1) // 3 AS g,
+               c // 4 AS i, c % 4 AS k
+        FROM comp2
+    ),
+    comp4 AS (
+        SELECT *, (19 * a + b - d - g + 15) % 30 AS h
+        FROM comp3
+    ),
+    comp5 AS (
+        SELECT *, (32 + 2 * e + 2 * i - h - k) % 7 AS l
+        FROM comp4
+    ),
+    comp6 AS (
+        SELECT *, (a + 11 * h + 22 * l) // 451 AS m
+        FROM comp5
+    ),
+    easter AS (
+        SELECT y,
+               make_date(CAST(y AS INT),
+                         CAST((h + l - 7 * m + 114) // 31 AS INT),
+                         CAST((h + l - 7 * m + 114) % 31 + 1 AS INT))
+                   AS easter_d
+        FROM comp6
+    )
+    SELECT e.y AS year,
+           strftime(e.easter_d, '%Y-%m-%d') AS easter,
+           strftime(e.easter_d - 2, '%Y-%m-%d') AS good_friday,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS orders_easter_week
+    FROM easter e
+    LEFT JOIN orders o
+      ON year(o.o_orderdate) = e.y
+     AND CAST(o.o_orderdate AS DATE) BETWEEN e.easter_d - 3
+                                         AND e.easter_d + 3
+    GROUP BY e.y, e.easter_d
+    """,
+)
+def fn_easter_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computus — Easter via the anonymous Gregorian (Meeus/Butcher)
+    algorithm, the classic proof that 'moveable feast' calendar
+    features need no lookup table: eleven integer div/mod steps per
+    year, all operands positive (Spark div == DuckDB //), then
+    make_date on both engines. The holiday dates drive a real
+    feature join: order volume in each year's Easter week — the
+    calendar-feature-engineering every retail forecast needs
+    (fn_fiscal_calendar's moveable-date complement).
+
+    Scale: years are a dim-sized distinct; the ±3-day membership
+    join prunes to one week per year before counting.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    years = orders.select(
+        F.year("o_orderdate").alias("y")
+    ).distinct()
+    e = (
+        years.withColumn("a", F.col("y") % 19)
+        .withColumn("b", F.expr("y div 100"))
+        .withColumn("c", F.col("y") % 100)
+        .withColumn("d", F.expr("b div 4"))
+        .withColumn("e", F.col("b") % 4)
+        .withColumn("f", F.expr("(b + 8) div 25"))
+        .withColumn("g", F.expr("(b - f + 1) div 3"))
+        .withColumn("i", F.expr("c div 4"))
+        .withColumn("k", F.col("c") % 4)
+        .withColumn("h", (19 * F.col("a") + F.col("b") - F.col("d")
+                          - F.col("g") + 15) % 30)
+        .withColumn(
+            "l",
+            (32 + 2 * F.col("e") + 2 * F.col("i") - F.col("h")
+             - F.col("k")) % 7,
+        )
+        .withColumn("m", F.expr("(a + 11 * h + 22 * l) div 451"))
+        .withColumn(
+            "easter_d",
+            F.expr(
+                "make_date(CAST(y AS INT),"
+                " CAST((h + l - 7 * m + 114) div 31 AS INT),"
+                " CAST((h + l - 7 * m + 114) % 31 + 1 AS INT))"
+            ),
+        )
+        .select("y", "easter_d")
+    )
+    joined = e.join(
+        orders,
+        (F.year("o_orderdate") == e.y)
+        & (
+            F.col("o_orderdate")
+            .cast("date")
+            .between(F.date_sub("easter_d", 3), F.date_add("easter_d", 3))
+        ),
+        "left",
+    )
+    return joined.groupBy("y", "easter_d").agg(
+        F.count("o_orderkey").alias("orders_easter_week")
+    ).select(
+        F.col("y").alias("year"),
+        F.date_format("easter_d", "yyyy-MM-dd").alias("easter"),
+        F.date_format(F.date_sub("easter_d", 2), "yyyy-MM-dd").alias(
+            "good_friday"
+        ),
+        "orders_easter_week",
+    )
