@@ -4074,3 +4074,116 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ts_haar_energy",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    chunked AS (
+        SELECT di, x,
+               (di - ((di % 32) + 32) % 32) // 32 AS chunk,
+               ((di % 32) + 32) % 32 AS pos
+        FROM hourly
+    ),
+    full_chunks AS (
+        SELECT chunk FROM chunked GROUP BY chunk HAVING COUNT(*) = 32
+    ),
+    lv AS (SELECT unnest([1, 2, 3, 4, 5]) AS level),
+    coeffs AS (
+        SELECT c.chunk, l.level,
+               c.pos // (CASE l.level WHEN 1 THEN 2 WHEN 2 THEN 4
+                         WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)
+                   AS block,
+               CAST(SUM(CASE WHEN (c.pos // (CASE l.level
+                        WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4
+                        WHEN 4 THEN 8 ELSE 16 END)) % 2 = 0
+                    THEN c.x ELSE -c.x END) AS BIGINT) AS d
+        FROM chunked c
+        JOIN full_chunks f ON f.chunk = c.chunk
+        CROSS JOIN lv l
+        GROUP BY c.chunk, l.level, 3
+    )
+    SELECT chunk, level,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(d * d) AS BIGINT) AS detail_energy
+    FROM coeffs GROUP BY chunk, level
+    """,
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition per 32-hour
+    chunk: at level k, each 2^k-hour block's detail coefficient is
+    (sum of its first half) − (sum of its second half), and the
+    level's energy Σd² tells you WHICH TIME SCALE carries the
+    variance (hour-to-hour jitter vs 16-hour swings) — the
+    multi-resolution burst diagnostic ts_burst_detect (single-scale)
+    can't give. The unnormalized transform keeps every coefficient
+    an exact int64 (no /√2 per level), so energies are exact and the
+    whole operator is integer arithmetic; positions use the portable
+    pmod identity.
+
+    Scale: one hour-grain partial agg, then (chunk × level × block)
+    cells — the 5-level explode is a constant 5× on the CHUNK grain,
+    not the fact grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS LONG)"
+            " div 3600"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    chunked = hourly.select(
+        "di",
+        "x",
+        F.expr("(di - pmod(di, 32)) div 32").alias("chunk"),
+        F.expr("pmod(di, 32)").alias("pos"),
+    )
+    full_chunks = (
+        chunked.groupBy("chunk")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") == 32)
+        .select("chunk")
+    )
+    lv = spark.range(1, 6).select(F.col("id").alias("level"))
+    coeffs = (
+        chunked.join(full_chunks, "chunk")
+        .crossJoin(F.broadcast(lv))
+        .groupBy(
+            "chunk",
+            "level",
+            F.expr(
+                "pos div (CASE level WHEN 1 THEN 2 WHEN 2 THEN 4"
+                " WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)"
+            ).alias("block"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(pos div (CASE level WHEN 1 THEN 1 WHEN 2 THEN 2"
+                        " WHEN 3 THEN 4 WHEN 4 THEN 8 ELSE 16 END)) % 2"
+                    )
+                    == 0,
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    return coeffs.groupBy("chunk", "level").agg(
+        F.count("*").alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).alias("detail_energy"),
+    )
