@@ -7700,3 +7700,114 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "stats_emd_1d",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT c,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na_c,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_c
+        FROM pop GROUP BY c
+    ),
+    tot AS (
+        SELECT CAST(SUM(na_c) AS BIGINT) AS na,
+               CAST(SUM(nb_c) AS BIGINT) AS nb
+        FROM cells
+    ),
+    walk AS (
+        SELECT c,
+               CAST(SUM(na_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_a,
+               CAST(SUM(nb_c) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_b,
+               lead(c) OVER (ORDER BY c) - c AS gap
+        FROM cells
+    ),
+    terms AS (
+        SELECT w.c, w.gap,
+               abs(w.cum_a * 1000000 // t.na
+                   - w.cum_b * 1000000 // t.nb) AS cdf_diff_ppm
+        FROM walk w CROSS JOIN tot t
+        WHERE w.gap IS NOT NULL
+    )
+    SELECT t2.na, t2.nb,
+           CAST(SUM(tm.cdf_diff_ppm * tm.gap) AS BIGINT)
+               AS emd_ppm_cents,
+           CAST(SUM(tm.cdf_diff_ppm * tm.gap) AS DOUBLE) / 1000000.0
+               / 100.0 AS emd_dollars
+    FROM terms tm CROSS JOIN tot t2
+    GROUP BY t2.na, t2.nb
+    """,
+)
+def stats_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's (Wasserstein-1) distance between the click
+    and purchase value distributions: ∫|CDF_a − CDF_b| dx over the
+    merged integer-cents support — the drift measure that reports
+    HOW FAR the mass moved in value units (dq_drift_tvd's TVD only
+    reports how much mass differs). CDFs are fixed-point integer ppm
+    (cum·1e6 div N — a defined estimator, identical on both
+    engines), each segment contributes |Δcdf|·gap exactly in int64
+    (≤ 1e6·gap·cells, within range at any SF), and the dollar
+    rendering is a fixed two-step division of the exact integer.
+
+    Scale: one (value, side) partial agg; the prefix walk runs on
+    the bounded distinct-cents frame (the stats_mannwhitney
+    machinery), not on events.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    pop = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias(
+            "side"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    cells = pop.groupBy("c").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na_c"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb_c"),
+    )
+    tot = cells.agg(
+        F.sum("na_c").alias("na"), F.sum("nb_c").alias("nb")
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    walk = cells.select(
+        "c",
+        F.sum("na_c").over(w).alias("cum_a"),
+        F.sum("nb_c").over(w).alias("cum_b"),
+        (F.lead("c").over(Window.orderBy("c")) - F.col("c")).alias("gap"),
+    )
+    terms = (
+        walk.crossJoin(F.broadcast(tot))
+        .where(F.col("gap").isNotNull())
+        .select(
+            F.abs(
+                F.expr("cum_a * 1000000 div na")
+                - F.expr("cum_b * 1000000 div nb")
+            ).alias("cdf_diff_ppm"),
+            "gap",
+            "na",
+            "nb",
+        )
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.sum(F.col("cdf_diff_ppm") * F.col("gap"))
+        .cast("long")
+        .alias("emd_ppm_cents"),
+        (
+            F.sum(F.col("cdf_diff_ppm") * F.col("gap")).cast("double")
+            / F.lit(1000000.0)
+            / F.lit(100.0)
+        ).alias("emd_dollars"),
+    )
