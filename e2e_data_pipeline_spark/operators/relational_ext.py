@@ -3375,3 +3375,83 @@ def agg_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("segment").alias("golden_segment"),
         )
     )
+
+
+@register(
+    "dq_ledger_chain",
+    oracle="""
+    WITH rows_h AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders
+    ),
+    daily AS (
+        SELECT d, CAST(bit_xor(h) AS BIGINT) AS digest,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM rows_h GROUP BY d
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               list_reduce(
+                   list_transform(
+                       list(CAST(digest AS VARCHAR) ORDER BY d),
+                       x -> CAST(x AS VARCHAR)),
+                   (acc, x) -> md5(acc || '|' || x)
+               ) AS chain_head
+        FROM daily
+    )
+    SELECT n_days, n_rows, chain_head FROM folded
+    """,
+)
+def dq_ledger_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident load ledger: every day's partition reduces to
+    an order-insensitive 60-bit XOR digest of its row hashes (the
+    dq_table_checksum fingerprint, per day), and the day digests
+    hash-CHAIN in date order — chain_i = md5(chain_{i-1} || d_i) —
+    so the single chain head attests the entire load history:
+    altering ANY historical row flips its day's digest and every
+    chain link after it (the blockchain/ledger audit pattern,
+    Merkle-ized to day grain). The chain fold is calendar-bounded
+    (ts_croston discipline); the portable 60-bit hash is the
+    conv(md5) construction verified bit-equal in round 3.
+
+    Scale: fact work is one hash projection + per-day XOR partial
+    agg; the fold list is one element per day.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rows_h = orders.select(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || '|' ||"
+            " CAST(o_custkey AS STRING) || '|' ||"
+            " CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    daily = rows_h.groupBy("d").agg(
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("digest"),
+        F.count("*").alias("n_rows"),
+    )
+    listed = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_rows").alias("n_rows"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, digest))),"
+            " s -> CAST(s.digest AS STRING))"
+        ).alias("arr"),
+    )
+    folded = listed.select(
+        "n_days",
+        "n_rows",
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1),"
+            " element_at(arr, 1),"
+            " (acc, x) -> md5(acc || '|' || x))"
+        ).alias("chain_head"),
+    )
+    return folded
