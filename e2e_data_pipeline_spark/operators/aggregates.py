@@ -7811,3 +7811,92 @@ def stats_emd_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("emd_dollars"),
     )
+
+
+@register(
+    "agg_price_index",
+    oracle="""
+    WITH per_year AS (
+        SELECT l_partkey, year(l_shipdate) AS yr,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        GROUP BY l_partkey, year(l_shipdate)
+    ),
+    matched AS (
+        SELECT b.l_partkey,
+               b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+        FROM per_year b
+        JOIN per_year c ON c.l_partkey = b.l_partkey AND c.yr = 1996
+        WHERE b.yr = 1995
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(p1 * q0) AS BIGINT) AS s_p1q0,
+               CAST(SUM(p0 * q0) AS BIGINT) AS s_p0q0,
+               CAST(SUM(p1 * q1) AS BIGINT) AS s_p1q1,
+               CAST(SUM(p0 * q1) AS BIGINT) AS s_p0q1
+        FROM matched
+    )
+    SELECT n_parts,
+           CAST(s_p1q0 AS DOUBLE) / CAST(s_p0q0 AS DOUBLE) AS laspeyres,
+           CAST(s_p1q1 AS DOUBLE) / CAST(s_p0q1 AS DOUBLE) AS paasche,
+           sqrt((CAST(s_p1q0 AS DOUBLE) / CAST(s_p0q0 AS DOUBLE))
+                * (CAST(s_p1q1 AS DOUBLE) / CAST(s_p0q1 AS DOUBLE)))
+               AS fisher
+    FROM sums
+    """,
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price index trio between 1995 and 1996 over the matched part
+    basket: Laspeyres Σp₁q₀/Σp₀q₀ (base-period weights), Paasche
+    Σp₁q₁/Σp₀q₁ (current weights), and Fisher's ideal index — their
+    geometric mean — the inflation-measurement primitives. Unit
+    prices are FLOORED integer cents (ΣpriceC div Σqty — a defined
+    estimator, identical both engines), the four basket sums are
+    exact int64 (cents·qty ≤ 1e11 per part), and each index is one
+    division; Fisher adds one multiply and one sqrt in fixed order —
+    bit-portable throughout.
+
+    Scale: one (part, year) partial agg + a part-keyed self-join;
+    the index reduce is a single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1995, 1996)
+    )
+    per_year = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            " div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("p"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    b = per_year.where(F.col("yr") == 1995).select(
+        "l_partkey",
+        F.col("p").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    c = per_year.where(F.col("yr") == 1996).select(
+        F.col("l_partkey").alias("pk1"),
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    matched = b.join(c, b.l_partkey == c.pk1)
+    sums = matched.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("s_p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("s_p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).alias("s_p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).alias("s_p0q1"),
+    )
+    lasp = F.col("s_p1q0").cast("double") / F.col("s_p0q0").cast("double")
+    paas = F.col("s_p1q1").cast("double") / F.col("s_p0q1").cast("double")
+    return sums.select(
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )
