@@ -1827,18 +1827,24 @@ def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
                (s_suppkey * 40503) % 10000 AS y
         FROM supplier
     ),
+    cs AS (
+        SELECT GREATEST(100, 10000 // CAST(sqrt(CAST(COUNT(*) AS DOUBLE))
+                                           AS BIGINT)) AS w
+        FROM supp
+    ),
     cgrid AS (
-        SELECT c.c_custkey, c.x, c.y,
-               (c.x // 2000 + dx.d) * 100 + (c.y // 2000 + dy.d)
+        SELECT c.c_custkey, c.x, c.y, cs.w,
+               (c.x // cs.w + dx.d) * 100000 + (c.y // cs.w + dy.d)
                    AS cell
         FROM cust c
+        CROSS JOIN cs
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
         CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
     ),
     sgrid AS (
         SELECT s_suppkey, x, y,
-               (x // 2000) * 100 + (y // 2000) AS cell
-        FROM supp
+               (x // cs.w) * 100000 + (y // cs.w) AS cell
+        FROM supp CROSS JOIN cs
     ),
     cand AS (
         SELECT g.c_custkey, g.x AS cx, g.y AS cy,
@@ -1847,7 +1853,7 @@ def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (g.y - s.y) * (g.y - s.y) AS d2
         FROM cgrid g JOIN sgrid s ON s.cell = g.cell
         WHERE (g.x - s.x) * (g.x - s.x)
-                + (g.y - s.y) * (g.y - s.y) <= 4000000
+                + (g.y - s.y) * (g.y - s.y) <= g.w * g.w
     ),
     best AS (
         SELECT c_custkey, MIN(d2) AS min_d2 FROM cand
@@ -1863,18 +1869,21 @@ def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor spatial join with EXACT semantics: for each
-    customer point, the closest supplier within L2 radius 2000 on
-    the shared synthetic plane (join_geo_grid's geography). The 3×3
-    neighborhood of 2000-cells guarantees every supplier within L∞
-    2000 is a candidate, and the explicit d² <= 2000² filter makes
-    the answer the true radius-bounded nearest (a bare grid-argmin
-    would silently be approximate at the corners — L2 inside the
-    window can exceed L∞ outside it). Argmin is the cascaded
-    min-d2-then-min-key pattern; distances stay int64.
+    customer point, the closest supplier within L2 radius w on the
+    shared synthetic plane (join_geo_grid's geography), where the
+    cell width w = max(100, 10000 div isqrt(n_suppliers)) is DERIVED
+    FROM SUPPLIER DENSITY in-query on both sides — the
+    dedup_semantic_det rule: a fixed cell width went 16x at the 10x
+    smoke because both cell populations grow with data; density-
+    derived cells keep candidates per probe O(1) forever (isqrt via
+    sqrt-then-truncate is bit-portable). The 3×3 neighborhood
+    guarantees every supplier within L∞ w is a candidate, and the
+    explicit d² <= w² filter keeps the radius-bounded answer exact
+    (a bare grid-argmin is corner-approximate). Argmin is the
+    cascaded min-d2-then-min-key pattern; everything int64.
 
-    Scale: 9× explode on the probe side + equi-join on cell id —
-    the BNLJ-proof spatial pattern, kNN-ified; cell population is
-    density-bounded so candidates per probe are O(1).
+    Scale: 9× probe explode + cell equi-join (BNLJ-proof), smoke
+    re-measured ~1x after the density fix.
     """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -1886,27 +1895,35 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * F.lit(2654435761)) % 10000).alias("sx"),
         ((F.col("s_suppkey") * F.lit(40503)) % 10000).alias("sy"),
     )
+    cs = supp.agg(
+        F.expr(
+            "GREATEST(100, 10000 div CAST(sqrt(CAST(COUNT(*) AS DOUBLE))"
+            " AS BIGINT))"
+        ).alias("w")
+    )
     offsets = F.explode(
         F.array(F.lit(-1), F.lit(0), F.lit(1))
     )
     cgrid = (
-        cust.select("*", offsets.alias("dx"))
+        cust.crossJoin(F.broadcast(cs))
+        .select("*", offsets.alias("dx"))
         .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
         .select(
             "c_custkey",
             "x",
             "y",
+            "w",
             (
-                (F.expr("x div 2000") + F.col("dx")) * 100
-                + (F.expr("y div 2000") + F.col("dy"))
+                (F.expr("x div w") + F.col("dx")) * 100000
+                + (F.expr("y div w") + F.col("dy"))
             ).alias("cell"),
         )
     )
-    sgrid = supp.select(
+    sgrid = supp.crossJoin(F.broadcast(cs)).select(
         "s_suppkey",
         "sx",
         "sy",
-        (F.expr("sx div 2000") * 100 + F.expr("sy div 2000")).alias(
+        (F.expr("sx div w") * 100000 + F.expr("sy div w")).alias(
             "cell"
         ),
     )
@@ -1915,8 +1932,8 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("y") - F.col("sy"))
     cand = (
         cgrid.join(sgrid, "cell")
-        .select("c_custkey", "s_suppkey", d2.alias("d2"))
-        .where(F.col("d2") <= 4000000)
+        .select("c_custkey", "s_suppkey", d2.alias("d2"), "w")
+        .where(F.col("d2") <= F.col("w") * F.col("w"))
     )
     best = cand.groupBy("c_custkey").agg(F.min("d2").alias("min_d2"))
     return (
