@@ -7900,3 +7900,87 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+@register(
+    "stats_min_variance_portfolio",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) // 100 AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)
+                    ELSE 0 END) // 100 AS BIGINT) AS b
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa,
+               CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a * a) AS BIGINT) AS saa,
+               CAST(SUM(b * b) AS BIGINT) AS sbb,
+               CAST(SUM(a * b) AS BIGINT) AS sab
+        FROM daily
+    )
+    SELECT n,
+           CAST(n * saa - sa * sa AS BIGINT) AS var_a_n2,
+           CAST(n * sbb - sb * sb AS BIGINT) AS var_b_n2,
+           CAST(n * sab - sa * sb AS BIGINT) AS cov_n2,
+           CAST(n * sbb - sb * sb - (n * sab - sa * sb) AS DOUBLE)
+             / CAST((n * saa - sa * sa) + (n * sbb - sb * sb)
+                    - 2 * (n * sab - sa * sb) AS DOUBLE) AS w_a
+    FROM m
+    """,
+)
+def stats_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset minimum-variance portfolio weight (Markowitz):
+    w_a = (σ_b² − σ_ab) / (σ_a² + σ_b² − 2σ_ab) over the daily
+    click/purchase revenue series. All moments are n²-scaled exact
+    int64 (daily dollars ≤ 1e6, n·Σx² ≤ ~1e15 < 2^53 — the
+    ts_hurst_rs budget), the n² factors cancel in the ratio, and
+    w_a is ONE division of exact integers — bit-portable. The
+    n²-scaled variance/covariance ride along for the risk report.
+
+    Scale: day-grain partial agg + a 1-row reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click'"
+            " THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)"
+            " ELSE 0 END) div 100 AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)"
+            " ELSE 0 END) div 100 AS BIGINT)"
+        ).alias("b"),
+    )
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cv = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    return m.select(
+        "n",
+        va.cast("long").alias("var_a_n2"),
+        vb.cast("long").alias("var_b_n2"),
+        cv.cast("long").alias("cov_n2"),
+        ((vb - cv).cast("double") / (va + vb - 2 * cv).cast("double")).alias(
+            "w_a"
+        ),
+    )

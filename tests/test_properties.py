@@ -563,3 +563,28 @@ def test_isotonic_minimax_equals_sequential_pav(spark):
         assert abs(r.iso_rate - f) < 1e-12, (r.bin, r.iso_rate, f)
     for x, y in zip(fits, fits[1:]):
         assert x <= y + 1e-12
+
+
+def test_round_policies_match_python_semantics(spark):
+    """fn_round_policies' integer half-even must agree with Python's
+    round() (banker's) and half-up with the school rule, on a
+    constructed set of boundary cents values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [50, 150, 250, 1050, 99_950, 100_050, 123_456, 10_000_150]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        F.expr("(v + 50) div 100").alias("half_up"),
+        F.expr(
+            "v div 100 + CASE WHEN v % 100 > 50 THEN 1"
+            " WHEN v % 100 = 50 AND (v div 100) % 2 = 1 THEN 1"
+            " ELSE 0 END"
+        ).alias("half_even"),
+        F.col("v"),
+    )
+    for r in df.collect():
+        assert r.half_even == round(Decimal(r.v) / 100), r
+        assert r.half_up == int(
+            (Decimal(r.v) / 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        ), r
