@@ -2964,3 +2964,121 @@ def fn_easter_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "orders_easter_week",
     )
+
+
+@register(
+    "fn_allen_relations",
+    oracle="""
+    WITH ship AS (
+        SELECT l_orderkey,
+               CAST(epoch_us(CAST(MIN(l_shipdate) AS TIMESTAMP))
+                    // 86400000000 AS BIGINT) AS b1,
+               CAST(epoch_us(CAST(MAX(l_shipdate) AS TIMESTAMP))
+                    // 86400000000 AS BIGINT) AS b2
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+        SELECT CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                    // 86400000000 AS BIGINT) AS a1,
+               CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                    // 86400000000 AS BIGINT)
+                 + o.o_orderkey % 10 + 1 AS a2,
+               s.b1, s.b2
+        FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    ),
+    rel AS (
+        SELECT CASE
+            WHEN a1 = b1 AND a2 = b2 THEN 'equals'
+            WHEN a2 < b1 THEN 'before'
+            WHEN b2 < a1 THEN 'after'
+            WHEN a2 = b1 THEN 'meets'
+            WHEN b2 = a1 THEN 'met_by'
+            WHEN a1 = b1 AND a2 < b2 THEN 'starts'
+            WHEN a1 = b1 AND a2 > b2 THEN 'started_by'
+            WHEN a2 = b2 AND a1 > b1 THEN 'finishes'
+            WHEN a2 = b2 AND a1 < b1 THEN 'finished_by'
+            WHEN a1 > b1 AND a2 < b2 THEN 'during'
+            WHEN a1 < b1 AND a2 > b2 THEN 'contains'
+            WHEN a1 < b1 AND a2 < b2 THEN 'overlaps'
+            ELSE 'overlapped_by' END AS relation
+        FROM pairs
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM rel GROUP BY relation
+    """,
+)
+def fn_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra — the complete 13-relation
+    classification (before/meets/overlaps/starts/during/finishes,
+    their inverses, and equals) between each order's promise window
+    and its actual ship window: the temporal-reasoning vocabulary
+    every SLA/causality analysis reduces to, evaluated as a single
+    mutually-exclusive CASE ladder over integer epoch-day endpoints
+    (the ladder order makes the 13 cases total and disjoint — a
+    property the classifier MUST have or two engines could disagree
+    on boundary ties; here every branch is an exact integer
+    comparison).
+
+    Scale: one per-order partial agg + the o⋈s equi-join; the
+    report is relation-grain.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    day = "CAST(CAST({c} AS TIMESTAMP) AS LONG) div 86400"
+    ship = li.groupBy("l_orderkey").agg(
+        F.expr(day.format(c="MIN(l_shipdate)")).alias("b1"),
+        F.expr(day.format(c="MAX(l_shipdate)")).alias("b2"),
+    )
+    pairs = orders.join(
+        ship, ship.l_orderkey == orders.o_orderkey
+    ).select(
+        F.expr(day.format(c="o_orderdate")).alias("a1"),
+        (
+            F.expr(day.format(c="o_orderdate"))
+            + F.col("o_orderkey") % 10
+            + 1
+        ).alias("a2"),
+        "b1",
+        "b2",
+    )
+    rel = pairs.select(
+        F.when(
+            (F.col("a1") == F.col("b1")) & (F.col("a2") == F.col("b2")),
+            "equals",
+        )
+        .when(F.col("a2") < F.col("b1"), "before")
+        .when(F.col("b2") < F.col("a1"), "after")
+        .when(F.col("a2") == F.col("b1"), "meets")
+        .when(F.col("b2") == F.col("a1"), "met_by")
+        .when(
+            (F.col("a1") == F.col("b1")) & (F.col("a2") < F.col("b2")),
+            "starts",
+        )
+        .when(
+            (F.col("a1") == F.col("b1")) & (F.col("a2") > F.col("b2")),
+            "started_by",
+        )
+        .when(
+            (F.col("a2") == F.col("b2")) & (F.col("a1") > F.col("b1")),
+            "finishes",
+        )
+        .when(
+            (F.col("a2") == F.col("b2")) & (F.col("a1") < F.col("b1")),
+            "finished_by",
+        )
+        .when(
+            (F.col("a1") > F.col("b1")) & (F.col("a2") < F.col("b2")),
+            "during",
+        )
+        .when(
+            (F.col("a1") < F.col("b1")) & (F.col("a2") > F.col("b2")),
+            "contains",
+        )
+        .when(
+            (F.col("a1") < F.col("b1")) & (F.col("a2") < F.col("b2")),
+            "overlaps",
+        )
+        .otherwise("overlapped_by")
+        .alias("relation")
+    )
+    return rel.groupBy("relation").agg(F.count("*").alias("n_orders"))

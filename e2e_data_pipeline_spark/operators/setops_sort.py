@@ -221,3 +221,65 @@ def sort_partial_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .sortWithinPartitions("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT src, nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_c,
+           CAST(SUM(CASE WHEN has_segment = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_segment
+    FROM (
+        SELECT 'crm' AS src, c_nationkey AS nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+               1 AS has_segment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT 'legacy' AS src,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+               c_nationkey AS nationkey,
+               0 AS has_segment
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    GROUP BY src, nationkey
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union — ``unionByName`` with differently
+    ORDERED (and in real feeds, differently evolved) schemas: the
+    two customer feeds project their columns in different orders,
+    and a positional UNION would silently zip nationkey into the
+    balance column (the classic multi-feed ingestion bug this
+    operator exists to prevent). DuckDB proves the same semantics
+    natively with ``UNION ALL BY NAME``. Aggregated per (feed,
+    nation) so column mixups would flip every row of the hash.
+
+    Scale: projection + one partial-agg shuffle; unionByName is
+    plan-free (just a projection alignment).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    crm = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.lit("crm").alias("src"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.lit(1).alias("has_segment"),
+    )
+    legacy = cust.where(F.col("c_custkey") % 2 == 1).select(
+        F.lit("legacy").alias("src"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(0).alias("has_segment"),
+    )
+    return (
+        crm.unionByName(legacy)
+        .groupBy("src", "nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bal_c").alias("bal_c"),
+            F.sum(
+                F.when(F.col("has_segment") == 1, 1).otherwise(0)
+            ).alias("n_with_segment"),
+        )
+    )
