@@ -7984,3 +7984,166 @@ def stats_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_a"
         ),
     )
+
+
+@register(
+    "agg_trial_balance",
+    oracle="""
+    WITH journal AS (
+        SELECT o_orderkey AS doc_id, 'AR' AS account,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS debit_c,
+               CAST(0 AS BIGINT) AS credit_c
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'REVENUE',
+               CAST(0 AS BIGINT),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'CASH',
+               CAST(ROUND(o_totalprice * 100) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, 'AR',
+               CAST(0 AS BIGINT),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT account,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(SUM(debit_c) AS BIGINT) AS debits_c,
+           CAST(SUM(credit_c) AS BIGINT) AS credits_c,
+           CAST(SUM(debit_c) - SUM(credit_c) AS BIGINT) AS balance_c,
+           CAST((SELECT SUM(debit_c) - SUM(credit_c) FROM journal)
+                AS BIGINT) AS global_imbalance_c
+    FROM journal GROUP BY account
+    """,
+)
+def agg_trial_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-entry trial balance: orders post debit-AR/credit-Revenue
+    at booking and debit-Cash/credit-AR at fulfilment (status F), and
+    the trial balance per account plus the global imbalance —
+    REQUIRED to be zero by construction, and carried as a column so
+    the ledger proves its own integrity in the same result the
+    accountant reads (the dq self-validating-output discipline,
+    applied to bookkeeping). Exact cents throughout.
+
+    Scale: the journal is projection-unions over the fact scan (no
+    shuffle until the account-grain aggregate); the imbalance scalar
+    is a broadcast 1-row subquery.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    zero = F.lit(0).cast("long")
+    j1 = orders.select(
+        F.lit("AR").alias("account"), cents.alias("debit_c"),
+        zero.alias("credit_c"),
+    )
+    j2 = orders.select(
+        F.lit("REVENUE").alias("account"), zero.alias("debit_c"),
+        cents.alias("credit_c"),
+    )
+    filled = orders.where(F.col("o_orderstatus") == "F")
+    j3 = filled.select(
+        F.lit("CASH").alias("account"), cents.alias("debit_c"),
+        zero.alias("credit_c"),
+    )
+    j4 = filled.select(
+        F.lit("AR").alias("account"), zero.alias("debit_c"),
+        cents.alias("credit_c"),
+    )
+    journal = j1.unionAll(j2).unionAll(j3).unionAll(j4)
+    totals = journal.agg(
+        (F.sum("debit_c") - F.sum("credit_c")).alias(
+            "global_imbalance_c"
+        )
+    )
+    return (
+        journal.groupBy("account")
+        .agg(
+            F.count("*").alias("n_postings"),
+            F.sum("debit_c").alias("debits_c"),
+            F.sum("credit_c").alias("credits_c"),
+            (F.sum("debit_c") - F.sum("credit_c")).alias("balance_c"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+
+
+@register(
+    "agg_pvm_bridge",
+    oracle="""
+    WITH per_year AS (
+        SELECT l_partkey, year(l_shipdate) AS yr,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        GROUP BY l_partkey, year(l_shipdate)
+    ),
+    matched AS (
+        SELECT b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+        FROM per_year b
+        JOIN per_year c ON c.l_partkey = b.l_partkey AND c.yr = 1996
+        WHERE b.yr = 1995
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(p0 * q0) AS BIGINT) AS rev0_c,
+           CAST(SUM(p1 * q1) AS BIGINT) AS rev1_c,
+           CAST(SUM((p1 - p0) * q0) AS BIGINT) AS price_effect_c,
+           CAST(SUM(p0 * (q1 - q0)) AS BIGINT) AS volume_effect_c,
+           CAST(SUM((p1 - p0) * (q1 - q0)) AS BIGINT) AS mix_effect_c,
+           CAST(SUM(p1 * q1) - SUM(p0 * q0)
+                - SUM((p1 - p0) * q0) - SUM(p0 * (q1 - q0))
+                - SUM((p1 - p0) * (q1 - q0)) AS BIGINT) AS residual_c
+    FROM matched
+    """,
+)
+def agg_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-Volume-Mix revenue bridge (the FP&A waterfall): the YoY
+    revenue change over the matched basket decomposes EXACTLY as
+    Δp·q₀ (price) + p₀·Δq (volume) + Δp·Δq (mix/cross), and the
+    residual column — the decomposition identity check — is zero by
+    algebra and carried in the output as its own proof. Floored-cent
+    unit prices (the agg_price_index estimator), all effects exact
+    int64 cents.
+
+    Scale: one (part, year) partial agg + part-keyed self-join +
+    1-row reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1995, 1996)
+    )
+    per_year = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            " div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        ).alias("p"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    b = per_year.where(F.col("yr") == 1995).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    c = per_year.where(F.col("yr") == 1996).select(
+        F.col("l_partkey").alias("pk1"),
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    m = b.join(c, b.l_partkey == c.pk1)
+    price = F.sum((F.col("p1") - F.col("p0")) * F.col("q0"))
+    volume = F.sum(F.col("p0") * (F.col("q1") - F.col("q0")))
+    mix = F.sum((F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0")))
+    rev0 = F.sum(F.col("p0") * F.col("q0"))
+    rev1 = F.sum(F.col("p1") * F.col("q1"))
+    return m.agg(
+        F.count("*").alias("n_parts"),
+        rev0.alias("rev0_c"),
+        rev1.alias("rev1_c"),
+        price.alias("price_effect_c"),
+        volume.alias("volume_effect_c"),
+        mix.alias("mix_effect_c"),
+        (rev1 - rev0 - price - volume - mix).alias("residual_c"),
+    )
