@@ -8147,3 +8147,193 @@ def agg_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix.alias("mix_effect_c"),
         (rev1 - rev0 - price - volume - mix).alias("residual_c"),
     )
+
+
+def _gbm_round_sql(r: int) -> str:
+    """One unrolled boosting round: residual melt -> (feature, bin)
+    cells -> exact-quotient gains -> argmax pick -> integer leaves ->
+    residual update. Every stage is MATERIALIZED: default CTE
+    inlining re-evaluates the whole upstream chain at each reference,
+    which is exponential in rounds (the graph_kcore lesson — the
+    un-materialized form ran 190s at sf0.01)."""
+    return f"""
+    cells{r} AS MATERIALIZED (
+        SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(res) AS BIGINT) AS s
+        FROM (
+            SELECT 'f_cust' AS feature, f_cust AS bin, res FROM res{r}
+            UNION ALL
+            SELECT 'f_month', f_month, res FROM res{r}
+            UNION ALL
+            SELECT 'f_prio', f_prio, res FROM res{r}
+        ) GROUP BY feature, bin
+    ),
+    gains{r} AS MATERIALIZED (
+        SELECT feature,
+               SUM((CAST(s AS HUGEINT) * s
+                    - (CAST(s AS HUGEINT) * s) % n) // n) AS gain
+        FROM cells{r} GROUP BY feature
+    ),
+    pick{r} AS MATERIALIZED (
+        SELECT MIN(feature) AS chosen FROM gains{r}
+        WHERE gain = (SELECT MAX(gain) FROM gains{r})
+    ),
+    leaves{r} AS MATERIALIZED (
+        SELECT c.feature, c.bin, c.n,
+               CAST((c.s - ((c.s % c.n) + c.n) % c.n) // c.n AS BIGINT)
+                   AS leaf_c
+        FROM cells{r} c JOIN pick{r} p ON c.feature = p.chosen
+    ),
+    res{r + 1} AS MATERIALIZED (
+        SELECT r.o_orderkey, r.f_prio, r.f_month, r.f_cust,
+               r.res - l.leaf_c AS res
+        FROM res{r} r
+        CROSS JOIN pick{r} p
+        JOIN leaves{r} l
+          ON l.bin = CASE p.chosen WHEN 'f_cust' THEN r.f_cust
+                          WHEN 'f_month' THEN r.f_month
+                          ELSE r.f_prio END
+    )"""
+
+
+_GBM_SQL = (
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               o_orderpriority AS f_prio,
+               CAST(month(o_orderdate) AS VARCHAR) AS f_month,
+               CAST(o_custkey % 8 AS VARCHAR) AS f_cust,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    f0 AS (
+        SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS f0 FROM base
+    ),
+    res1 AS MATERIALIZED (
+        SELECT b.o_orderkey, b.f_prio, b.f_month, b.f_cust,
+               b.y - f.f0 AS res
+        FROM base b CROSS JOIN f0 f
+    ),"""
+    + ",".join(_gbm_round_sql(r) for r in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS BIGINT) AS round, feature, bin, n, leaf_c
+    FROM leaves1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), feature, bin, n, leaf_c FROM leaves2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), feature, bin, n, leaf_c FROM leaves3
+    """
+)
+
+
+@register("ml_gbm_stumps", oracle=_GBM_SQL)
+def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient boosting with categorical one-level stumps, THREE
+    unrolled rounds, squared loss — bit-exact on both engines with
+    no floats anywhere: the base score and every leaf value are
+    PORTABLE FLOOR-DIVided integer cents (residuals go negative, so
+    the (s − pmod(s,n)) div n identity is load-bearing), each
+    round's feature choice maximizes the exact variance-reduction
+    proxy Σ_bins s²/n computed as widened EXACT quotients
+    ((s² − s² % n)/n, the stats_anova_f remedy — s²/n exceeds int64
+    at scale and Spark's plain decimal div would silently wrap), and
+    ties break on feature name. The output IS the fitted model: per
+    round, the chosen feature and its integer leaf values — so the
+    hash check certifies that both engines learned the identical
+    model, not merely similar predictions.
+
+    Scale: each round is one (feature, bin) partial agg over the
+    fact residuals, bounded-cell gain/argmax joins, and one
+    broadcast leaf join to update residuals — three fixed dataflow
+    rounds, no driver-side decisions, no windows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("f_prio"),
+        F.month("o_orderdate").cast("string").alias("f_month"),
+        (F.col("o_custkey") % 8).cast("string").alias("f_cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    f0 = base.agg(
+        F.expr(
+            "CAST((SUM(y) - pmod(SUM(y), COUNT(*))) div COUNT(*)"
+            " AS BIGINT)"
+        ).alias("f0")
+    )
+    res = (
+        base.crossJoin(F.broadcast(f0))
+        .select(
+            "o_orderkey",
+            "f_prio",
+            "f_month",
+            "f_cust",
+            (F.col("y") - F.col("f0")).alias("res"),
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for rnd in (1, 2, 3):
+        melted = res.selectExpr(
+            "stack(3, 'f_cust', f_cust, 'f_month', f_month,"
+            " 'f_prio', f_prio) AS (feature, bin)",
+            "res",
+        )
+        cells = melted.groupBy("feature", "bin").agg(
+            F.count("*").alias("n"), F.sum("res").alias("s")
+        )
+        q = F.expr(
+            "CAST((CAST(s AS DECIMAL(38,0)) * s"
+            " - (CAST(s AS DECIMAL(38,0)) * s) % n) / n"
+            " AS DECIMAL(38,0))"
+        )
+        gains = cells.groupBy("feature").agg(F.sum(q).alias("gain"))
+        best_gain = gains.agg(F.max("gain").alias("mg"))
+        pick = (
+            gains.crossJoin(F.broadcast(best_gain))
+            .where(F.col("gain") == F.col("mg"))
+            .agg(F.min("feature").alias("chosen"))
+        )
+        leaves = (
+            cells.join(F.broadcast(pick), cells.feature == F.col("chosen"))
+            .select(
+                "feature",
+                "bin",
+                "n",
+                F.expr("CAST((s - pmod(s, n)) div n AS BIGINT)").alias(
+                    "leaf_c"
+                ),
+            )
+            .localCheckpoint()
+        )
+        row = leaves.select(
+            F.lit(rnd).cast("long").alias("round"),
+            "feature",
+            "bin",
+            "n",
+            "leaf_c",
+        )
+        out = row if out is None else out.unionAll(row)
+        upd = res.crossJoin(F.broadcast(pick)).select(
+            "o_orderkey",
+            "f_prio",
+            "f_month",
+            "f_cust",
+            F.expr(
+                "CASE chosen WHEN 'f_cust' THEN f_cust"
+                " WHEN 'f_month' THEN f_month ELSE f_prio END"
+            ).alias("bin"),
+            "res",
+        )
+        res = (
+            upd.join(F.broadcast(leaves.select("bin", "leaf_c")), "bin")
+            .select(
+                "o_orderkey",
+                "f_prio",
+                "f_month",
+                "f_cust",
+                (F.col("res") - F.col("leaf_c")).alias("res"),
+            )
+            .localCheckpoint()
+        )
+    return out
