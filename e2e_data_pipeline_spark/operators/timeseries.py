@@ -4187,3 +4187,198 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_coeffs"),
         F.sum(F.col("d") * F.col("d")).alias("detail_energy"),
     )
+
+
+@register(
+    "ts_viterbi_regimes",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS di,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))
+                    // 100 AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT di, x,
+               CAST(row_number() OVER (ORDER BY x, di) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    levels AS (
+        SELECT
+            (SELECT x FROM ranked WHERE rnk = (n + 1) // 4 LIMIT 1)
+                AS lo,
+            (SELECT x FROM ranked WHERE rnk = (3 * (n + 1)) // 4 LIMIT 1)
+                AS hi,
+            (SELECT MAX(n) FROM ranked) AS n_days
+    ),
+    folded AS (
+        SELECT l.n_days, l.lo, l.hi,
+               GREATEST(1, (l.hi - l.lo) // 4) AS c,
+               list_reduce(
+                   list_prepend(
+                       [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                        CAST(1.0 AS DOUBLE)],
+                       (SELECT list_transform(list(x ORDER BY di),
+                           v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE),
+                                 CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                                 CAST(0.0 AS DOUBLE)])
+                        FROM daily)),
+                   (acc, e) -> [
+                       abs(e[1] - CAST(l.lo AS DOUBLE))
+                         + CASE WHEN acc[1] <= acc[2]
+                                     + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                            AS DOUBLE)
+                                THEN acc[1] ELSE acc[2]
+                                     + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                            AS DOUBLE) END,
+                       abs(e[1] - CAST(l.hi AS DOUBLE))
+                         + CASE WHEN acc[2] <= acc[1]
+                                     + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                            AS DOUBLE)
+                                THEN acc[2] ELSE acc[1]
+                                     + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                            AS DOUBLE) END,
+                       CASE WHEN acc[1] <= acc[2]
+                                 + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                        AS DOUBLE)
+                            THEN acc[3] ELSE acc[4] END,
+                       CASE WHEN acc[2] <= acc[1]
+                                 + CAST(GREATEST(1, (l.hi - l.lo) // 4)
+                                        AS DOUBLE)
+                            THEN acc[4] ELSE acc[3] END + acc[5],
+                       acc[5] + acc[5]]
+               ) AS st
+        FROM levels l
+    )
+    SELECT n_days, lo, hi, c AS switch_cost,
+           CAST(CASE WHEN st[1] <= st[2] THEN st[1] ELSE st[2] END
+                AS BIGINT) AS best_cost,
+           CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4] END
+                AS BIGINT) AS path_bits,
+           bit_count(CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4]
+                          END AS BIGINT)) AS n_high_days,
+           bit_count(
+               xor(CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4]
+                        END AS BIGINT),
+                   CAST(CASE WHEN st[1] <= st[2] THEN st[3] ELSE st[4]
+                        END AS BIGINT) >> 1)
+               & (CAST(st[5] AS BIGINT) // 2 - 1)) AS n_switches
+    FROM folded
+    """,
+)
+def ts_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of a 2-state (low/high demand) regime model —
+    the HMM MAP path — run as ONE integer fold with the path encoded
+    ARITHMETICALLY: the accumulator carries [cost_lo, cost_hi,
+    path_lo, path_hi, 2^t], emission cost = |x − level| (levels =
+    discrete quartiles, switch penalty = (hi−lo)/4, all integers),
+    and each state's best path appends its bit as `+ 2^t` (the power
+    doubles in the accumulator, so no pow() call — pow is not
+    trusted). A neutral [0,0,0,0,1] init makes day 0 a regular step
+    (first transition compares against zero costs, so it's pure
+    emission), which sidesteps DuckDB list_reduce's missing init
+    argument via list_prepend. Costs/paths stay exact-int-valued
+    doubles < 2^53; the decoded bitmask, regime-day count
+    (bit_count), and switch count (bit_count of path XOR path>>1
+    over the n−1 transition bits) are pure integer post-processing.
+
+    Scale: day-grain partial agg; the fold list is calendar-bounded;
+    sequential DP is inherently serial in t but O(days), not rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+            " div 86400"
+        ).alias("di")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("x")
+    )
+    ranked = daily.select(
+        "di",
+        "x",
+        F.row_number().over(Window.orderBy("x", "di")).cast("long").alias(
+            "rnk"
+        ),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    lo = ranked.where(
+        F.col("rnk") == F.expr("(n + 1) div 4")
+    ).select(F.col("x").alias("lo"))
+    hi = ranked.where(
+        F.col("rnk") == F.expr("(3 * (n + 1)) div 4")
+    ).select(F.col("x").alias("hi"))
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    arr = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(di, x))),"
+            " s -> array(CAST(s.x AS DOUBLE), CAST(0.0 AS DOUBLE),"
+            " CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+            " CAST(0.0 AS DOUBLE)))"
+        ).alias("arr")
+    )
+    base = (
+        arr.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(n_days))
+        .withColumn("c", F.expr("GREATEST(1, (hi - lo) div 4)"))
+    )
+    cd = "CAST(c AS DOUBLE)"
+    lod = "CAST(lo AS DOUBLE)"
+    hid = "CAST(hi AS DOUBLE)"
+    a = "element_at(acc, {})".format
+    folded = base.select(
+        "n_days",
+        "lo",
+        "hi",
+        F.col("c").alias("switch_cost"),
+        F.expr(
+            "aggregate(arr,"
+            " array(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+            " CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),"
+            " CAST(1.0 AS DOUBLE)),"
+            " (acc, e) -> array("
+            f"  abs(e[0] - {lod}) + CASE WHEN {a(1)} <= {a(2)} + {cd}"
+            f"      THEN {a(1)} ELSE {a(2)} + {cd} END,"
+            f"  abs(e[0] - {hid}) + CASE WHEN {a(2)} <= {a(1)} + {cd}"
+            f"      THEN {a(2)} ELSE {a(1)} + {cd} END,"
+            f"  CASE WHEN {a(1)} <= {a(2)} + {cd}"
+            f"      THEN {a(3)} ELSE {a(4)} END,"
+            f"  CASE WHEN {a(2)} <= {a(1)} + {cd}"
+            f"      THEN {a(4)} ELSE {a(3)} END + {a(5)},"
+            f"  {a(5)} + {a(5)}))"
+        ).alias("st"),
+    )
+    best_path = F.expr(
+        "CAST(CASE WHEN element_at(st, 1) <= element_at(st, 2)"
+        " THEN element_at(st, 3) ELSE element_at(st, 4) END AS BIGINT)"
+    )
+    return folded.select(
+        "n_days",
+        "lo",
+        "hi",
+        "switch_cost",
+        F.expr(
+            "CAST(CASE WHEN element_at(st, 1) <= element_at(st, 2)"
+            " THEN element_at(st, 1) ELSE element_at(st, 2) END AS BIGINT)"
+        ).alias("best_cost"),
+        best_path.alias("path_bits"),
+        F.bit_count(best_path).cast("int").alias("n_high_days"),
+        F.bit_count(
+            best_path.bitwiseXOR(
+                F.expr(
+                    "CAST(CASE WHEN element_at(st, 1) <= element_at(st, 2)"
+                    " THEN element_at(st, 3) ELSE element_at(st, 4) END"
+                    " AS BIGINT) >> 1"
+                )
+            ).bitwiseAND(
+                F.expr("CAST(element_at(st, 5) AS BIGINT) div 2 - 1")
+            )
+        ).cast("int").alias("n_switches"),
+    )

@@ -588,3 +588,56 @@ def test_round_policies_match_python_semantics(spark):
         assert r.half_up == int(
             (Decimal(r.v) / 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         ), r
+
+
+def test_viterbi_fold_matches_reference_dp(spark):
+    """ts_viterbi_regimes' arithmetic-bitmask fold must reproduce a
+    plain python Viterbi DP (costs AND decoded path) on the fixture
+    series."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            F.expr(
+                "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
+                " div 86400"
+            ).alias("di")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0)"
+                " AS BIGINT)) div 100 AS BIGINT)"
+            ).alias("x")
+        )
+        .orderBy("di")
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    n = len(xs)
+    ranked = sorted(xs)
+    lo = ranked[(n + 1) // 4 - 1]
+    hi = ranked[(3 * (n + 1)) // 4 - 1]
+    c = max(1, (hi - lo) // 4)
+    cost = [0, 0]
+    path = [0, 0]
+    pw = 1
+    for x in xs:
+        stay_l = cost[0] if cost[0] <= cost[1] + c else cost[1] + c
+        pl = path[0] if cost[0] <= cost[1] + c else path[1]
+        stay_h = cost[1] if cost[1] <= cost[0] + c else cost[0] + c
+        ph = path[1] if cost[1] <= cost[0] + c else path[0]
+        cost = [abs(x - lo) + stay_l, abs(x - hi) + stay_h]
+        path = [pl, ph + pw]
+        pw *= 2
+    best_cost = min(cost)
+    best_path = path[0] if cost[0] <= cost[1] else path[1]
+    row = QUERIES["ts_viterbi_regimes"](spark, sf).collect()[0]
+    assert (row.n_days, row.lo, row.hi) == (n, lo, hi)
+    assert row.best_cost == best_cost
+    assert row.path_bits == best_path
+    assert row.n_high_days == bin(best_path).count("1")
