@@ -1828,8 +1828,9 @@ def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
     ),
     cs AS (
-        SELECT GREATEST(100, 10000 // CAST(sqrt(CAST(COUNT(*) AS DOUBLE))
-                                           AS BIGINT)) AS w
+        SELECT GREATEST(100, 10000 //
+               GREATEST(1, CAST(sqrt(CAST(COUNT(*) AS DOUBLE))
+                                AS BIGINT))) AS w
         FROM supp
     ),
     cgrid AS (
@@ -1897,8 +1898,8 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = supp.agg(
         F.expr(
-            "GREATEST(100, 10000 div CAST(sqrt(CAST(COUNT(*) AS DOUBLE))"
-            " AS BIGINT))"
+            "GREATEST(100, 10000 div GREATEST(1,"
+            " CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS BIGINT)))"
         ).alias("w")
     )
     offsets = F.explode(
