@@ -3974,7 +3974,6 @@ def ts_renko_bricks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT h.d, (h.hod - ((h.hod % 6) + 6) % 6) // 6 AS seg,
                CAST(SUM(h.x) AS BIGINT) AS seg_sum
         FROM hourly h JOIN days dd ON dd.d = h.d
-        WHERE dd.n = 24
         GROUP BY h.d, (h.hod - ((h.hod % 6) + 6) % 6) // 6
     ),
     scored AS (
@@ -3998,8 +3997,11 @@ def ts_renko_bricks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAX (Symbolic Aggregate approXimation) words: each complete
-    day's 24 hourly values reduce to 4 six-hour PAA segments,
+    """SAX (Symbolic Aggregate approXimation) words: each day's 24
+    hourly values (hours with no events are implicit ZEROS of the
+    revenue signal, so sparse fixtures stay well-defined — the
+    registry sweep caught a complete-day filter matching vacuously
+    at sf0.001) reduce to 4 six-hour PAA segments,
     z-normalized against the day and mapped to a 4-letter alphabet
     at the standard Gaussian breakpoints ±0.6745 — the
     dimensionality reduction behind time-series motif/anomaly mining
@@ -4036,7 +4038,6 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = (
         hourly.join(days, "d")
-        .where(F.col("n") == 24)
         .groupBy("d", F.expr("(hod - pmod(hod, 6)) div 6").alias("seg"))
         .agg(F.sum("x").alias("seg_sum"))
     )
@@ -4092,9 +4093,6 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                ((di % 32) + 32) % 32 AS pos
         FROM hourly
     ),
-    full_chunks AS (
-        SELECT chunk FROM chunked GROUP BY chunk HAVING COUNT(*) = 32
-    ),
     lv AS (SELECT unnest([1, 2, 3, 4, 5]) AS level),
     coeffs AS (
         SELECT c.chunk, l.level,
@@ -4106,7 +4104,6 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN 4 THEN 8 ELSE 16 END)) % 2 = 0
                     THEN c.x ELSE -c.x END) AS BIGINT) AS d
         FROM chunked c
-        JOIN full_chunks f ON f.chunk = c.chunk
         CROSS JOIN lv l
         GROUP BY c.chunk, l.level, 3
     )
@@ -4126,7 +4123,11 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't give. The unnormalized transform keeps every coefficient
     an exact int64 (no /√2 per level), so energies are exact and the
     whole operator is integer arithmetic; positions use the portable
-    pmod identity.
+    pmod identity. Hours with no events are implicit ZEROS of the
+    revenue signal (absent rows simply contribute nothing to the
+    signed block sums), so sparse fixtures and boundary chunks are
+    well-defined rather than filtered away — the sf0.001 registry
+    sweep caught the earlier all-32-hours filter matching vacuously.
 
     Scale: one hour-grain partial agg, then (chunk × level × block)
     cells — the 5-level explode is a constant 5× on the CHUNK grain,
@@ -4150,16 +4151,9 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(di - pmod(di, 32)) div 32").alias("chunk"),
         F.expr("pmod(di, 32)").alias("pos"),
     )
-    full_chunks = (
-        chunked.groupBy("chunk")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") == 32)
-        .select("chunk")
-    )
     lv = spark.range(1, 6).select(F.col("id").alias("level"))
     coeffs = (
-        chunked.join(full_chunks, "chunk")
-        .crossJoin(F.broadcast(lv))
+        chunked.crossJoin(F.broadcast(lv))
         .groupBy(
             "chunk",
             "level",
