@@ -8337,3 +8337,1082 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session-3 additions: classical nonparametric / categorical
+# tests re-expressed as exact integer arithmetic (rank sums, count
+# cross-multiplications, one final division), so every statistic is
+# bit-identical across Spark and DuckDB. Generalizes the reference's
+# single predicate-count metric (/root/reference/ingest_data.py:32,36)
+# into a hypothesis-testing family over grouped aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_friedman",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, event_type, n_events,
+               CAST(2 * rank() OVER (PARTITION BY day ORDER BY n_events)
+                    + COUNT(*) OVER (PARTITION BY day, n_events) - 1
+                    AS BIGINT) AS rank2
+        FROM cells
+    ),
+    colsums AS (
+        SELECT event_type, CAST(SUM(rank2) AS BIGINT) AS r2_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM ranked GROUP BY event_type
+    )
+    SELECT CAST(MAX(n_blocks) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) AS BIGINT) AS k_treatments,
+           CAST(SUM(r2_sum * r2_sum) AS BIGINT) AS sum_r2_sq,
+           CAST(3 * SUM(r2_sum * r2_sum)
+                - 3 * MAX(n_blocks) * MAX(n_blocks) * COUNT(*)
+                  * (COUNT(*) + 1) * (COUNT(*) + 1) AS DOUBLE)
+           / (MAX(n_blocks) * COUNT(*) * (COUNT(*) + 1)) AS friedman_chi2
+    FROM colsums
+    """,
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (blocked k-treatment comparison): are the
+    five event types loaded differently across the 30 day-blocks?
+    Within each day the treatments are ranked by event count
+    (tie-averaged ranks doubled into exact ints: 2·rank + ties − 1),
+    per-treatment rank sums R_j accumulate as int64, and the Friedman
+    chi-square 12/(nk(k+1))·ΣR_j² − 3n(k+1) is evaluated with cleared
+    denominators — 3ΣR2_j² − 3n²k(k+1)² over nk(k+1) — so the only
+    float op is ONE final division (correctly rounded identically on
+    both engines; the untied-rank formula, documented, no tie
+    correction factor).
+
+    Scale: the day×type cell grid aggregates out of the raw events
+    scan (map-side partial), ranking partitions by day (30·k cells —
+    trivially parallel), and the final statistic is a k-row fold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.expr(
+                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    wday = Window.partitionBy("day").orderBy("n_events")
+    wtie = Window.partitionBy("day", "n_events")
+    ranked = cells.select(
+        "event_type",
+        (
+            2 * F.rank().over(wday) + F.count("*").over(wtie) - 1
+        ).cast("long").alias("rank2"),
+    )
+    colsums = ranked.groupBy("event_type").agg(
+        F.sum("rank2").alias("r2_sum"), F.count("*").alias("n_blocks")
+    )
+    return colsums.agg(
+        F.max("n_blocks").cast("long").alias("n_blocks"),
+        F.count("*").cast("long").alias("k_treatments"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("long").alias("sum_r2_sq"),
+        (
+            (
+                3 * F.sum(F.col("r2_sum") * F.col("r2_sum"))
+                - 3
+                * F.max("n_blocks")
+                * F.max("n_blocks")
+                * F.count("*")
+                * (F.count("*") + 1)
+                * (F.count("*") + 1)
+            ).cast("double")
+            / (F.max("n_blocks") * F.count("*") * (F.count("*") + 1))
+        ).alias("friedman_chi2"),
+    )
+
+
+@register(
+    "stats_mcnemar",
+    oracle="""
+    WITH pdays AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS day
+        FROM events WHERE event_type = 'purchase'
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+        SELECT u.user_id, d.day,
+               CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM users u
+        CROSS JOIN (SELECT unnest(range(0, 30)) AS day) d
+        LEFT JOIN pdays p ON p.user_id = u.user_id AND p.day = d.day
+    ),
+    paired AS (
+        SELECT hit AS p1,
+               lead(hit) OVER (PARTITION BY user_id ORDER BY day) AS p2
+        FROM grid
+        QUALIFY lead(hit) OVER (PARTITION BY user_id ORDER BY day)
+                IS NOT NULL
+    )
+    SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_yes,
+           CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_discordant,
+           CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_discordant,
+           CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS both_no,
+           CAST((abs(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                     - SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1)
+                * (abs(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)) - 1)
+                AS DOUBLE)
+           / NULLIF(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END), 0)
+           AS mcnemar_chi2
+    FROM paired
+    """,
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes at user-day grain:
+    did the user purchase on day d vs day d+1?  The zero-filled
+    user x day incidence grid pairs consecutive days with a lead()
+    window, the 2x2 concordance table is pure counting, and the
+    continuity-corrected statistic (|b-c|-1)^2/(b+c) is an integer
+    square over an integer sum -- ONE final division, bit-identical
+    on both engines.  Day 19723 = 2024-01-01 (the fixture's epoch
+    start; the 30-day span is a fixture constant, TESTDATA.md).
+
+    Scale: the purchase-day set is a distinct semi-join shaped
+    aggregate; the grid is users x 30 (explode, not shuffle); the
+    lead pairs within each user partition and the table collapses
+    via map-side partial counts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pdays = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+            ).alias("day"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    users = events.select("user_id").distinct()
+    grid = (
+        users.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("day")
+        )
+        .join(pdays, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", F.coalesce("hit", F.lit(0)).alias("hit")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    paired = (
+        grid.select(
+            F.col("hit").alias("p1"), F.lead("hit").over(w).alias("p2")
+        )
+        .where(F.col("p2").isNotNull())
+    )
+    b = F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+    return paired.agg(
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("both_yes"),
+        b.cast("long").alias("b_discordant"),
+        c.cast("long").alias("c_discordant"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("both_no"),
+        (
+            ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double")
+            / F.nullif((b + c).cast("long"), F.lit(0))
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "stats_mood_median",
+    oracle="""
+    WITH vals AS (
+        SELECT l_linestatus AS grp,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    med AS (
+        SELECT cents AS grand_median FROM (
+            SELECT cents,
+                   CAST(row_number() OVER (ORDER BY cents) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM vals
+        ) WHERE rnk = (n + 1) // 2
+    ),
+    tab AS (
+        SELECT v.grp,
+               CAST(SUM(CASE WHEN v.cents > m.grand_median THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN v.cents <= m.grand_median THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM vals v CROSS JOIN med m
+        GROUP BY v.grp
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN grp = 'F' THEN n_above END) AS a,
+               MAX(CASE WHEN grp = 'F' THEN n_below END) AS b,
+               MAX(CASE WHEN grp = 'O' THEN n_above END) AS c,
+               MAX(CASE WHEN grp = 'O' THEN n_below END) AS d
+        FROM tab
+    )
+    SELECT CAST(a AS BIGINT) AS f_above, CAST(b AS BIGINT) AS f_below,
+           CAST(c AS BIGINT) AS o_above, CAST(d AS BIGINT) AS o_below,
+           CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+           / ((a + b) * (c + d) * (a + c) * (b + d)) AS mood_chi2
+    FROM wide
+    """,
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do F- and O-status returned lineitems share
+    a median price?  The grand median is a DISCRETE order statistic
+    (rank (n+1) div 2 over integer cents — no interpolation, no
+    floats), the 2×2 above/below table is pure counting, and the
+    chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) clears every
+    denominator into int64 cross-products with ONE final division.
+
+    Scale: the median-rank pass is the only global ordering (the
+    global_rank pattern distributes it); the rest is a broadcast of
+    one scalar into a map-side 2×2 count.
+    """
+    vals = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_linestatus").alias("grp"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    ranked = vals.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med = ranked.where(F.col("rnk") == F.expr("(n + 1) div 2")).select(
+        F.col("cents").alias("grand_median")
+    )
+    tab = (
+        vals.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") > F.col("grand_median"), 1).otherwise(0)
+            ).alias("n_above"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("grand_median"), 1).otherwise(0)
+            ).alias("n_below"),
+        )
+    )
+    wide = tab.agg(
+        F.max(F.when(F.col("grp") == "F", F.col("n_above"))).alias("a"),
+        F.max(F.when(F.col("grp") == "F", F.col("n_below"))).alias("b"),
+        F.max(F.when(F.col("grp") == "O", F.col("n_above"))).alias("c"),
+        F.max(F.when(F.col("grp") == "O", F.col("n_below"))).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    return wide.select(
+        a.cast("long").alias("f_above"),
+        b.cast("long").alias("f_below"),
+        c.cast("long").alias("o_above"),
+        d.cast("long").alias("o_below"),
+        (
+            ((a + b + c + d) * (a * d - b * c) * (a * d - b * c)).cast("double")
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        ).alias("mood_chi2"),
+    )
+
+
+@register(
+    "stats_cvm_2sample",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_x
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+          AND o_orderkey % 4 = 0
+    ),
+    ranked AS (
+        SELECT is_x,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS r,
+               CAST(row_number() OVER (PARTITION BY is_x ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS i
+        FROM pool
+    ),
+    sums AS (
+        SELECT CAST(SUM(CASE WHEN is_x = 1 THEN (r - i) * (r - i) END) AS BIGINT) AS sx,
+               CAST(SUM(CASE WHEN is_x = 0 THEN (r - i) * (r - i) END) AS BIGINT) AS sy,
+               CAST(SUM(is_x) AS BIGINT) AS n,
+               CAST(SUM(1 - is_x) AS BIGINT) AS m
+        FROM ranked
+    )
+    SELECT n, m,
+           CAST(n * sx + m * sy AS BIGINT) AS u_stat,
+           CAST(n * sx + m * sy AS DOUBLE) / (n * m * (n + m))
+           - CAST(4 * m * n - 1 AS DOUBLE) / (6 * (m + n)) AS cvm_t
+    FROM sums
+    """,
+)
+def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion (Anderson's U form):
+    T = U/(nm(n+m)) − (4mn−1)/(6(m+n)) with
+    U = n·Σ(r_i−i)² + m·Σ(s_j−j)², comparing URGENT vs LOW order
+    price distributions.  Ranks are tie-broken deterministically by
+    (cents, orderkey) — documented variant — so r, i are exact ints,
+    U is int64, and the statistic is TWO single divisions and one
+    subtraction in fixed order: each op correctly rounded identically
+    on both engines ⇒ bit-equal doubles.
+
+    Scale: one global rank (distributable via global_rank) plus one
+    per-sample rank; everything downstream is a one-row fold.  U grows
+    ~N³, so the pool is bounded by a deterministic orderkey fold (%4)
+    to stay inside int64 through the 100× smoke; past that the Σ(r−i)²
+    sums move to DECIMAL(38,0) (exact on both engines) and the final
+    T splits into sx/(m(n+m))/n + sy/(n(n+m))/m so no 2^53-crossing
+    product is ever cast to double.
+    """
+    pool = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+            & (F.col("o_orderkey") % 4 == 0)
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_x"),
+        )
+    )
+    ranked = pool.select(
+        "is_x",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("long")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("is_x").orderBy("cents", "o_orderkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    sums = ranked.agg(
+        F.sum(F.when(F.col("is_x") == 1, d2)).alias("sx"),
+        F.sum(F.when(F.col("is_x") == 0, d2)).alias("sy"),
+        F.sum("is_x").alias("n"),
+        F.sum(1 - F.col("is_x")).alias("m"),
+    )
+    n, m, sx, sy = F.col("n"), F.col("m"), F.col("sx"), F.col("sy")
+    return sums.select(
+        n.cast("long").alias("n"),
+        m.cast("long").alias("m"),
+        (n * sx + m * sy).cast("long").alias("u_stat"),
+        (
+            (n * sx + m * sy).cast("double") / (n * m * (n + m))
+            - (4 * m * n - 1).cast("double") / (6 * (m + n))
+        ).alias("cvm_t"),
+    )
+
+
+@register(
+    "stats_cochran_q",
+    oracle="""
+    WITH types AS (
+        SELECT * FROM (VALUES ('click'), ('view'), ('purchase'),
+                              ('signup'), ('error')) t(event_type)
+    ),
+    users AS (
+        SELECT user_id FROM events GROUP BY user_id
+        HAVING COUNT(*) >= 40
+    ),
+    cell AS (
+        SELECT u.user_id, t.event_type,
+               CASE WHEN e.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM users u
+        CROSS JOIN types t
+        LEFT JOIN (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 < 7
+        ) e ON e.user_id = u.user_id AND e.event_type = t.event_type
+    ),
+    rows_tot AS (
+        SELECT user_id, CAST(SUM(hit) AS BIGINT) AS ri
+        FROM cell GROUP BY user_id
+    ),
+    cols_tot AS (
+        SELECT event_type, CAST(SUM(hit) AS BIGINT) AS cj
+        FROM cell GROUP BY event_type
+    ),
+    parts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cols_tot) AS k,
+               (SELECT CAST(SUM(cj) AS BIGINT) FROM cols_tot) AS big_n,
+               (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM cols_tot) AS sum_cj_sq,
+               (SELECT CAST(SUM(ri) AS BIGINT) FROM rows_tot) AS sum_ri,
+               (SELECT CAST(SUM(ri * ri) AS BIGINT) FROM rows_tot) AS sum_ri_sq,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rows_tot) AS n_blocks
+    )
+    SELECT n_blocks, k, big_n, sum_cj_sq, sum_ri_sq,
+           CAST((k - 1) * (k * sum_cj_sq - big_n * big_n) AS DOUBLE)
+           / NULLIF(k * sum_ri - sum_ri_sq, 0) AS cochran_q
+    FROM parts
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of McNemar: for
+    each heavy user (≥40 events), did they touch each of the five
+    event types during week 1?  Q = (k−1)(kΣC_j² − N²)/(kΣR_i − ΣR_i²)
+    is entirely int64 cross-products over row/column totals of the
+    0/1 incidence grid, with ONE final division.
+
+    Scale: the incidence grid is users × 5 — built from a distinct
+    semi-join and a 5-row broadcast cross; both marginal folds are
+    map-side partial sums.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 40)
+        .select("user_id")
+    )
+    types = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("signup",), ("error",)],
+        ["event_type"],
+    )
+    week1 = (
+        events.where(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723")
+            < 7
+        )
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cell = (
+        users.crossJoin(F.broadcast(types))
+        .join(week1, ["user_id", "event_type"], "left")
+        .select(
+            "user_id", "event_type", F.coalesce("hit", F.lit(0)).alias("hit")
+        )
+    )
+    rows_tot = cell.groupBy("user_id").agg(F.sum("hit").alias("ri"))
+    cols_tot = cell.groupBy("event_type").agg(F.sum("hit").alias("cj"))
+    col_part = cols_tot.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("cj").cast("long").alias("big_n"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sum_cj_sq"),
+    )
+    row_part = rows_tot.agg(
+        F.sum("ri").cast("long").alias("sum_ri"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sum_ri_sq"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    parts = col_part.crossJoin(row_part)
+    k, cj2 = F.col("k"), F.col("sum_cj_sq")
+    bn, sri, sri2 = F.col("big_n"), F.col("sum_ri"), F.col("sum_ri_sq")
+    return parts.select(
+        "n_blocks",
+        "k",
+        "big_n",
+        "sum_cj_sq",
+        "sum_ri_sq",
+        (
+            ((k - 1) * (k * cj2 - bn * bn)).cast("double")
+            / F.nullif((k * sri - sri2).cast("long"), F.lit(0))
+        ).alias("cochran_q"),
+    )
+
+
+@register(
+    "stats_page_trend",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS day,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 // 6 AS slot,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, slot + 1 AS treat_order,
+               CAST(2 * rank() OVER (PARTITION BY day ORDER BY n_events)
+                    + COUNT(*) OVER (PARTITION BY day, n_events) - 1
+                    AS BIGINT) AS rank2
+        FROM cells
+    ),
+    colsums AS (
+        SELECT treat_order, CAST(SUM(rank2) AS BIGINT) AS r2_sum
+        FROM ranked GROUP BY treat_order
+    ),
+    lstat AS (
+        SELECT CAST(SUM(treat_order * r2_sum) AS BIGINT) AS l2,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM cells) AS n
+        FROM colsums
+    )
+    SELECT n, k, l2,
+           CAST(2 * l2 - n * k * (k + 1) * (k + 1) AS BIGINT) AS z_num4,
+           CAST(2 * l2 - n * k * (k + 1) * (k + 1) AS DOUBLE)
+           * 3 / sqrt(CAST(n * k * k * (k + 1) * (k * k - 1) AS DOUBLE))
+           AS page_z
+    FROM lstat
+    """,
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for ordered alternatives: is event volume
+    monotonically ordered across the four 6-hour slots of the day,
+    blocked by the 30 days?  L = Σ j·R_j over doubled tie-averaged
+    ranks (exact int), and the z-score clears its rational moments:
+    z = 3·(2L₂ − nk(k+1)²)/sqrt(nk²(k+1)(k²−1)) — one int64→double
+    cast each side of ONE sqrt and ONE division in fixed order,
+    bit-identical across engines (untied-variance form, documented).
+
+    Scale: day×slot cells fold out of the scan; ranking partitions by
+    day; the statistic is a 4-row fold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            F.expr(
+                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+            ).alias("day"),
+            F.expr(
+                "(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 3600) % 24 div 6"
+            ).alias("slot"),
+        )
+        .groupBy("day", "slot")
+        .agg(F.count("*").alias("n_events"))
+    )
+    wday = Window.partitionBy("day").orderBy("n_events")
+    wtie = Window.partitionBy("day", "n_events")
+    ranked = cells.select(
+        "day",
+        (F.col("slot") + 1).alias("treat_order"),
+        (2 * F.rank().over(wday) + F.count("*").over(wtie) - 1)
+        .cast("long")
+        .alias("rank2"),
+    )
+    colsums = ranked.groupBy("treat_order").agg(F.sum("rank2").alias("r2_sum"))
+    n_days = cells.select("day").distinct().count()
+    lstat = colsums.agg(
+        F.sum(F.col("treat_order") * F.col("r2_sum")).cast("long").alias("l2"),
+        F.count("*").cast("long").alias("k"),
+        F.lit(n_days).cast("long").alias("n"),
+    )
+    n, k, l2 = F.col("n"), F.col("k"), F.col("l2")
+    return lstat.select(
+        "n",
+        "k",
+        "l2",
+        (2 * l2 - n * k * (k + 1) * (k + 1)).cast("long").alias("z_num4"),
+        (
+            (2 * l2 - n * k * (k + 1) * (k + 1)).cast("double")
+            * 3
+            / F.sqrt((n * k * k * (k + 1) * (k * k - 1)).cast("double"))
+        ).alias("page_z"),
+    )
+
+
+@register(
+    "stats_dixon_q",
+    oracle="""
+    WITH vals AS (
+        SELECT n_nationkey AS grp_key,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    stats AS (
+        SELECT grp_key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS lo,
+               CAST(MAX(cents) AS BIGINT) AS hi,
+               CAST(MIN(CASE WHEN rnk_lo = 2 THEN cents END) AS BIGINT) AS lo2,
+               CAST(MIN(CASE WHEN rnk_hi = 2 THEN cents END) AS BIGINT) AS hi2
+        FROM (
+            SELECT grp_key, cents,
+                   row_number() OVER (PARTITION BY grp_key
+                                      ORDER BY cents, cents) AS rnk_lo,
+                   row_number() OVER (PARTITION BY grp_key
+                                      ORDER BY cents DESC, cents DESC) AS rnk_hi
+            FROM vals
+        ) GROUP BY grp_key
+    )
+    SELECT grp_key, n, lo, hi,
+           CAST(lo2 - lo AS DOUBLE) / NULLIF(hi - lo, 0) AS q_low,
+           CAST(hi - hi2 AS DOUBLE) / NULLIF(hi - lo, 0) AS q_high,
+           CASE WHEN CAST(lo2 - lo AS DOUBLE) / NULLIF(hi - lo, 0) > 0.45
+                  OR CAST(hi - hi2 AS DOUBLE) / NULLIF(hi - lo, 0) > 0.45
+                THEN 1 ELSE 0 END AS has_outlier
+    FROM stats
+    WHERE n >= 4
+    ORDER BY grp_key
+    """,
+)
+def stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q outlier screen per nation over supplier balances:
+    Q_low = (x₂−x₁)/(xₙ−x₁), Q_high = (xₙ−xₙ₋₁)/(xₙ−x₁) from the
+    extreme order statistics in integer cents — each Q is ONE
+    division of exact ints, and the flag compares against the 0.45
+    critical value with identical float comparisons on both engines.
+
+    Scale: extremes and runners-up are min/max/conditional-min
+    aggregates after a per-group rank — partial-aggregable, no global
+    sort; 25 output rows at any input size.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vals = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_nationkey").alias("grp_key"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w_lo = Window.partitionBy("grp_key").orderBy(F.col("cents").asc())
+    w_hi = Window.partitionBy("grp_key").orderBy(F.col("cents").desc())
+    ranked = vals.select(
+        "grp_key",
+        "cents",
+        F.row_number().over(w_lo).alias("rnk_lo"),
+        F.row_number().over(w_hi).alias("rnk_hi"),
+    )
+    stats = ranked.groupBy("grp_key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("cents").cast("long").alias("lo"),
+        F.max("cents").cast("long").alias("hi"),
+        F.min(F.when(F.col("rnk_lo") == 2, F.col("cents")))
+        .cast("long")
+        .alias("lo2"),
+        F.min(F.when(F.col("rnk_hi") == 2, F.col("cents")))
+        .cast("long")
+        .alias("hi2"),
+    )
+    rng = F.nullif((F.col("hi") - F.col("lo")).cast("long"), F.lit(0))
+    q_low = (F.col("lo2") - F.col("lo")).cast("double") / rng
+    q_high = (F.col("hi") - F.col("hi2")).cast("double") / rng
+    return (
+        stats.where(F.col("n") >= 4)
+        .select(
+            "grp_key",
+            "n",
+            "lo",
+            "hi",
+            q_low.alias("q_low"),
+            q_high.alias("q_high"),
+            F.when((q_low > 0.45) | (q_high > 0.45), 1)
+            .otherwise(0)
+            .alias("has_outlier"),
+        )
+        .orderBy("grp_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Business / operations-research calculators: tax-style marginal
+# tiers, amortization, Erlang-C staffing, EOQ / newsvendor inventory
+# policy, CAGR — each one re-expressed so the distributed part is a
+# plain partial aggregate and the "formula" part is exact integers or
+# a fixed-order float chain (portable across engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_tax_brackets",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    taxed AS (
+        SELECT o_custkey, cents,
+               CAST(5 * LEAST(GREATEST(cents - 10000000, 0), 10000000)
+                    + 10 * LEAST(GREATEST(cents - 20000000, 0), 10000000)
+                    + 15 * GREATEST(cents - 30000000, 0) AS BIGINT) AS fee100,
+               CASE WHEN cents >= 30000000 THEN 3
+                    WHEN cents >= 20000000 THEN 2
+                    WHEN cents >= 10000000 THEN 1
+                    ELSE 0 END AS top_bracket
+        FROM spend
+    )
+    SELECT top_bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_spend_cents,
+           CAST(SUM(fee100) // 100 AS BIGINT) AS total_fee_cents,
+           CAST(SUM(fee100) AS DOUBLE) / NULLIF(SUM(cents), 0) AS effective_pct
+    FROM taxed
+    GROUP BY top_bracket
+    ORDER BY top_bracket
+    """,
+)
+def agg_tax_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive marginal-tier calculator (the tax-bracket /
+    commission-schedule shape): per-customer lifetime spend runs
+    through 0%/5%/10%/15% marginal brackets at 100k/200k/300k
+    boundaries.  Each bracket slice is LEAST/GREATEST integer-cents
+    arithmetic, the fee stays in fee×100 units so the marginal sum is
+    exact int64 (div 100 only at the end), and the effective rate is
+    ONE final division.
+
+    Scale: one groupBy(custkey) partial aggregate, then per-row O(1)
+    bracket math, then a 4-group fold — no shuffle beyond the two
+    grouped aggregations.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    c = F.col("cents")
+    fee100 = (
+        5 * F.least(F.greatest(c - 10000000, F.lit(0)), F.lit(10000000))
+        + 10 * F.least(F.greatest(c - 20000000, F.lit(0)), F.lit(10000000))
+        + 15 * F.greatest(c - 30000000, F.lit(0))
+    ).cast("long")
+    taxed = spend.select(
+        "cents",
+        fee100.alias("fee100"),
+        F.when(c >= 30000000, 3)
+        .when(c >= 20000000, 2)
+        .when(c >= 10000000, 1)
+        .otherwise(0)
+        .alias("top_bracket"),
+    )
+    return (
+        taxed.groupBy("top_bracket")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_spend_cents"),
+            F.expr("CAST(SUM(fee100) div 100 AS BIGINT)").alias(
+                "total_fee_cents"
+            ),
+            (
+                F.sum("fee100").cast("double")
+                / F.nullif(F.sum("cents").cast("long"), F.lit(0))
+            ).alias("effective_pct"),
+        )
+        .orderBy("top_bracket")
+    )
+
+
+_AMORT_SQL = """
+WITH RECURSIVE sched(region, period, balance, pmt_cents) AS (
+    SELECT region, 0, p_cents,
+           p_cents * CAST('0.005' AS DOUBLE)
+           * CAST('1.0616778118644983' AS DOUBLE)
+           / (CAST('1.0616778118644983' AS DOUBLE) - CAST('1.0' AS DOUBLE))
+    FROM (
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   AS p_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        HAVING SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) > 0
+    ) principal
+    UNION ALL
+    SELECT region, period + 1,
+           balance * CAST('1.005' AS DOUBLE) - pmt_cents, pmt_cents
+    FROM sched WHERE period < 12
+)
+SELECT region, CAST(period AS BIGINT) AS period,
+       balance AS balance_cents,
+       pmt_cents
+FROM sched
+ORDER BY region, period
+"""
+
+
+@register("agg_amortization", oracle=_AMORT_SQL)
+def agg_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loan amortization schedule per region (principal = the
+    region's summed customer balances, 0.5%/month, 12 payments):
+    pmt = P·r·q/(q−1) with q = 1.005¹² pre-evaluated to its exact
+    IEEE double literal (1.0616778118644983 — both engines parse the
+    same bits), then the recursive balance walk
+    b_t = b_{t−1}·1.005 − pmt is a fixed-order chain of correctly-
+    rounded ops ⇒ bit-identical balances on Spark and DuckDB, from
+    IDENTICAL recursive-CTE text.
+
+    Scale: principal is a partial aggregate over the dim join; the
+    recursion is 12 steps over 5 region rows — depth is the loan
+    term, never the data size.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_AMORT_SQL)
+
+
+_ERLANG_SQL = """
+WITH RECURSIVE erlang(k, b, a) AS (
+    SELECT 0, CAST('1.0' AS DOUBLE), a
+    FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE)
+               / CAST(30 * 24 AS DOUBLE)
+               * CAST('2.5' AS DOUBLE) AS a
+        FROM events WHERE event_type = 'purchase'
+    ) load_
+    UNION ALL
+    SELECT k + 1, a * b / (CAST(k + 1 AS DOUBLE) + a * b), a
+    FROM erlang WHERE k < 12
+)
+SELECT k, a AS offered_load, b AS erlang_b,
+       CAST(k AS DOUBLE) * b / (CAST(k AS DOUBLE) - a * (CAST('1.0' AS DOUBLE) - b))
+           AS erlang_c,
+       CASE WHEN CAST(k AS DOUBLE) > a
+              AND CAST(k AS DOUBLE) * b
+                  / (CAST(k AS DOUBLE) - a * (CAST('1.0' AS DOUBLE) - b))
+                  < CAST('0.2' AS DOUBLE)
+            THEN 1 ELSE 0 END AS meets_sla
+FROM erlang
+WHERE k >= 1
+ORDER BY k
+"""
+
+
+@register("agg_erlang_c", oracle=_ERLANG_SQL)
+def agg_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C call-center staffing table: offered load a = purchase
+    arrivals/hour × 2.5h handle time, then the Erlang-B recursion
+    B_k = a·B_{k−1}/(k + a·B_{k−1}) unrolled over k = 1..12 servers
+    by a recursive CTE, and C_k = k·B_k/(k − a(1−B_k)) with the
+    SLA flag at 20% wait probability.  Every step is a fixed-order
+    chain of correctly-rounded double ops seeded from an exact count
+    — bit-identical across engines from IDENTICAL query text (float
+    constants enter via CAST('…' AS DOUBLE) string literals so
+    neither engine routes them through decimal parsing).
+
+    Scale: the load estimate is one counting aggregate; the recursion
+    is 12 scalar rows — depth is the server range, never data size.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ERLANG_SQL)
+
+
+@register(
+    "agg_eoq",
+    oracle="""
+    WITH demand AS (
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS annual_qty,
+               CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, annual_qty, n_lines,
+           sqrt(CAST(2 * annual_qty * 500000 * n_lines * 10 AS DOUBLE)
+                / price_cents_sum) AS eoq_units,
+           CAST(annual_qty * 7 // 365 AS BIGINT) AS reorder_point_units
+    FROM demand
+    ORDER BY p_brand
+    """,
+)
+def agg_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per brand: EOQ = sqrt(2DS/H) with
+    D = annual demand (integer units), S = 5000.00 order cost in
+    cents, and H = 10% of the brand's average unit price — the
+    average clears its denominator so EOQ² = 2·D·S·n·10 /
+    Σprice_cents is ONE integer-ratio division followed by ONE sqrt
+    (both correctly rounded identically).  The reorder point is a
+    7-day integer demand floor.
+
+    Scale: one fact-dim broadcast join + brand-grain partial
+    aggregate; ~25 output rows at any input size.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    demand = (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("annual_qty"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+                "price_cents_sum"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return demand.select(
+        "p_brand",
+        F.col("annual_qty").cast("long").alias("annual_qty"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.sqrt(
+            (
+                2 * F.col("annual_qty") * 500000 * F.col("n_lines") * 10
+            ).cast("double")
+            / F.col("price_cents_sum")
+        ).alias("eoq_units"),
+        F.expr("CAST(annual_qty * 7 div 365 AS BIGINT)").alias(
+            "reorder_point_units"
+        ),
+    ).orderBy("p_brand")
+
+
+@register(
+    "agg_newsvendor",
+    oracle="""
+    WITH daily AS (
+        SELECT p.p_brand,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) AS day,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, qty,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                                       ORDER BY qty, day) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n_days
+        FROM daily
+    )
+    SELECT p_brand, n_days,
+           CAST(qty AS BIGINT) AS q_star,
+           CAST(rnk AS BIGINT) AS rank_used
+    FROM ranked
+    WHERE rnk = (n_days * 300 + 399) // 400
+    ORDER BY p_brand
+    """,
+)
+def agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking policy per brand: with underage cost
+    cu = 300 and overage co = 100 cents the critical ratio is
+    cu/(cu+co) = 3/4, and the optimal order-up-to level is the
+    smallest q with F(q) ≥ 3/4 — the ceil(n·3/4)-th DISCRETE order
+    statistic of the daily demand history, located by pure integer
+    cross-multiplication rank = (n·300 + 399) div 400 (no float
+    quantile, no interpolation).  Ties on qty are broken by day so
+    the picked rank is engine-independent.
+
+    Scale: daily demand is a (brand, day) partial aggregate; the
+    per-brand rank is a bounded window (≤ 30 day rows per brand).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey
+        )
+        .select(
+            "p_brand",
+            F.expr(
+                "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("day"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("p_brand", "day")
+        .agg(F.sum("q").alias("qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("qty", "day")
+    wn = Window.partitionBy("p_brand")
+    ranked = daily.select(
+        "p_brand",
+        "qty",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(wn).cast("long").alias("n_days"),
+    )
+    return (
+        ranked.where(F.col("rnk") == F.expr("(n_days * 300 + 399) div 400"))
+        .select(
+            "p_brand",
+            "n_days",
+            F.col("qty").cast("long").alias("q_star"),
+            F.col("rnk").cast("long").alias("rank_used"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "agg_cagr",
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE year(o.o_orderdate) IN (1996, 2000)
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT n_name,
+               CAST(MAX(CASE WHEN yr = 1996 THEN rev_cents END) AS BIGINT) AS rev0,
+               CAST(MAX(CASE WHEN yr = 2000 THEN rev_cents END) AS BIGINT) AS rev4
+        FROM yearly GROUP BY n_name
+    )
+    SELECT n_name, rev0, rev4,
+           sqrt(sqrt(CAST(rev4 AS DOUBLE) / rev0)) - CAST('1.0' AS DOUBLE)
+               AS cagr_4yr
+    FROM wide
+    WHERE rev0 IS NOT NULL AND rev4 IS NOT NULL
+    ORDER BY n_name
+    """,
+)
+def agg_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-year compound annual growth rate of national revenue
+    (1996→2000): CAGR = (rev4/rev0)^(1/4) − 1 evaluated as
+    sqrt(sqrt(·)) — division and sqrt are both IEEE correctly-rounded
+    single ops, so the whole chain is bit-identical across engines
+    WITHOUT pow() (whose rounding is library-dependent).  Revenue
+    endpoints are exact integer cents.
+
+    Scale: year filter pushes to the scan, the rest is a two-key
+    partial aggregate pivoted to one row per nation (25 rows).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.where(F.year("o_orderdate").isin(1996, 2000))
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    wide = yearly.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("rev_cents")))
+        .cast("long")
+        .alias("rev0"),
+        F.max(F.when(F.col("yr") == 2000, F.col("rev_cents")))
+        .cast("long")
+        .alias("rev4"),
+    )
+    return (
+        wide.where(F.col("rev0").isNotNull() & F.col("rev4").isNotNull())
+        .select(
+            "n_name",
+            "rev0",
+            "rev4",
+            (
+                F.sqrt(F.sqrt(F.col("rev4").cast("double") / F.col("rev0")))
+                - 1.0
+            ).alias("cagr_4yr"),
+        )
+        .orderBy("n_name")
+    )
