@@ -4376,3 +4376,66 @@ def ts_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int").alias("n_switches"),
     )
+
+
+_KALMAN_RECURSION = """
+WITH RECURSIVE kf(day, z, x, p) AS (
+    SELECT day, z, z, CAST('100.0' AS DOUBLE)
+    FROM {daily} WHERE day = 0
+    UNION ALL
+    SELECT d.day, d.z,
+           kf.x + (kf.p + CAST('25.0' AS DOUBLE))
+                  / (kf.p + CAST('25.0' AS DOUBLE) + CAST('400.0' AS DOUBLE))
+                  * (d.z - kf.x),
+           (CAST('1.0' AS DOUBLE)
+            - (kf.p + CAST('25.0' AS DOUBLE))
+              / (kf.p + CAST('25.0' AS DOUBLE) + CAST('400.0' AS DOUBLE)))
+           * (kf.p + CAST('25.0' AS DOUBLE))
+    FROM kf JOIN {daily} d ON d.day = kf.day + 1
+)
+SELECT day, z AS observed, x AS filtered, p AS variance,
+       z - x AS innovation
+FROM kf
+ORDER BY day
+"""
+
+_KALMAN_ORACLE = _KALMAN_RECURSION.format(daily="daily_events").replace(
+    "WITH RECURSIVE kf(",
+    """WITH RECURSIVE daily_events AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS day,
+           CAST(COUNT(*) AS DOUBLE) AS z
+    FROM events
+    GROUP BY 1
+),
+kf(""",
+)
+
+
+@register("ts_kalman_1d", oracle=_KALMAN_ORACLE)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model) over the daily event
+    count: gain k = (p+Q)/(p+Q+R), state x += k(z-x), variance
+    p = (1-k)(p+Q) with Q=25, R=400 -- a genuinely SEQUENTIAL
+    recurrence the engine executes as a recursive CTE, one
+    distributed join per step against the 30-row daily frame.
+    Every step is a fixed-order chain of correctly-rounded double
+    ops (constants enter via CAST('...' AS DOUBLE) strings, never
+    decimal literals), so the filtered series is bit-identical
+    across engines from IDENTICAL recursion text (only the daily
+    scan differs per dialect).
+
+    Scale: the fact scan collapses to calendar-grain before any
+    recursion; depth = days in the window, never row count.
+
+    Reference analogue: the per-batch running metrics loop in
+    /root/reference/ingest_data.py:30-38 is this shape (sequential
+    state over arrival order), done declaratively here.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr(
+            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+        ).alias("day")
+    ).agg(F.count("*").cast("double").alias("z"))
+    daily.createOrReplaceTempView("kf_daily_events")
+    return spark.sql(_KALMAN_RECURSION.format(daily="kf_daily_events"))

@@ -1855,3 +1855,280 @@ def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("zone"),
     ).orderBy("day")
+
+
+@register(
+    "win_ichimoku",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    lines AS (
+        SELECT d, close,
+               CAST(MAX(hi) OVER w9  + MIN(lo) OVER w9  AS BIGINT) AS tenkan2,
+               CAST(MAX(hi) OVER w26 + MIN(lo) OVER w26 AS BIGINT) AS kijun2,
+               CAST(MAX(hi) OVER w52 + MIN(lo) OVER w52 AS BIGINT) AS senkou_b2,
+               CAST(COUNT(*) OVER w52 AS BIGINT) AS n52
+        FROM daily
+        WINDOW w9  AS (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+               w26 AS (ORDER BY d ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+               w52 AS (ORDER BY d ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, close,
+           CAST(tenkan2 AS DOUBLE) / 2 AS tenkan,
+           CAST(kijun2 AS DOUBLE) / 2 AS kijun,
+           CAST(tenkan2 + kijun2 AS DOUBLE) / 4 AS senkou_a,
+           CAST(senkou_b2 AS DOUBLE) / 2 AS senkou_b,
+           CASE WHEN tenkan2 > kijun2 THEN 1
+                WHEN tenkan2 < kijun2 THEN -1 ELSE 0 END AS tk_cross
+    FROM lines
+    WHERE n52 = 52
+    ORDER BY day
+    """,
+)
+def win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku Kinko Hyo lines over the daily bar: tenkan (9-bar
+    hi/lo midpoint), kijun (26), senkou A ((tenkan+kijun)/2) and
+    senkou B (52).  Midpoints are kept as DOUBLED int64 sums
+    (hi+lo) inside the windows, so all comparisons (the TK cross)
+    are pure integer; the rendered lines are divisions of exact
+    ints by 2 and 4 — dyadic, hence bit-exact doubles on both
+    engines.
+
+    Scale: day-grain after the partial bar aggregation; four
+    calendar-bounded rolling extrema per row, no global state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    w9 = Window.orderBy("d").rowsBetween(-8, 0)
+    w26 = Window.orderBy("d").rowsBetween(-25, 0)
+    w52 = Window.orderBy("d").rowsBetween(-51, 0)
+    lines = daily.select(
+        "d",
+        "close",
+        (F.max("hi").over(w9) + F.min("lo").over(w9)).alias("tenkan2"),
+        (F.max("hi").over(w26) + F.min("lo").over(w26)).alias("kijun2"),
+        (F.max("hi").over(w52) + F.min("lo").over(w52)).alias("senkou_b2"),
+        F.count("*").over(w52).alias("n52"),
+    ).where(F.col("n52") == 52)
+    t2, k2 = F.col("tenkan2"), F.col("kijun2")
+    return lines.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "close",
+        (t2.cast("double") / 2).alias("tenkan"),
+        (k2.cast("double") / 2).alias("kijun"),
+        ((t2 + k2).cast("double") / 4).alias("senkou_a"),
+        (F.col("senkou_b2").cast("double") / 2).alias("senkou_b"),
+        F.when(t2 > k2, 1).when(t2 < k2, -1).otherwise(0).alias("tk_cross"),
+    ).orderBy("day")
+
+
+@register(
+    "win_vortex",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS hi,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS lo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS close
+        FROM orders GROUP BY 1
+    ),
+    mv AS (
+        SELECT d,
+               abs(hi - lag(lo)  OVER (ORDER BY d)) AS vm_plus,
+               abs(lo - lag(hi)  OVER (ORDER BY d)) AS vm_minus,
+               GREATEST(hi - lo,
+                        abs(hi - lag(close) OVER (ORDER BY d)),
+                        abs(lo - lag(close) OVER (ORDER BY d))) AS trange
+        FROM daily
+    ),
+    roll AS (
+        SELECT d,
+               CAST(SUM(vm_plus)  OVER w AS BIGINT) AS svp,
+               CAST(SUM(vm_minus) OVER w AS BIGINT) AS svm,
+               CAST(SUM(trange)   OVER w AS BIGINT) AS str_,
+               CAST(COUNT(vm_plus) OVER w AS BIGINT) AS n
+        FROM mv
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, svp, svm, str_,
+           CAST(svp AS DOUBLE) / str_ AS vi_plus,
+           CAST(svm AS DOUBLE) / str_ AS vi_minus,
+           CASE WHEN svp > svm THEN 1 WHEN svp < svm THEN -1 ELSE 0 END
+               AS trend_sign
+    FROM roll WHERE n = 14
+    ORDER BY day
+    """,
+)
+def win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Vortex indicator: VM+ = |hi − prev_lo|,
+    VM− = |lo − prev_hi|, VI± = ΣVM±/ΣTR over the window.  All three
+    rolling sums are exact int64 cents, the trend signal is an
+    integer comparison, and each VI is ONE division — portable.
+
+    Scale: day-grain after the partial bar aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).alias("hi"),
+        F.min(cents).alias("lo"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("close"),
+    )
+    wl = Window.orderBy("d")
+    mv = daily.select(
+        "d",
+        F.abs(F.col("hi") - F.lag("lo").over(wl)).alias("vm_plus"),
+        F.abs(F.col("lo") - F.lag("hi").over(wl)).alias("vm_minus"),
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.lag("close").over(wl)),
+            F.abs(F.col("lo") - F.lag("close").over(wl)),
+        ).alias("trange"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    roll = mv.select(
+        "d",
+        F.sum("vm_plus").over(w).alias("svp"),
+        F.sum("vm_minus").over(w).alias("svm"),
+        F.sum("trange").over(w).alias("str_"),
+        F.count("vm_plus").over(w).alias("n"),
+    ).where(F.col("n") == 14)
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("svp").cast("long").alias("svp"),
+        F.col("svm").cast("long").alias("svm"),
+        F.col("str_").cast("long").alias("str_"),
+        (F.col("svp").cast("double") / F.col("str_")).alias("vi_plus"),
+        (F.col("svm").cast("double") / F.col("str_")).alias("vi_minus"),
+        F.when(F.col("svp") > F.col("svm"), 1)
+        .when(F.col("svp") < F.col("svm"), -1)
+        .otherwise(0)
+        .alias("trend_sign"),
+    ).orderBy("day")
+
+
+@register(
+    "win_cci",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    + MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    + SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                      // COUNT(*)
+                    AS BIGINT) AS tp3
+        FROM orders GROUP BY 1
+    ),
+    sums AS (
+        SELECT d, tp3,
+               CAST(SUM(tp3) OVER w AS BIGINT) AS s3,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    numbered AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM sums
+    ),
+    base AS (SELECT * FROM numbered WHERE n = 20),
+    dev AS (
+        SELECT b.d, b.tp3, b.s3, b.n,
+               CAST(SUM(abs(b.n * h.tp3 - b.s3)) AS BIGINT) AS sum_absdev
+        FROM base b
+        JOIN numbered h
+          ON h.rn >= b.rn - 19 AND h.rn <= b.rn
+        GROUP BY b.d, b.tp3, b.s3, b.n
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, tp3, s3, sum_absdev,
+           CAST((b2.n * b2.tp3 - b2.s3) * b2.n * 200 AS DOUBLE)
+           / (3 * b2.sum_absdev) AS cci20
+    FROM dev b2
+    ORDER BY day
+    """,
+)
+def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Commodity Channel Index with every denominator cleared:
+    using tripled typical price T=hi+lo+close (int), CCI =
+    (tp−sma)/(0.015·meandev) becomes (n·T − S)·n·200 / (3·Σ|n·T_i −
+    S|) — integer numerator and denominator built from a rolling sum
+    plus a 20-row self-join for the mean absolute deviation (a
+    rolling MAD has no distributive form, so the join IS the
+    textbook shape; it's calendar-bounded at 20 rows per day).  ONE
+    final division.
+
+    Scale: day-grain; the dev self-join is day×20 rows regardless of
+    fact size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " + MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            " + SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))"
+            "   div COUNT(*) AS BIGINT)"
+        ).alias("tp3")
+    )
+    w = Window.orderBy("d").rowsBetween(-19, 0)
+    sums = daily.select(
+        "d",
+        "tp3",
+        F.sum("tp3").over(w).alias("s3"),
+        F.count("*").over(w).alias("n"),
+    )
+    numbered = sums.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d")).cast("long")
+    )
+    base = numbered.where(F.col("n") == 20).alias("b")
+    hist = numbered.alias("h")
+    dev = (
+        base.join(
+            hist,
+            (F.col("h.rn") >= F.col("b.rn") - 19)
+            & (F.col("h.rn") <= F.col("b.rn")),
+        )
+        .groupBy("b.d", "b.tp3", "b.s3", "b.n")
+        .agg(
+            F.sum(
+                F.abs(F.col("b.n") * F.col("h.tp3") - F.col("b.s3"))
+            ).alias("sum_absdev")
+        )
+    )
+    return dev.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "tp3",
+        "s3",
+        F.col("sum_absdev").cast("long").alias("sum_absdev"),
+        (
+            ((F.col("n") * F.col("tp3") - F.col("s3")) * F.col("n") * 200)
+            .cast("double")
+            / (3 * F.col("sum_absdev"))
+        ).alias("cci20"),
+    ).orderBy("day")
