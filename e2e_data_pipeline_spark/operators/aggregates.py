@@ -8930,9 +8930,9 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_dixon_q",
     oracle="""
     WITH vals AS (
-        SELECT n_nationkey AS grp_key,
-               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        SELECT c_mktsegment AS grp_key,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
     ),
     stats AS (
         SELECT grp_key,
@@ -8962,7 +8962,8 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dixon's Q outlier screen per nation over supplier balances:
+    """Dixon's Q outlier screen per market segment over customer
+    balances:
     Q_low = (x₂−x₁)/(xₙ−x₁), Q_high = (xₙ−xₙ₋₁)/(xₙ−x₁) from the
     extreme order statistics in integer cents — each Q is ONE
     division of exact ints, and the flag compares against the 0.45
@@ -8970,15 +8971,12 @@ def stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: extremes and runners-up are min/max/conditional-min
     aggregates after a per-group rank — partial-aggregable, no global
-    sort; 25 output rows at any input size.
+    sort; 5 output rows at any input size.
     """
-    supplier = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    vals = supplier.join(
-        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
-    ).select(
-        F.col("n_nationkey").alias("grp_key"),
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    customer = load_table(spark, sf_dir, "customer")
+    vals = customer.select(
+        F.col("c_mktsegment").alias("grp_key"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
     w_lo = Window.partitionBy("grp_key").orderBy(F.col("cents").asc())
     w_hi = Window.partitionBy("grp_key").orderBy(F.col("cents").desc())

@@ -2780,3 +2780,75 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rep_pairs").cast("double") / denom).alias("simpson_lambda"),
         (denom / F.col("rep_pairs").cast("double")).alias("inv_simpson"),
     )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(translate(text, '{}();=<>[]', ''))
+                    AS BIGINT) AS n_symbols,
+               CAST(length(text) - length(translate(text, '0123456789', ''))
+                    AS BIGINT) AS n_digits,
+               CAST((length(text) - length(replace(text, 'return', ''))) / 6
+                    + (length(text) - length(replace(text, 'import', ''))) / 6
+                    + (length(text) - length(replace(text, 'def ', ''))) / 4
+                    + (length(text) - length(replace(text, 'void ', ''))) / 5
+                    AS BIGINT) AS n_keywords
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id, n_chars, n_symbols, n_digits, n_keywords,
+           CAST(n_symbols * 1000000 // n_chars AS BIGINT) AS symbol_ppm,
+           CASE WHEN n_symbols * 1000000 // n_chars > 20000
+                  OR n_keywords >= 3
+                THEN 1 ELSE 0 END AS looks_like_code
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage for corpus curation (the filter an LLM
+    data pipeline runs before routing documents to a code or text
+    mixture): counts of syntax characters, digits and language
+    keywords via the translate/replace length-difference trick — all
+    integer, no regex engine in the hot path — then a ppm symbol
+    density and a two-rule verdict.  Char counting is a fused
+    projection over the scan (whole-stage codegen, no shuffle).
+
+    Scale: embarrassingly parallel per-row projection; the only
+    shuffle is the presentation ORDER BY.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    kw = (
+        (F.length(t) - F.length(F.replace(t, F.lit("return"), F.lit("")))) / 6
+        + (F.length(t) - F.length(F.replace(t, F.lit("import"), F.lit("")))) / 6
+        + (F.length(t) - F.length(F.replace(t, F.lit("def "), F.lit("")))) / 4
+        + (F.length(t) - F.length(F.replace(t, F.lit("void "), F.lit("")))) / 5
+    ).cast("long")
+    feats = docs.where(F.length(t) > 0).select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        (
+            F.length(t) - F.length(F.translate(t, "{}();=<>[]", ""))
+        ).cast("long").alias("n_symbols"),
+        (
+            F.length(t) - F.length(F.translate(t, "0123456789", ""))
+        ).cast("long").alias("n_digits"),
+        kw.alias("n_keywords"),
+    )
+    ppm = F.expr("CAST(n_symbols * 1000000 div n_chars AS BIGINT)")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_symbols",
+        "n_digits",
+        "n_keywords",
+        ppm.alias("symbol_ppm"),
+        F.when((ppm > 20000) | (F.col("n_keywords") >= 3), 1)
+        .otherwise(0)
+        .alias("looks_like_code"),
+    ).orderBy("doc_id")
