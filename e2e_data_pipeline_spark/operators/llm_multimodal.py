@@ -533,3 +533,77 @@ def multimodal_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tx * ty).cast("long").alias("n_tiles"),
         (tx * ty * 85 + 170).cast("long").alias("est_tokens"),
     )
+
+
+@register(
+    "multimodal_aspect_bucket",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(256 + (doc_id * 37) % 1024 AS BIGINT) AS w,
+               CAST(256 + (doc_id * 53) % 1024 AS BIGINT) AS h
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, w, h,
+               CASE WHEN w * 3 >= h * 4 THEN 'landscape'
+                    WHEN h * 3 >= w * 4 THEN 'portrait'
+                    ELSE 'square' END AS bucket,
+               CAST(w // 64 * 64 AS BIGINT) AS bw,
+               CAST(h // 64 * 64 AS BIGINT) AS bh
+        FROM dims
+    )
+    SELECT bucket, bw, bh,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS native_px,
+           CAST(SUM(bw * bh) AS BIGINT) AS batch_px,
+           CAST(SUM(w * h) - SUM(bw * bh) AS BIGINT) AS crop_px
+    FROM bucketed
+    GROUP BY bucket, bw, bh
+    ORDER BY bucket, bw, bh
+    """,
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for image-batch training (the SDXL-style
+    bucketing pass): deterministic fake dimensions per blob (the
+    container has no codecs — TESTDATA gives no real images — so w,h
+    derive from doc_id; the bucketing plumbing is the real thing),
+    orientation classes via INTEGER cross-multiplication against the
+    4:3 threshold (no float ratios), and batch shapes floored to the
+    /64 grid ViTs and UNets require.  The /64 floor crops rather than pads, and the
+    crop-pixel accounting stays int64.
+
+    Scale: pure projection + small-cardinality groupBy; the bucket
+    key is what a 100 TB image pipeline would partitionBy for
+    shape-homogeneous batches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (256 + (F.col("doc_id") * 37) % 1024).cast("long").alias("w"),
+        (256 + (F.col("doc_id") * 53) % 1024).cast("long").alias("h"),
+    )
+    w, h = F.col("w"), F.col("h")
+    bucketed = dims.select(
+        "doc_id",
+        "w",
+        "h",
+        F.when(w * 3 >= h * 4, "landscape")
+        .when(h * 3 >= w * 4, "portrait")
+        .otherwise("square")
+        .alias("bucket"),
+        F.expr("CAST(w div 64 * 64 AS BIGINT)").alias("bw"),
+        F.expr("CAST(h div 64 * 64 AS BIGINT)").alias("bh"),
+    )
+    return (
+        bucketed.groupBy("bucket", "bw", "bh")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(w * h).cast("long").alias("native_px"),
+            F.sum(F.col("bw") * F.col("bh")).cast("long").alias("batch_px"),
+            (F.sum(w * h) - F.sum(F.col("bw") * F.col("bh")))
+            .cast("long")
+            .alias("crop_px"),
+        )
+        .orderBy("bucket", "bw", "bh")
+    )

@@ -2852,3 +2852,147 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("looks_like_code"),
     ).orderBy("doc_id")
+
+
+_RAKE_STOPWORDS = (
+    "the|and|of|to|in|is|for|with|on|as|are|that|this|it|by|an|be|or|at|"
+    "from|we|you|they|he|she|its|was|were|has|have|had|not|but|can|will|"
+    "their|our|a|i"
+)
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH phrases_raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                       '\\b({_RAKE_STOPWORDS})\\b', '|', 'g'),
+                   '\\|')) AS chunk
+        FROM documents
+    ),
+    phrases AS (
+        SELECT doc_id,
+               trim(regexp_replace(chunk, ' +', ' ', 'g')) AS phrase
+        FROM phrases_raw
+        WHERE trim(regexp_replace(chunk, ' +', ' ', 'g')) <> ''
+          AND length(trim(regexp_replace(chunk, ' +', ' ', 'g')))
+              - length(replace(trim(regexp_replace(chunk, ' +', ' ', 'g')),
+                               ' ', '')) <= 3
+    ),
+    words AS (
+        SELECT phrase,
+               unnest(string_split(phrase, ' ')) AS word,
+               CAST(1 + length(phrase) - length(replace(phrase, ' ', ''))
+                    AS BIGINT) AS phrase_len
+        FROM phrases
+    ),
+    word_stats AS (
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(phrase_len) AS BIGINT) AS deg
+        FROM words GROUP BY word
+    ),
+    scored AS (
+        SELECT w.phrase,
+               CAST(SUM(s.deg * 1000 // s.freq) AS BIGINT) AS score1000
+        FROM words w JOIN word_stats s ON w.word = s.word
+        GROUP BY w.phrase
+    ),
+    grouped AS (
+        SELECT p.phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(s.score1000) // (1 + length(p.phrase)
+                    - length(replace(p.phrase, ' ', ''))) AS BIGINT)
+                   AS score1000
+        FROM phrases p JOIN scored s ON p.phrase = s.phrase
+        GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score1000
+    FROM grouped
+    WHERE n_occurrences >= 3
+    ORDER BY score1000 DESC, phrase
+    LIMIT 40
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.) in fixed-point integer
+    arithmetic: candidate phrases are maximal stopword-free runs
+    (ASCII-folded so the regex surface is identical in Java and RE2),
+    word degree/frequency accumulate corpus-wide as int64, and the
+    phrase score is Σ floor(deg·1000/freq) — integer division keeps
+    the classic deg/freq ratio ranking portable with NO float sums.
+    Scores from word-instance sums are divided by phrase length
+    (integer) to favor dense phrases; ties break lexicographically.
+
+    SCORED once per distinct phrase (the word-stats join is on the
+    deduped phrase frame), then re-joined to count occurrences — at
+    100 TB both joins shuffle on word/phrase hash keys and the
+    stopword split is a pure projection.
+
+    Oracle divergence guards: DuckDB regexp_replace needs the 'g'
+    flag; array positions from split are never relied on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " ")
+    marked = F.regexp_replace(
+        clean, f"\\b({_RAKE_STOPWORDS})\\b", "|"
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(F.split(marked, "[|]")).alias("chunk")
+    )
+    norm = F.trim(F.regexp_replace(F.col("chunk"), " +", " "))
+    phrases = (
+        chunks.select("doc_id", norm.alias("phrase"))
+        .where(
+            (F.col("phrase") != "")
+            & (
+                F.length("phrase")
+                - F.length(F.replace(F.col("phrase"), F.lit(" "), F.lit("")))
+                <= 3
+            )
+        )
+    )
+    plen = (
+        1
+        + F.length("phrase")
+        - F.length(F.replace(F.col("phrase"), F.lit(" "), F.lit("")))
+    ).cast("long")
+    words = phrases.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+        plen.alias("phrase_len"),
+    )
+    word_stats = words.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("phrase_len").alias("deg")
+    )
+    scored = (
+        words.join(word_stats, "word")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("deg * 1000 div freq")).cast("long").alias("score1000")
+        )
+    )
+    grouped = (
+        phrases.join(scored, "phrase")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.expr(
+                "CAST(MIN(score1000) div (1 + length(phrase)"
+                " - length(replace(phrase, ' ', ''))) AS BIGINT)"
+            ).alias("score1000"),
+        )
+    )
+    return (
+        grouped.where(F.col("n_occurrences") >= 3)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "score1000",
+        )
+        .orderBy(F.col("score1000").desc(), "phrase")
+        .limit(40)
+    )

@@ -3455,3 +3455,187 @@ def dq_ledger_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chain_head"),
     )
     return folded
+
+
+@register(
+    "dq_join_fanout",
+    oracle="""
+    WITH fan AS (
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT n_lines AS fanout,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_lines) AS BIGINT) AS rows_produced,
+           CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_keys,
+           CASE WHEN n_lines > 7 THEN 1 ELSE 0 END AS explosion_flag
+    FROM fan
+    GROUP BY n_lines
+    ORDER BY n_lines
+    """,
+)
+def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout audit — the pre-flight a pipeline runs before a
+    fact-to-fact join to catch row explosions: per join key the
+    multiplicity on the many side, then the full fanout histogram
+    with keys-that-vanish (fanout 0, inner-join row loss) and an
+    explosion flag above the expected ceiling.  Pure counting.
+
+    Scale: ONE shuffle on the join key (the same shuffle the real
+    join would do — so the audit is a dry run of its cost), then a
+    tiny histogram fold; flags cardinality explosions BEFORE a 100 TB
+    join materializes them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fan = (
+        orders.join(
+            lineitem.select("l_orderkey"),
+            orders.o_orderkey == lineitem.l_orderkey,
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    return (
+        fan.groupBy(F.col("n_lines").alias("fanout"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n_lines").cast("long").alias("rows_produced"),
+            F.sum(F.when(F.col("n_lines") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dropped_keys"),
+        )
+        .select(
+            "fanout",
+            "n_keys",
+            "rows_produced",
+            "dropped_keys",
+            F.when(F.col("fanout") > 7, 1).otherwise(0).alias("explosion_flag"),
+        )
+        .orderBy("fanout")
+    )
+
+
+@register(
+    "dq_type_inference",
+    oracle="""
+    WITH cand AS (
+        SELECT json_extract_string(props, '$.k') AS k_str,
+               CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR) AS cents_str,
+               CASE event_id % 3
+                    WHEN 0 THEN CAST(event_id AS VARCHAR)
+                    WHEN 1 THEN strftime(ts, '%Y-%m-%d')
+                    ELSE event_type
+               END AS mixed
+        FROM events WHERE props IS NOT NULL
+    )
+    SELECT 'k_str' AS col_name,
+           CAST(COUNT(k_str) AS BIGINT) AS n_present,
+           CAST(SUM(CASE WHEN TRY_CAST(k_str AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bigint,
+           CAST(SUM(CASE WHEN TRY_CAST(k_str AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_double,
+           CAST(SUM(CASE WHEN regexp_matches(k_str, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                          AND TRY_CAST(k_str AS DATE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_date
+    FROM cand
+    UNION ALL
+    SELECT 'cents_str',
+           CAST(COUNT(cents_str) AS BIGINT),
+           CAST(SUM(CASE WHEN TRY_CAST(cents_str AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN TRY_CAST(cents_str AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN regexp_matches(cents_str, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                          AND TRY_CAST(cents_str AS DATE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM cand
+    UNION ALL
+    SELECT 'mixed',
+           CAST(COUNT(mixed) AS BIGINT),
+           CAST(SUM(CASE WHEN TRY_CAST(mixed AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN TRY_CAST(mixed AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN regexp_matches(mixed, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                          AND TRY_CAST(mixed AS DATE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM cand
+    ORDER BY col_name
+    """,
+)
+def dq_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read type inference census: for each stringly-typed
+    column (a JSON-extracted int field, an integer-cents rendering,
+    and a deliberately mixed int/date/categorical column), how many
+    values survive TRY_CAST to BIGINT / DOUBLE / DATE — what a loader
+    consults before promoting string columns to typed ones.  try_cast
+    has identical null-on-failure semantics on both engines (except
+    DATE, where Spark's lenient parser accepts bare integers as
+    years — the date census is therefore gated on an ISO-format
+    regex first); string
+    renderings come only from INTEGER casts and date strftime (never
+    float formatting, which diverges).
+
+    Scale: single scan, JSON extraction + try_casts fused into one
+    projection, three-row output via a unioned fold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cand = events.where(F.col("props").isNotNull()).select(
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.round(F.col("value") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("cents_str"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("event_id").cast("string")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("mixed"),
+    )
+    outs = []
+    for col in ["k_str", "cents_str", "mixed"]:
+        outs.append(
+            cand.agg(
+                F.lit(col).alias("col_name"),
+                F.count(col).cast("long").alias("n_present"),
+                F.sum(
+                    F.when(
+                        F.expr(f"TRY_CAST({col} AS BIGINT)").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_bigint"),
+                F.sum(
+                    F.when(
+                        F.expr(f"TRY_CAST({col} AS DOUBLE)").isNotNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_double"),
+                F.sum(
+                    F.when(
+                        F.expr(
+                            f"{col} RLIKE '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'"
+                        )
+                        & F.expr(f"TRY_CAST({col} AS DATE)").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_date"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("col_name")

@@ -3082,3 +3082,88 @@ def fn_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("relation")
     )
     return rel.groupBy("relation").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "fn_jwt_decode",
+    oracle="""
+    WITH minted AS (
+        SELECT c_custkey,
+               translate(to_base64(CAST('{"alg":"none","typ":"JWT"}' AS BLOB)),
+                         '+/', '-_')
+               || '.' ||
+               translate(to_base64(CAST(
+                   '{"sub":' || CAST(c_custkey AS VARCHAR)
+                   || ',"seg":"' || c_mktsegment
+                   || '","bal":' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                         AS VARCHAR)
+                   || '}' AS BLOB)), '+/', '-_')
+               || '.' AS token
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    decoded AS (
+        SELECT c_custkey, token,
+               decode(from_base64(translate(
+                   string_split(token, '.')[2], '-_', '+/'))) AS claims
+        FROM minted
+    )
+    SELECT c_custkey,
+           CAST(json_extract_string(claims, '$.sub') AS BIGINT) AS sub_claim,
+           json_extract_string(claims, '$.seg') AS seg_claim,
+           CAST(json_extract_string(claims, '$.bal') AS BIGINT) AS bal_cents,
+           CAST(length(token) AS BIGINT) AS token_len,
+           CASE WHEN CAST(json_extract_string(claims, '$.sub') AS BIGINT)
+                     = c_custkey THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM decoded
+    ORDER BY c_custkey
+    """,
+)
+def fn_jwt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JWT mint → parse round-trip (unsigned tokens, padded-base64url
+    variant — padding kept because DuckDB's from_base64 requires it;
+    documented divergence from RFC 7515's unpadded form): claims are
+    concatenated JSON built ONLY from integer casts and fixed strings
+    (never float rendering), encoded with the url-safe alphabet via
+    translate(+/ → -_), split back apart on '.', decoded, and
+    json-extracted with a subject-equality audit.
+
+    Scale: pure per-row projection — mint and parse both fuse into
+    the scan with no shuffle but the presentation sort.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    claims_json = F.concat(
+        F.lit('{"sub":'),
+        F.col("c_custkey").cast("string"),
+        F.lit(',"seg":"'),
+        F.col("c_mktsegment"),
+        F.lit('","bal":'),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.lit("}"),
+    )
+    header = F.translate(
+        F.base64(F.lit('{"alg":"none","typ":"JWT"}').cast("binary")),
+        "+/",
+        "-_",
+    )
+    token = F.concat(
+        header,
+        F.lit("."),
+        F.translate(F.base64(claims_json.cast("binary")), "+/", "-_"),
+        F.lit("."),
+    )
+    minted = customer.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", token.alias("token")
+    )
+    claims = F.unbase64(
+        F.translate(F.split(F.col("token"), "[.]").getItem(1), "-_", "+/")
+    ).cast("string")
+    decoded = minted.select("c_custkey", "token", claims.alias("claims"))
+    sub = F.get_json_object("claims", "$.sub").cast("long")
+    return decoded.select(
+        "c_custkey",
+        sub.alias("sub_claim"),
+        F.get_json_object("claims", "$.seg").alias("seg_claim"),
+        F.get_json_object("claims", "$.bal").cast("long").alias("bal_cents"),
+        F.length("token").cast("long").alias("token_len"),
+        F.when(sub == F.col("c_custkey"), 1).otherwise(0).alias("roundtrip_ok"),
+    ).orderBy("c_custkey")

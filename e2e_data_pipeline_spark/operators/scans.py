@@ -2094,3 +2094,73 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("latest_cents"),
     )
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey
+    FROM lineitem
+    WHERE l_linenumber = 1
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook) text round-trip: the
+    lineitem slice is rendered into 12+4+10+12+1-char records with
+    zero-padded numerics and space-padded flags, written as plain
+    text, re-read with ``spark.read.text``, and parsed back by
+    SUBSTRING offsets — the layout-contract scan Spark has no native
+    reader for, expressed as a pure projection over the text scan.
+    The oracle recomputes from the source table, proving the
+    fixed-width encode/decode is lossless (quantities ride as
+    integers, prices as zero-padded cents).
+
+    Scale: writer and reader are both embarrassingly parallel; a
+    copybook scan at 100 TB is exactly this plan with the text files
+    on object storage — substring parsing fuses into the scan with
+    full codegen, no shuffle until the aggregate.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .select(
+            F.concat(
+                F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+                F.lpad(F.col("l_quantity").cast("long").cast("string"), 4, "0"),
+                F.lpad(
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .cast("string"),
+                    12,
+                    "0",
+                ),
+                F.rpad(F.col("l_returnflag"), 1, " "),
+            ).alias("value")
+        )
+    )
+    outdir = tempfile.mkdtemp(prefix="e2e_fixedwidth_")
+    li.write.mode("overwrite").text(outdir)
+    raw = spark.read.text(outdir)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("l_orderkey"),
+        F.substring("value", 13, 4).cast("long").alias("qty"),
+        F.substring("value", 17, 12).cast("long").alias("price_cents"),
+        F.substring("value", 29, 1).alias("l_returnflag"),
+    )
+    return (
+        parsed.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("price_cents").cast("long").alias("sum_price_cents"),
+            F.min("l_orderkey").cast("long").alias("min_orderkey"),
+        )
+        .orderBy("l_returnflag")
+    )
