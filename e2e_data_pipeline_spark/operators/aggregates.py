@@ -8570,8 +8570,11 @@ def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(a AS BIGINT) AS f_above, CAST(b AS BIGINT) AS f_below,
            CAST(c AS BIGINT) AS o_above, CAST(d AS BIGINT) AS o_below,
-           CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
-           / ((a + b) * (c + d) * (a + c) * (b + d)) AS mood_chi2
+           CAST(a + b + c + d AS DOUBLE)
+           * CAST(a * d - b * c AS DOUBLE)
+           * CAST(a * d - b * c AS DOUBLE)
+           / CAST(a + b AS DOUBLE) / CAST(c + d AS DOUBLE)
+           / CAST(a + c AS DOUBLE) / CAST(b + d AS DOUBLE) AS mood_chi2
     FROM wide
     """,
 )
@@ -8580,12 +8583,16 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     a median price?  The grand median is a DISCRETE order statistic
     (rank (n+1) div 2 over integer cents — no interpolation, no
     floats), the 2×2 above/below table is pure counting, and the
-    chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) clears every
-    denominator into int64 cross-products with ONE final division.
+    chi-square N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is evaluated as a
+    fixed-order float chain whose every factor is an exact int64:
+    ad−bc stays integer, the triple product (which would overflow
+    int64 at scale) is never formed, and each int64→double factor
+    conversion is ONE rounding, identical on both engines.
 
-    Scale: the median-rank pass is the only global ordering (the
-    global_rank pattern distributes it); the rest is a broadcast of
-    one scalar into a map-side 2×2 count.
+    Scale: the grand median uses the repo's global_rank two-pass
+    (range-repartition + per-partition offsets) — NO single-partition
+    window; the rest is a broadcast of one scalar into a map-side
+    2×2 count.
     """
     vals = (
         load_table(spark, sf_dir, "lineitem")
@@ -8595,12 +8602,10 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         )
     )
-    ranked = vals.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents")).cast("long").alias("rnk"),
-        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    ranked, n_total, _ = global_rank(
+        vals.select("cents"), [F.col("cents").asc()], rn_name="rnk"
     )
-    med = ranked.where(F.col("rnk") == F.expr("(n + 1) div 2")).select(
+    med = ranked.where(F.col("rnk") == (n_total + 1) // 2).select(
         F.col("cents").alias("grand_median")
     )
     tab = (
@@ -8628,8 +8633,13 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.cast("long").alias("o_above"),
         d.cast("long").alias("o_below"),
         (
-            ((a + b + c + d) * (a * d - b * c) * (a * d - b * c)).cast("double")
-            / ((a + b) * (c + d) * (a + c) * (b + d))
+            (a + b + c + d).cast("double")
+            * (a * d - b * c).cast("double")
+            * (a * d - b * c).cast("double")
+            / (a + b).cast("double")
+            / (c + d).cast("double")
+            / (a + c).cast("double")
+            / (b + d).cast("double")
         ).alias("mood_chi2"),
     )
 
@@ -8653,16 +8663,19 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pool
     ),
     sums AS (
-        SELECT CAST(SUM(CASE WHEN is_x = 1 THEN (r - i) * (r - i) END) AS BIGINT) AS sx,
-               CAST(SUM(CASE WHEN is_x = 0 THEN (r - i) * (r - i) END) AS BIGINT) AS sy,
+        SELECT CAST(SUM(CASE WHEN is_x = 1 THEN (r - i) * (r - i) END)
+                    AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CASE WHEN is_x = 0 THEN (r - i) * (r - i) END)
+                    AS DECIMAL(38,0)) AS sy,
                CAST(SUM(is_x) AS BIGINT) AS n,
                CAST(SUM(1 - is_x) AS BIGINT) AS m
         FROM ranked
     )
     SELECT n, m,
-           CAST(n * sx + m * sy AS BIGINT) AS u_stat,
-           CAST(n * sx + m * sy AS DOUBLE) / (n * m * (n + m))
-           - CAST(4 * m * n - 1 AS DOUBLE) / (6 * (m + n)) AS cvm_t
+           CAST(sx AS DOUBLE) / CAST(m * (n + m) AS DOUBLE) / CAST(n AS DOUBLE)
+           + CAST(sy AS DOUBLE) / CAST(n * (n + m) AS DOUBLE) / CAST(m AS DOUBLE)
+           - CAST(4 * m * n - 1 AS DOUBLE) / CAST(6 * (m + n) AS DOUBLE)
+               AS cvm_t
     FROM sums
     """,
 )
@@ -8672,17 +8685,18 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     U = n·Σ(r_i−i)² + m·Σ(s_j−j)², comparing URGENT vs LOW order
     price distributions.  Ranks are tie-broken deterministically by
     (cents, orderkey) — documented variant — so r, i are exact ints,
-    U is int64, and the statistic is TWO single divisions and one
-    subtraction in fixed order: each op correctly rounded identically
-    on both engines ⇒ bit-equal doubles.
+    the statistic is a fixed-order chain of single
+    divisions and one subtraction: each op correctly rounded
+    identically on both engines ⇒ bit-equal doubles.
 
     Scale: one global rank (distributable via global_rank) plus one
-    per-sample rank; everything downstream is a one-row fold.  U grows
-    ~N³, so the pool is bounded by a deterministic orderkey fold (%4)
-    to stay inside int64 through the 100× smoke; past that the Σ(r−i)²
-    sums move to DECIMAL(38,0) (exact on both engines) and the final
-    T splits into sx/(m(n+m))/n + sy/(n(n+m))/m so no 2^53-crossing
-    product is ever cast to double.
+    per-sample rank; everything downstream is a one-row fold.  The Σ(r−i)²
+    sums ride in DECIMAL(38,0) (exact, order-insensitive, immune to
+    the ~N³ growth of U), the scale-0 decimal→double render is a
+    single rounding on both engines, and T splits into
+    sx/(m(n+m))/n + sy/(n(n+m))/m so no 2^53-crossing integer
+    PRODUCT is ever cast to double (a %4 orderkey fold additionally
+    bounds the pool).
     """
     pool = (
         load_table(spark, sf_dir, "orders")
@@ -8709,10 +8723,16 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("i"),
     )
-    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    d2 = (
+        (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    ).cast("decimal(38,0)")
     sums = ranked.agg(
-        F.sum(F.when(F.col("is_x") == 1, d2)).alias("sx"),
-        F.sum(F.when(F.col("is_x") == 0, d2)).alias("sy"),
+        F.sum(F.when(F.col("is_x") == 1, d2))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.when(F.col("is_x") == 0, d2))
+        .cast("decimal(38,0)")
+        .alias("sy"),
         F.sum("is_x").alias("n"),
         F.sum(1 - F.col("is_x")).alias("m"),
     )
@@ -8720,10 +8740,10 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         n.cast("long").alias("n"),
         m.cast("long").alias("m"),
-        (n * sx + m * sy).cast("long").alias("u_stat"),
         (
-            (n * sx + m * sy).cast("double") / (n * m * (n + m))
-            - (4 * m * n - 1).cast("double") / (6 * (m + n))
+            sx.cast("double") / (m * (n + m)).cast("double") / n.cast("double")
+            + sy.cast("double") / (n * (n + m)).cast("double") / m.cast("double")
+            - (4 * m * n - 1).cast("double") / (6 * (m + n)).cast("double")
         ).alias("cvm_t"),
     )
 
@@ -9216,8 +9236,9 @@ def agg_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand
     )
     SELECT p_brand, annual_qty, n_lines,
-           sqrt(CAST(2 * annual_qty * 500000 * n_lines * 10 AS DOUBLE)
-                / price_cents_sum) AS eoq_units,
+           sqrt(CAST(annual_qty AS DOUBLE) * CAST(n_lines AS DOUBLE)
+                / CAST(price_cents_sum AS DOUBLE)
+                * CAST(10000000 AS DOUBLE)) AS eoq_units,
            CAST(annual_qty * 7 // 365 AS BIGINT) AS reorder_point_units
     FROM demand
     ORDER BY p_brand
@@ -9227,9 +9248,11 @@ def agg_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Economic order quantity per brand: EOQ = sqrt(2DS/H) with
     D = annual demand (integer units), S = 5000.00 order cost in
     cents, and H = 10% of the brand's average unit price — the
-    average clears its denominator so EOQ² = 2·D·S·n·10 /
-    Σprice_cents is ONE integer-ratio division followed by ONE sqrt
-    (both correctly rounded identically).  The reorder point is a
+    average clears its denominator so EOQ² = D·n/Σprice_cents·10⁷
+    (2S·10 folded into the constant) is a fixed-order double chain
+    over sub-2^53 int64 factors followed by ONE sqrt — portable at
+    any scale where each FACTOR stays below 2^53 (the int64 product
+    form overflowed the 10× smoke).  The reorder point is a
     7-day integer demand floor.
 
     Scale: one fact-dim broadcast join + brand-grain partial
@@ -9255,10 +9278,10 @@ def agg_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("annual_qty").cast("long").alias("annual_qty"),
         F.col("n_lines").cast("long").alias("n_lines"),
         F.sqrt(
-            (
-                2 * F.col("annual_qty") * 500000 * F.col("n_lines") * 10
-            ).cast("double")
-            / F.col("price_cents_sum")
+            F.col("annual_qty").cast("double")
+            * F.col("n_lines").cast("double")
+            / F.col("price_cents_sum").cast("double")
+            * F.lit(10000000).cast("double")
         ).alias("eoq_units"),
         F.expr("CAST(annual_qty * 7 div 365 AS BIGINT)").alias(
             "reorder_point_units"
@@ -9413,4 +9436,100 @@ def agg_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cagr_4yr"),
         )
         .orderBy("n_name")
+    )
+
+
+@register(
+    "stats_ansari_bradley",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_x
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'O') AND o_orderkey % 5 = 0
+    ),
+    ranked AS (
+        SELECT is_x,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS big_n
+        FROM pool
+    ),
+    scored AS (
+        SELECT is_x,
+               CAST(LEAST(r, big_n + 1 - r) AS BIGINT) AS ab_score,
+               big_n
+        FROM ranked
+    )
+    SELECT CAST(SUM(is_x) AS BIGINT) AS n,
+           CAST(SUM(1 - is_x) AS BIGINT) AS m,
+           CAST(SUM(CASE WHEN is_x = 1 THEN ab_score END) AS BIGINT) AS ab_sum,
+           CAST(MAX(big_n) AS BIGINT) AS big_n,
+           CAST(4 * MAX(big_n) * SUM(CASE WHEN is_x = 1 THEN ab_score END)
+                - SUM(is_x)
+                  * (CASE WHEN MAX(big_n) % 2 = 0
+                          THEN MAX(big_n) * (MAX(big_n) + 2)
+                          ELSE (MAX(big_n) + 1) * (MAX(big_n) + 1) END)
+                AS DOUBLE)
+           / CAST(4 * MAX(big_n) AS DOUBLE) AS ab_centered
+    FROM scored
+    """,
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley dispersion test: rank the pooled F/O order
+    prices from BOTH ends (score = min(r, N+1−r), deterministically
+    tie-broken by orderkey — documented variant), sum scores for the
+    F sample, and report the statistic centered at its null mean —
+    n(N+2)/4 for even N, n(N+1)²/(4N) for odd — with BOTH branches
+    lifted to the common denominator 4N so everything is int64 until
+    ONE closing division.  Exact
+    int64 throughout (scores are ≤ N/2+1; the sum is O(N²) ≈ 2^53-
+    safe at the 100× smoke thanks to the %5 fold).
+
+    Scale: one global rank (global_rank-distributable), then a pure
+    counting fold.
+    """
+    pool = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderstatus").isin("F", "O")
+            & (F.col("o_orderkey") % 5 == 0)
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_x"),
+        )
+    )
+    from e2e_data_pipeline_spark.operators.registry import global_rank
+
+    ranked, big_n, _ = global_rank(
+        pool, [F.col("cents").asc(), F.col("o_orderkey").asc()], rn_name="r"
+    )
+    scored = ranked.select(
+        "is_x",
+        F.least(F.col("r"), F.lit(big_n) + 1 - F.col("r"))
+        .cast("long")
+        .alias("ab_score"),
+        F.lit(big_n).cast("long").alias("big_n"),
+    )
+    absum = F.sum(F.when(F.col("is_x") == 1, F.col("ab_score")))
+    n = F.sum("is_x")
+    bn = F.max("big_n")
+    return scored.agg(
+        n.cast("long").alias("n"),
+        F.sum(1 - F.col("is_x")).cast("long").alias("m"),
+        absum.cast("long").alias("ab_sum"),
+        bn.cast("long").alias("big_n"),
+        (
+            (
+                4 * bn * absum
+                - n
+                * F.when(bn % 2 == 0, bn * (bn + 2)).otherwise(
+                    (bn + 1) * (bn + 1)
+                )
+            ).cast("double")
+            / (4 * bn).cast("double")
+        ).alias("ab_centered"),
     )

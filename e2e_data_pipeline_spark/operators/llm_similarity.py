@@ -1732,3 +1732,183 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         "penalty",
     )
+
+
+_MATRYOSHKA_DIM = 16
+_MATRYOSHKA_QUERIES = 32
+
+_ORACLE_DOT_TRUNC = f"""list_sum(list_transform(range(1, {_MATRYOSHKA_DIM + 1}),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"""
+_ORACLE_SQ_TRUNC = f"""list_sum(list_transform(range(1, {_MATRYOSHKA_DIM + 1}),
+    i -> CAST({{t}}.embedding[i] AS DOUBLE) * CAST({{t}}.embedding[i] AS DOUBLE)))"""
+
+
+@register(
+    "sim_matryoshka_probe",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               round({_ORACLE_DOT}
+                     / (sqrt({_ORACLE_SQ.format(t='q')})
+                        * sqrt({_ORACLE_SQ.format(t='c')})), 6) AS cos_full,
+               round({_ORACLE_DOT_TRUNC}
+                     / (sqrt({_ORACLE_SQ_TRUNC.format(t='q')})
+                        * sqrt({_ORACLE_SQ_TRUNC.format(t='c')})), 6)
+                   AS cos_trunc
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MATRYOSHKA_QUERIES}
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_full DESC, neighbor_id)
+                   AS rn_full,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_trunc DESC, neighbor_id)
+                   AS rn_trunc
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(MAX(CASE WHEN rn_full = 1 THEN neighbor_id END) AS BIGINT)
+               AS nn_full,
+           CAST(MAX(CASE WHEN rn_trunc = 1 THEN neighbor_id END) AS BIGINT)
+               AS nn_trunc,
+           MAX(CASE WHEN rn_full = 1 THEN cos_full END) AS cos_full_top,
+           MAX(CASE WHEN rn_trunc = 1 THEN cos_trunc END) AS cos_trunc_top,
+           CASE WHEN MAX(CASE WHEN rn_full = 1 THEN neighbor_id END)
+                     = MAX(CASE WHEN rn_trunc = 1 THEN neighbor_id END)
+                THEN 1 ELSE 0 END AS top1_agree
+    FROM ranked
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def sim_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval probe (Kusupati et al.): does
+    the top-1 cosine neighbor survive truncating the 64-dim embedding
+    to its first 16 dims?  The short-vector scoring is the cheap
+    first-stage a 100 TB vector pipeline runs before full-dim
+    re-ranking; the per-query agreement flag is the recall@1 audit
+    that justifies the truncation.  Both scorings share one broadcast
+    join pass; cosines use the sequential-fold dot (engine-order
+    deterministic) and are rounded to 6dp before ranking so rank
+    boundaries can't straddle a ulp.
+
+    Scale: query side broadcast, corpus scored partition-locally,
+    WindowGroupLimit keeps top-1 — no corpus shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MATRYOSHKA_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qt = F.slice(F.col("q_emb"), 1, _MATRYOSHKA_DIM)
+    ct = F.slice(F.col("c_emb"), 1, _MATRYOSHKA_DIM)
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(sq_norm(F.col("q_emb")))
+                    * F.sqrt(sq_norm(F.col("c_emb")))
+                ),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                dot(qt, ct) / (F.sqrt(sq_norm(qt)) * F.sqrt(sq_norm(ct))),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(wq.orderBy(F.col("cos_full").desc(), "neighbor_id"))
+        .alias("rn_full"),
+        F.row_number()
+        .over(wq.orderBy(F.col("cos_trunc").desc(), "neighbor_id"))
+        .alias("rn_trunc"),
+    )
+    nn_full = F.max(F.when(F.col("rn_full") == 1, F.col("neighbor_id")))
+    nn_trunc = F.max(F.when(F.col("rn_trunc") == 1, F.col("neighbor_id")))
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            nn_full.cast("long").alias("nn_full"),
+            nn_trunc.cast("long").alias("nn_trunc"),
+            F.max(F.when(F.col("rn_full") == 1, F.col("cos_full"))).alias(
+                "cos_full_top"
+            ),
+            F.max(F.when(F.col("rn_trunc") == 1, F.col("cos_trunc"))).alias(
+                "cos_trunc_top"
+            ),
+            F.when(nn_full == nn_trunc, 1).otherwise(0).alias("top1_agree"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "dq_embedding_norms",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               round(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm,
+           CAST(SUM(CASE WHEN nrm < 0.5 OR nrm > 2.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_band,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit — the first check a vector pipeline
+    runs after an embedding backfill: per-label L2-norm extremes,
+    out-of-band counts ([0.5, 2.0] band) and zero-vector detection
+    (the classic symptom of a failed encode).  Norms come from the
+    sequential-fold square sum (engine-order deterministic) rounded
+    to 6dp; everything aggregated is a min/max/count — NO float sums
+    across rows, so the result hashes bit-equal.
+
+    Scale: one projection + label-grain partial aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(F.sqrt(sq_norm(F.col("embedding"))), 6)
+    norms = emb.select("vec_id", "label", nrm.alias("nrm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(
+                F.when((F.col("nrm") < 0.5) | (F.col("nrm") > 2.0), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_out_of_band"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_vectors"),
+        )
+        .orderBy("label")
+    )

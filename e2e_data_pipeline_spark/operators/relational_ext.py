@@ -3639,3 +3639,97 @@ def dq_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("col_name")
+
+
+@register(
+    "dq_validity_audit",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS valid_from,
+               lead(CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                         o_orderkey) AS valid_to,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                                  o_orderkey) AS ver
+        FROM orders
+    ),
+    damaged AS (
+        SELECT o_custkey, ver, valid_from,
+               CASE WHEN ver % 7 = 3 THEN valid_to - 10 ELSE valid_to END
+                   AS valid_to
+        FROM versions WHERE valid_to IS NOT NULL
+    ),
+    audited AS (
+        SELECT o_custkey,
+               CASE WHEN valid_to <= valid_from THEN 1 ELSE 0 END AS inverted,
+               CASE WHEN lead(valid_from) OVER w > valid_to THEN 1 ELSE 0 END
+                   AS gap_after,
+               CASE WHEN lead(valid_from) OVER w < valid_to THEN 1 ELSE 0 END
+                   AS overlap_after
+        FROM damaged
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY ver)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+           CAST(SUM(inverted) AS BIGINT) AS n_inverted,
+           CAST(SUM(gap_after) AS BIGINT) AS n_gaps,
+           CAST(SUM(overlap_after) AS BIGINT) AS n_overlaps,
+           CAST(SUM(gap_after + overlap_after + inverted) * 1000000
+                // COUNT(*) AS BIGINT) AS defect_ppm
+    FROM audited
+    """,
+)
+def dq_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-chain integrity audit: per key the versioned
+    [valid_from, valid_to) chain must tile time with no gaps,
+    overlaps, or inverted intervals.  Versions are synthesized from
+    order dates (lead() closes each interval) and every 7th version
+    is deterministically damaged (valid_to pulled 10 days early) so
+    the audit provably detects both the gap it creates and any
+    inversion.  Pure integer day arithmetic and counting.
+
+    Scale: both windows partition by the dimension key — fully
+    parallel; the verdict is a single-row fold with a ppm defect
+    rate.  This is the acceptance test a warehouse runs after every
+    scd2_history merge (the repo's own scd2 operators feed it).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400")
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = orders.select(
+        "o_custkey",
+        day.alias("valid_from"),
+        F.lead(day).over(wv).alias("valid_to"),
+        F.row_number().over(wv).alias("ver"),
+    ).where(F.col("valid_to").isNotNull())
+    damaged = versions.select(
+        "o_custkey",
+        "ver",
+        "valid_from",
+        F.when(F.col("ver") % 7 == 3, F.col("valid_to") - 10)
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ver")
+    nxt = F.lead("valid_from").over(w)
+    audited = damaged.select(
+        "o_custkey",
+        F.when(F.col("valid_to") <= F.col("valid_from"), 1)
+        .otherwise(0)
+        .alias("inverted"),
+        F.when(nxt > F.col("valid_to"), 1).otherwise(0).alias("gap_after"),
+        F.when(nxt < F.col("valid_to"), 1).otherwise(0).alias("overlap_after"),
+    )
+    return audited.agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+        F.sum("inverted").cast("long").alias("n_inverted"),
+        F.sum("gap_after").cast("long").alias("n_gaps"),
+        F.sum("overlap_after").cast("long").alias("n_overlaps"),
+        F.expr(
+            "CAST(SUM(gap_after + overlap_after + inverted) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("defect_ppm"),
+    )

@@ -3167,3 +3167,109 @@ def fn_jwt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("token").cast("long").alias("token_len"),
         F.when(sub == F.col("c_custkey"), 1).otherwise(0).alias("roundtrip_ok"),
     ).orderBy("c_custkey")
+
+
+def _nw_unit(expr: str) -> str:
+    """CASE mapping 0-19 -> English words for the SQL expression expr."""
+    words = [
+        "zero", "one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+        "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+    ]
+    cases = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(words)
+    )
+    return f"(CASE {expr} {cases} END)"
+
+
+def _nw_tens(expr: str) -> str:
+    words = {2: "twenty", 3: "thirty", 4: "forty", 5: "fifty",
+             6: "sixty", 7: "seventy", 8: "eighty", 9: "ninety"}
+    cases = " ".join(f"WHEN {i} THEN '{w}'" for i, w in words.items())
+    return f"(CASE {expr} {cases} END)"
+
+
+def _nw_two(expr: str, dv: str) -> str:
+    """0-99 -> words ('' for 0)."""
+    return (
+        f"(CASE WHEN {expr} = 0 THEN ''"
+        f" WHEN {expr} < 20 THEN {_nw_unit(expr)}"
+        f" ELSE {_nw_tens(f'({expr}) {dv} 10')} ||"
+        f" (CASE WHEN ({expr}) % 10 > 0"
+        f"       THEN '-' || {_nw_unit(f'({expr}) % 10')} ELSE '' END)"
+        f" END)"
+    )
+
+
+def _nw_three(expr: str, dv: str) -> str:
+    """0-999 -> words ('' for 0)."""
+    h = f"({expr}) {dv} 100"
+    r = f"({expr}) % 100"
+    return (
+        f"(CASE WHEN ({expr}) >= 100 THEN {_nw_unit(h)} || ' hundred' ||"
+        f" (CASE WHEN {r} > 0 THEN ' ' || {_nw_two(r, dv)} ELSE '' END)"
+        f" ELSE {_nw_two(expr, dv)} END)"
+    )
+
+
+def _nw_amount(expr: str, dv: str) -> str:
+    """0-999999 -> words; 0 -> 'zero'."""
+    th = f"({expr}) {dv} 1000"
+    r = f"({expr}) % 1000"
+    return (
+        f"(CASE WHEN ({expr}) = 0 THEN 'zero'"
+        f" WHEN ({expr}) >= 1000 THEN {_nw_three(th, dv)} || ' thousand' ||"
+        f" (CASE WHEN {r} > 0 THEN ' ' || {_nw_three(r, dv)} ELSE '' END)"
+        f" ELSE {_nw_three(expr, dv)} END)"
+    )
+
+
+_NW_ORACLE = f"""
+    WITH amts AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS dollars,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100 AS rem_cents
+        FROM orders WHERE o_orderkey % 499 = 0
+    )
+    SELECT o_orderkey, dollars, rem_cents,
+           {_nw_amount('dollars', '//')}
+           || ' dollars and '
+           || lpad(CAST(rem_cents AS VARCHAR), 2, '0') || '/100'
+               AS amount_words
+    FROM amts
+    ORDER BY o_orderkey
+"""
+
+
+@register("fn_number_to_words", oracle=_NW_ORACLE)
+def fn_number_to_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Check-printing amount renderer: integer dollars 0–999,999 to
+    English words ('twelve thousand three hundred forty-five dollars
+    and 07/100') via nested CASE chains GENERATED from one Python
+    template for both dialects (only the integer-division token
+    differs: Spark ``div``, DuckDB ``//``).  No float formatting
+    anywhere — amounts enter as exact cents and the cents remainder is a
+    zero-padded integer.
+
+    Scale: pure per-row string projection fused into the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    amts = orders.where(F.col("o_orderkey") % 499 == 0).select(
+        "o_orderkey",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100"
+        ).alias("dollars"),
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100"
+        ).alias("rem_cents"),
+    )
+    return amts.select(
+        "o_orderkey",
+        "dollars",
+        "rem_cents",
+        F.expr(
+            _nw_amount("dollars", "div")
+            + " || ' dollars and ' || lpad(CAST(rem_cents AS STRING), 2, '0')"
+            + " || '/100'"
+        ).alias("amount_words"),
+    ).orderBy("o_orderkey")

@@ -2056,13 +2056,15 @@ def win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
         FROM sums
     ),
-    base AS (SELECT * FROM numbered WHERE n = 20),
+    base AS (
+        SELECT *, unnest(range(rn - 19, rn + 1)) AS want_rn
+        FROM numbered WHERE n = 20
+    ),
     dev AS (
         SELECT b.d, b.tp3, b.s3, b.n,
                CAST(SUM(abs(b.n * h.tp3 - b.s3)) AS BIGINT) AS sum_absdev
         FROM base b
-        JOIN numbered h
-          ON h.rn >= b.rn - 19 AND h.rn <= b.rn
+        JOIN numbered h ON h.rn = b.want_rn
         GROUP BY b.d, b.tp3, b.s3, b.n
     )
     SELECT strftime(d, '%Y-%m-%d') AS day, tp3, s3, sum_absdev,
@@ -2106,14 +2108,17 @@ def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = sums.withColumn(
         "rn", F.row_number().over(Window.orderBy("d")).cast("long")
     )
-    base = numbered.where(F.col("n") == 20).alias("b")
+    base = (
+        numbered.where(F.col("n") == 20)
+        .withColumn(
+            "want_rn",
+            F.explode(F.sequence(F.col("rn") - 19, F.col("rn"))),
+        )
+        .alias("b")
+    )
     hist = numbered.alias("h")
     dev = (
-        base.join(
-            hist,
-            (F.col("h.rn") >= F.col("b.rn") - 19)
-            & (F.col("h.rn") <= F.col("b.rn")),
-        )
+        base.join(hist, F.col("h.rn") == F.col("b.want_rn"))
         .groupBy("b.d", "b.tp3", "b.s3", "b.n")
         .agg(
             F.sum(

@@ -852,3 +852,31 @@ def test_exists_trio_plans_semi_and_anti(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cci_mad_join_is_equi_not_nested_loop(spark):
+    # The 20-row rolling-MAD lookback is exploded into candidate row
+    # numbers and equi-joined; a BETWEEN join here would plan as
+    # BroadcastNestedLoopJoin (the repo-wide bucketed-join rule).
+    plan = plan_of(spark, "win_cci")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mood_median_rank_is_range_partitioned(spark):
+    # The grand-median rank must come from the distributed global_rank
+    # two-pass (per-__pid window over the checkpointed range layout),
+    # never a single-partition global window.
+    plan = plan_of(spark, "stats_mood_median")
+    assert "windowspecdefinition(__pid" in plan
+
+
+def test_matryoshka_query_side_is_broadcast(spark):
+    plan = plan_of(spark, "sim_matryoshka_probe")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eoq_dim_join_is_broadcast(spark):
+    plan = plan_of(spark, "agg_eoq")
+    assert "BroadcastHashJoin" in plan
