@@ -9533,3 +9533,238 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (4 * bn).cast("double")
         ).alias("ab_centered"),
     )
+
+
+@register(
+    "ml_eval_pr_auc",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+               CAST(ROUND(value * 100) AS BIGINT) AS score_cents,
+               event_id
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ranked AS (
+        SELECT label,
+               CAST(row_number() OVER (ORDER BY score_cents DESC, event_id)
+                    AS BIGINT) AS k,
+               CAST(SUM(label) OVER (ORDER BY score_cents DESC, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS tp_k
+        FROM pop
+    ),
+    terms AS (
+        SELECT CAST(SUM(CASE WHEN label = 1
+                             THEN tp_k * 1000000 // k END) AS BIGINT)
+                   AS ap_num_ppm,
+               CAST(SUM(label) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM ranked
+    )
+    SELECT n_pos, n_total,
+           CAST(ap_num_ppm // n_pos AS BIGINT) AS avg_precision_ppm,
+           CAST(n_pos * 1000000 // n_total AS BIGINT) AS baseline_ppm
+    FROM terms
+    """,
+)
+def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-AUC estimator rankers report):
+    AP = (1/P)·Σ_{k: rel} precision@k over the deterministically
+    tie-broken score ranking, held in fixed-point ppm integers —
+    floor(tp_k·10⁶/k) per relevant hit, floor-averaged at the end —
+    so the result is exact int64 on both engines (documented
+    fixed-point variant; ml_eval_rank_metrics holds the exact-lcm
+    small-k family, this op covers full-corpus AP).  The random
+    baseline P/N rides along for lift context.
+
+    Scale: the global ordering runs on the distributed global_rank
+    two-pass (range layout + per-partition offsets feed both the rank
+    and the inclusive true-positive prefix sum) — no single-partition
+    window — then a counting fold.
+    """
+    pop = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("label"),
+            F.round(F.col("value") * 100).cast("long").alias("score_cents"),
+            "event_id",
+        )
+    )
+    ranked = global_rank(
+        pop,
+        [F.col("score_cents").desc(), F.col("event_id").asc()],
+        sum_cols=("label",),
+        rn_name="k",
+    )[0].withColumnRenamed("cum_label", "tp_k")
+    terms = ranked.agg(
+        F.sum(
+            F.when(F.col("label") == 1, F.expr("tp_k * 1000000 div k"))
+        )
+        .cast("long")
+        .alias("ap_num_ppm"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    return terms.select(
+        "n_pos",
+        "n_total",
+        F.expr("CAST(ap_num_ppm div n_pos AS BIGINT)").alias(
+            "avg_precision_ppm"
+        ),
+        F.expr("CAST(n_pos * 1000000 div n_total AS BIGINT)").alias(
+            "baseline_ppm"
+        ),
+    )
+
+
+@register(
+    "stats_hodges_lehmann",
+    oracle="""
+    WITH sides AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS is_x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    sampled AS (
+        SELECT is_x, cents
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY is_x
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ) AS rnk
+            FROM sides
+        ) WHERE rnk <= 400
+    ),
+    diffs AS (
+        SELECT a.cents - b.cents AS d
+        FROM sampled a JOIN sampled b
+          ON a.is_x = 1 AND b.is_x = 0
+    ),
+    ranked AS (
+        SELECT d,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_pairs
+        FROM diffs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(d AS BIGINT) AS hl_shift_cents
+    FROM ranked
+    WHERE rnk = (n_pairs + 1) // 2
+    """,
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Hodges–Lehmann shift estimator: the median of all
+    pairwise differences between URGENT and LOW order prices — the
+    robust location-shift companion to Mann-Whitney.  Each side is
+    capped at a FIXED 400-row portable-hash bottom-K sample (md5 of
+    the orderkey — same rule both engines, same rows at any scale:
+    the stats_bh_fdr bounded-sample pattern), so the pair frame is a
+    constant 160k rows no matter the input, and the median is the
+    DISCRETE lower-median rank over exact integer differences.
+
+    Scale: sampling is a per-side hash rank; the pair join and the
+    pair-frame median are fixed-size work at any input scale.
+    """
+    sides = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    ws = Window.partitionBy("is_x").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    sampled = (
+        sides.withColumn("rnk", F.row_number().over(ws))
+        .where(F.col("rnk") <= 400)
+        .select("is_x", "cents")
+    )
+    a = sampled.where(F.col("is_x") == 1).select(
+        F.col("cents").alias("xc")
+    )
+    b = sampled.where(F.col("is_x") == 0).select(
+        F.col("cents").alias("yc")
+    )
+    diffs = a.crossJoin(b).select((F.col("xc") - F.col("yc")).alias("d"))
+    ranked = diffs.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n_pairs"),
+    )
+    return ranked.where(F.col("rnk") == F.expr("(n_pairs + 1) div 2")).select(
+        "n_pairs", F.col("d").cast("long").alias("hl_shift_cents")
+    )
+
+
+@register(
+    "agg_break_even",
+    oracle="""
+    WITH brand AS (
+        SELECT p.p_brand,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS units,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    )
+    SELECT p_brand, units, rev_cents,
+           CAST(rev_cents AS DOUBLE) / CAST(units AS DOUBLE) / 100
+               AS avg_unit_price,
+           CAST(units AS DOUBLE) * CAST(5000000000 AS DOUBLE)
+           / (CAST(rev_cents AS DOUBLE) * 4) AS break_even_units,
+           CAST(1250000000 AS DOUBLE)
+           / (CAST(rev_cents AS DOUBLE) / CAST(units AS DOUBLE))
+               AS payback_orders_of_margin
+    FROM brand
+    ORDER BY p_brand
+    """,
+)
+def agg_break_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Break-even analysis per brand: with fixed costs F = $500k and
+    variable cost at 60% of the average unit price, break-even units
+    = F/(0.4·p̄) — the averaged price clears its denominator so the
+    quantity is units·F·10/(4·Σrev) evaluated as a fixed-order double
+    chain over exact int64 sums (never an int64 product that could
+    overflow), plus a margin-payback companion ratio.  Single
+    divisions per output column.
+
+    Scale: one broadcast dim join + brand partial aggregate, ~25 rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("units"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_cents"),
+        )
+    )
+    units_d = F.col("units").cast("double")
+    rev_d = F.col("rev_cents").cast("double")
+    return brand.select(
+        "p_brand",
+        F.col("units").cast("long").alias("units"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        (rev_d / units_d / F.lit(100)).alias("avg_unit_price"),
+        (
+            units_d * F.lit(5000000000).cast("double")
+            / (rev_d * 4)
+        ).alias("break_even_units"),
+        (F.lit(1250000000).cast("double") / (rev_d / units_d)).alias(
+            "payback_orders_of_margin"
+        ),
+    ).orderBy("p_brand")

@@ -2870,3 +2870,83 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "graph_hits",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS auth1
+        FROM edges GROUP BY s
+    ),
+    h1 AS (
+        SELECT e.c, CAST(SUM(a.auth1) AS BIGINT) AS hub1
+        FROM edges e JOIN a1 a ON e.s = a.s
+        GROUP BY e.c
+    ),
+    a2 AS (
+        SELECT e.s, CAST(SUM(h.hub1) AS BIGINT) AS auth2
+        FROM edges e JOIN h1 h ON e.c = h.c
+        GROUP BY e.s
+    ),
+    mx AS (SELECT CAST(MAX(auth2) AS BIGINT) AS max_a FROM a2)
+    SELECT a2.s AS suppkey,
+           a1.auth1 AS in_degree,
+           a2.auth2,
+           CAST(a2.auth2 * 1000000 // mx.max_a AS BIGINT) AS authority_ppm
+    FROM a2 JOIN a1 ON a2.s = a1.s CROSS JOIN mx
+    ORDER BY a2.auth2 DESC, a2.s
+    LIMIT 20
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) on the customer↔supplier
+    bipartite trading graph — two UNNORMALIZED power iterations, which
+    keeps every score an exact int64 (auth¹ = in-degree, hub¹ = Σauth¹
+    over a customer's suppliers, auth² = Σhub¹): no float mass, no
+    per-iteration rounding slack, unlike graph_pagerank's damped
+    propagation.  The closing ppm normalization divides by the global
+    max (an integer), and the top-20 tiebreaks on suppkey.
+
+    Scale: each iteration is ONE edge-list equi-join + partial
+    aggregate (the Pregel cost model); unnormalized integer scores
+    grow like deg³ ≈ 10¹¹ at 100× — far inside int64.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a1 = edges.groupBy("s").agg(F.count("*").alias("auth1"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("auth1").alias("hub1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("hub1").alias("auth2"))
+    )
+    mx = a2.agg(F.max("auth2").alias("max_a"))
+    return (
+        a2.join(a1, "s")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("auth1").cast("long").alias("in_degree"),
+            F.col("auth2").cast("long").alias("auth2"),
+            F.expr("CAST(auth2 * 1000000 div max_a AS BIGINT)").alias(
+                "authority_ppm"
+            ),
+        )
+        .orderBy(F.col("auth2").desc(), "suppkey")
+        .limit(20)
+    )

@@ -4439,3 +4439,202 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("double").alias("z"))
     daily.createOrReplaceTempView("kf_daily_events")
     return spark.sql(_KALMAN_RECURSION.format(daily="kf_daily_events"))
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS z
+        FROM events
+        GROUP BY 1
+    ),
+    dense AS (
+        SELECT g.hr, COALESCE(h.z, 0) AS z
+        FROM (SELECT unnest(range((SELECT MIN(hr) FROM hourly),
+                                  (SELECT MAX(hr) FROM hourly) + 1)) AS hr) g
+        LEFT JOIN hourly h ON g.hr = h.hr
+    ),
+    trended AS (
+        SELECT hr, z,
+               CAST(SUM(z) OVER w AS BIGINT) AS s24,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n24
+        FROM dense
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT hr, z, s24,
+               CAST(24 * z - s24 AS BIGINT) AS det24,
+               hr % 24 AS hod
+        FROM trended WHERE n24 = 24
+    ),
+    seas AS (
+        SELECT hod,
+               CAST(SUM(det24) AS BIGINT) AS ssum,
+               CAST(COUNT(*) AS BIGINT) AS scnt
+        FROM det GROUP BY hod
+    )
+    SELECT d.hr, d.z,
+           CAST(d.s24 AS DOUBLE) / 24 AS trend,
+           CAST(s.ssum AS DOUBLE) / CAST(24 * s.scnt AS DOUBLE) AS seasonal,
+           CAST(24 * s.scnt * d.z - s.scnt * d.s24 - s.ssum AS DOUBLE)
+           / CAST(24 * s.scnt AS DOUBLE) AS residual
+    FROM det d JOIN seas s ON d.hod = s.hod
+    ORDER BY d.hr
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + hour-of-day
+    seasonal + residual) over the hourly event series with EVERY
+    denominator cleared until one closing division per component:
+    trend = S₂₄/24 from an exact rolling sum, the seasonal term keeps
+    24·z − S₂₄ integer and averages via Σ/(24·n), and the residual
+    numerator 24n·z − n·S₂₄ − Σdet is a pure int64 identity — so all
+    three rendered doubles are single correctly-rounded divisions,
+    bit-equal across engines.  Hours are zero-filled (the Haar/SAX
+    sparse-hour rule) so window frames align.
+
+    Scale: the fact scan collapses to calendar grain first; windows
+    and the hod-profile join are bounded by hours×24, never by rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 3600").alias("hr")
+    ).agg(F.count("*").alias("z"))
+    bounds = hourly.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    ).collect()[0]
+    grid = spark.range(bounds["lo"], bounds["hi"] + 1).select(
+        F.col("id").alias("hr")
+    )
+    dense = grid.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("z", F.lit(0)).alias("z")
+    )
+    w = Window.orderBy("hr").rowsBetween(-11, 12)
+    trended = dense.select(
+        "hr",
+        "z",
+        F.sum("z").over(w).cast("long").alias("s24"),
+        F.count("*").over(w).cast("long").alias("n24"),
+    )
+    det = trended.where(F.col("n24") == 24).select(
+        "hr",
+        "z",
+        "s24",
+        (24 * F.col("z") - F.col("s24")).cast("long").alias("det24"),
+        (F.col("hr") % 24).alias("hod"),
+    )
+    seas = det.groupBy("hod").agg(
+        F.sum("det24").cast("long").alias("ssum"),
+        F.count("*").cast("long").alias("scnt"),
+    )
+    joined = det.join(F.broadcast(seas), "hod")
+    return joined.select(
+        "hr",
+        "z",
+        (F.col("s24").cast("double") / 24).alias("trend"),
+        (
+            F.col("ssum").cast("double")
+            / (24 * F.col("scnt")).cast("double")
+        ).alias("seasonal"),
+        (
+            (
+                24 * F.col("scnt") * F.col("z")
+                - F.col("scnt") * F.col("s24")
+                - F.col("ssum")
+            ).cast("double")
+            / (24 * F.col("scnt")).cast("double")
+        ).alias("residual"),
+    ).orderBy("hr")
+
+
+@register(
+    "ts_sharpe_sortino",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    rets AS (
+        SELECT d, rev - lag(rev) OVER (ORDER BY d) AS chg
+        FROM daily
+    ),
+    moms AS (
+        SELECT CAST(COUNT(chg) AS BIGINT) AS n,
+               CAST(SUM(chg) AS BIGINT) AS s1,
+               CAST(SUM(CAST(chg AS DECIMAL(19,0))
+                        * CAST(chg AS DECIMAL(14,0))) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CASE WHEN chg < 0
+                             THEN CAST(chg AS DECIMAL(19,0))
+                                  * CAST(chg AS DECIMAL(14,0))
+                             ELSE 0 END) AS DECIMAL(38,0)) AS sneg,
+               CAST(SUM(CASE WHEN chg < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM rets
+    )
+    SELECT n, s1 AS sum_chg_cents, n_down,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS sharpe,
+           (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(sneg AS DOUBLE) / CAST(n AS DOUBLE)) AS sortino
+    FROM moms
+    """,
+)
+def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios over daily revenue changes (cents):
+    every moment is an exact sum — s1 int64, s2/sneg squared via
+    d(19)×d(14) decimal multiplies (int64 squares overflow at 10×;
+    the width split forces DuckDB's HUGEINT kernel) into DECIMAL(38) — and both
+    ratios are FIXED-ORDER chains of correctly-rounded ops (divisions,
+    one multiply, one sqrt), so the doubles match bit-for-bit.
+    Sortino divides by downside semi-deviation (negative-change
+    squares only) — the asymmetric-risk variant.
+
+    Scale: day-grain after one partial aggregate; single-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    rets = daily.select(
+        (F.col("rev") - F.lag("rev").over(Window.orderBy("d"))).alias("chg")
+    )
+    chg = F.col("chg")
+    moms = rets.agg(
+        F.count("chg").cast("long").alias("n"),
+        F.sum("chg").cast("long").alias("s1"),
+        F.sum(chg.cast("decimal(19,0)") * chg.cast("decimal(14,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                chg < 0,
+                chg.cast("decimal(19,0)") * chg.cast("decimal(14,0)"),
+            ).otherwise(F.lit(0).cast("decimal(34,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sneg"),
+        F.sum(F.when(chg < 0, 1).otherwise(0)).cast("long").alias("n_down"),
+    )
+    n, s1 = F.col("n").cast("double"), F.col("s1").cast("double")
+    mean = s1 / n
+    return moms.select(
+        "n",
+        F.col("s1").alias("sum_chg_cents"),
+        "n_down",
+        (
+            mean
+            / F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+        ).alias("sharpe"),
+        (mean / F.sqrt(F.col("sneg").cast("double") / n)).alias("sortino"),
+    )
