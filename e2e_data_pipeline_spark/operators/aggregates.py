@@ -9768,3 +9768,77 @@ def agg_break_even(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payback_orders_of_margin"
         ),
     ).orderBy("p_brand")
+
+
+@register(
+    "ml_eval_pinball",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    q75 AS (
+        SELECT y AS q FROM (
+            SELECT y,
+                   CAST(row_number() OVER (ORDER BY y, d) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM daily
+        ) WHERE rnk = (n * 3 + 3) // 4
+    ),
+    losses AS (
+        SELECT d.y, q.q,
+               CAST(GREATEST(3 * (d.y - q.q), q.q - d.y) AS BIGINT) AS loss4
+        FROM daily d CROSS JOIN q75 q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(q) AS BIGINT) AS q75_units,
+           CAST(SUM(loss4) AS BIGINT) AS pinball4_total,
+           CAST(SUM(loss4) AS DOUBLE) / (4 * COUNT(*)) AS mean_pinball
+    FROM losses
+    """,
+)
+def ml_eval_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation at τ = 3/4 for the constant
+    75th-percentile forecaster of daily shipped quantity: the
+    candidate quantile is the DISCRETE ceil(3n/4) order statistic
+    (rank (3n+3) div 4, day-tie-broken), and the per-day loss
+    max(τ(y−q), (τ−1)(y−q)) is scaled by 4 into exact integers —
+    GREATEST(3(y−q), q−y) — so the total is int64 and the mean is
+    ONE division.  This is the metric that validates any quantile
+    forecast (safety stock, capacity planning).
+
+    Scale: day-grain after a partial aggregate; the quantile rank is
+    calendar-bounded; the loss pass is a broadcast of one scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.expr(
+            "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("y"))
+    ranked = daily.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "d")).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    q75 = ranked.where(F.col("rnk") == F.expr("(n * 3 + 3) div 4")).select(
+        F.col("y").alias("q")
+    )
+    losses = daily.crossJoin(F.broadcast(q75)).select(
+        "y",
+        "q",
+        F.greatest(
+            3 * (F.col("y") - F.col("q")), F.col("q") - F.col("y")
+        )
+        .cast("long")
+        .alias("loss4"),
+    )
+    return losses.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("q").cast("long").alias("q75_units"),
+        F.sum("loss4").cast("long").alias("pinball4_total"),
+        (F.sum("loss4").cast("double") / (4 * F.count("*"))).alias(
+            "mean_pinball"
+        ),
+    )

@@ -2996,3 +2996,106 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score1000").desc(), "phrase")
         .limit(40)
     )
+
+
+@register(
+    "corpus_token_budget_split",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 100 AS BIGINT) AS slot
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN slot < 96 THEN 'train'
+                    WHEN slot < 98 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM toks
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM assigned)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) * 1000000 // tot.t AS BIGINT) AS share_ppm,
+           CAST(CASE split WHEN 'train' THEN 960000
+                           WHEN 'val' THEN 20000
+                           ELSE 20000 END AS BIGINT) AS target_ppm
+    FROM assigned CROSS JOIN tot
+    GROUP BY split, tot.t
+    ORDER BY split
+    """,
+)
+def corpus_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget train/val/test split audit: documents are
+    assigned by the portable 60-bit md5 hash (conv-substr trick, the
+    dedup_minhash_det basis) into 96/2/2 percent slots, and the audit
+    reports the REALIZED token share per split against target ppm —
+    the drift a corpus engineer checks because hash splits are
+    doc-uniform, not token-uniform.  Token counts are whitespace
+    integers; shares are integer ppm.
+
+    Scale: pure projection + 3-group fold; the same hash rule at
+    100 TB gives a stable, reproducible split with no shuffle beyond
+    the aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("split:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("slot"),
+    )
+    assigned = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("slot") < 96, "train")
+        .when(F.col("slot") < 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = assigned.agg(F.sum("n_tokens").alias("t"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("split", "t")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 div t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.when(F.col("split") == "train", 960000)
+            .otherwise(20000)
+            .cast("long")
+            .alias("target_ppm"),
+        )
+        .orderBy("split")
+    )

@@ -3273,3 +3273,82 @@ def fn_number_to_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " || '/100'"
         ).alias("amount_words"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+    WITH spans AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS d0,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) AS d1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 101 = 0
+    ),
+    calc AS (
+        SELECT l_orderkey, l_linenumber, d0, d1,
+               (d0 + 4) % 7 AS dow0,
+               d1 - d0 AS span_days
+        FROM spans WHERE d1 >= d0
+    )
+    SELECT l_orderkey, l_linenumber, span_days,
+           CAST(dow0 AS BIGINT) AS start_dow,
+           CAST(5 * (span_days // 7)
+                + LEAST(span_days % 7, GREATEST(0, 5 - dow0))
+                + GREATEST(0, span_days % 7 - (7 - dow0))
+               AS BIGINT) AS business_days
+    FROM calc
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day span between order and ship dates: full weeks
+    contribute 5 days and the remainder is clamped against the
+    weekend window starting from the order's day-of-week — all pure
+    integer arithmetic on epoch days with (d+4)%7 weekday numbering
+    (Monday=0; the portable form, since engine dayofweek() numbering
+    differs).  The remainder term
+    LEAST(rem, max(0, 5−dow)) + GREATEST(0, rem−(7−dow)) counts
+    pre-weekend and post-weekend weekdays exactly (unit-pinned
+    against a brute-force day walk).
+
+    Scale: per-row projection over the join; the %101 fold keeps the
+    demo output bounded while the formula itself is O(1) per row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.where(F.col("l_orderkey") % 101 == 0)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d0"),
+            F.expr(
+                "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d1"),
+        )
+    )
+    calc = spans.where(F.col("d1") >= F.col("d0")).select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("d0") + 4) % 7).alias("dow0"),
+        (F.col("d1") - F.col("d0")).alias("span_days"),
+    )
+    rem = F.col("span_days") % 7
+    dow0 = F.col("dow0")
+    return calc.select(
+        "l_orderkey",
+        "l_linenumber",
+        "span_days",
+        dow0.cast("long").alias("start_dow"),
+        (
+            5 * F.expr("span_days div 7")
+            + F.least(rem, F.greatest(F.lit(0), 5 - dow0))
+            + F.greatest(F.lit(0), rem - (7 - dow0))
+        )
+        .cast("long")
+        .alias("business_days"),
+    ).orderBy("l_orderkey", "l_linenumber")
