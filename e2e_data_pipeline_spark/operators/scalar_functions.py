@@ -3352,3 +3352,46 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("business_days"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_width_bucket",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN cents < 0 THEN 0
+                    WHEN cents >= 60000000 THEN 13
+                    ELSE (cents * 12) // 60000000 + 1 END AS bucket
+        FROM (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width bucketing via Spark's NATIVE width_bucket(x, 0,
+    600000.00, 12) over order totals in cents — DuckDB has no
+    width_bucket, so the oracle is its exact integer definition
+    ((x·n) div range + 1 with under/overflow buckets 0 and n+1),
+    which doubles as the cross-engine proof of Spark's bucket
+    boundary semantics on integer operands (no float edges).
+
+    Scale: projection + 14-group fold.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.expr(
+            "width_bucket(CAST(ROUND(o_totalprice * 100) AS BIGINT),"
+            " 0, 60000000, 12)"
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("bucket")
+    )

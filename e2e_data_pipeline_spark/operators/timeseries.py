@@ -4638,3 +4638,84 @@ def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sharpe"),
         (mean / F.sqrt(F.col("sneg").cast("double") / n)).alias("sortino"),
     )
+
+
+@register(
+    "ts_theil_u",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d, y,
+               lag(y, 1) OVER (ORDER BY d) AS y1,
+               lag(y, 7) OVER (ORDER BY d) AS y7
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y - y7 AS DECIMAL(19,0))
+                        * CAST(y - y7 AS DECIMAL(14,0))) AS DECIMAL(38,0))
+                   AS sse_snaive,
+               CAST(SUM(CAST(y - y1 AS DECIMAL(19,0))
+                        * CAST(y - y1 AS DECIMAL(14,0))) AS DECIMAL(38,0))
+                   AS sse_rw
+        FROM lagged WHERE y7 IS NOT NULL
+    )
+    SELECT n, CAST(sse_snaive AS BIGINT) AS sse_snaive,
+           CAST(sse_rw AS BIGINT) AS sse_rw,
+           sqrt(CAST(sse_snaive AS DOUBLE)) / sqrt(CAST(sse_rw AS DOUBLE))
+               AS theil_u2,
+           CASE WHEN sse_snaive < sse_rw THEN 1 ELSE 0 END AS snaive_wins
+    FROM sums
+    """,
+)
+def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U₂ forecast-quality ratio: seasonal-naive (y_{t−7})
+    versus random-walk (y_{t−1}) squared errors over the daily event
+    series — U₂ = sqrt(SSE_snaive)/sqrt(SSE_rw), the scale-free
+    "does my forecaster beat naive" gate.  Squared errors ride the
+    d(19)×d(14) decimal-multiply pattern into DECIMAL(38) (int64
+    squares overflow at scale), and U₂ is a sqrt/sqrt/divide
+    fixed-order chain — bit-identical.  Both SSEs restrict to the
+    rows where the 7-lag exists so the two sums share a support.
+
+    Scale: calendar-grain after one partial aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr(
+            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+        ).alias("d")
+    ).agg(F.count("*").alias("y"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+    ).where(F.col("y7").isNotNull())
+    e7 = F.col("y") - F.col("y7")
+    e1 = F.col("y") - F.col("y1")
+    sums = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(e7.cast("decimal(19,0)") * e7.cast("decimal(14,0)"))
+        .cast("decimal(38,0)")
+        .alias("sse_snaive"),
+        F.sum(e1.cast("decimal(19,0)") * e1.cast("decimal(14,0)"))
+        .cast("decimal(38,0)")
+        .alias("sse_rw"),
+    )
+    return sums.select(
+        "n",
+        F.col("sse_snaive").cast("long").alias("sse_snaive"),
+        F.col("sse_rw").cast("long").alias("sse_rw"),
+        (
+            F.sqrt(F.col("sse_snaive").cast("double"))
+            / F.sqrt(F.col("sse_rw").cast("double"))
+        ).alias("theil_u2"),
+        F.when(F.col("sse_snaive") < F.col("sse_rw"), 1)
+        .otherwise(0)
+        .alias("snaive_wins"),
+    )

@@ -296,3 +296,38 @@ def test_gcs_sink_plan_contract_and_executes_on_file_uri(spark, tmp_path):
     back = read_parquet_any(spark, f"file://{local}")
     assert back.count() == 100
     assert set(back.columns) == {"id", "flag"}
+
+
+def test_sorted_clustered_sink_files_are_sorted(spark):
+    """sink_sorted_clustered promises within-file shipdate ordering —
+    read the files it writes and assert each file's rows form a
+    monotone run (the property row-group pruning depends on)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_shipdate"
+    )
+    out = tempfile.mkdtemp(prefix="e2e_sorted_test_")
+    (
+        li.repartition(4, "l_returnflag")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "l_shipdate"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    viol = (
+        back.withColumn("prev", F.lag("l_shipdate").over(w))
+        .where(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert viol == 0
