@@ -68,6 +68,7 @@ _CHECKED_PREFIX = [
     "agg_bitmap_distinct",
     "agg_kmv_sketch",
     "stats_fisher_exact",
+    "agg_amortization",
     "dq_profile",
     # windows
     "win_running",
@@ -78,11 +79,11 @@ _CHECKED_PREFIX = [
     "set_intersect_except",
     # relational extensions
     "pivot_wide",
-    "subq_scalar_corr",
     "merge_upsert",
     "scd2_history",
     # time series
     "ts_gapfill",
+    "ts_kalman_1d",
     # scalar-function families
     "fn_json",
     "fn_higher_order",
@@ -92,11 +93,10 @@ _CHECKED_PREFIX = [
     "text_quality",
     # dedup
     "dedup_exact",
-    "dedup_near",
     "dedup_minhash_det",
     # similarity
     "sim_topk",
-    "sim_neardup_cosine",
+    "sim_matryoshka_probe",
     # multimodal
     "multimodal_cols",
     # streaming (batch twin of the unified Dataset code)
@@ -112,6 +112,9 @@ _CHECKED_PREFIX = [
     "corpus_pipeline",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "subq_scalar_corr",
+    "dedup_near",
+    "sim_neardup_cosine",
     "stats_anova_f",
     "win_range_frame",
     "filter_in_null",
