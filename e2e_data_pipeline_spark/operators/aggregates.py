@@ -9842,3 +9842,95 @@ def ml_eval_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pinball"
         ),
     )
+
+
+@register(
+    "agg_xyz_classification",
+    oracle="""
+    WITH daily AS (
+        SELECT p.p_brand,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(14,0)))
+                    AS DECIMAL(38,0)) AS s2
+        FROM daily GROUP BY p_brand
+    )
+    SELECT p_brand, n, s AS total_units,
+           CASE WHEN CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(19,0))
+                     * CAST(s AS DECIMAL(14,0))
+                     <= CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(14,0))
+                        // 25
+                THEN 'X'
+                WHEN CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(19,0))
+                     * CAST(s AS DECIMAL(14,0))
+                     <= CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(14,0))
+                        // 4
+                THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(19,0))
+                * CAST(s AS DECIMAL(14,0)) AS DOUBLE)
+           / CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(14,0))
+                  AS DOUBLE) AS cv_squared
+    FROM moments
+    ORDER BY p_brand
+    """,
+)
+def agg_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the companion axis to
+    ABC): per brand the squared coefficient of variation
+    CV² = (nΣq² − S²)/S² is compared against the 0.04 (X) and 0.25
+    (Y) thresholds ENTIRELY in wide-decimal integer cross-
+    multiplications — nΣq²−S² ≤ S²/25 ⟺ CV ≤ 0.2 with zero float
+    ops — and the reported CV² is ONE division of two scale-0
+    decimal→double renders (each a single rounding; a ×10⁶ ppm
+    multiply inside DECIMAL(38) silently rounds on Spark — caught by
+    the oracle).  Squares ride the d(19)×d(14)
+    multiply (forces DuckDB's HUGEINT kernel, survives any scale).
+
+    Scale: (brand, day) partial aggregate then a 25-row moment fold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.expr(
+                "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    q = F.col("q")
+    moments = daily.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(q.cast("decimal(19,0)") * q.cast("decimal(14,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    num = F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s").cast(
+        "decimal(19,0)"
+    ) * F.col("s").cast("decimal(14,0)")
+    s_sq = F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(14,0)")
+    return moments.select(
+        "p_brand",
+        "n",
+        F.col("s").alias("total_units"),
+        F.when(num <= F.expr(
+            "CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(14,0)) div 25"
+        ), "X")
+        .when(num <= F.expr(
+            "CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(14,0)) div 4"
+        ), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        (num.cast("double") / s_sq.cast("double")).alias("cv_squared"),
+    ).orderBy("p_brand")

@@ -4719,3 +4719,143 @@ def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("snaive_wins"),
     )
+
+
+@register(
+    "ts_granger_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS d,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    rows_ AS (
+        SELECT y AS yt,
+               lag(y) OVER (ORDER BY d) AS y1,
+               lag(x) OVER (ORDER BY d) AS x1
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yt) AS BIGINT) AS sy, CAST(SUM(y1) AS BIGINT) AS sa,
+               CAST(SUM(x1) AS BIGINT) AS sb,
+               CAST(SUM(yt * y1) AS BIGINT) AS sya,
+               CAST(SUM(yt * x1) AS BIGINT) AS syb,
+               CAST(SUM(y1 * y1) AS BIGINT) AS saa,
+               CAST(SUM(x1 * x1) AS BIGINT) AS sbb,
+               CAST(SUM(y1 * x1) AS BIGINT) AS sab,
+               CAST(SUM(yt * yt) AS BIGINT) AS syy
+        FROM rows_ WHERE y1 IS NOT NULL AND x1 IS NOT NULL
+    ),
+    cen AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+               CAST(n AS DOUBLE) * CAST(sya AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sa AS DOUBLE) AS cya,
+               CAST(n AS DOUBLE) * CAST(syb AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sb AS DOUBLE) AS cyb,
+               CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS caa,
+               CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS cbb,
+               CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS cab
+        FROM m
+    ),
+    fit AS (
+        SELECT n,
+               cyy - cya * cya / caa AS rss_r_n,
+               cyy - (cya * cbb - cyb * cab)
+                     / (caa * cbb - cab * cab) * cya
+                   - (cyb * caa - cya * cab)
+                     / (caa * cbb - cab * cab) * cyb AS rss_f_n
+        FROM cen
+    )
+    SELECT n, rss_r_n, rss_f_n,
+           (rss_r_n - rss_f_n) * (CAST(n AS DOUBLE) - 3) / rss_f_n
+               AS granger_f
+    FROM fit
+    """,
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen at lag 1: does yesterday's CLICK
+    count improve today's PURCHASE forecast beyond its own lag?
+    Restricted (y~y₁) and full (y~y₁+x₁) OLS fits come from EXACT
+    integer moment sums; centered cross-moments n·Sxy − SxSy and the
+    Cramer 2×2 solve are a FIXED-ORDER double chain (each int64→
+    double conversion one rounding), and F = (RSSr−RSSf)(n−3)/RSSf
+    completes the chain — bit-identical across engines, no matrix
+    library.  RSS values carry the n-scaling (rss·n), which cancels
+    in F.
+
+    Scale: one calendar-grain aggregate feeds a 10-number moment
+    fold; the regression is O(1) after the scan regardless of rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr(
+            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+        ).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+    )
+    w = Window.orderBy("d")
+    rows_ = daily.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).where(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    m = rows_.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yt").cast("long").alias("sy"),
+        F.sum("y1").cast("long").alias("sa"),
+        F.sum("x1").cast("long").alias("sb"),
+        F.sum(F.col("yt") * F.col("y1")).cast("long").alias("sya"),
+        F.sum(F.col("yt") * F.col("x1")).cast("long").alias("syb"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("saa"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sbb"),
+        F.sum(F.col("y1") * F.col("x1")).cast("long").alias("sab"),
+        F.sum(F.col("yt") * F.col("yt")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cen = m.select(
+        "n",
+        (nd * d("syy") - d("sy") * d("sy")).alias("cyy"),
+        (nd * d("sya") - d("sy") * d("sa")).alias("cya"),
+        (nd * d("syb") - d("sy") * d("sb")).alias("cyb"),
+        (nd * d("saa") - d("sa") * d("sa")).alias("caa"),
+        (nd * d("sbb") - d("sb") * d("sb")).alias("cbb"),
+        (nd * d("sab") - d("sa") * d("sb")).alias("cab"),
+    )
+    det = F.col("caa") * F.col("cbb") - F.col("cab") * F.col("cab")
+    b_full = (F.col("cya") * F.col("cbb") - F.col("cyb") * F.col("cab")) / det
+    c_full = (F.col("cyb") * F.col("caa") - F.col("cya") * F.col("cab")) / det
+    fit = cen.select(
+        "n",
+        (F.col("cyy") - F.col("cya") * F.col("cya") / F.col("caa")).alias(
+            "rss_r_n"
+        ),
+        (
+            F.col("cyy") - b_full * F.col("cya") - c_full * F.col("cyb")
+        ).alias("rss_f_n"),
+    )
+    return fit.select(
+        "n",
+        "rss_r_n",
+        "rss_f_n",
+        (
+            (F.col("rss_r_n") - F.col("rss_f_n"))
+            * (F.col("n").cast("double") - 3)
+            / F.col("rss_f_n")
+        ).alias("granger_f"),
+    )
