@@ -9934,3 +9934,117 @@ def agg_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xyz_class"),
         (num.cast("double") / s_sq.cast("double")).alias("cv_squared"),
     ).orderBy("p_brand")
+
+
+@register(
+    "ml_learning_curve",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS label,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price,
+               CAST(('0x' || substr(md5('lc:' || CAST(o_orderkey AS VARCHAR)),
+                                    1, 15))::BIGINT % 100 AS BIGINT) AS slot
+        FROM orders
+    ),
+    sizes AS (SELECT unnest([12, 25, 50]) AS train_pct),
+    thresholds AS (
+        SELECT s.train_pct,
+               CAST(SUM(b.label * b.price) // NULLIF(SUM(b.label), 0)
+                    AS BIGINT) AS pos_mean,
+               CAST(SUM((1 - b.label) * b.price)
+                    // NULLIF(SUM(1 - b.label), 0) AS BIGINT) AS neg_mean
+        FROM base b JOIN sizes s ON b.slot < s.train_pct
+        GROUP BY s.train_pct
+    ),
+    evald AS (
+        SELECT t.train_pct, t.pos_mean, t.neg_mean,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN (CASE WHEN 2 * b.price
+                                             > t.pos_mean + t.neg_mean
+                                        THEN 1 ELSE 0 END) = b.label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM base b CROSS JOIN thresholds t
+        WHERE b.slot >= 50
+        GROUP BY t.train_pct, t.pos_mean, t.neg_mean
+    )
+    SELECT train_pct, n_test, n_correct,
+           CAST(n_correct * 1000000 // n_test AS BIGINT) AS accuracy_ppm
+    FROM evald
+    ORDER BY train_pct
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for a nearest-class-mean price classifier:
+    train on hash slots < {12, 25, 50} percent, always evaluate on
+    the held-out half (slots ≥ 50), and report accuracy ppm per
+    training size — the diagnostic that says whether more data still
+    buys accuracy.  Class means are integer floor-means; the
+    midpoint decision 2·price > μ₊+μ₋ is pure integer; the portable
+    md5 slot hash gives identical folds on both engines.
+
+    Scale: each curve point is a filtered partial aggregate over the
+    SAME scan (Catalyst shares it); evaluation is one broadcast of 3
+    threshold rows against the held-out slice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("label"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lc:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("slot"),
+    )
+    sizes = spark.createDataFrame([(12,), (25,), (50,)], ["train_pct"])
+    thresholds = (
+        base.join(F.broadcast(sizes), F.col("slot") < F.col("train_pct"))
+        .groupBy("train_pct")
+        .agg(
+            F.expr(
+                "CAST(SUM(label * price) div NULLIF(SUM(label), 0) AS BIGINT)"
+            ).alias("pos_mean"),
+            F.expr(
+                "CAST(SUM((1 - label) * price)"
+                " div NULLIF(SUM(1 - label), 0) AS BIGINT)"
+            ).alias("neg_mean"),
+        )
+    )
+    pred = F.when(
+        2 * F.col("price") > F.col("pos_mean") + F.col("neg_mean"), 1
+    ).otherwise(0)
+    evald = (
+        base.where(F.col("slot") >= 50)
+        .crossJoin(F.broadcast(thresholds))
+        .groupBy("train_pct", "pos_mean", "neg_mean")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(pred == F.col("label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+    )
+    return evald.select(
+        "train_pct",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.expr("CAST(n_correct * 1000000 div n_test AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+    ).orderBy("train_pct")

@@ -607,3 +607,93 @@ def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "bw", "bh")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(5 + (doc_id * 31) % 116 AS BIGINT) AS duration_s,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 30 ELSE 24 END AS BIGINT)
+                   AS fps
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    plan_ AS (
+        SELECT doc_id, duration_s, fps,
+               LEAST(duration_s, 32) AS n_frames,
+               CASE WHEN duration_s <= 32 THEN 1
+                    ELSE duration_s // 32 END AS stride_s
+        FROM vids
+    ),
+    frames AS (
+        SELECT doc_id, duration_s, fps, n_frames,
+               unnest(range(0, n_frames)) AS k,
+               stride_s
+        FROM plan_
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_no,
+           CAST(k * stride_s * fps AS BIGINT) AS frame_index,
+           CAST(k * stride_s AS BIGINT) AS t_offset_s,
+           n_frames
+    FROM frames
+    WHERE k * stride_s < duration_s
+    ORDER BY doc_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest — the planning half of a
+    vision-language ingest: each (fake) video gets ≤32 uniformly
+    strided sample points, exploded into one manifest row per frame
+    with the exact frame index (k·stride·fps) a decoder would seek
+    to.  Durations/fps are deterministic functions of doc_id (no
+    codecs in this container — TESTDATA has no real video — but the
+    schema, explode shape, and budget math are the real plumbing;
+    the decode step itself is the Pandas-UDF stub documented in
+    llm_multimodal's module docstring).  Pure integer arithmetic.
+
+    Scale: explode fan-out is bounded at 32 rows per asset; the
+    manifest is what a 100 TB video pipeline shuffles INSTEAD of
+    bytes — frames are fetched by (asset, frame_index) on the
+    executor that processes them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (5 + (F.col("doc_id") * 31) % 116).cast("long").alias("duration_s"),
+        F.when(F.col("doc_id") % 3 == 0, 30)
+        .otherwise(24)
+        .cast("long")
+        .alias("fps"),
+    )
+    plan_ = vids.select(
+        "doc_id",
+        "duration_s",
+        "fps",
+        F.least(F.col("duration_s"), F.lit(32)).alias("n_frames"),
+        F.when(F.col("duration_s") <= 32, F.lit(1))
+        .otherwise(F.expr("duration_s div 32"))
+        .alias("stride_s"),
+    )
+    frames = plan_.select(
+        "doc_id",
+        "duration_s",
+        "fps",
+        "n_frames",
+        "stride_s",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("k"),
+    )
+    return (
+        frames.where(F.col("k") * F.col("stride_s") < F.col("duration_s"))
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("frame_no"),
+            (F.col("k") * F.col("stride_s") * F.col("fps"))
+            .cast("long")
+            .alias("frame_index"),
+            (F.col("k") * F.col("stride_s")).cast("long").alias("t_offset_s"),
+            "n_frames",
+        )
+        .orderBy("doc_id", "frame_no")
+    )
