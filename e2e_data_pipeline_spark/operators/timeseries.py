@@ -4859,3 +4859,66 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("rss_f_n")
         ).alias("granger_f"),
     )
+
+
+_ADSTOCK_RECURSION = """
+WITH RECURSIVE adstock(d, x, y, stock) AS (
+    SELECT d, x, y, CAST(x AS DOUBLE)
+    FROM {daily} WHERE d = 0
+    UNION ALL
+    SELECT s.d, s.x, s.y,
+           CAST(s.x AS DOUBLE)
+           + CAST('0.7' AS DOUBLE) * adstock.stock
+    FROM adstock JOIN {daily} s ON s.d = adstock.d + 1
+)
+SELECT d, x AS clicks, y AS purchases, stock AS adstock,
+       stock - x AS carryover
+FROM adstock
+ORDER BY d
+"""
+
+
+@register(
+    "ts_adstock",
+    oracle=_ADSTOCK_RECURSION.format(daily="daily_clicks").replace(
+        "WITH RECURSIVE adstock(",
+        """WITH RECURSIVE daily_clicks AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) - 19723 AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+adstock(""",
+    ),
+)
+def ts_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric adstock transform (marketing-mix modeling): carried-
+    over advertising pressure stock_t = x_t + λ·stock_{t−1} with
+    λ = 0.7 — the same engine-owned sequential recursion as
+    ts_kalman_1d (recursive CTE over the calendar-grain frame, one
+    join per step), with the retention constant entering as a
+    CAST('0.7' AS DOUBLE) string literal so both engines evaluate
+    the identical fixed-order chain.  Purchases ride along so a
+    downstream regression (ts_granger_lag1's moment machinery) can
+    consume the transformed series.
+
+    Scale: recursion depth = days in window; the only distributed
+    stage is the daily aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr(
+            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
+        ).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    daily.createOrReplaceTempView("adstock_daily_clicks")
+    return spark.sql(_ADSTOCK_RECURSION.format(daily="adstock_daily_clicks"))

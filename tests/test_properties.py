@@ -641,3 +641,74 @@ def test_viterbi_fold_matches_reference_dp(spark):
     assert row.best_cost == best_cost
     assert row.path_bits == best_path
     assert row.n_high_days == bin(best_path).count("1")
+
+
+def test_tax_brackets_fee_bounds_and_monotonicity(spark):
+    """Marginal-tier algebra invariants: the effective rate never
+    exceeds the top marginal rate, and the fee is monotone in spend
+    (checked on a synthetic ladder spanning every bracket edge)."""
+    from pyspark.sql import functions as F
+
+    ladder = spark.createDataFrame(
+        [(c,) for c in [0, 1, 9_999_999, 10_000_000, 10_000_001,
+                        19_999_999, 20_000_000, 25_000_000, 30_000_000,
+                        30_000_001, 99_999_999]],
+        ["cents"],
+    )
+    c = F.col("cents")
+    fee100 = (
+        5 * F.least(F.greatest(c - 10000000, F.lit(0)), F.lit(10000000))
+        + 10 * F.least(F.greatest(c - 20000000, F.lit(0)), F.lit(10000000))
+        + 15 * F.greatest(c - 30000000, F.lit(0))
+    ).cast("long")
+    rows = ladder.select("cents", fee100.alias("f")).orderBy("cents").collect()
+    prev = -1
+    for r in rows:
+        assert r.f >= prev  # monotone
+        prev = r.f
+        assert r.f <= 15 * r.cents  # never above top marginal rate
+
+
+def test_erlang_b_is_decreasing_in_servers(spark):
+    """Erlang-B blocking probability must fall as servers are added
+    (the recursion's defining property)."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        QUERIES["agg_erlang_c"](spark, SF_SMALL)
+        .orderBy("k")
+        .collect()
+    )
+    bs = [r.erlang_b for r in rows]
+    assert all(b1 > b2 for b1, b2 in zip(bs, bs[1:]))
+    assert all(0.0 < b <= 1.0 for b in bs)
+
+
+def test_amortization_balance_decreases_to_zero(spark):
+    """Level-payment amortization: balances strictly decrease and the
+    final balance is ~0 (within float slack of the pmt formula)."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["agg_amortization"](spark, SF_SMALL).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append((r.period, r.balance_cents))
+    for region, seq in by_region.items():
+        seq.sort()
+        balances = [b for _, b in seq]
+        assert all(a > b for a, b in zip(balances, balances[1:]))
+        assert abs(balances[-1]) < 1e-3 * balances[0]
+
+
+def test_seasonal_decompose_identity(spark):
+    """trend + seasonal + residual must reconstruct the observation
+    exactly up to the shared denominator (24·n)."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["ts_seasonal_decompose"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.residual) - r.z) < 1e-6
