@@ -2950,3 +2950,92 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth2").desc(), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "dedup_editdist_blocked",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT c_name AS name FROM customer
+        WHERE length(c_name) >= 1
+    ),
+    pos AS (
+        SELECT name, unnest(range(0, length(name)+1)) AS i FROM names
+    ),
+    variants AS (
+        SELECT name,
+               CASE WHEN i = 0 THEN name
+                    ELSE substr(name, 1, i-1) || substr(name, i+1) END AS v
+        FROM pos
+    ),
+    cand AS (
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        FROM variants a JOIN variants b ON a.v = b.v AND a.name < b.name
+    ),
+    pairs AS (
+        SELECT name_a, name_b FROM cand
+        WHERE levenshtein(name_a, name_b) <= 1
+    )
+    SELECT name, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM (SELECT name_a AS name FROM pairs
+          UNION ALL
+          SELECT name_b AS name FROM pairs)
+    GROUP BY name
+    ORDER BY n_neighbors DESC, name
+    LIMIT 100
+    """,
+)
+def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 near-duplicate detection via FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007): two strings
+    are within Levenshtein distance 1 iff their depth-1 deletion
+    neighborhoods intersect, so candidates are generated by an
+    EQUI-join on deletion variants — never a quadratic theta-join on
+    ``levenshtein() <= 1`` (which would plan as a
+    BroadcastNestedLoopJoin, the join_recon_fuzzy trap). The cheap
+    exact ``levenshtein`` verify then removes distance-2 false
+    positives that share a variant (e.g. transpositions).
+
+    Scale: |variants| = n·(len+1) rows keyed by short strings; each
+    block holds only the handful of names one deletion apart, so the
+    candidate join is linear in n. Output is the top-100 names by
+    confusable-neighbor count — the entity-resolution risk list.
+    """
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("name"))
+        .where(F.length("name") >= 1)
+        .distinct()
+    )
+    variants = names.select(
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)), i -> "
+                    "concat(substring(name, 1, i-1), "
+                    "substring(name, i+1, length(name)-i)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(variants.alias("b"), F.col("a.v") == F.col("b.v"))
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    pairs = cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    both = pairs.select(F.col("name_a").alias("name")).unionAll(
+        pairs.select(F.col("name_b").alias("name"))
+    )
+    return (
+        both.groupBy("name")
+        .agg(F.count("*").cast("long").alias("n_neighbors"))
+        .orderBy(F.desc("n_neighbors"), "name")
+        .limit(100)
+    )

@@ -1912,3 +1912,108 @@ def dq_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "sim_hamming_topk",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(embedding) AS e,
+               unnest(range(0, len(embedding))) AS i
+        FROM embeddings
+    ),
+    words AS (
+        SELECT vec_id,
+               SUM(CASE WHEN i < 32 AND e > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                        ELSE 0 END) AS w0,
+               SUM(CASE WHEN i >= 32 AND e > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+                        ELSE 0 END) AS w1
+        FROM flat GROUP BY vec_id
+    ),
+    queries AS (
+        SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1
+        FROM words ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+        SELECT q_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(qw0, c.w0))
+                    + bit_count(xor(qw1, c.w1)) AS BIGINT) AS hamming
+        FROM queries q JOIN words c ON c.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT CAST(q_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           hamming, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: sign-bit quantization packs each 64-dim
+    float vector into two BIGINT words (a 128× compression — random
+    hyperplane LSH with axis-aligned planes), then nearest neighbors
+    rank by Hamming distance ``bit_count(xor(...))`` — two JVM
+    bit-ops per candidate instead of 64 FMAs. The float->bit step is
+    exact (``e > 0`` is portable), so the whole operator is
+    hash-checkable integer arithmetic.
+
+    Scale: the sketch build is one linear pass; the fixed 8-query
+    probe broadcasts (K rows) against the corpus so scoring is
+    O(K·n) with no shuffle of the big side; rank<=5 compiles to
+    WindowGroupLimit. At 100 TB the sketch table is what you'd
+    persist (16 bytes/vector) and scan instead of raw embeddings.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    word = (
+        "aggregate(transform(slice(embedding, {off}, 32), (x, i) -> "
+        "IF(x > 0, (CAST(1 AS BIGINT) << i), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    words = emb.select(
+        "vec_id",
+        F.expr(word.format(off=1)).alias("w0"),
+        F.expr(word.format(off=33)).alias("w1"),
+    )
+    queries = (
+        words.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("w0").alias("qw0"),
+            F.col("w1").alias("qw1"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(words.alias("c"), F.col("c.vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("c.w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("c.w1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("q_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long"),
+            "hamming",
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

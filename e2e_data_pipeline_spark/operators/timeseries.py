@@ -4505,9 +4505,9 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = hourly.agg(
         F.min("hr").alias("lo"), F.max("hr").alias("hi")
     ).collect()[0]
-    grid = spark.range(bounds["lo"], bounds["hi"] + 1).select(
-        F.col("id").alias("hr")
-    )
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else -1
+    grid = spark.range(lo, hi + 1).select(F.col("id").alias("hr"))
     dense = grid.join(hourly, "hr", "left").select(
         "hr", F.coalesce("z", F.lit(0)).alias("z")
     )
