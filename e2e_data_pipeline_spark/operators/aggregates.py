@@ -10048,3 +10048,222 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy_ppm"
         ),
     ).orderBy("train_pct")
+
+
+# ---------------------------------------------------------------------------
+# Serial-correlation and changepoint test battery. Shared SQL tails
+# (the ts_adstock pattern): the dialect-specific part is only the
+# day-grain pre-aggregate, injected as a relation name.
+# ---------------------------------------------------------------------------
+
+_PETTITT_TAIL = """ranked AS (
+    SELECT d, y,
+           2 * CAST(rank() OVER (ORDER BY y) AS BIGINT)
+             + CAST(count(*) OVER (PARTITION BY y) AS BIGINT) - 1 AS r2
+    FROM {daily}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+cum AS (
+    SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+           CAST(SUM(r2) OVER (ORDER BY d) AS BIGINT) AS s2
+    FROM ranked
+),
+u AS (
+    SELECT d, t, CAST(t * (n + 1) - s2 AS BIGINT) AS u_t, n
+    FROM cum CROSS JOIN tot
+    WHERE t < n
+),
+best AS (
+    SELECT n, d AS change_day, u_t,
+           CASE WHEN u_t >= 0 THEN u_t ELSE -u_t END AS k_stat
+    FROM u
+    ORDER BY k_stat DESC, d
+    LIMIT 1
+)
+SELECT n, CAST(change_day AS BIGINT) AS change_day, k_stat,
+       u_t AS u_at_change,
+       CASE WHEN CAST(6 * k_stat * k_stat AS DOUBLE)
+                 >= CAST('3.6888794541139363' AS DOUBLE)
+                    * CAST(n*n*n + n*n AS DOUBLE)
+            THEN 1 ELSE 0 END AS significant
+FROM best"""
+
+_DUCK_PURCHASE_DAILY = """
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+"""
+
+
+@register(
+    "stats_pettitt_change",
+    oracle="WITH daily AS ("
+    + _DUCK_PURCHASE_DAILY
+    + "),\n"
+    + _PETTITT_TAIL.format(daily="daily"),
+)
+def stats_pettitt_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on the daily purchase series — fully
+    integer via the rank identity U_t = t(n+1) − Σ_{i<=t} 2r_i with
+    doubled mid-ranks 2r = 2·rank() + ties − 1 (exact under ties, the
+    stats_mannwhitney dyadic-rank trick), so K = max|U_t| and the
+    changepoint day are hash-exact. The 5%-significance cut
+    2·exp(−6K²/(n³+n²)) <= 0.05 is decided by the integer-vs-literal
+    cross-multiplication 6K² >= ln(40)·(n³+n²) — no exp() evaluated.
+
+    Scale: ranks/cumsums run on the calendar-bounded daily frame, the
+    only full scan is the day-grain pre-aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("pettitt_daily")
+    return spark.sql("WITH " + _PETTITT_TAIL.format(daily="pettitt_daily"))
+
+
+_DW_TAIL = """lagged AS (
+    SELECT d, y, lag(y) OVER (ORDER BY d) AS y1 FROM {daily}
+),
+moms AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(16,0)))
+                AS DECIMAL(38,0)) AS s2,
+           CAST(SUM(CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(19,0))
+                         ELSE CAST(y - y1 AS DECIMAL(19,0))
+                              * CAST(y - y1 AS DECIMAL(16,0)) END)
+                AS DECIMAL(38,0)) AS sd2
+    FROM lagged
+),
+fin AS (
+    SELECT n,
+           CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE) AS num,
+           CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS den
+    FROM moms
+)
+SELECT n, num / den AS dw_stat,
+       CAST(1 AS DOUBLE) - (num / den) / 2 AS rho1_approx,
+       CASE WHEN num / den < CAST('1.5' AS DOUBLE) THEN 1 ELSE 0 END
+           AS positive_autocorr_flag
+FROM fin"""
+
+_DUCK_REV_DAILY = """
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM orders GROUP BY 1
+"""
+
+
+def _rev_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+
+
+@register(
+    "stats_durbin_watson",
+    oracle="WITH daily AS ("
+    + _DUCK_REV_DAILY
+    + "),\n"
+    + _DW_TAIL.format(daily="daily"),
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic on daily revenue:
+    DW = n·Σ(Δy)² / (n·Σy² − S²) with both quadratic forms kept exact
+    in DECIMAL(38,0) via the d(19)×d(16) widened multiply (forces
+    DuckDB's HUGEINT kernel; int64 would overflow on cents² at
+    sf0.1+), then ONE fixed-order double chain — bit-identical across
+    engines. rho1_approx = 1 − DW/2 rides the same chain.
+
+    Scale: day-grain pre-aggregate then an O(days) window; the moment
+    fold is a single partial-aggregable pass.
+    """
+    _rev_daily(spark, sf_dir).createOrReplaceTempView("dw_daily")
+    return spark.sql("WITH " + _DW_TAIL.format(daily="dw_daily"))
+
+
+_LB_TAIL = """tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s
+    FROM {daily}
+),
+lagged AS (
+    SELECT y,
+           lag(y, 1) OVER (ORDER BY d) AS y1,
+           lag(y, 2) OVER (ORDER BY d) AS y2,
+           lag(y, 3) OVER (ORDER BY d) AS y3
+    FROM {daily}
+),
+cov AS (
+    SELECT n,
+           SUM(CAST(n * y - s AS DECIMAL(19,0))
+               * CAST(n * y - s AS DECIMAL(16,0))) AS c0,
+           SUM(CASE WHEN y1 IS NULL THEN CAST(0 AS DECIMAL(19,0))
+                    ELSE CAST(n * y - s AS DECIMAL(19,0))
+                         * CAST(n * y1 - s AS DECIMAL(16,0)) END) AS c1,
+           SUM(CASE WHEN y2 IS NULL THEN CAST(0 AS DECIMAL(19,0))
+                    ELSE CAST(n * y - s AS DECIMAL(19,0))
+                         * CAST(n * y2 - s AS DECIMAL(16,0)) END) AS c2,
+           SUM(CASE WHEN y3 IS NULL THEN CAST(0 AS DECIMAL(19,0))
+                    ELSE CAST(n * y - s AS DECIMAL(19,0))
+                         * CAST(n * y3 - s AS DECIMAL(16,0)) END) AS c3
+    FROM lagged CROSS JOIN tot
+    GROUP BY n
+),
+rho AS (
+    SELECT n,
+           CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+           CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+           CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+    FROM cov
+)
+SELECT n, r1, r2, r3,
+       CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+         * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+            + r2 * r2 / CAST(n - 2 AS DOUBLE)
+            + r3 * r3 / CAST(n - 3 AS DOUBLE)) AS q_lb,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                 * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                    + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                    + r3 * r3 / CAST(n - 3 AS DOUBLE))
+                 > CAST('7.814727903251179' AS DOUBLE)
+            THEN 1 ELSE 0 END AS reject_white_noise
+FROM rho"""
+
+
+@register(
+    "stats_ljung_box",
+    oracle="WITH daily AS ("
+    + _DUCK_REV_DAILY
+    + "),\n"
+    + _LB_TAIL.format(daily="daily"),
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test (lags 1-3) on daily revenue. Each
+    autocovariance is denominator-cleared to n²c_k = Σ(ny_t−S)(ny_{t−k}−S)
+    — exact DECIMAL(38,0) via widened multiplies — so every ρ_k is ONE
+    double division of exact values, and Q = n(n+2)·Σρ_k²/(n−k) is a
+    fixed written-order chain (in-expression float sums are portable;
+    only cross-ROW double sums are not). Rejection compares Q to the
+    χ²(3) 5% literal — no special functions.
+
+    Scale: one day-grain pre-aggregate, three lag columns over ONE
+    ordered calendar-bounded window pass, single-row output.
+    """
+    _rev_daily(spark, sf_dir).createOrReplaceTempView("lb_daily")
+    return spark.sql("WITH " + _LB_TAIL.format(daily="lb_daily"))
