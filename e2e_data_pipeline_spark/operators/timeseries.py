@@ -4922,3 +4922,128 @@ def ts_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.createOrReplaceTempView("adstock_daily_clicks")
     return spark.sql(_ADSTOCK_RECURSION.format(daily="adstock_daily_clicks"))
+
+
+_LTTB_TAIL = """
+pts AS (
+    SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+    FROM {daily}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+mid AS (
+    SELECT p.rn, p.d, p.y,
+           CAST(((p.rn - 2) * 12 - ((p.rn - 2) * 12) % (n - 2)) / (n - 2)
+                AS BIGINT) AS b
+    FROM pts p CROSS JOIN tot
+    WHERE p.rn BETWEEN 2 AND n - 1 AND n > 2
+),
+nbs AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS c,
+           CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+    FROM mid GROUP BY b
+    UNION ALL
+    SELECT CAST(12 AS BIGINT), CAST(1 AS BIGINT), p.d, p.y
+    FROM pts p CROSS JOIN tot WHERE p.rn = n AND n >= 2
+),
+prevs AS (
+    SELECT b + 1 AS b, rn, d, y FROM mid
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), rn, d, y FROM pts WHERE rn = 1
+),
+trans AS (
+    SELECT c.b, p.rn AS p_rn, c.rn AS i_rn, c.d AS i_d, c.y AS i_y,
+           abs(CAST(p.d * nb.c - nb.sx AS DECIMAL(19,0))
+                 * CAST(c.y - p.y AS DECIMAL(16,0))
+               - CAST(p.d - c.d AS DECIMAL(19,0))
+                 * CAST(nb.sy - p.y * nb.c AS DECIMAL(16,0))) AS area2
+    FROM mid c
+    JOIN prevs p ON p.b = c.b
+    JOIN nbs nb ON nb.b = c.b + 1
+),
+best AS (
+    SELECT b, p_rn, i_rn, i_d, i_y
+    FROM (SELECT b, p_rn, i_rn, i_d, i_y,
+                 row_number() OVER (PARTITION BY b, p_rn
+                                    ORDER BY area2 DESC, i_rn) AS rr
+          FROM trans)
+    WHERE rr = 1
+),
+walk(b, rn, d, y) AS (
+    SELECT CAST(-1 AS BIGINT), rn, d, y FROM pts WHERE rn = 1
+    UNION ALL
+    SELECT bb.b, bb.i_rn, bb.i_d, bb.i_y
+    FROM walk JOIN best bb ON bb.b = walk.b + 1 AND bb.p_rn = walk.rn
+)
+SELECT CAST(b + 1 AS BIGINT) AS idx, CAST(d AS BIGINT) AS day,
+       CAST(y AS BIGINT) AS rev_cents
+FROM walk
+UNION ALL
+SELECT CAST(13 AS BIGINT), p.d, p.y
+FROM pts p CROSS JOIN tot WHERE p.rn = n AND n >= 2
+ORDER BY idx"""
+
+_LTTB_DUCK_DAILY = """
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle="WITH RECURSIVE daily AS ("
+    + _LTTB_DUCK_DAILY
+    + "),"
+    + _LTTB_TAIL.format(daily="daily"),
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of the daily-revenue series to 12 interior points + endpoints —
+    the chart-fidelity reduction dashboards run before plotting. LTTB
+    is sequential (each bucket's pick depends on the previous pick),
+    which would be a driver-side loop; instead the ts_viterbi trick:
+    precompute the FULL transition table best(b, prev_point) ->
+    argmax-area candidate with plain windows (parallel), then a
+    12-step recursive-CTE walk reads one row per step. Triangle areas
+    stay exact: denominators cleared by the next-bucket count and the
+    cross product held in DECIMAL(38) via d(19)×d(16) multiplies;
+    ties break to the earlier day.
+
+    Scale: the only data-sized stage is the day-grain pre-aggregate;
+    the transition table is days²/12 rows (calendar-bounded, ~500k at
+    a 6.5-year span) and the walk is O(12).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("lttb_daily")
+    # Materialize pts + the transition table ONCE (a recursive CTE
+    # re-evaluates referenced CTEs every iteration — 12× the window
+    # work); the recursion then walks the checkpointed 'best' view.
+    tail = _LTTB_TAIL.format(daily="lttb_daily")
+    nonrec, _, final = tail.partition("walk(b, rn, d, y) AS (")
+    nonrec = nonrec.rstrip().rstrip(",")
+    pts = spark.sql("WITH " + nonrec + " SELECT * FROM pts").localCheckpoint(
+        eager=True
+    )
+    pts.createOrReplaceTempView("lttb_pts")
+    best = spark.sql("WITH " + nonrec + " SELECT * FROM best").localCheckpoint(
+        eager=True
+    )
+    best.createOrReplaceTempView("lttb_best")
+    n_row = spark.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM lttb_pts")
+    n_row.createOrReplaceTempView("lttb_tot")
+    rec = (
+        "WITH RECURSIVE walk(b, rn, d, y) AS ("
+        + final.replace("pts", "lttb_pts")
+        .replace("best bb", "lttb_best bb")
+        .replace("CROSS JOIN tot", "CROSS JOIN lttb_tot")
+    )
+    return spark.sql(rec)

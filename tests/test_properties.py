@@ -712,3 +712,65 @@ def test_seasonal_decompose_identity(spark):
     assert rows
     for r in rows:
         assert abs((r.trend + r.seasonal + r.residual) - r.z) < 1e-6
+
+
+def test_lttb_walk_matches_reference_python(spark):
+    """ts_lttb_downsample's transition-table recursion must reproduce
+    a plain sequential LTTB (Steinarsson's algorithm with the same
+    bucket split and tie rule) on the fixture daily series — guards
+    the shared-construction parity blindness (both engines run the
+    same CTE text, so a formula bug would still hash-match)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(
+                "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    pts = [(r.d, r.y) for r in daily]
+    n = len(pts)
+    assert n > 14, "fixture must have enough days"
+    m = 12
+    # sequential reference: bucket k holds interior ranks rn in [2, n-1]
+    # with (rn-2)*m // (n-2) == k; anchor = next bucket's centroid
+    # (last point for the final bucket); maximize |cross| / tie -> day.
+    buckets: list[list[tuple[int, int]]] = [[] for _ in range(m)]
+    for rn in range(2, n):
+        buckets[(rn - 2) * m // (n - 2)].append(pts[rn - 1])
+    sel = [pts[0]]
+    for k in range(m):
+        if not buckets[k]:
+            break
+        if k + 1 < m and buckets[k + 1]:
+            nxt = buckets[k + 1]
+            c = len(nxt)
+            sx = sum(p[0] for p in nxt)
+            sy = sum(p[1] for p in nxt)
+        else:
+            c, sx, sy = 1, pts[-1][0], pts[-1][1]
+        px, py = sel[-1]
+        best = max(
+            buckets[k],
+            key=lambda p: (
+                abs((px * c - sx) * (p[1] - py) - (px - p[0]) * (sy - py * c)),
+                -p[0],
+            ),
+        )
+        sel.append(best)
+    sel.append(pts[-1])
+    got = QUERIES["ts_lttb_downsample"](spark, sf).collect()
+    assert [(r.day, r.rev_cents) for r in got] == sel
