@@ -10267,3 +10267,118 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _rev_daily(spark, sf_dir).createOrReplaceTempView("lb_daily")
     return spark.sql("WITH " + _LB_TAIL.format(daily="lb_daily"))
+
+
+_PERCEPTRON_TAIL = """
+walk(i, w0, w1, w2, w3, mistakes) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT s.i,
+           w0 + CASE WHEN s.y * (w0 + w1*s.x1 + w2*s.x2 + w3*s.x3) <= 0
+                     THEN s.y ELSE 0 END,
+           w1 + CASE WHEN s.y * (w0 + w1*s.x1 + w2*s.x2 + w3*s.x3) <= 0
+                     THEN s.y * s.x1 ELSE 0 END,
+           w2 + CASE WHEN s.y * (w0 + w1*s.x1 + w2*s.x2 + w3*s.x3) <= 0
+                     THEN s.y * s.x2 ELSE 0 END,
+           w3 + CASE WHEN s.y * (w0 + w1*s.x1 + w2*s.x2 + w3*s.x3) <= 0
+                     THEN s.y * s.x3 ELSE 0 END,
+           mistakes + CASE WHEN s.y * (w0 + w1*s.x1 + w2*s.x2 + w3*s.x3) <= 0
+                           THEN 1 ELSE 0 END
+    FROM walk JOIN {sample} s ON s.i = walk.i + 1
+)
+SELECT i AS n_seen, w0 AS bias, w1 AS w_qty, w2 AS w_disc, w3 AS w_tax,
+       mistakes
+FROM walk ORDER BY i DESC LIMIT 1"""
+
+_PERCEPTRON_DUCK_SAMPLE = """
+    WITH feat AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+               CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS x3,
+               md5(CAST(l_orderkey AS VARCHAR) || '#'
+                   || CAST(l_linenumber AS VARCHAR) || '#'
+                   || CAST(CAST(ROUND(l_quantity) AS BIGINT) AS VARCHAR)
+                   || '#'
+                   || CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS VARCHAR) || '#'
+                   || CAST(CAST(ROUND(l_discount * 100) AS BIGINT)
+                           AS VARCHAR) || '#'
+                   || CAST(CAST(ROUND(l_tax * 100) AS BIGINT) AS VARCHAR)
+                   || '#' || l_returnflag) AS h
+        FROM lineitem
+    )
+    SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+           y, x1, x2, x3
+    FROM feat ORDER BY h LIMIT 32
+"""
+
+
+@register(
+    "ml_perceptron_int",
+    oracle="WITH RECURSIVE sample AS ("
+    + _PERCEPTRON_DUCK_SAMPLE
+    + "),"
+    + _PERCEPTRON_TAIL.format(sample="sample"),
+)
+def ml_perceptron_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One epoch of Rosenblatt's perceptron, entirely in int64: a
+    64-row deterministic sample (portable-md5 bottom-k, the
+    sample_bottom_k rule), features (qty, discount-cents, tax-cents,
+    bias), labels ±1 on returnflag, and the mistake-driven update
+    w += y·x as a recursive-CTE fold — both engines provably learn
+    the IDENTICAL model (hash-checked weights + mistake count), the
+    online-learning companion to ml_gbm_stumps' batch boosting.
+
+    Scale: the fixed-size sample bounds recursion depth at 32
+    regardless of corpus rows; the only distributed work is the
+    bottom-k sample (TakeOrderedAndProject, no full sort). The Spark
+    side checkpoints the indexed sample so each recursion step is a
+    1-row join, not a rescan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    # — the fingerprint must cover every column the model consumes so
+    # hash ties are only between indistinguishable rows.
+    h = F.md5(
+        F.concat_ws(
+            "#",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.round("l_quantity").cast("long").cast("string"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .cast("string"),
+            F.round(F.col("l_discount") * 100).cast("long").cast("string"),
+            F.round(F.col("l_tax") * 100).cast("long").cast("string"),
+            F.col("l_returnflag"),
+        )
+    )
+    sample = (
+        li.select(
+            h.alias("h"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            F.round(F.col("l_tax") * 100).cast("long").alias("x3"),
+        )
+        .orderBy("h")
+        .limit(32)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("h"))
+            .cast("long")
+            .alias("i"),
+            "y",
+            "x1",
+            "x2",
+            "x3",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sample.createOrReplaceTempView("perceptron_sample")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _PERCEPTRON_TAIL.format(sample="perceptron_sample").lstrip()
+    )

@@ -3099,3 +3099,75 @@ def corpus_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1
+    ),
+    idx AS (
+        SELECT doc_id, text, len,
+               unnest(range(0, ((len - 1) - (len - 1) % 150) // 150 + 1))
+                   AS k
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               CAST(1 + k * 150 AS BIGINT) AS start_pos,
+               substr(text, CAST(1 + k * 150 AS INT), 200) AS chunk
+        FROM idx
+    )
+    SELECT doc_id, chunk_id, start_pos,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           substr(md5(chunk), 1, 16) AS chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 200-char windows at stride
+    150 (50-char overlap keeps sentence context across boundaries),
+    each chunk fingerprinted for downstream chunk-grain dedup
+    (dedup_chunks consumes exactly this shape). Chunk count per doc is
+    the closed form floor((len−1)/150)+1, exploded engine-side — no
+    UDF, pure substring arithmetic, identical on both engines.
+
+    Scale: output is O(total_chars/150); explode carries (doc_id,
+    text) once per chunk — at 100 TB you'd mapInPandas the slicing to
+    avoid duplicating text across explode rows, but the fingerprint
+    columns shuffled onward are 24 bytes/chunk either way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.length("text") >= 1).select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    idx = base.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (((F.col("len") - 1) - (F.col("len") - 1) % 150) / 150).cast(
+                    "int"
+                ),
+            )
+        ).alias("k"),
+    )
+    chunks = idx.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (1 + F.col("k") * 150).cast("long").alias("start_pos"),
+        F.expr("substring(text, CAST(1 + k * 150 AS INT), 200)").alias(
+            "chunk"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "start_pos",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.substring(F.md5("chunk"), 1, 16).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

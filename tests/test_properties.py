@@ -774,3 +774,35 @@ def test_lttb_walk_matches_reference_python(spark):
     sel.append(pts[-1])
     got = QUERIES["ts_lttb_downsample"](spark, sf).collect()
     assert [(r.day, r.rev_cents) for r in got] == sel
+
+
+def test_perceptron_fold_matches_reference_loop(spark):
+    """ml_perceptron_int's recursive-CTE fold must reproduce a plain
+    Python mistake-driven perceptron on the same 32-row sample —
+    guards the shared-recursion parity blindness."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["ml_perceptron_int"](spark, sf).collect()[0]
+    sample = spark.sql(
+        "SELECT * FROM perceptron_sample ORDER BY i"
+    ).collect()
+    assert len(sample) == 32
+    w = [0, 0, 0, 0]
+    mistakes = 0
+    for r in sample:
+        margin = r.y * (w[0] + w[1] * r.x1 + w[2] * r.x2 + w[3] * r.x3)
+        if margin <= 0:
+            w[0] += r.y
+            w[1] += r.y * r.x1
+            w[2] += r.y * r.x2
+            w[3] += r.y * r.x3
+            mistakes += 1
+    assert (
+        row.n_seen,
+        row.bias,
+        row.w_qty,
+        row.w_disc,
+        row.w_tax,
+        row.mistakes,
+    ) == (32, w[0], w[1], w[2], w[3], mistakes)
