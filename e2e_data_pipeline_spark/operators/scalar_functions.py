@@ -3395,3 +3395,84 @@ def fn_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "fn_soundex_match",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    clean AS (
+        SELECT word FROM words WHERE regexp_full_match(word, '[a-z]+')
+    ),
+    chars AS (
+        SELECT word,
+               unnest(string_split(word, '')) AS ch,
+               unnest(range(1, length(word) + 1)) AS pos
+        FROM clean
+    ),
+    kept AS (
+        SELECT word, ch, pos,
+               translate(ch, 'abcdefghijklmnopqrstuvwxyz',
+                         '01230120022455012623010202') AS code
+        FROM chars
+        WHERE pos = 1 OR ch NOT IN ('h', 'w')
+    ),
+    collapsed AS (
+        SELECT word, pos, code,
+               lag(code) OVER (PARTITION BY word ORDER BY pos) AS prev_code
+        FROM kept
+    ),
+    digits AS (
+        SELECT word, pos, code
+        FROM collapsed
+        WHERE pos > 1 AND code <> '0'
+              AND (prev_code IS NULL OR code <> prev_code)
+    ),
+    agg AS (
+        SELECT c.word,
+               upper(substr(c.word, 1, 1))
+                 || COALESCE(string_agg(d.code, '' ORDER BY d.pos), '')
+                   AS raw
+        FROM clean c LEFT JOIN digits d ON d.word = c.word
+        GROUP BY c.word
+    ),
+    coded AS (SELECT word, substr(raw || '000', 1, 4) AS sdx FROM agg)
+    SELECT word, sdx,
+           CAST(count(*) OVER (PARTITION BY sdx) AS BIGINT) AS n_same_code
+    FROM coded
+    ORDER BY word
+    """,
+)
+def fn_soundex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic keys over the corpus vocabulary — fuzzy-name
+    blocking for record linkage. This is a deliberate INDEPENDENT-
+    CONSTRUCTION parity check: Spark uses its built-in ``soundex()``
+    (catalyst SoundEx expression) while the DuckDB oracle hand-builds
+    American Soundex from first principles (h/w transparency via row
+    removal, vowels as adjacency breakers via code '0', duplicate
+    collapse via lag(), 3-digit pad) — two implementations agreeing
+    bit-for-bit is a far stronger proof than shared SQL text, and a
+    unit test additionally pins the classic Ashcraft/Tymczak/Pfister
+    edge cases.
+
+    Scale: vocabulary-sized after the distinct; the phonetic key is a
+    shuffle-free projection either way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .where(F.col("word").rlike("^[a-z]+$"))
+    )
+    coded = words.select("word", F.soundex("word").alias("sdx"))
+    return coded.select(
+        "word",
+        "sdx",
+        F.count("*")
+        .over(Window.partitionBy("sdx"))
+        .cast("long")
+        .alias("n_same_code"),
+    ).orderBy("word")
