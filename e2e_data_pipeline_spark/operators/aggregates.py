@@ -10382,3 +10382,117 @@ def ml_perceptron_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH RECURSIVE "
         + _PERCEPTRON_TAIL.format(sample="perceptron_sample").lstrip()
     )
+
+
+@register(
+    "ml_eval_brier",
+    oracle="""
+    WITH seg AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate, c.c_mktsegment
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    train AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN o_totalprice > 3000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM seg WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c_mktsegment
+    ),
+    test AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_totalprice > 3000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM seg WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY c_mktsegment
+    ),
+    j AS (
+        SELECT t.c_mktsegment AS segment, t.n, t.c, tr.m, tr.k,
+               CAST(tr.k AS DOUBLE) / CAST(tr.m AS DOUBLE) AS pred,
+               CAST(t.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS obs
+        FROM test t JOIN train tr ON tr.c_mktsegment = t.c_mktsegment
+        WHERE tr.m > 0 AND t.n > 0
+    )
+    SELECT segment, n AS n_test, pred, obs,
+           (CAST(c AS DOUBLE) * (CAST(1 AS DOUBLE) - pred)
+              * (CAST(1 AS DOUBLE) - pred)
+            + CAST(n - c AS DOUBLE) * pred * pred) / CAST(n AS DOUBLE)
+               AS brier,
+           (pred - obs) * (pred - obs) AS reliability_term
+    FROM j
+    ORDER BY segment
+    """,
+)
+def ml_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Brier score with the Murphy reliability term:
+    predictions are train-period (pre-1998) high-value rates per
+    market segment, scored on the holdout. Within a segment the Brier
+    sum collapses to the closed form (c(1−p)² + (n−c)p²)/n, so every
+    output is a fixed-order chain over exact-integer divisions —
+    bit-identical across engines, with NO cross-row float sums (the
+    per-segment rows replace a global mean whose denominators would
+    not clear).
+
+    Scale: broadcast dim join, two conditional-count partial
+    aggregates, 5-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    hi = F.when(F.col("o_totalprice") > 3000, 1).otherwise(0)
+    split = "1998-01-01"
+    train = (
+        seg.where(F.col("o_orderdate") < split)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(hi).cast("long").alias("k"),
+        )
+    )
+    test = (
+        seg.where(F.col("o_orderdate") >= split)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(hi).cast("long").alias("c"),
+        )
+    )
+    j = (
+        test.join(train, "c_mktsegment")
+        .where((F.col("m") > 0) & (F.col("n") > 0))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "c",
+            (F.col("k").cast("double") / F.col("m").cast("double")).alias(
+                "pred"
+            ),
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias(
+                "obs"
+            ),
+        )
+    )
+    one = F.lit(1).cast("double")
+    return j.select(
+        "segment",
+        F.col("n").alias("n_test"),
+        "pred",
+        "obs",
+        (
+            (
+                F.col("c").cast("double") * (one - F.col("pred"))
+                * (one - F.col("pred"))
+                + (F.col("n") - F.col("c")).cast("double")
+                * F.col("pred")
+                * F.col("pred")
+            )
+            / F.col("n").cast("double")
+        ).alias("brier"),
+        ((F.col("pred") - F.col("obs")) * (F.col("pred") - F.col("obs"))).alias(
+            "reliability_term"
+        ),
+    ).orderBy("segment")

@@ -2220,3 +2220,49 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scan_csv_multichar",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           min(md5(c_name)) AS name_digest,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer
+    """,
+)
+def scan_csv_multichar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-character-delimiter CSV ('||'-separated, the classic
+    mainframe/export feed where values may contain commas): lines are
+    rendered engine-side, landed as .text, and re-read with Spark's
+    multi-char ``sep`` (univocity supports it on read since 3.0);
+    checksum aggregates against the source parquet prove a lossless
+    round trip. Single-char readers silently split '1||a' into five
+    columns — this is the ingestion-compat edge the pipe-delimited
+    world actually ships.
+
+    Scale: .text write and the csv read are both splittable (no
+    quoting, no multiLine), so the round trip parallelizes per file
+    split at any size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    lines = cust.select(
+        F.concat_ws(
+            "||",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="e2e_csvmc_")
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.option("sep", "||").schema(
+        "c_custkey bigint, c_name string, c_mktsegment string"
+    ).csv(path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.min(F.md5(F.col("c_name").cast("binary"))).alias("name_digest"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )

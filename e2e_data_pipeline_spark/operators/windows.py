@@ -2137,3 +2137,80 @@ def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (3 * F.col("sum_absdev"))
         ).alias("cci20"),
     ).orderBy("day")
+
+
+_MFI_TAIL = """
+flows AS (
+    SELECT d, cents, qty,
+           lag(cents) OVER (ORDER BY d) AS pc,
+           lag(qty) OVER (ORDER BY d) AS pq
+    FROM {daily}
+),
+signed AS (
+    SELECT d,
+           CASE WHEN pc IS NULL THEN 0
+                WHEN cents * pq > pc * qty THEN cents ELSE 0 END AS pos_f,
+           CASE WHEN pc IS NULL THEN 0
+                WHEN cents * pq < pc * qty THEN cents ELSE 0 END AS neg_f
+    FROM flows
+),
+win AS (
+    SELECT d,
+           CAST(SUM(pos_f) OVER w AS BIGINT) AS pos_flow,
+           CAST(SUM(neg_f) OVER w AS BIGINT) AS neg_flow,
+           CAST(count(*) OVER w AS BIGINT) AS n_in
+    FROM signed
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT d AS day, pos_flow, neg_flow,
+       CAST(pos_flow * 1000000 AS BIGINT)
+           {div} (CASE WHEN pos_flow + neg_flow = 0 THEN 1
+                       ELSE pos_flow + neg_flow END) AS mfi_ppm
+FROM win
+WHERE n_in = 14
+ORDER BY d"""
+
+_MFI_DUCK_DAILY = """
+    SELECT CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1
+"""
+
+
+@register(
+    "win_mfi",
+    oracle="WITH daily AS ("
+    + _MFI_DUCK_DAILY
+    + "),"
+    + _MFI_TAIL.format(daily="daily", div="//"),
+)
+def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Money Flow Index over the daily shipment tape — the
+    volume-weighted RSI cousin. Up/down days compare per-unit price
+    as the integer cross-multiplication cents_t·qty_{t−1} vs
+    cents_{t−1}·qty_t (no rational division), flows stay int64
+    cents, and MFI is published in exact ppm via floor-div of
+    non-negative operands (where `//` ≡ `div` across engines).
+
+    Scale: one day-grain pre-aggregate carries the scan; the lag and
+    14-row frame run on the calendar-bounded daily series.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400").alias(
+            "d"
+        )
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)"))
+        .cast("long")
+        .alias("qty"),
+    )
+    daily.createOrReplaceTempView("mfi_daily")
+    return spark.sql(
+        "WITH " + _MFI_TAIL.format(daily="mfi_daily", div="div").lstrip()
+    )
