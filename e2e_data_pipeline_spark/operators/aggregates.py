@@ -10496,3 +10496,81 @@ def ml_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reliability_term"
         ),
     ).orderBy("segment")
+
+
+_JT_TAIL = """
+seg AS (
+    SELECT CASE c.c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+               WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+               ELSE 5 END AS g,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+    FROM {orders} o JOIN {customer} c ON c.c_custkey = o.o_custkey
+),
+grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM seg GROUP BY g),
+vals AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM seg GROUP BY g, v),
+grid AS (
+    SELECT dv.v, dg.g
+    FROM (SELECT DISTINCT v FROM vals) dv
+    CROSS JOIN (SELECT DISTINCT g FROM vals) dg
+),
+cells AS (
+    SELECT grid.v, grid.g, COALESCE(vals.c, 0) AS c
+    FROM grid LEFT JOIN vals ON vals.v = grid.v AND vals.g = grid.g
+),
+le AS (
+    SELECT v, g, c,
+           SUM(c) OVER (PARTITION BY g ORDER BY v) - c AS lt
+    FROM cells
+),
+pre AS (
+    SELECT v, g, c,
+           SUM(2 * lt + c) OVER (PARTITION BY v ORDER BY g)
+             - (2 * lt + c) AS w
+    FROM le
+),
+jstat AS (SELECT CAST(SUM(c * w) AS BIGINT) AS j2 FROM pre),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(n * n) AS BIGINT) AS sn2,
+           CAST(SUM(n * n * (2 * n + 3)) AS BIGINT) AS sv
+    FROM grp
+)
+SELECT j2,
+       CAST((nn * nn - sn2) AS BIGINT) AS e2x2,
+       CAST(nn * nn * (2 * nn + 3) - sv AS BIGINT) AS var72,
+       (CAST(j2 AS DOUBLE) - CAST(nn * nn - sn2 AS DOUBLE) / 2)
+         / 2
+         / sqrt(CAST(nn * nn * (2 * nn + 3) - sv AS DOUBLE)
+                / CAST(72 AS DOUBLE)) AS z
+FROM jstat CROSS JOIN tot"""
+
+
+@register(
+    "stats_jonckheere",
+    oracle="WITH " + _JT_TAIL.format(orders="orders", customer="customer"),
+)
+def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test across the
+    five market segments (the K-group ordered generalization of
+    Mann-Whitney): J = Σ_{i<j} U_ij, kept integer as J2 = 2J with the
+    tie convention 2·#{greater} + #{equal}. Pairwise U's never
+    materialize — per-(value, group) cells get a per-group running
+    'less-than' count and a per-VALUE running sum over group index
+    folds all i<j pairs at once. z is the (J−E)/sqrt(Var) chain over
+    exact ints (div, div, sqrt, div — fixed order, bit-identical);
+    a brute-force pairwise unit test pins J2 at sf0.001.
+
+    Scale: windows run over the per-cents reduced grid (distinct
+    price cents × 5), bounded by the price DOMAIN, not row count —
+    the stats_mannwhitney prefix-sum pattern. Int64 headroom: N³
+    terms clear the 10× smoke with 1.4× margin; Spark's ANSI mode
+    raises (not corrupts) beyond that.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("jt_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "jt_customer"
+    )
+    return spark.sql(
+        "WITH " + _JT_TAIL.format(orders="jt_orders", customer="jt_customer")
+    )

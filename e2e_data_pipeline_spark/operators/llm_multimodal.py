@@ -697,3 +697,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_no")
     )
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH synth AS (
+        -- deterministic fake PCM: 320 samples of 16 kHz mono s16le
+        -- per source character (no audio codecs in-container; the
+        -- frame accounting below is the real pipeline math)
+        SELECT doc_id, n_chars * 320 AS n_samples
+        FROM documents WHERE n_chars >= 1
+    )
+    SELECT doc_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 2 AS BIGINT) AS n_bytes,
+           CAST(n_samples * 1000 AS BIGINT) // 16000 AS duration_ms,
+           CASE WHEN n_samples >= 400
+                THEN CAST((n_samples - 400) - (n_samples - 400) % 160
+                          AS BIGINT) // 160 + 1
+                ELSE 0 END AS n_frames_25ms,
+           CASE WHEN n_samples >= 400
+                THEN CAST(400 + (((n_samples - 400) - (n_samples - 400)
+                          % 160) // 160) * 160 AS BIGINT)
+                ELSE 0 END AS last_frame_end
+    FROM synth
+    ORDER BY doc_id
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-frame accounting for a speech-features pipeline: 25 ms
+    windows at 10 ms hop over 16 kHz mono s16le PCM (400-sample
+    frames, 160-sample hop — the fbank/MFCC standard). Sample counts
+    are synthesized deterministically from document length (no audio
+    codecs in this container — the STFT itself would be a pandas_udf
+    over the binary column); the frame-count closed form
+    (n−400)//160+1, byte sizing, and duration math are the real
+    Spark-side plumbing a 100 TB audio corpus needs for shard
+    planning and GPU batch sizing.
+
+    Scale: shuffle-free integer projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.where(F.col("n_chars") >= 1).select(
+        "doc_id", (F.col("n_chars") * 320).alias("n_samples")
+    )
+    ns = F.col("n_samples")
+    tail = ns - 400
+    full_hops = (tail - tail % 160) / 160
+    return synth.select(
+        "doc_id",
+        ns.cast("long").alias("n_samples"),
+        (ns * 2).cast("long").alias("n_bytes"),
+        ((ns * 1000 - (ns * 1000) % 16000) / 16000)
+        .cast("long")
+        .alias("duration_ms"),
+        F.when(ns >= 400, (full_hops + 1).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("n_frames_25ms"),
+        F.when(ns >= 400, (400 + full_hops * 160).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("last_frame_end"),
+    ).orderBy("doc_id")

@@ -5047,3 +5047,74 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("CROSS JOIN tot", "CROSS JOIN lttb_tot")
     )
     return spark.sql(rec)
+
+
+_EVENT_STUDY_TAIL = """
+daily AS (
+    SELECT d,
+           CAST(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchases,
+           CAST(SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errors
+    FROM {base} GROUP BY d
+),
+event_days AS (
+    SELECT d AS e_day FROM daily
+    ORDER BY errors DESC, d
+    LIMIT 5
+),
+offsets AS (
+    SELECT e_day, e_day + (k - 7) AS d, k - 7 AS rel_day
+    FROM event_days CROSS JOIN (
+        SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS k
+        FROM (SELECT DISTINCT d FROM daily ORDER BY d LIMIT 15) t
+    ) ks
+),
+aligned AS (
+    SELECT o.rel_day, dl.purchases
+    FROM offsets o JOIN daily dl ON dl.d = o.d
+)
+SELECT rel_day,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(SUM(purchases) AS BIGINT) AS sum_purchases,
+       CAST(SUM(purchases) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_purchases
+FROM aligned
+GROUP BY rel_day
+ORDER BY rel_day"""
+
+_EVENT_STUDY_DUCK_BASE = """
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d, event_type AS et
+    FROM events
+"""
+
+
+@register(
+    "agg_event_study",
+    oracle="WITH base AS ("
+    + _EVENT_STUDY_DUCK_BASE
+    + "),"
+    + _EVENT_STUDY_TAIL.format(base="base"),
+)
+def agg_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study alignment: take the 5 worst incident days (most
+    'error' events, deterministic day tiebreak) and average the
+    purchase series across a ±7-day relative window around them —
+    the before/after impact curve analysts draw for incidents,
+    launches, or campaigns. The offset spine is generated (no
+    BETWEEN theta-join — event days explode into 15 (day, rel_day)
+    probes that EQUI-join the daily series), and the mean is one
+    exact-int division per offset.
+
+    Scale: everything after the day-grain pre-aggregate is bounded
+    by 5 events × 15 offsets.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d"),
+        F.col("event_type").alias("et"),
+    )
+    base.createOrReplaceTempView("evstudy_base")
+    return spark.sql(
+        "WITH " + _EVENT_STUDY_TAIL.format(base="evstudy_base").lstrip()
+    )

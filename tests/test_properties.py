@@ -806,3 +806,47 @@ def test_perceptron_fold_matches_reference_loop(spark):
         row.w_tax,
         row.mistakes,
     ) == (32, w[0], w[1], w[2], w[3], mistakes)
+
+
+def test_jonckheere_matches_bruteforce_pairs(spark):
+    """stats_jonckheere's prefix-sum fold must equal the O(n²)
+    pairwise definition J2 = Σ_{i<j groups} (2·#{y>x} + #{y=x}) on the
+    sf0.001 fixture."""
+    import itertools
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    order_map = {
+        "AUTOMOBILE": 1,
+        "BUILDING": 2,
+        "FURNITURE": 3,
+        "HOUSEHOLD": 4,
+    }
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[order_map.get(r.c_mktsegment, 5)].append(r.v)
+    j2 = 0
+    for a, b in itertools.combinations(sorted(groups), 2):
+        for x in groups[a]:
+            for y in groups[b]:
+                j2 += 2 if y > x else (1 if y == x else 0)
+    got = QUERIES["stats_jonckheere"](spark, sf).collect()[0]
+    assert got.j2 == j2
+    n = sum(len(v) for v in groups.values())
+    sn2 = sum(len(v) ** 2 for v in groups.values())
+    assert got.e2x2 == n * n - sn2
