@@ -2266,3 +2266,99 @@ def scan_csv_multichar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("c_name").cast("binary"))).alias("name_digest"),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )
+
+
+@register(
+    "sql_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (total_qty, total_cents, n_items))
+    ORDER BY l_returnflag, metric
+    """,
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL UNPIVOT clause (wide metric columns -> tall
+    (metric, value) rows) — the relational dual of pivot_wide and the
+    ANSI-syntax twin of unpivot_melt's stack(): Spark 3.4+ and DuckDB
+    parse the IDENTICAL clause, proving the dialect surface, not just
+    the semantics.
+
+    Scale: UNPIVOT is a projection-time explode of a 3-row-per-group
+    aggregate — no shuffle beyond the groupBy.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "unpivot_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM unpivot_lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, val
+        FROM wide
+            UNPIVOT (val FOR metric IN (total_qty, total_cents, n_items))
+        ORDER BY l_returnflag, metric
+        """
+    )
+
+
+@register(
+    "sql_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() flags over four grouping sets — the
+    mechanism BI layers use to tell a real NULL group from a rollup
+    subtotal row (agg_grouping_sets emits the sets; this op proves
+    the indicator functions match bit-for-bit, including the
+    2-bit id packing order).
+
+    Scale: one partial-aggregable grouping-sets pass; indicator
+    columns are plan-time constants per set.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gid_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM gid_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
