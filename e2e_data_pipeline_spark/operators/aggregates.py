@@ -10574,3 +10574,94 @@ def stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _JT_TAIL.format(orders="jt_orders", customer="jt_customer")
     )
+
+
+_CMH_SEGS = [
+    ("AUTOMOBILE", 1),
+    ("BUILDING", 2),
+    ("FURNITURE", 3),
+    ("HOUSEHOLD", 4),
+    ("MACHINERY", 5),
+]
+
+_CMH_WIDE = ",\n      ".join(
+    f"MAX(CASE WHEN seg = '{s}' THEN a END) AS a{i},\n      "
+    f"MAX(CASE WHEN seg = '{s}' THEN r1 END) AS r1{i},\n      "
+    f"MAX(CASE WHEN seg = '{s}' THEN c1 END) AS c1{i},\n      "
+    f"MAX(CASE WHEN seg = '{s}' THEN n END) AS n{i}"
+    for s, i in _CMH_SEGS
+)
+
+_CMH_DEV = "\n      + ".join(
+    f"(CAST(a{i} AS DOUBLE) - CAST(r1{i} * c1{i} AS DOUBLE)"
+    f" / CAST(n{i} AS DOUBLE))"
+    for _, i in _CMH_SEGS
+)
+
+_CMH_VAR = "\n      + ".join(
+    f"(CAST(r1{i} AS DOUBLE) * CAST(n{i} - r1{i} AS DOUBLE)"
+    f" * CAST(c1{i} AS DOUBLE) * CAST(n{i} - c1{i} AS DOUBLE)"
+    f" / (CAST(n{i} AS DOUBLE) * CAST(n{i} AS DOUBLE)"
+    f" * CAST(n{i} - 1 AS DOUBLE)))"
+    for _, i in _CMH_SEGS
+)
+
+_CMH_TAIL = f"""
+cells AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          AND o.o_totalprice > 3000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN o.o_totalprice > 3000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {{orders}} o JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+),
+wide AS (
+    SELECT
+      {_CMH_WIDE}
+    FROM cells
+),
+terms AS (
+    SELECT
+      {_CMH_DEV}
+          AS dev,
+      {_CMH_VAR}
+          AS var_sum
+    FROM wide
+)
+SELECT dev, var_sum, dev * dev / var_sum AS cmh_stat,
+       CASE WHEN dev * dev / var_sum > CAST('3.841458820694124' AS DOUBLE)
+            THEN 1 ELSE 0 END AS reject_indep
+FROM terms"""
+
+
+@register(
+    "stats_cmh",
+    oracle="WITH " + _CMH_TAIL.format(orders="orders", customer="customer"),
+)
+def stats_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association test: does
+    urgent order priority associate with high order value AFTER
+    controlling for market segment (Simpson's-paradox-proof 2×2×K)?
+    The five per-stratum tables PIVOT into one row (the
+    kruskal-wallis rule: never SUM doubles across rows), so the
+    deviation Σ(a_k − r1·c1/n) and variance Σ r1·r0·c1·c0/(n²(n−1))
+    are single fixed-order in-expression chains — each term one
+    division over exact ints (the 4-way count product is evaluated
+    in double to dodge the int64 overflow a 10× inflation would hit).
+
+    Scale: one broadcast dim join + conditional-count partial agg;
+    everything after is a 5-cell fold.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cmh_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "cmh_customer"
+    )
+    return spark.sql(
+        "WITH "
+        + _CMH_TAIL.format(orders="cmh_orders", customer="cmh_customer")
+    )
