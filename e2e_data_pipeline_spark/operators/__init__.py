@@ -73,7 +73,7 @@ _CHECKED_PREFIX = [
     # windows
     "win_running",
     "win_topk_per_group",
-    "sim_mmr_diversify",
+    "sim_hamming_topk",
     # sort / set
     "sort_limit",
     "set_intersect_except",
@@ -87,13 +87,13 @@ _CHECKED_PREFIX = [
     # scalar-function families
     "fn_json",
     "fn_higher_order",
-    "fn_variant",
     # text analysis
     "text_langid",
     "text_quality",
     # dedup
     "dedup_exact",
     "dedup_minhash_det",
+    "dedup_editdist_blocked",
     # similarity
     "sim_topk",
     "sim_matryoshka_probe",
@@ -112,6 +112,14 @@ _CHECKED_PREFIX = [
     "corpus_pipeline",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "fn_variant",
+    "sim_mmr_diversify",
+    "ml_perceptron_int",
+    "ts_lttb_downsample",
+    "stats_jonckheere",
+    "stats_pettitt_change",
+    "stats_cmh",
+    "fn_soundex_match",
     "subq_scalar_corr",
     "dedup_near",
     "sim_neardup_cosine",

@@ -880,3 +880,46 @@ def test_matryoshka_query_side_is_broadcast(spark):
 def test_eoq_dim_join_is_broadcast(spark):
     plan = plan_of(spark, "agg_eoq")
     assert "BroadcastHashJoin" in plan
+
+
+def test_editdist_blocking_is_equi_join_not_nested_loop(spark):
+    """dedup_editdist_blocked must candidate-generate through the
+    deletion-variant EQUI-join; a levenshtein theta-join would plan as
+    BroadcastNestedLoopJoin/CartesianProduct (the join_recon_fuzzy
+    trap)."""
+    plan = plan_of(spark, "dedup_editdist_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hamming_topk_broadcasts_queries_and_group_limits(spark):
+    """sim_hamming_topk: the fixed 8-query probe must broadcast (never
+    shuffle the corpus onto the query side) and rank<=5 must compile
+    to WindowGroupLimit."""
+    plan = plan_of(spark, "sim_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_perceptron_sample_is_take_ordered(spark):
+    """ml_perceptron_int's bottom-k sample must plan as
+    TakeOrderedAndProject (no global sort of the fact table). The
+    sample is checkpointed inside the query fn, so inspect the
+    pre-checkpoint sample plan directly."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    probe = (
+        li.select(F.md5(F.col("l_orderkey").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(32)
+    )
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
