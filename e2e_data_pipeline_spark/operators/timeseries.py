@@ -5118,3 +5118,61 @@ def agg_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _EVENT_STUDY_TAIL.format(base="evstudy_base").lstrip()
     )
+
+
+_NRR_TAIL = """
+monthly AS (
+    SELECT o_custkey AS c,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM {orders} GROUP BY 1, 2
+),
+pairs AS (
+    SELECT p.m + 1 AS m, p.rev AS prev_rev, COALESCE(cur.rev, 0) AS cur_rev
+    FROM monthly p
+    LEFT JOIN monthly cur ON cur.c = p.c AND cur.m = p.m + 1
+),
+agg AS (
+    SELECT m,
+           CAST(SUM(prev_rev) AS BIGINT) AS start_rev,
+           CAST(SUM(cur_rev) AS BIGINT) AS retained_total,
+           CAST(SUM(LEAST(prev_rev, cur_rev)) AS BIGINT) AS floor_rev,
+           CAST(SUM(CASE WHEN cur_rev > prev_rev THEN cur_rev - prev_rev
+                         ELSE 0 END) AS BIGINT) AS expansion,
+           CAST(SUM(CASE WHEN cur_rev = 0 THEN prev_rev ELSE 0 END)
+                AS BIGINT) AS churned
+    FROM pairs GROUP BY m
+)
+SELECT m AS month_idx, start_rev, retained_total, expansion, churned,
+       CAST(retained_total * 1000000 AS BIGINT)
+           {div} (CASE WHEN start_rev = 0 THEN 1 ELSE start_rev END)
+           AS nrr_ppm,
+       CAST(floor_rev * 1000000 AS BIGINT)
+           {div} (CASE WHEN start_rev = 0 THEN 1 ELSE start_rev END)
+           AS grr_ppm
+FROM agg
+ORDER BY m"""
+
+
+@register(
+    "agg_nrr_grr",
+    oracle="WITH " + _NRR_TAIL.format(orders="orders", div="//"),
+)
+def agg_nrr_grr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net & gross revenue retention by month (the SaaS board
+    metrics): NRR follows last month's customer base into this month
+    including expansion, GRR caps each account at its prior spend
+    (LEAST), so churn+contraction = start − floor. Revenue-grain —
+    the dollars-weighted complement to agg_growth_accounting's user
+    counts. All exact cents; ratios published in exact ppm
+    (non-negative operands, so `//` ≡ `div`).
+
+    Scale: one (customer, month) pre-aggregate, a self equi-join on
+    (c, m+1) — co-partitioned on the customer key — then a
+    month-grain fold.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nrr_orders")
+    return spark.sql(
+        "WITH " + _NRR_TAIL.format(orders="nrr_orders", div="div")
+    )

@@ -2214,3 +2214,77 @@ def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _MFI_TAIL.format(daily="mfi_daily", div="div").lstrip()
     )
+
+
+_KELTNER_TAIL = """
+bars AS (
+    SELECT d,
+           MAX(cents) AS h, MIN(cents) AS l, MIN(close_v) AS c
+    FROM (
+        SELECT d, cents,
+               last_value(cents) OVER (PARTITION BY d ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS close_v
+        FROM {base}
+    ) x
+    GROUP BY d
+),
+tr AS (
+    SELECT d, h, l, c,
+           h + l + c AS tp3,
+           GREATEST(h, lag(c) OVER (ORDER BY d))
+             - LEAST(l, lag(c) OVER (ORDER BY d)) AS true_range
+    FROM bars
+),
+win AS (
+    SELECT d, c,
+           CAST(SUM(tp3) OVER w20 AS BIGINT) AS s_tp3,
+           CAST(count(*) OVER w20 AS BIGINT) AS n20,
+           CAST(SUM(true_range) OVER w10 AS BIGINT) AS s_tr,
+           CAST(count(true_range) OVER w10 AS BIGINT) AS n10
+    FROM tr
+    WINDOW w20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           w10 AS (ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT d AS day, CAST(c AS BIGINT) AS close_cents,
+       CAST(s_tp3 AS DOUBLE) / CAST(60 AS DOUBLE) AS mid,
+       CAST(s_tp3 + 12 * s_tr AS DOUBLE) / CAST(60 AS DOUBLE) AS upper,
+       CAST(s_tp3 - 12 * s_tr AS DOUBLE) / CAST(60 AS DOUBLE) AS lower,
+       CASE WHEN 60 * c > s_tp3 + 12 * s_tr THEN 1 ELSE 0 END
+           AS breakout_up,
+       CASE WHEN 60 * c < s_tp3 - 12 * s_tr THEN 1 ELSE 0 END
+           AS breakout_down
+FROM win
+WHERE n20 = 20 AND n10 = 10
+ORDER BY d"""
+
+
+@register(
+    "win_keltner",
+    oracle="""WITH base AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents, ts, event_id
+        FROM events
+    ),"""
+    + _KELTNER_TAIL.format(base="base"),
+)
+def win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel (SMA flavor) over daily bars of the event
+    value stream: mid = SMA20 of typical price, band = 2·ATR10 with
+    the gap-aware true range GREATEST(h, prev_close) − LEAST(l,
+    prev_close). Denominators are CLEARED for the decisions —
+    breakout ⟺ 60·close vs Σtp3 ± 12·ΣTR, pure int64 — and the
+    rendered channel lines are single divisions of exact ints.
+
+    Scale: day-grain bars first (the only data-sized stage), then
+    calendar-bounded windows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    base.createOrReplaceTempView("keltner_base")
+    return spark.sql("WITH " + _KELTNER_TAIL.format(base="keltner_base").lstrip())
