@@ -10327,8 +10327,9 @@ def ml_perceptron_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-row deterministic sample (portable-md5 bottom-k, the
     sample_bottom_k rule), features (qty, discount-cents, tax-cents,
     bias), labels ±1 on returnflag, and the mistake-driven update
-    w += y·x as a recursive-CTE fold — both engines provably learn
-    the IDENTICAL model (hash-checked weights + mistake count), the
+    w += y·x folded engine-side — both engines provably learn
+    the IDENTICAL model (Spark: one aggregate() array fold; DuckDB
+    oracle: a recursive CTE — independent constructions) (hash-checked weights + mistake count), the
     online-learning companion to ml_gbm_stumps' batch boosting.
 
     Scale: the fixed-size sample bounds recursion depth at 32
@@ -10378,9 +10379,37 @@ def ml_perceptron_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sample.createOrReplaceTempView("perceptron_sample")
+    # Spark side folds the 32 examples in ONE JVM aggregate() lambda
+    # (a recursive CTE costs ~0.3s/step of scheduler overhead); the
+    # oracle keeps the recursive-CTE construction, so the two engines
+    # reach the same weights by different machinery — a stronger
+    # parity than shared text.
+    upd = (
+        "s.y * (acc.w0 + acc.w1 * s.x1 + acc.w2 * s.x2 + acc.w3 * s.x3)"
+        " <= 0"
+    )
+    fold = f"""
+    aggregate(
+      array_sort(collect_list(struct(i, y, x1, x2, x3))),
+      named_struct('i', CAST(0 AS BIGINT), 'w0', CAST(0 AS BIGINT),
+                   'w1', CAST(0 AS BIGINT), 'w2', CAST(0 AS BIGINT),
+                   'w3', CAST(0 AS BIGINT), 'mistakes', CAST(0 AS BIGINT)),
+      (acc, s) -> named_struct(
+        'i', s.i,
+        'w0', acc.w0 + IF({upd}, s.y, CAST(0 AS BIGINT)),
+        'w1', acc.w1 + IF({upd}, s.y * s.x1, CAST(0 AS BIGINT)),
+        'w2', acc.w2 + IF({upd}, s.y * s.x2, CAST(0 AS BIGINT)),
+        'w3', acc.w3 + IF({upd}, s.y * s.x3, CAST(0 AS BIGINT)),
+        'mistakes', acc.mistakes + IF({upd}, CAST(1 AS BIGINT),
+                                      CAST(0 AS BIGINT)))
+    ) AS st
+    """
     return spark.sql(
-        "WITH RECURSIVE "
-        + _PERCEPTRON_TAIL.format(sample="perceptron_sample").lstrip()
+        f"""
+        SELECT st.i AS n_seen, st.w0 AS bias, st.w1 AS w_qty,
+               st.w2 AS w_disc, st.w3 AS w_tax, st.mistakes AS mistakes
+        FROM (SELECT {fold} FROM perceptron_sample)
+        """
     )
 
 
