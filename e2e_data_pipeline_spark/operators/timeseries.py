@@ -5038,15 +5038,42 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     best.createOrReplaceTempView("lttb_best")
-    n_row = spark.sql("SELECT CAST(count(*) AS BIGINT) AS n FROM lttb_pts")
-    n_row.createOrReplaceTempView("lttb_tot")
-    rec = (
-        "WITH RECURSIVE walk(b, rn, d, y) AS ("
-        + final.replace("pts", "lttb_pts")
-        .replace("best bb", "lttb_best bb")
-        .replace("CROSS JOIN tot", "CROSS JOIN lttb_tot")
+    del final  # Spark side replaces the recursion with 12 chained joins
+    # (one compiled plan, no per-iteration scheduler overhead; the
+    # oracle keeps the recursive-CTE walk — independent constructions
+    # of the same sequential pick).
+    state = pts.where(F.col("rn") == 1).select(
+        F.lit(-1).cast("long").alias("b"), "rn", "d", "y"
     )
-    return spark.sql(rec)
+    steps = [state.select(F.lit(0).cast("long").alias("idx"), "d", "y")]
+    for k in range(12):
+        bk = best.where(F.col("b") == k)
+        state = (
+            state.select(F.col("rn").alias("prev_rn"))
+            .join(F.broadcast(bk), F.col("p_rn") == F.col("prev_rn"))
+            .select(
+                "b",
+                F.col("i_rn").alias("rn"),
+                F.col("i_d").alias("d"),
+                F.col("i_y").alias("y"),
+            )
+        )
+        steps.append(
+            state.select((F.col("b") + 1).cast("long").alias("idx"), "d", "y")
+        )
+    n_total = pts.count()
+    last = pts.where(F.col("rn") == F.lit(n_total)).select(
+        F.lit(13).cast("long").alias("idx"), "d", "y"
+    ) if n_total >= 2 else steps[0].limit(0)
+    out = steps[0]
+    for st in steps[1:]:
+        out = out.unionAll(st)
+    out = out.unionAll(last)
+    return out.select(
+        "idx",
+        F.col("d").cast("long").alias("day"),
+        F.col("y").cast("long").alias("rev_cents"),
+    ).orderBy("idx")
 
 
 _EVENT_STUDY_TAIL = """
