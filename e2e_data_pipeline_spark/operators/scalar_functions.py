@@ -3476,3 +3476,81 @@ def fn_soundex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_same_code"),
     ).orderBy("word")
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+# Unrolled bijective digit math generated once: 8 base-58 digits cover
+# ids < 58^8 ≈ 1.28e14. Integer division spelled portably as
+# (a - a % b) / b (positive operands), so the SAME text runs on both
+# engines.
+
+
+def _b58_encode_sql(col: str) -> str:
+    parts = []
+    for i in range(8):
+        p = 58 ** (7 - i)
+        d = f"CAST(({col} - ({col} % {p})) / {p} AS BIGINT) % 58"
+        parts.append(f"substr('{_B58_ALPHABET}', CAST({d} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _b58_decode_sql(col: str) -> str:
+    terms = []
+    for i in range(8):
+        p = 58 ** (7 - i)
+        terms.append(
+            f"(CAST(instr('{_B58_ALPHABET}', substr({col}, {i + 1}, 1)) "
+            f"AS BIGINT) - 1) * CAST({p} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+_B58_TAIL = (
+    """
+codes AS (
+    SELECT o_orderkey AS k, {enc} AS code
+    FROM {orders}
+),
+verify AS (
+    SELECT k, code, {dec} AS back FROM codes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN back = k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_roundtrip_ok,
+       MIN(code) AS min_code,
+       MAX(code) AS max_code,
+       min(md5(code)) AS code_digest
+FROM verify"""
+)
+
+
+@register(
+    "fn_base58_codec",
+    oracle="WITH "
+    + _B58_TAIL.format(
+        orders="orders",
+        enc=_b58_encode_sql("o_orderkey"),
+        dec=_b58_decode_sql("code"),
+    ),
+)
+def fn_base58_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base58 id codec (the Bitcoin/IPFS alphabet — no 0/O/I/l
+    lookalikes): fixed-width 8-digit encode of order keys via
+    unrolled positional arithmetic with the portable floor-div
+    (a − a%p)/p, decode via instr() positions, and a full round-trip
+    proof column. Fixed width keeps codes lexicographically ordered
+    like the ids — the property short-link tables index on.
+
+    Scale: shuffle-free projection; the proof aggregates in one
+    partial-aggregable pass.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("b58_orders")
+    return spark.sql(
+        "WITH "
+        + _B58_TAIL.format(
+            orders="b58_orders",
+            enc=_b58_encode_sql("o_orderkey"),
+            dec=_b58_decode_sql("code"),
+        )
+    )

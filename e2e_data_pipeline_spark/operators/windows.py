@@ -2288,3 +2288,57 @@ def win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.createOrReplaceTempView("keltner_base")
     return spark.sql("WITH " + _KELTNER_TAIL.format(base="keltner_base").lstrip())
+
+
+_SPAN_TAIL = """
+pts AS (
+    SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+    FROM {daily}
+)
+SELECT a.d AS day, a.y AS rev_cents,
+       CAST(a.rn - COALESCE(MAX(CASE WHEN b.y > a.y THEN b.rn END), 0)
+            AS BIGINT) AS span_days
+FROM pts a LEFT JOIN pts b ON b.rn < a.rn
+GROUP BY a.d, a.y, a.rn
+ORDER BY span_days DESC, day
+LIMIT 50"""
+
+_SPAN_DUCK_DAILY = """
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "win_stock_span",
+    oracle="WITH daily AS ("
+    + _SPAN_DUCK_DAILY
+    + "),"
+    + _SPAN_TAIL.format(daily="daily"),
+)
+def win_stock_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-span on the daily revenue tape: for each day, the number
+    of days elapsed since the last strictly-higher day (the streak a
+    monotonic stack computes single-threaded). Expressed relationally
+    as rn −
+    argmax{j<i : y_j > y_i} over the triangular self-join — O(days²)
+    pairs, SANCTIONED on the calendar-bounded daily frame only (the
+    stats_mann_kendall rule), never on raw rows. Top-50 longest
+    spans = the all-time-high leaderboard with recency built in.
+
+    Scale: the fact scan collapses to day grain first; the triangle
+    is days²/2 ≈ 2.9M cells at a 6.5-year span, constant in SF.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("span_daily")
+    return spark.sql("WITH " + _SPAN_TAIL.format(daily="span_daily").lstrip())

@@ -458,3 +458,60 @@ def test_connected_components_reaches_fixed_point(spark):
         )
         snapshots.append({(r.node, r.lab) for r in lab.collect()})
     assert snapshots[5] == snapshots[6], "6 rounds did not converge"
+
+
+def test_editdist_blocking_finds_every_distance1_pair(spark):
+    """FastSS blocking must be RECALL-COMPLETE: on the sf0.001
+    customer names, the blocked pair count equals a brute-force O(n²)
+    levenshtein sweep (deletion neighborhoods provably cover every
+    distance-1 pair; this pins the implementation to the theorem)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    names = sorted(
+        r.c_name
+        for r in load_table(spark, sf, "customer")
+        .select("c_name")
+        .distinct()
+        .collect()
+    )
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = edits = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                edits += 1
+                if edits > 1:
+                    return False
+                j += 1
+        return True
+
+    brute = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if lev1(a, b):
+                brute[a] = brute.get(a, 0) + 1
+                brute[b] = brute.get(b, 0) + 1
+    expected = sorted(
+        brute.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:100]
+    got = [
+        (r.name, r.n_neighbors)
+        for r in QUERIES["dedup_editdist_blocked"](spark, sf).collect()
+    ]
+    assert got == expected
