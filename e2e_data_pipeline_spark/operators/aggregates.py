@@ -10694,3 +10694,65 @@ def stats_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _CMH_TAIL.format(orders="cmh_orders", customer="cmh_customer")
     )
+
+
+_MEDIAN_CI_TAIL = """
+base AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM {orders}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+percents AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM percents),
+ranks AS (
+    SELECT n,
+           CAST(floor((CAST(n AS DOUBLE)
+                       - CAST('1.959963984540054' AS DOUBLE)
+                         * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+               AS lo_rank,
+           CAST(ceil(1 + (CAST(n AS DOUBLE)
+                          + CAST('1.959963984540054' AS DOUBLE)
+                            * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)
+               AS hi_rank,
+           (n + 1) {div} 2 AS m1,
+           n {div} 2 + 1 AS m2
+    FROM tot
+),
+pick AS (
+    SELECT r.n, r.lo_rank, r.hi_rank,
+           MIN(CASE WHEN cc >= GREATEST(r.lo_rank, 1) THEN v END) AS lo_v,
+           MIN(CASE WHEN cc >= LEAST(r.hi_rank, r.n) THEN v END) AS hi_v,
+           MIN(CASE WHEN cc >= r.m1 THEN v END) AS med1,
+           MIN(CASE WHEN cc >= r.m2 THEN v END) AS med2
+    FROM cum CROSS JOIN ranks r
+    GROUP BY r.n, r.lo_rank, r.hi_rank, r.m1, r.m2
+)
+SELECT n,
+       (CAST(med1 AS DOUBLE) + CAST(med2 AS DOUBLE)) / 2 AS median_cents,
+       lo_rank, hi_rank,
+       CAST(lo_v AS BIGINT) AS ci_lo_cents,
+       CAST(hi_v AS BIGINT) AS ci_hi_cents
+FROM pick"""
+
+
+@register(
+    "stats_median_ci",
+    oracle="WITH " + _MEDIAN_CI_TAIL.format(orders="orders", div="//"),
+)
+def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median order-value with its distribution-free 95% confidence
+    interval: the CI is the pair of ORDER STATISTICS at ranks
+    (n ∓ 1.96√n)/2 (the binomial-count argument — no distributional
+    assumption, no interpolation), located through the per-cents
+    cumulative-count table. The tie-averaged median is exact dyadic;
+    rank arithmetic is one sqrt chain on identical doubles, floored
+    identically on both engines.
+
+    Scale: the window runs over the per-cents reduced table (price-
+    domain bounded, the stats_mannwhitney pattern), not raw rows.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "medci_orders"
+    )
+    return spark.sql(
+        "WITH " + _MEDIAN_CI_TAIL.format(orders="medci_orders", div="div")
+    )

