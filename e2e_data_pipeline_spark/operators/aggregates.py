@@ -10756,3 +10756,102 @@ def stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _MEDIAN_CI_TAIL.format(orders="medci_orders", div="div")
     )
+
+
+_MEDIAN_POLISH_TAIL = """
+cells AS (
+    SELECT d, hod, CAST(4 * z AS BIGINT) AS a
+    FROM {grid}
+),
+rowmed AS (
+    SELECT d, CAST(SUM(pick) AS BIGINT) AS rm
+    FROM (
+        SELECT d, a,
+               CASE WHEN count(*) OVER wd % 2 = 1
+                    THEN CASE WHEN row_number() OVER wo
+                              = (count(*) OVER wd + 1) {div} 2
+                         THEN a ELSE 0 END
+                    ELSE CASE WHEN row_number() OVER wo
+                              IN (count(*) OVER wd {div} 2,
+                                  count(*) OVER wd {div} 2 + 1)
+                         THEN a {div} 2 ELSE 0 END
+               END AS pick
+        FROM cells
+        WINDOW wd AS (PARTITION BY d),
+               wo AS (PARTITION BY d ORDER BY a)
+    ) r
+    GROUP BY d
+),
+resid1 AS (
+    SELECT c.d, c.hod, c.a - rowmed.rm AS b
+    FROM cells c JOIN rowmed ON rowmed.d = c.d
+),
+colmed AS (
+    SELECT hod, CAST(SUM(pick) AS BIGINT) AS cm
+    FROM (
+        SELECT hod, b,
+               CASE WHEN count(*) OVER wh % 2 = 1
+                    THEN CASE WHEN row_number() OVER wo
+                              = (count(*) OVER wh + 1) {div} 2
+                         THEN b ELSE 0 END
+                    ELSE CASE WHEN row_number() OVER wo
+                              IN (count(*) OVER wh {div} 2,
+                                  count(*) OVER wh {div} 2 + 1)
+                         THEN b {div} 2 ELSE 0 END
+               END AS pick
+        FROM resid1
+        WINDOW wh AS (PARTITION BY hod),
+               wo AS (PARTITION BY hod ORDER BY b)
+    ) r
+    GROUP BY hod
+)
+SELECT r.hod,
+       CAST(colmed.cm AS BIGINT) AS col_effect_q,
+       CAST(colmed.cm AS DOUBLE) / 4 AS col_effect,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(MAX(CASE WHEN r.b - colmed.cm >= 0 THEN r.b - colmed.cm
+                     ELSE colmed.cm - r.b END) AS BIGINT)
+           AS max_abs_resid_q
+FROM resid1 r JOIN colmed ON colmed.hod = r.hod
+GROUP BY r.hod, colmed.cm
+ORDER BY r.hod"""
+
+_MEDIAN_POLISH_DUCK_GRID = """(
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 AS hod,
+               count(*) AS z
+        FROM events GROUP BY 1, 2
+    ) g"""
+
+
+@register(
+    "agg_median_polish",
+    oracle="WITH "
+    + _MEDIAN_POLISH_TAIL.format(grid=_MEDIAN_POLISH_DUCK_GRID, div="//"),
+)
+def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sweep of Tukey's median polish on the day × hour-of-day
+    activity matrix: row (day) medians subtract out load level, then
+    column (hour) medians expose the robust diurnal effect, with the
+    max absolute residual flagging cells neither effect explains —
+    the outlier-immune cousin of ts_seasonal_profile's means. All
+    exact: cells enter ×4 (quarter units) so BOTH tie-averaged
+    medians stay integral, and every `div` operand is even or
+    non-negative (floor ≡ truncate — no cross-engine negative-div
+    hazard).
+
+    Scale: medians run per day (24 rows) and per hour (days rows) —
+    calendar-bounded partitions after the grain collapse.
+    """
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d"),
+        F.expr(
+            "pmod(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 3600, 24)"
+        ).alias("hod"),
+    ).agg(F.count("*").alias("z"))
+    grid.createOrReplaceTempView("polish_grid")
+    return spark.sql(
+        "WITH "
+        + _MEDIAN_POLISH_TAIL.format(grid="polish_grid", div="div")
+    )

@@ -170,3 +170,45 @@ def test_vwap_and_elasticity_share_bases(spark):
         for r in QUERIES["agg_price_elasticity"](spark, SF_SMALL).collect()
     }
     assert vwap == elas
+
+
+def test_nrr_identity_floor_equals_retained_minus_expansion(spark):
+    """agg_nrr_grr internal identity: the GRR floor (LEAST-capped
+    revenue) must equal retained_total − expansion in every month —
+    two different constructions of the same quantity."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    rows = QUERIES["agg_nrr_grr"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "fixture must produce months"
+    for r in rows:
+        floor = r.retained_total - r.expansion
+        assert floor >= 0
+        assert r.start_rev >= r.churned
+        assert r.grr_ppm <= r.nrr_ppm
+        assert r.grr_ppm == floor * 1000000 // r.start_rev
+
+
+def test_median_polish_effects_bounded_by_band(spark):
+    """agg_median_polish col effects must sit inside the hour-of-day
+    min/max envelope of the raw matrix (a median cannot escape the
+    data range after level removal: |effect| <= max row spread)."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["agg_median_polish"](spark, sf).collect()
+    assert len(rows) == 24
+    events = load_table(spark, sf, "events")
+    grid = events.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d"),
+        F.expr(
+            "pmod(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 3600, 24)"
+        ).alias("hod"),
+    ).agg(F.count("*").alias("z"))
+    spread = grid.groupBy("d").agg(
+        (F.max("z") - F.min("z")).alias("sp")
+    ).agg(F.max("sp")).collect()[0][0]
+    for r in rows:
+        assert abs(r.col_effect) <= spread
