@@ -10855,3 +10855,84 @@ def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _MEDIAN_POLISH_TAIL.format(grid="polish_grid", div="div")
     )
+
+
+_TOST_TAIL = """
+moms AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS s,
+           CAST(SUM(CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                         AS DECIMAL(19,0))
+                    * CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           AS DECIMAL(14,0))) AS DECIMAL(38,0)) AS s2
+    FROM {orders} o JOIN {customer} c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    GROUP BY c.c_mktsegment
+),
+wide AS (
+    SELECT
+      MAX(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS n1,
+      MAX(CASE WHEN seg = 'AUTOMOBILE' THEN s END) AS s1,
+      MAX(CASE WHEN seg = 'AUTOMOBILE' THEN s2 END) AS q1,
+      MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n2,
+      MAX(CASE WHEN seg = 'BUILDING' THEN s END) AS s2_,
+      MAX(CASE WHEN seg = 'BUILDING' THEN s2 END) AS q2
+    FROM moms
+),
+calc AS (
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+           CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+           (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                * CAST(n1 - 1 AS DOUBLE)) AS vm1,
+           (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2_ AS DOUBLE) * CAST(s2_ AS DOUBLE))
+             / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                * CAST(n2 - 1 AS DOUBLE)) AS vm2
+    FROM wide
+),
+z AS (
+    SELECT n1, n2, m1, m2, m1 - m2 AS diff,
+           sqrt(vm1 + vm2) AS se,
+           ((m1 - m2) + CAST('5000' AS DOUBLE)) / sqrt(vm1 + vm2) AS z_lower,
+           (CAST('5000' AS DOUBLE) - (m1 - m2)) / sqrt(vm1 + vm2) AS z_upper
+    FROM calc
+)
+SELECT n1, n2, m1 AS mean_auto_cents, m2 AS mean_bldg_cents, diff, se,
+       z_lower, z_upper,
+       CASE WHEN z_lower > CAST('1.6448536269514722' AS DOUBLE)
+             AND z_upper > CAST('1.6448536269514722' AS DOUBLE)
+            THEN 1 ELSE 0 END AS equivalent_within_50
+FROM z"""
+
+
+@register(
+    "stats_tost_z",
+    oracle="WITH " + _TOST_TAIL.format(orders="orders", customer="customer"),
+)
+def stats_tost_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence check: are AUTOMOBILE
+    and BUILDING mean order values equivalent within ±$50? The
+    inferential inverse of stats_ab_ztest — absence of evidence
+    upgraded to evidence of absence, the test launch reviews actually
+    need. Large-sample z form: exact int64/decimal moments, per-arm
+    variance-of-mean as one fixed-order chain, both one-sided z's
+    against the 5% normal literal.
+
+    Scale: one broadcast dim join + a 2-row moment pivot (the
+    cross-row-float-sum rule: arms fold in one expression).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "tost_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tost_customer"
+    )
+    return spark.sql(
+        "WITH "
+        + _TOST_TAIL.format(orders="tost_orders", customer="tost_customer")
+    )

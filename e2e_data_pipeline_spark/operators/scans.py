@@ -2362,3 +2362,48 @@ def sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+@register(
+    "sql_listagg",
+    oracle="""
+    WITH segs AS (
+        SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    )
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM segs
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — the SQL:2016 LISTAGG ... WITHIN
+    GROUP form Spark 4 finally ships, against DuckDB's
+    string_agg(expr, sep ORDER BY ...): different surface syntax,
+    identical ordered-concatenation semantics (determinism comes from
+    the explicit ORDER BY; an unordered listagg is a flaky-test
+    factory). Input is pre-DISTINCTed so the aggregate is
+    duplicate-free by construction.
+
+    Scale: one distinct + one grouped concat over dimension-sized
+    data; ordered aggregation sorts per group, not globally.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "listagg_customer"
+    )
+    return spark.sql(
+        """
+        WITH segs AS (
+            SELECT DISTINCT c_nationkey, c_mktsegment FROM listagg_customer
+        )
+        SELECT c_nationkey,
+               listagg(c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+               CAST(COUNT(*) AS BIGINT) AS n_segments
+        FROM segs
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
