@@ -2407,3 +2407,49 @@ def sql_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+@register(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+           CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) AS n_nations
+    FROM supplier
+    """,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory lake layout without Hive partition names
+    (year=.../ vs plain subfolders): suppliers land under
+    region/<r>/batch/<b>/ subtrees and come back through ONE scan
+    with ``recursiveFileLookup`` — the option that makes Spark
+    traverse arbitrary depth while SKIPPING partition-column
+    inference (names here aren't key=value). Checksums against the
+    source prove no file is missed or double-read.
+
+    Scale: file listing is driver-side but parallelized by the
+    InMemoryFileIndex; at 100 TB you'd prefer key=value layouts for
+    pruning (scan_partition_pruned) — this op is the
+    compatibility path for feeds you don't control.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="e2e_rglob_")
+    for r in range(2):
+        for b in range(2):
+            part = sup.where(
+                (F.col("s_nationkey") % 2 == r)
+                & (F.col("s_suppkey") % 2 == b)
+            )
+            part.write.mode("overwrite").parquet(
+                f"{path}/region/{r}/batch/{b}"
+            )
+    back = (
+        spark.read.option("recursiveFileLookup", True)
+        .schema(sup.schema)
+        .parquet(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("s_suppkey").cast("long").alias("key_sum"),
+        F.countDistinct("s_nationkey").cast("long").alias("n_nations"),
+    )

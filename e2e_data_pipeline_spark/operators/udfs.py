@@ -490,3 +490,61 @@ def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"start_date": datetime.date(1996, 1, 1), "min_price": 1000.0},
     )
+
+
+@register(
+    "udf_window_grouped_agg",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail5_cents
+    FROM cents
+    ORDER BY user_id, event_id
+    LIMIT 500
+    """,
+)
+def udf_window_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF evaluated OVER a bounded window frame —
+    the Arrow-vectorized escape hatch when a rolling metric has no
+    built-in (here the metric is a plain trailing sum so DuckDB can
+    referee the plumbing). Each frame ships to Python as an Arrow
+    batch; int64 summation is exact, so the parity is bit-level.
+    This is the API row the reference's per-batch pandas loops map
+    onto (/root/reference/ingest_data.py:56-66) — same pandas
+    semantics, executor-side and frame-scoped instead of
+    driver-side.
+
+    Scale: one shuffle on user_id; Python cost is per-frame
+    vectorized, and the LIMIT keeps the checked surface stable.
+    """
+
+    @pandas_udf("long")
+    def trail_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+        )
+        .withColumn("trail5_cents", trail_sum(F.col("v")).over(w))
+        .select("user_id", "event_id", "trail5_cents")
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
