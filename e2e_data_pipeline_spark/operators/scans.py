@@ -2453,3 +2453,95 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_suppkey").cast("long").alias("key_sum"),
         F.countDistinct("s_nationkey").cast("long").alias("n_nations"),
     )
+
+
+def _sigma_moments(src: str, lo: str, hi: str) -> str:
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return f"""(
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM({cents}) AS BIGINT) AS s,
+               CAST(SUM(CAST({cents} AS DECIMAL(19,0))
+                        * CAST({cents} AS DECIMAL(14,0)))
+                    AS DECIMAL(38,0)) AS q
+        FROM {src}
+        WHERE {cents} >= {lo} AND {cents} <= {hi}
+    )"""
+
+
+def _sigma_derive(tag: str) -> str:
+    return f"""
+    SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+           sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
+    FROM {tag}"""
+
+
+_SIGMA_ORACLE = f"""
+WITH mo0 AS (SELECT * FROM {_sigma_moments('orders',
+        "CAST('-1e18' AS DOUBLE)", "CAST('1e18' AS DOUBLE)")} x),
+d0 AS ({_sigma_derive('mo0')}),
+mo1 AS (SELECT * FROM {_sigma_moments('orders, d0',
+        'd0.m - 2 * d0.sd', 'd0.m + 2 * d0.sd')} x),
+d1 AS ({_sigma_derive('mo1')}),
+mo2 AS (SELECT * FROM {_sigma_moments('orders, d1',
+        'd1.m - 2 * d1.sd', 'd1.m + 2 * d1.sd')} x),
+d2 AS ({_sigma_derive('mo2')})
+SELECT CAST(3 AS INT) AS n_iters,
+       m - 2 * sd AS lo, m + 2 * sd AS hi,
+       m AS clipped_mean_cents, sd AS clipped_sd
+FROM d2"""
+
+
+@register("sql_scripting_sigma_clip", oracle=_SIGMA_ORACLE)
+def sql_scripting_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/SET) running a
+    3-round 2σ-clipping loop over order values — the procedural
+    surface DBAs port from stored procedures, state carried in
+    session variables with tuple assignment from a scalar subquery.
+    The DuckDB oracle UNROLLS the identical three iterations as a CTE
+    chain, so the loop semantics (not just the arithmetic) are what's
+    verified. Every iteration's mean/σ is a fixed-order chain over
+    exact int64/decimal moments — bit-identical bounds, identical
+    surviving row sets.
+
+    Scale: each iteration is one partial-aggregable scan; the loop
+    count is fixed, not data-dependent.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sclip_orders"
+    )
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        moments = _sigma_moments("sclip_orders", "lo", "hi")
+        df = spark.sql(
+            f"""
+            BEGIN
+              DECLARE lo DOUBLE DEFAULT CAST('-1e18' AS DOUBLE);
+              DECLARE hi DOUBLE DEFAULT CAST('1e18' AS DOUBLE);
+              DECLARE i INT DEFAULT 0;
+              DECLARE m DOUBLE; DECLARE sd DOUBLE;
+              WHILE i < 3 DO
+                SET (m, sd) = (
+                  SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                         sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  FROM {moments} x
+                );
+                SET lo = m - 2 * sd;
+                SET hi = m + 2 * sd;
+                SET i = i + 1;
+              END WHILE;
+              SELECT i AS n_iters, lo, hi, m AS clipped_mean_cents,
+                     sd AS clipped_sd;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+    return df
