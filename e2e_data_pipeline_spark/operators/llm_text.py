@@ -3171,3 +3171,136 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").cast("long").alias("chunk_len"),
         F.substring(F.md5("chunk"), 1, 16).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "text_chat_parse",
+    oracle=r"""
+    WITH parts AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    rendered AS (
+        SELECT doc_id,
+               '<|im_start|>system' || chr(10)
+               || 'You are a helpful assistant.<|im_end|>' || chr(10)
+               || '<|im_start|>user' || chr(10)
+               || array_to_string(t[1:20], ' ')
+               || '<|im_end|>' || chr(10)
+               || '<|im_start|>assistant' || chr(10)
+               || COALESCE(array_to_string(t[21:len(t)], ' '), '')
+               || '<|im_end|>' AS chat
+        FROM parts
+    ),
+    parsed AS (
+        SELECT doc_id, chat,
+               regexp_extract_all(chat, '<\|im_start\|>([a-z]+)\n', 1)
+                   AS roles,
+               regexp_extract_all(chat,
+                   '(?s)<\|im_start\|>[a-z]+\n(.*?)<\|im_end\|>', 1)
+                   AS contents
+        FROM rendered
+    ),
+    turns AS (
+        SELECT doc_id, chat,
+               unnest(roles) AS role,
+               unnest(contents) AS content,
+               unnest(range(1, len(roles) + 1)) AS turn_idx
+        FROM parsed
+    ),
+    placed AS (
+        SELECT doc_id, chat, role, content,
+               CAST(turn_idx AS BIGINT) AS turn_idx,
+               CAST(SUM(12 + length(role) + 1 + length(content) + 10 + 1)
+                        OVER (PARTITION BY doc_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS BIGINT) AS prefix_len,
+               CAST(length(content) AS BIGINT) AS content_len
+        FROM turns
+    )
+    SELECT doc_id, turn_idx, role, content_len,
+           md5(content) AS content_md5,
+           COALESCE(prefix_len, 0) + 12 + length(role) + 1
+               AS content_start,
+           CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS trainable,
+           CASE WHEN substr(chat,
+                            CAST(COALESCE(prefix_len, 0) + 12
+                                 + length(role) + 1 AS INT) + 1,
+                            CAST(content_len AS INT)) = content
+                THEN 1 ELSE 0 END AS substr_ok
+    FROM placed
+    ORDER BY doc_id, turn_idx
+    """,
+)
+def text_chat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE of text_chat_template: parse a rendered ChatML
+    transcript back into turns with byte-accurate content offsets and
+    per-turn loss-mask flags (assistant turns train, system/user
+    masked) — the span accounting an SFT data loader performs before
+    tokenization. Every offset is PROVEN in-row: substr(chat, start,
+    len) must equal the regexp-captured content (substr_ok), so a
+    drifting template or off-by-one breaks the hash, not production.
+
+    Scale: shuffle-free per-document regex + a 3-row window per doc.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "chatparse_docs"
+    )
+    return spark.sql(
+        r"""
+        WITH parts AS (
+            SELECT doc_id, split(text, ' ') AS t FROM chatparse_docs
+        ),
+        rendered AS (
+            SELECT doc_id,
+                   '<|im_start|>system' || chr(10)
+                   || 'You are a helpful assistant.<|im_end|>' || chr(10)
+                   || '<|im_start|>user' || chr(10)
+                   || array_join(slice(t, 1, 20), ' ')
+                   || '<|im_end|>' || chr(10)
+                   || '<|im_start|>assistant' || chr(10)
+                   || COALESCE(array_join(slice(t, 21,
+                                GREATEST(size(t) - 20, 0)), ' '), '')
+                   || '<|im_end|>' AS chat
+            FROM parts
+        ),
+        parsed AS (
+            SELECT doc_id, chat,
+                   regexp_extract_all(chat, '<\\|im_start\\|>([a-z]+)\\n', 1)
+                       AS roles,
+                   regexp_extract_all(chat,
+                       '(?s)<\\|im_start\\|>[a-z]+\\n(.*?)<\\|im_end\\|>', 1)
+                       AS contents
+            FROM rendered
+        ),
+        turns AS (
+            SELECT doc_id, chat,
+                   z.r AS role, z.c AS content,
+                   CAST(pos + 1 AS BIGINT) AS turn_idx
+            FROM parsed
+            LATERAL VIEW posexplode(arrays_zip(roles, contents)) AS pos, z0
+            LATERAL VIEW inline(array(named_struct(
+                'r', z0.roles, 'c', z0.contents))) z AS r, c
+        ),
+        placed AS (
+            SELECT doc_id, chat, role, content, turn_idx,
+                   CAST(SUM(12 + length(role) + 1 + length(content) + 10 + 1)
+                            OVER (PARTITION BY doc_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS BIGINT) AS prefix_len,
+                   CAST(length(content) AS BIGINT) AS content_len
+            FROM turns
+        )
+        SELECT doc_id, turn_idx, role, content_len,
+               md5(content) AS content_md5,
+               COALESCE(prefix_len, 0) + 12 + length(role) + 1
+                   AS content_start,
+               CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS trainable,
+               CASE WHEN substr(chat,
+                                CAST(COALESCE(prefix_len, 0) + 12
+                                     + length(role) + 1 AS INT) + 1,
+                                CAST(content_len AS INT)) = content
+                    THEN 1 ELSE 0 END AS substr_ok
+        FROM placed
+        ORDER BY doc_id, turn_idx
+        """
+    )
