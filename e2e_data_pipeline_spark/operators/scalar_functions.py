@@ -3554,3 +3554,73 @@ def fn_base58_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec=_b58_decode_sql("code"),
         )
     )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT flag, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY flag
+    ),
+    shares AS (
+        SELECT c.flag, c.status, c.c,
+               CAST(c.c * 1000000 AS BIGINT) // t.t AS share_ppm
+        FROM counts c JOIN tot t ON t.flag = c.flag
+    )
+    SELECT flag,
+           string_agg(status || ':' || CAST(share_ppm AS VARCHAR),
+                      ',' ORDER BY status) AS major_entries,
+           CAST(count(*) AS BIGINT) AS n_major
+    FROM shares
+    WHERE share_ppm >= 100000
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end-to-end: per returnflag build a
+    status->count MAP (map_from_entries over collect_list), convert
+    counts to ppm shares with transform_values, drop minor entries
+    with map_filter, and render sorted entries — the MapType API
+    surface (Spark-only; the DuckDB twin computes the same table
+    relationally, so the map pipeline's SEMANTICS are what's
+    verified, not shared text).
+
+    Scale: map cardinality = per-flag status domain (bounded);
+    everything group-local after one partial agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    maps = counts.groupBy("flag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("status", "c")))
+        ).alias("m"),
+        F.sum("c").cast("long").alias("t"),
+    )
+    return (
+        maps.select(
+            "flag",
+            F.expr(
+                "map_filter(transform_values(m, (k, v) -> "
+                "CAST(v * 1000000 div t AS BIGINT)), "
+                "(k, v) -> v >= 100000)"
+            ).alias("mm"),
+        )
+        .select(
+            "flag",
+            F.expr(
+                "array_join(transform(map_entries(mm), e -> "
+                "concat(e.key, ':', CAST(e.value AS STRING))), ',')"
+            ).alias("major_entries"),
+            F.expr("CAST(size(mm) AS BIGINT)").alias("n_major"),
+        )
+        .orderBy("flag")
+    )
