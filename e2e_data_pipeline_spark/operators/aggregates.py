@@ -10936,3 +10936,87 @@ def stats_tost_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _TOST_TAIL.format(orders="tost_orders", customer="tost_customer")
     )
+
+
+_BLAND_ALTMAN_TAIL = """
+pairs AS (
+    SELECT o.m1, l.m2, o.m1 - l.m2 AS dd
+    FROM {header} o JOIN {detail} l ON l.k = o.k
+),
+moms AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(dd) AS BIGINT) AS sd_,
+           CAST(SUM(CAST(dd AS DECIMAL(19,0)) * CAST(dd AS DECIMAL(14,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM pairs
+),
+stats AS (
+    SELECT n,
+           CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+           sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sdd
+    FROM moms
+),
+loa AS (
+    SELECT n, bias, sdd,
+           bias - CAST('1.959963984540054' AS DOUBLE) * sdd AS loa_lo,
+           bias + CAST('1.959963984540054' AS DOUBLE) * sdd AS loa_hi
+    FROM stats
+)
+SELECT loa.n, bias, sdd AS sd_diff, loa_lo, loa_hi,
+       CAST(SUM(CASE WHEN CAST(dd AS DOUBLE) < loa_lo
+                       OR CAST(dd AS DOUBLE) > loa_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
+       CAST(SUM(CASE WHEN CAST(dd AS DOUBLE) < loa_lo
+                       OR CAST(dd AS DOUBLE) > loa_hi
+                     THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+           {div} loa.n AS outside_ppm
+FROM pairs CROSS JOIN loa
+GROUP BY loa.n, bias, sdd, loa_lo, loa_hi"""
+
+
+@register(
+    "stats_bland_altman",
+    oracle="""WITH header AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS m1
+        FROM orders
+    ),
+    detail AS (
+        SELECT l_orderkey AS k,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS m2
+        FROM lineitem GROUP BY l_orderkey
+    ),"""
+    + _BLAND_ALTMAN_TAIL.format(header="header", detail="detail", div="//"),
+)
+def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis between two measurements of
+    the same order — the header total vs the summed line details
+    (dq_recon_totals asks 'do they match'; this asks 'HOW do they
+    disagree': bias, spread, and 95% limits of agreement). Integer
+    cent differences, decimal-exact second moment, fixed-order
+    bias/LoA chains, and the outside-LoA count compares exact ints
+    against identical double bounds.
+
+    Scale: two partial aggs co-partitioned on orderkey, one
+    broadcastable 1-row LoA join back over the pairs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("m1"),
+    ).createOrReplaceTempView("ba_header")
+    li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("m2")
+    ).createOrReplaceTempView("ba_detail")
+    return spark.sql(
+        "WITH "
+        + _BLAND_ALTMAN_TAIL.format(
+            header="ba_header", detail="ba_detail", div="div"
+        )
+    )
