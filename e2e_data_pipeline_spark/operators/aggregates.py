@@ -11020,3 +11020,93 @@ def stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             header="ba_header", detail="ba_detail", div="div"
         )
     )
+
+
+_DELONG_TAIL = """
+pop AS (
+    SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM {events} WHERE event_type IN ('purchase', 'click')
+),
+per_cents AS (
+    SELECT cents,
+           CAST(SUM(grp) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n_neg
+    FROM pop GROUP BY cents
+),
+ranked AS (
+    SELECT cents, n_pos, n_neg,
+           CAST(COALESCE(SUM(n_neg) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS neg_less,
+           CAST(COALESCE(SUM(n_pos) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS pos_less
+    FROM per_cents
+),
+tot AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS m, CAST(SUM(n_neg) AS BIGINT) AS n
+    FROM per_cents
+),
+pv AS (
+    SELECT n_pos, n_neg,
+           2 * neg_less + n_neg AS w10,
+           2 * (m - pos_less - n_pos) + n_pos AS w01
+    FROM ranked CROSS JOIN tot
+),
+moms AS (
+    SELECT
+        CAST(SUM(n_pos * w10) AS BIGINT) AS s10,
+        CAST(SUM(CAST(n_pos AS DECIMAL(19,0)) * CAST(w10 AS DECIMAL(9,0))
+                 * CAST(w10 AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS q10,
+        CAST(SUM(n_neg * w01) AS BIGINT) AS s01,
+        CAST(SUM(CAST(n_neg AS DECIMAL(19,0)) * CAST(w01 AS DECIMAL(9,0))
+                 * CAST(w01 AS DECIMAL(9,0))) AS DECIMAL(38,0)) AS q01
+    FROM pv
+),
+calc AS (
+    SELECT m, n,
+        CAST(s10 AS DOUBLE) / (2 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE))
+            AS auc,
+        (CAST(m AS DOUBLE) * CAST(q10 AS DOUBLE)
+           - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE))
+          / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+          / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v10,
+        (CAST(n AS DOUBLE) * CAST(q01 AS DOUBLE)
+           - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+          / (4 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS v01
+    FROM moms CROSS JOIN tot
+)
+SELECT m AS n_pos, n AS n_neg, auc,
+       sqrt(v10 / CAST(m AS DOUBLE) + v01 / CAST(n AS DOUBLE)) AS se_delong,
+       auc - CAST('1.959963984540054' AS DOUBLE)
+           * sqrt(v10 / CAST(m AS DOUBLE) + v01 / CAST(n AS DOUBLE))
+           AS ci_lo,
+       auc + CAST('1.959963984540054' AS DOUBLE)
+           * sqrt(v10 / CAST(m AS DOUBLE) + v01 / CAST(n AS DOUBLE))
+           AS ci_hi
+FROM calc"""
+
+
+@register(
+    "ml_eval_auc_delong",
+    oracle="WITH " + _DELONG_TAIL.format(events="events"),
+)
+def ml_eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with its DeLong confidence interval — the number reviewers
+    demand next to every reported AUC. Placement values (the
+    mid-rank fraction of negatives below each positive, and of
+    positives above each negative) are kept INTEGER by doubling and
+    scaling (w10 = 2·neg_less + ties), their variances exact via
+    d(19)×d(9)² decimal moments, and SE/CI close with one fixed
+    sqrt chain. AUC itself reproduces ml_eval_auc's rank identity;
+    a Python placement-value reference pins SE to the last digit.
+
+    Scale: the per-cents reduced table (score-domain bounded) does
+    all ranking — no per-row window over raw events.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "delong_events"
+    )
+    return spark.sql("WITH " + _DELONG_TAIL.format(events="delong_events"))

@@ -850,3 +850,57 @@ def test_jonckheere_matches_bruteforce_pairs(spark):
     n = sum(len(v) for v in groups.values())
     sn2 = sum(len(v) ** 2 for v in groups.values())
     assert got.e2x2 == n * n - sn2
+
+
+def test_delong_se_matches_placement_reference(spark):
+    """ml_eval_auc_delong must reproduce a plain placement-value
+    DeLong computation (bisect + statistics.variance) on the fixture,
+    and its AUC must equal ml_eval_auc's rank-identity AUC."""
+    import bisect
+    import math
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ml_eval_auc_delong"](spark, sf).collect()[0]
+    rows = (
+        load_table(spark, sf, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            (F.col("event_type") == "purchase").alias("pos"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    pos = sorted(r.v for r in rows if r.pos)
+    neg = sorted(r.v for r in rows if not r.pos)
+
+    def placements(xs, others):
+        return [
+            (
+                bisect.bisect_left(others, x)
+                + (
+                    bisect.bisect_right(others, x)
+                    - bisect.bisect_left(others, x)
+                )
+                / 2
+            )
+            / len(others)
+            for x in xs
+        ]
+
+    v10 = placements(pos, neg)
+    v01 = [1 - p for p in placements(neg, pos)]
+    auc = sum(v10) / len(v10)
+    se = math.sqrt(
+        statistics.variance(v10) / len(v10)
+        + statistics.variance(v01) / len(v01)
+    )
+    assert abs(got.auc - auc) < 1e-12
+    assert abs(got.se_delong - se) < 1e-12
+    base = QUERIES["ml_eval_auc"](spark, sf).collect()[0]
+    assert abs(got.auc - base.auc) < 1e-12
