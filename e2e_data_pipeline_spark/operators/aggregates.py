@@ -11110,3 +11110,256 @@ def ml_eval_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delong_events"
     )
     return spark.sql("WITH " + _DELONG_TAIL.format(events="delong_events"))
+
+
+_KSU_TAIL = """
+hashed AS (
+    SELECT {hash60} AS h FROM {customer}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hashed),
+ranked AS (
+    SELECT h,
+           CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS r,
+           n
+    FROM hashed CROSS JOIN tot
+),
+devs AS (
+    -- D+ = max(r/n - F0(h)), D- = max(F0(h) - (r-1)/n), F0 = h / 2^60.
+    -- Each operand is ONE division of exact ints (identical doubles
+    -- on both engines), so max/subtract/compare are bit-portable; a
+    -- cleared-integer form would overflow int64 at r >= 8.
+    SELECT n,
+           MAX(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(h AS DOUBLE)
+                 / CAST('1152921504606846976' AS DOUBLE)) AS dplus,
+           MAX(CAST(h AS DOUBLE) / CAST('1152921504606846976' AS DOUBLE)
+               - CAST(r - 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS dminus
+    FROM ranked
+    GROUP BY n
+)
+SELECT n,
+       GREATEST(dplus, dminus) AS d_stat,
+       CAST('1.3581015157406195' AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+           AS d_crit_5pct,
+       CASE WHEN GREATEST(dplus, dminus)
+                 > CAST('1.3581015157406195' AS DOUBLE)
+                   / sqrt(CAST(n AS DOUBLE))
+            THEN 1 ELSE 0 END AS reject_uniform
+FROM devs"""
+
+_KSU_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(c_name), 1, 15)) AS BIGINT)"
+)
+_KSU_HASH_SPARK = "conv(substr(md5(c_name), 1, 15), 16, 10)"
+
+
+@register(
+    "stats_ks_uniform_hash",
+    oracle="WITH "
+    + _KSU_TAIL.format(hash60=_KSU_HASH_DUCK, customer="customer"),
+)
+def stats_ks_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the engine's portable
+    60-bit md5 hash against Uniform(0, 2^60) — the statistical
+    soundness certificate for every hash-split, hash-sample, and
+    MinHash operator in the registry. D⁺/D⁻ terms are each ONE
+    division of exact integers — bit-identical doubles on both
+    engines — so the max/subtract/compare chain is portable without
+    integer clearing (which would overflow int64 at 2^60·r), and the
+    5% decision compares against the asymptotic 1.3581/√n literal.
+
+    Scale: ranking runs on the hash-domain-ordered single pass; for
+    row counts beyond int64 headroom the same statistic distributes
+    via global_rank.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    hashed = cust.select(
+        F.expr(f"CAST({_KSU_HASH_SPARK} AS BIGINT)").alias("h")
+    )
+    # Distributed ranking (global_rank range-partitions on h) — a bare
+    # row_number() over the whole population is the single-partition
+    # sort this repo bans at entity grain.
+    ranked, n_total, _ = global_rank(hashed, [F.col("h")], rn_name="r")
+    ranked.withColumn("n", F.lit(n_total).cast("long")).createOrReplaceTempView(
+        "ksu_ranked"
+    )
+    tail = _KSU_TAIL.format(hash60="h", customer="ksu_ranked")
+    head, _, rest = tail.partition("devs AS (")
+    return spark.sql(
+        "WITH devs AS ("
+        + rest.replace("FROM ranked", "FROM ksu_ranked")
+    )
+
+
+_CAPREC_TAIL = """
+w1 AS (SELECT DISTINCT user_id FROM {base} WHERE d < 15),
+w2 AS (SELECT DISTINCT user_id FROM {base} WHERE d >= 15),
+counts AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM w1) AS n1,
+           (SELECT CAST(count(*) AS BIGINT) FROM w2) AS n2,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM w1 JOIN w2 ON w2.user_id = w1.user_id) AS m,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM {base})
+               AS true_total
+)
+SELECT n1, n2, m, true_total,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / CAST(CASE WHEN m = 0 THEN 1 ELSE m END AS DOUBLE)
+           AS lincoln_petersen,
+       CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+         / CAST(m + 1 AS DOUBLE) - 1 AS chapman
+FROM counts"""
+
+
+@register(
+    "agg_capture_recapture",
+    oracle="""WITH base AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                 - (SELECT MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                    FROM events) AS d
+        FROM events
+    ),"""
+    + _CAPREC_TAIL.format(base="base"),
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Lincoln-Petersen +
+    Chapman's bias-corrected form): treat the first and second
+    half-months of activity as two 'sightings' and estimate the TRUE
+    distinct-user population from sample sizes and overlap — the
+    ecology estimator data teams reuse to size dedup universes when a
+    full COUNT(DISTINCT) is too expensive. true_total rides along so
+    the estimator error is visible. One division each, exact-int
+    operands.
+
+    Scale: two semi-distinct passes + one co-partitioned overlap
+    join; no global structure.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("dd"),
+    )
+    lo = base.agg(F.min("dd")).collect()[0][0] or 0
+    base.select(
+        "user_id", (F.col("dd") - F.lit(lo)).alias("d")
+    ).createOrReplaceTempView("caprec_base")
+    return spark.sql("WITH " + _CAPREC_TAIL.format(base="caprec_base").lstrip())
+
+
+_WHIPPLE_TAIL = """
+digits AS (
+    SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 10 AS last_digit
+    FROM {orders}
+),
+counts AS (
+    SELECT last_digit, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts)
+SELECT last_digit, c AS n_amounts,
+       CAST(c * 1000000 AS BIGINT) {div} t AS share_ppm,
+       CAST((SELECT SUM(CASE WHEN last_digit IN (0, 5) THEN c ELSE 0 END)
+             FROM counts) * 5 * 1000000 AS BIGINT) {div} t
+           AS whipple_ppm
+FROM counts CROSS JOIN tot
+ORDER BY last_digit"""
+
+
+@register(
+    "dq_digit_preference",
+    oracle="WITH " + _WHIPPLE_TAIL.format(orders="orders", div="//"),
+)
+def dq_digit_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal-digit preference audit (Whipple-style): the
+    distribution of the LAST cent digit plus the 0/5-heaping index
+    5·(c0+c5)/total — flags hand-keyed or rounded amounts the way
+    dq_benford_digits flags fabricated LEADING digits (the two
+    forensic ends of a number). Whipple 1,000,000 ppm = no heaping;
+    real keyed data runs high. All integer, exact ppm.
+
+    Scale: one conditional-count partial agg, 10-row output.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "whipple_orders"
+    )
+    return spark.sql(
+        "WITH " + _WHIPPLE_TAIL.format(orders="whipple_orders", div="div")
+    )
+
+
+_VR_TAIL = """
+diffs AS (
+    SELECT d, y - lag(y) OVER (ORDER BY d) AS r1,
+           y - lag(y, 5) OVER (ORDER BY d) AS r5
+    FROM {daily}
+),
+moms AS (
+    SELECT CAST(count(r1) AS BIGINT) AS n1,
+           CAST(SUM(r1) AS BIGINT) AS s1,
+           CAST(SUM(CAST(r1 AS DECIMAL(19,0)) * CAST(r1 AS DECIMAL(14,0)))
+                AS DECIMAL(38,0)) AS q1,
+           CAST(count(r5) AS BIGINT) AS n5,
+           CAST(SUM(r5) AS BIGINT) AS s5,
+           CAST(SUM(CAST(r5 AS DECIMAL(19,0)) * CAST(r5 AS DECIMAL(14,0)))
+                AS DECIMAL(38,0)) AS q5
+    FROM diffs
+),
+vars AS (
+    SELECT n1,
+           (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1,
+           (CAST(n5 AS DOUBLE) * CAST(q5 AS DOUBLE)
+              - CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE))
+             / (CAST(n5 AS DOUBLE) * CAST(n5 AS DOUBLE)) AS v5
+    FROM moms
+)
+SELECT n1 AS n_returns,
+       v5 / (5 * v1) AS vr5,
+       (v5 / (5 * v1) - 1)
+         / sqrt(CAST(2 * (2 * 5 - 1) * (5 - 1) AS DOUBLE)
+                / (CAST(3 * 5 AS DOUBLE) * CAST(n1 AS DOUBLE))) AS z_lm,
+       CASE WHEN (v5 / (5 * v1) - 1)
+                 / sqrt(CAST(2 * (2 * 5 - 1) * (5 - 1) AS DOUBLE)
+                        / (CAST(3 * 5 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                 > CAST('1.959963984540054' AS DOUBLE)
+              OR (v5 / (5 * v1) - 1)
+                 / sqrt(CAST(2 * (2 * 5 - 1) * (5 - 1) AS DOUBLE)
+                        / (CAST(3 * 5 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                 < -CAST('1.959963984540054' AS DOUBLE)
+            THEN 1 ELSE 0 END AS reject_random_walk
+FROM vars"""
+
+
+@register(
+    "ts_variance_ratio",
+    oracle="""WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),"""
+    + _VR_TAIL.format(daily="daily"),
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q=5) on daily revenue: is
+    the series a random walk (VR≈1), mean-reverting (VR<1), or
+    trending (VR>1)? Overlapping 5-day changes come from one lag
+    window; both variances are exact decimal moments closed by
+    fixed-order chains, and the homoskedastic z uses only integer
+    literals and n.
+
+    Scale: day-grain pre-aggregate then one ordered window pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("vr_daily")
+    return spark.sql("WITH " + _VR_TAIL.format(daily="vr_daily").lstrip())
