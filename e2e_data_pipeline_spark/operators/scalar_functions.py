@@ -3624,3 +3624,58 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "fn_natural_sort",
+    oracle=r"""
+    WITH keys AS (
+        SELECT c_name,
+               regexp_replace(c_name, '([0-9]+)', '0000000000\1', 'g')
+                   AS padded_raw
+        FROM customer WHERE c_custkey < 60
+    ),
+    normed AS (
+        SELECT c_name,
+               regexp_replace(padded_raw, '0*([0-9]{10})', '\1', 'g')
+                   AS sort_key
+        FROM keys
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sort_key, c_name) AS BIGINT)
+               AS pos,
+           c_name, sort_key
+    FROM normed
+    ORDER BY pos
+    """,
+)
+def fn_natural_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural (alphanumeric) ordering: 'file2' before 'file10' by
+    zero-padding every digit run to 10 places inside a derived sort
+    key — two class-only regexes (the shared Java/RE2 subset), no
+    UDF. The padded key sorts lexicographically exactly as a human
+    reads versioned names; original strings ride along untouched.
+
+    Scale: shuffle-free key projection; the sort itself is whatever
+    the consumer orders by.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 60
+    )
+    keys = cust.select(
+        "c_name",
+        F.regexp_replace(
+            F.col("c_name"), "([0-9]+)", "0000000000$1"
+        ).alias("padded_raw"),
+    )
+    normed = keys.select(
+        "c_name",
+        F.regexp_replace(
+            F.col("padded_raw"), r"0*([0-9]{10})", r"$1"
+        ).alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "c_name")
+    return normed.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        "c_name",
+        "sort_key",
+    ).orderBy("pos")

@@ -2545,3 +2545,39 @@ def sql_scripting_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.scripting.enabled", old)
     return df
+
+
+@register(
+    "scan_glob_filter",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-content directory hygiene: data files share their folder
+    with _SUCCESS markers, manifests, and stray logs;
+    ``pathGlobFilter`` restricts the scan to ``*.parquet`` WITHOUT
+    listing-time surprises (the non-matching junk is never opened).
+    Aggregates against the source prove exactly the data files were
+    read.
+
+    Scale: the filter applies during file listing — skipped files
+    cost zero tasks.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="e2e_glob_")
+    nat.write.mode("overwrite").parquet(path)
+    for junk in ("README.txt", "manifest.json", "run.log"):
+        with open(f"{path}/{junk}", "w") as fh:
+            fh.write("not data\n")
+    back = (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .schema(nat.schema)
+        .parquet(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )

@@ -2342,3 +2342,64 @@ def win_stock_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.createOrReplaceTempView("span_daily")
     return spark.sql("WITH " + _SPAN_TAIL.format(daily="span_daily").lstrip())
+
+
+_KER_TAIL = """
+chg AS (
+    SELECT d, y,
+           y - lag(y) OVER (ORDER BY d) AS c,
+           y - lag(y, 10) OVER (ORDER BY d) AS net10
+    FROM {daily}
+),
+win AS (
+    SELECT d,
+           CASE WHEN net10 >= 0 THEN net10 ELSE -net10 END AS net_abs,
+           CAST(SUM(CASE WHEN c >= 0 THEN c ELSE -c END)
+                    OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS path_abs,
+           CAST(count(c) OVER (ORDER BY d ROWS BETWEEN 9 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_in
+    FROM chg
+)
+SELECT d AS day, net_abs, path_abs,
+       CAST(net_abs * 1000000 AS BIGINT)
+           {div} (CASE WHEN path_abs = 0 THEN 1 ELSE path_abs END)
+           AS efficiency_ppm
+FROM win
+WHERE n_in = 10 AND net_abs IS NOT NULL
+ORDER BY d"""
+
+
+@register(
+    "win_kaufman_er",
+    oracle="""WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),"""
+    + _KER_TAIL.format(daily="daily", div="//"),
+)
+def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio over 10 days: |net change| divided by
+    the summed |daily changes| — 1.0 means a straight trend, near 0
+    means churn. Pure int64 (absolute values by CASE, not abs-of-
+    double) with the ratio published in exact ppm over non-negative
+    operands.
+
+    Scale: day-grain pre-aggregate then calendar-bounded windows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("ker_daily")
+    return spark.sql(
+        "WITH " + _KER_TAIL.format(daily="ker_daily", div="div").lstrip()
+    )
