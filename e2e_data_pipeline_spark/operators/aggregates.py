@@ -10143,8 +10143,8 @@ moms AS (
 ),
 fin AS (
     SELECT n,
-           CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE) AS num,
-           CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           CAST(n AS DOUBLE) * (CAST(CAST((sd2 - sd2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sd2 % 1000000000000000000 - sd2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sd2 % 1000000000 AS BIGINT) AS DOUBLE)) AS num,
+           CAST(n AS DOUBLE) * (CAST(CAST((s2 - s2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s2 % 1000000000000000000 - s2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s2 % 1000000000 AS BIGINT) AS DOUBLE))
              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS den
     FROM moms
 )
@@ -10227,9 +10227,9 @@ cov AS (
 ),
 rho AS (
     SELECT n,
-           CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
-           CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
-           CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+           (CAST(CAST((c1 - c1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c1 % 1000000000000000000 - c1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c1 % 1000000000 AS BIGINT) AS DOUBLE)) / (CAST(CAST((c0 - c0 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c0 % 1000000000000000000 - c0 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c0 % 1000000000 AS BIGINT) AS DOUBLE)) AS r1,
+           (CAST(CAST((c2 - c2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c2 % 1000000000000000000 - c2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c2 % 1000000000 AS BIGINT) AS DOUBLE)) / (CAST(CAST((c0 - c0 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c0 % 1000000000000000000 - c0 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c0 % 1000000000 AS BIGINT) AS DOUBLE)) AS r2,
+           (CAST(CAST((c3 - c3 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c3 % 1000000000000000000 - c3 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c3 % 1000000000 AS BIGINT) AS DOUBLE)) / (CAST(CAST((c0 - c0 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((c0 % 1000000000000000000 - c0 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(c0 % 1000000000 AS BIGINT) AS DOUBLE)) AS r3
     FROM cov
 )
 SELECT n, r1, r2, r3,
@@ -10885,11 +10885,11 @@ calc AS (
     SELECT n1, n2,
            CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
            CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
-           (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+           (CAST(n1 AS DOUBLE) * (CAST(CAST((q1 - q1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q1 % 1000000000000000000 - q1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q1 % 1000000000 AS BIGINT) AS DOUBLE))
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
              / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
                 * CAST(n1 - 1 AS DOUBLE)) AS vm1,
-           (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+           (CAST(n2 AS DOUBLE) * (CAST(CAST((q2 - q2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q2 % 1000000000000000000 - q2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q2 % 1000000000 AS BIGINT) AS DOUBLE))
               - CAST(s2_ AS DOUBLE) * CAST(s2_ AS DOUBLE))
              / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
                 * CAST(n2 - 1 AS DOUBLE)) AS vm2
@@ -10953,7 +10953,7 @@ moms AS (
 stats AS (
     SELECT n,
            CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
-           sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+           sqrt((CAST(n AS DOUBLE) * (CAST(CAST((q - q % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q % 1000000000000000000 - q % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q % 1000000000 AS BIGINT) AS DOUBLE))
                  - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sdd
     FROM moms
@@ -11068,11 +11068,11 @@ calc AS (
     SELECT m, n,
         CAST(s10 AS DOUBLE) / (2 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE))
             AS auc,
-        (CAST(m AS DOUBLE) * CAST(q10 AS DOUBLE)
+        (CAST(m AS DOUBLE) * (CAST(CAST((q10 - q10 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q10 % 1000000000000000000 - q10 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q10 % 1000000000 AS BIGINT) AS DOUBLE))
            - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE))
           / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
           / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v10,
-        (CAST(n AS DOUBLE) * CAST(q01 AS DOUBLE)
+        (CAST(n AS DOUBLE) * (CAST(CAST((q01 - q01 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q01 % 1000000000000000000 - q01 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q01 % 1000000000 AS BIGINT) AS DOUBLE))
            - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE))
           / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
           / (4 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS v01
@@ -11306,10 +11306,10 @@ moms AS (
 ),
 vars AS (
     SELECT n1,
-           (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+           (CAST(n1 AS DOUBLE) * (CAST(CAST((q1 - q1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q1 % 1000000000000000000 - q1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q1 % 1000000000 AS BIGINT) AS DOUBLE))
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
              / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1,
-           (CAST(n5 AS DOUBLE) * CAST(q5 AS DOUBLE)
+           (CAST(n5 AS DOUBLE) * (CAST(CAST((q5 - q5 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q5 % 1000000000000000000 - q5 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q5 % 1000000000 AS BIGINT) AS DOUBLE))
               - CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE))
              / (CAST(n5 AS DOUBLE) * CAST(n5 AS DOUBLE)) AS v5
     FROM moms
@@ -11363,3 +11363,103 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.createOrReplaceTempView("vr_daily")
     return spark.sql("WITH " + _VR_TAIL.format(daily="vr_daily").lstrip())
+
+
+_CHOW_RSS = """(CAST(n AS DOUBLE) * {syy}
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+            - (CAST(n AS DOUBLE) * {sty}
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * {sty}
+                 - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+             / CAST(n AS DOUBLE)""".format(syy='(CAST(CAST((syy - syy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((syy % 1000000000000000000 - syy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(syy % 1000000000 AS BIGINT) AS DOUBLE))', sty='(CAST(CAST((sty - sty % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sty % 1000000000000000000 - sty % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sty % 1000000000 AS BIGINT) AS DOUBLE))')
+
+_CHOW_TAIL = """
+based AS (
+    SELECT d - (SELECT MIN(d) FROM {daily}) AS t, y,
+           CASE WHEN d < 10227 THEN 1 ELSE 2 END AS regime
+    FROM {daily}
+),
+moms AS (
+    SELECT regime,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(t * t) AS BIGINT) AS stt,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(t AS DECIMAL(14,0)))
+                AS DECIMAL(38,0)) AS sty,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(16,0)))
+                AS DECIMAL(38,0)) AS syy
+    FROM based GROUP BY regime
+),
+pooled AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(st) AS BIGINT) AS st,
+           CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(stt) AS BIGINT) AS stt,
+           CAST(SUM(sty) AS DECIMAL(38,0)) AS sty,
+           CAST(SUM(syy) AS DECIMAL(38,0)) AS syy
+    FROM moms
+),
+rss AS (
+    SELECT 0 AS regime, {rss} AS rss_n, n FROM pooled
+    UNION ALL
+    SELECT regime, {rss} AS rss_n, n FROM moms
+),
+wide AS (
+    SELECT MAX(CASE WHEN regime = 0 THEN rss_n END) AS rss_p,
+           MAX(CASE WHEN regime = 1 THEN rss_n END) AS rss_1,
+           MAX(CASE WHEN regime = 2 THEN rss_n END) AS rss_2,
+           MAX(CASE WHEN regime = 0 THEN n END) AS n_all
+    FROM rss
+)
+SELECT n_all, rss_p AS rss_pooled, rss_1, rss_2,
+       ((rss_p - rss_1 - rss_2) / 2)
+         / ((rss_1 + rss_2) / CAST(n_all - 4 AS DOUBLE)) AS chow_f,
+       CASE WHEN ((rss_p - rss_1 - rss_2) / 2)
+                 / ((rss_1 + rss_2) / CAST(n_all - 4 AS DOUBLE))
+                 > CAST(\'2.9957\' AS DOUBLE)
+            THEN 1 ELSE 0 END AS break_detected
+FROM wide"""
+
+
+@register(
+    "stats_chow_break",
+    oracle="""WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),"""
+    + _CHOW_TAIL.format(daily="daily", rss=_CHOW_RSS),
+)
+def stats_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at a known date (1998-01-01): fit
+    the revenue-on-time regression pooled and per regime, then
+    F = ((RSS_p − RSS_1 − RSS_2)/2) / ((RSS_1+RSS_2)/(n−4)) against
+    the F(2, ∞) 5% literal — the econometric complement to
+    ts_changepoint_cusum's unknown-date CUSUM. Every RSS is the
+    granger-style centered-moment chain; the wide decimal moments
+    render to double through registry.wide_dbl's 3-limb split (this
+    op is where the bare DECIMAL(38)->DOUBLE cast was first caught
+    diverging by 1 ulp: DuckDB's INT128 conversion is not correctly
+    rounded). Regime moments ADD into pooled moments exactly, so
+    pooling costs no second scan.
+
+    Scale: one day-grain pre-aggregate; the two-regime grouping is a
+    partial agg and the test itself is O(1).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("chow_daily")
+    return spark.sql(
+        "WITH "
+        + _CHOW_TAIL.format(daily="chow_daily", rss=_CHOW_RSS).lstrip()
+    )

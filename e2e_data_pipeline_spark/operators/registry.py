@@ -151,3 +151,26 @@ def ntile_from_rank(rn: Column, n: int, k: int) -> Column:
         .otherwise(F.lit(r) + idiv(a - F.lit(big), q))
         + 1
     ).cast("long")
+
+
+def wide_dbl(col: str) -> str:
+    """Portable wide-decimal -> DOUBLE rendering (SQL text, identical
+    on both engines). A bare ``CAST(x AS DOUBLE)`` on DECIMAL(38,0)
+    values past 2^53 is NOT cross-engine safe: Spark's BigDecimal
+    conversion is correctly rounded but DuckDB's INT128 path is off
+    by 1 ulp on boundary values (verified on 31173371832096364495).
+    Splitting into three sub-2^53 limbs (1e18 / 1e9 / 1) and folding
+    ``h*1e18 + m*1e9 + l`` as doubles is a fixed-order chain over
+    exactly-representable parts — bit-identical everywhere (|x| <
+    9e33), at the cost of not always being the correctly-rounded
+    double (parity, not rounding, is the oracle contract). The
+    divisions follow the blessed exact pattern (a - a%b)/b.
+    """
+    return (
+        "(CAST(CAST(({c} - {c} % 1000000000000000000) / 1000000000000000000"
+        " AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE)"
+        " + CAST(CAST(({c} % 1000000000000000000"
+        " - {c} % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE)"
+        " * CAST(1000000000 AS DOUBLE)"
+        " + CAST(CAST({c} % 1000000000 AS BIGINT) AS DOUBLE))"
+    ).format(c=col)

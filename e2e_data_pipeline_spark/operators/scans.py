@@ -2471,7 +2471,7 @@ def _sigma_moments(src: str, lo: str, hi: str) -> str:
 def _sigma_derive(tag: str) -> str:
     return f"""
     SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-           sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+           sqrt((CAST(n AS DOUBLE) * (CAST(CAST((q - q % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q % 1000000000000000000 - q % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q % 1000000000 AS BIGINT) AS DOUBLE))
                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sd
     FROM {tag}"""
@@ -2525,7 +2525,7 @@ def sql_scripting_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHILE i < 3 DO
                 SET (m, sd) = (
                   SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
-                         sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                         sqrt((CAST(n AS DOUBLE) * (CAST(CAST((q - q % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q % 1000000000000000000 - q % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q % 1000000000 AS BIGINT) AS DOUBLE))
                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
                   FROM {moments} x

@@ -5238,9 +5238,9 @@ moms AS (
 cen AS (
     SELECT n, CAST(n AS DOUBLE) AS nd,
            CAST(sy AS DOUBLE) AS syd, CAST(sa AS DOUBLE) AS sad,
-           CAST(sb AS DOUBLE) AS sbd, CAST(sya AS DOUBLE) AS syad,
-           CAST(syb AS DOUBLE) AS sybd, CAST(sab AS DOUBLE) AS sabd,
-           CAST(sbb AS DOUBLE) AS sbbd
+           (CAST(CAST((sb - sb % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sb % 1000000000000000000 - sb % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sb % 1000000000 AS BIGINT) AS DOUBLE)) AS sbd, (CAST(CAST((sya - sya % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sya % 1000000000000000000 - sya % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sya % 1000000000 AS BIGINT) AS DOUBLE)) AS syad,
+           (CAST(CAST((syb - syb % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((syb % 1000000000000000000 - syb % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(syb % 1000000000 AS BIGINT) AS DOUBLE)) AS sybd, (CAST(CAST((sab - sab % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sab % 1000000000000000000 - sab % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sab % 1000000000 AS BIGINT) AS DOUBLE)) AS sabd,
+           (CAST(CAST((sbb - sbb % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sbb % 1000000000000000000 - sbb % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sbb % 1000000000 AS BIGINT) AS DOUBLE)) AS sbbd
     FROM moms
 ),
 c2 AS (

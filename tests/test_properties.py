@@ -904,3 +904,39 @@ def test_delong_se_matches_placement_reference(spark):
     assert abs(got.se_delong - se) < 1e-12
     base = QUERIES["ml_eval_auc"](spark, sf).collect()[0]
     assert abs(got.auc - base.auc) < 1e-12
+
+
+def test_wide_decimal_double_cast_hazard_and_remedy(spark):
+    """Document + guard the cross-engine hazard: DuckDB's
+    INT128->DOUBLE conversion is NOT correctly rounded (boundary value
+    31173371832096364495 lands 1 ulp above Python/Spark), so a bare
+    CAST(DECIMAL(38,0) AS DOUBLE) is only value-luck beyond 2^53.
+    registry.wide_dbl's 3-limb split must be bit-identical on both
+    engines across magnitudes and signs."""
+    import duckdb
+
+    from e2e_data_pipeline_spark.operators.registry import wide_dbl
+
+    con = duckdb.connect()
+    boundary = "31173371832096364495"
+    naive = con.sql(
+        f"SELECT CAST(CAST('{boundary}' AS DECIMAL(38,0)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert naive != float(int(boundary)), (
+        "DuckDB started rounding INT128 casts correctly — the bare "
+        "cast may be safe again; revisit wide_dbl call sites"
+    )
+    vals = [
+        "31173371832096364495",
+        "-31173371832096364495",
+        "123",
+        "-9007199254740993123456789",
+        "999999999999999999999999999999999",
+        "0",
+        "1152921504606846977",
+    ]
+    for v in vals:
+        e = wide_dbl(f"CAST('{v}' AS DECIMAL(38,0))")
+        d = con.sql(f"SELECT {e}").fetchone()[0]
+        s = spark.sql(f"SELECT {e} AS x").collect()[0][0]
+        assert d.hex() == s.hex(), (v, d.hex(), s.hex())
