@@ -24,6 +24,7 @@ from e2e_data_pipeline_spark.operators.registry import (
     global_rank,
     ntile_from_rank,
     register,
+    wide_dbl,
 )
 
 
@@ -6214,11 +6215,11 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM joined
     )
     SELECT n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (CAST(n AS DOUBLE) * (CAST(CAST((sxy - sxy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sxy % 1000000000000000000 - sxy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sxy % 1000000000 AS BIGINT) AS DOUBLE))
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / sqrt(CAST(n AS DOUBLE) * (CAST(CAST((sxx - sxx % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sxx % 1000000000000000000 - sxx % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sxx % 1000000000 AS BIGINT) AS DOUBLE))
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           / sqrt(CAST(n AS DOUBLE) * (CAST(CAST((syy - syy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((syy % 1000000000000000000 - syy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(syy % 1000000000 AS BIGINT) AS DOUBLE))
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS rho
     FROM s
     """,
@@ -6231,9 +6232,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-count frame (the stats_mannwhitney construction) and
     joins back by value — no global row-number sort. Ranks are kept
     DOUBLED (2r is integer: 2*cnt_less + ties + 1) so every rank is
-    int64-exact; moment sums go through DECIMAL(38,0) (a scale-0
-    -> double cast is one rounding on both engines), and Pearson-
-    on-ranks is the fixed mul/sub/div/sqrt chain. The doubling
+    int64-exact; moment sums go through DECIMAL(38,0) rendered via
+    registry.wide_dbl's limb split (bare scale-0 casts are 1-ulp
+    unsafe past 2^53), and Pearson-on-ranks is the fixed
+    mul/sub/div/sqrt chain. The doubling
     cancels in the correlation, so rho needs no rescaling.
 
     Scale: two per-value aggregations + two equi-joins back on the
@@ -6283,9 +6285,10 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    num = nd * F.col("sxy").cast("double") - sx * sy
-    denx = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
-    deny = F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    # wide_dbl: bare decimal->double casts diverge 1 ulp past 2^53
+    num = nd * F.expr(wide_dbl("sxy")) - sx * sy
+    denx = F.sqrt(nd * F.expr(wide_dbl("sxx")) - sx * sx)
+    deny = F.sqrt(nd * F.expr(wide_dbl("syy")) - sy * sy)
     return s.select("n", (num / denx / deny).alias("rho"))
 
 
@@ -6313,7 +6316,7 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n,
            CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_diff_usd,
            (CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE))
-           / sqrt(((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+           / sqrt(((CAST(n AS DOUBLE) * (CAST(CAST((q - q % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q % 1000000000000000000 - q % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q % 1000000000 AS BIGINT) AS DOUBLE))
                     - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE))
                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
                   / CAST(n AS DOUBLE)) AS t_paired
@@ -6351,7 +6354,7 @@ def stats_t_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sdd = F.col("sd_").cast("double")
-    var = (nd * F.col("q").cast("double") - sdd * sdd) / (
+    var = (nd * F.expr(wide_dbl("q")) - sdd * sdd) / (
         nd * (nd - F.lit(1.0))
     )
     return s.select(
@@ -6389,15 +6392,15 @@ def stats_t_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT n,
-               CAST(s11 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               (CAST(CAST((s11 - s11 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s11 % 1000000000000000000 - s11 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s11 % 1000000000 AS BIGINT) AS DOUBLE)) - CAST(sx1 AS DOUBLE)
                    * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) + 1000.0 AS a11,
-               CAST(s12 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               (CAST(CAST((s12 - s12 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s12 % 1000000000000000000 - s12 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s12 % 1000000000 AS BIGINT) AS DOUBLE)) - CAST(sx1 AS DOUBLE)
                    * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS a12,
-               CAST(s22 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+               (CAST(CAST((s22 - s22 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s22 % 1000000000000000000 - s22 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s22 % 1000000000 AS BIGINT) AS DOUBLE)) - CAST(sx2 AS DOUBLE)
                    * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) + 1000.0 AS a22,
-               CAST(s1y AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               (CAST(CAST((s1y - s1y % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s1y % 1000000000000000000 - s1y % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s1y % 1000000000 AS BIGINT) AS DOUBLE)) - CAST(sx1 AS DOUBLE)
                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b1,
-               CAST(s2y AS DOUBLE) - CAST(sx2 AS DOUBLE)
+               (CAST(CAST((s2y - s2y % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s2y % 1000000000000000000 - s2y % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s2y % 1000000000 AS BIGINT) AS DOUBLE)) - CAST(sx2 AS DOUBLE)
                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS b2,
                CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
                CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
@@ -6452,11 +6455,11 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx2 = F.col("sx2").cast("double")
     sy = F.col("sy").cast("double")
     lam = F.lit(1000.0)
-    a11 = F.col("s11").cast("double") - sx1 * sx1 / nd + lam
-    a12 = F.col("s12").cast("double") - sx1 * sx2 / nd
-    a22 = F.col("s22").cast("double") - sx2 * sx2 / nd + lam
-    b1 = F.col("s1y").cast("double") - sx1 * sy / nd
-    b2 = F.col("s2y").cast("double") - sx2 * sy / nd
+    a11 = F.expr(wide_dbl("s11")) - sx1 * sx1 / nd + lam
+    a12 = F.expr(wide_dbl("s12")) - sx1 * sx2 / nd
+    a22 = F.expr(wide_dbl("s22")) - sx2 * sx2 / nd + lam
+    b1 = F.expr(wide_dbl("s1y")) - sx1 * sy / nd
+    b2 = F.expr(wide_dbl("s2y")) - sx2 * sy / nd
     det = a11 * a22 - a12 * a12
     beta1 = (b1 * a22 - b2 * a12) / det
     beta2 = (b2 * a11 - b1 * a12) / det
@@ -8672,8 +8675,8 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT n, m,
-           CAST(sx AS DOUBLE) / CAST(m * (n + m) AS DOUBLE) / CAST(n AS DOUBLE)
-           + CAST(sy AS DOUBLE) / CAST(n * (n + m) AS DOUBLE) / CAST(m AS DOUBLE)
+           (CAST(CAST((sx - sx % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sx % 1000000000000000000 - sx % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sx % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(m * (n + m) AS DOUBLE) / CAST(n AS DOUBLE)
+           + (CAST(CAST((sy - sy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sy % 1000000000000000000 - sy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sy % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(n * (n + m) AS DOUBLE) / CAST(m AS DOUBLE)
            - CAST(4 * m * n - 1 AS DOUBLE) / CAST(6 * (m + n) AS DOUBLE)
                AS cvm_t
     FROM sums
@@ -8741,8 +8744,8 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         m.cast("long").alias("m"),
         (
-            sx.cast("double") / (m * (n + m)).cast("double") / n.cast("double")
-            + sy.cast("double") / (n * (n + m)).cast("double") / m.cast("double")
+            F.expr(wide_dbl("sx")) / (m * (n + m)).cast("double") / n.cast("double")
+            + F.expr(wide_dbl("sy")) / (n * (n + m)).cast("double") / m.cast("double")
             - (4 * m * n - 1).cast("double") / (6 * (m + n)).cast("double")
         ).alias("cvm_t"),
     )
@@ -10145,7 +10148,7 @@ fin AS (
     SELECT n,
            CAST(n AS DOUBLE) * (CAST(CAST((sd2 - sd2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sd2 % 1000000000000000000 - sd2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sd2 % 1000000000 AS BIGINT) AS DOUBLE)) AS num,
            CAST(n AS DOUBLE) * (CAST(CAST((s2 - s2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s2 % 1000000000000000000 - s2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s2 % 1000000000 AS BIGINT) AS DOUBLE))
-             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS den
+             - (CAST(CAST((s1 - s1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s1 % 1000000000000000000 - s1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s1 % 1000000000 AS BIGINT) AS DOUBLE)) * (CAST(CAST((s1 - s1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s1 % 1000000000000000000 - s1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s1 % 1000000000 AS BIGINT) AS DOUBLE)) AS den
     FROM moms
 )
 SELECT n, num / den AS dw_stat,

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
-from e2e_data_pipeline_spark.operators.registry import dec_avg, dec_sum, register
+from e2e_data_pipeline_spark.operators.registry import (
+    dec_avg,
+    dec_sum,
+    register,
+    wide_dbl,
+)
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -3099,11 +3104,11 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lag_d
     )
     SELECT CAST(lag_d AS INT) AS lag_d, n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (CAST(n AS DOUBLE) * (CAST(CAST((sxy - sxy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sxy % 1000000000000000000 - sxy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sxy % 1000000000 AS BIGINT) AS DOUBLE))
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / sqrt(CAST(n AS DOUBLE) * (CAST(CAST((sxx - sxx % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sxx % 1000000000000000000 - sxx % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sxx % 1000000000 AS BIGINT) AS DOUBLE))
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           / sqrt(CAST(n AS DOUBLE) * (CAST(CAST((syy - syy % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((syy % 1000000000000000000 - syy % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(syy % 1000000000 AS BIGINT) AS DOUBLE))
                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS xcorr
     FROM sums
     """,
@@ -3166,9 +3171,9 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
-    num = nd * F.col("sxy").cast("double") - sx * sy
-    denx = F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
-    deny = F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    num = nd * F.expr(wide_dbl("sxy")) - sx * sy
+    denx = F.sqrt(nd * F.expr(wide_dbl("sxx")) - sx * sx)
+    deny = F.sqrt(nd * F.expr(wide_dbl("syy")) - sy * sy)
     return sums.select(
         "lag_d", "n", (num / denx / deny).alias("xcorr")
     )
@@ -4577,12 +4582,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n, s1 AS sum_chg_cents, n_down,
            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           / sqrt((CAST(CAST((s2 - s2 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((s2 % 1000000000000000000 - s2 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(s2 % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(n AS DOUBLE)
                   - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                     * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
                AS sharpe,
            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-           / sqrt(CAST(sneg AS DOUBLE) / CAST(n AS DOUBLE)) AS sortino
+           / sqrt((CAST(CAST((sneg - sneg % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sneg % 1000000000000000000 - sneg % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sneg % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(n AS DOUBLE)) AS sortino
     FROM moms
     """,
 )
@@ -4634,9 +4639,9 @@ def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_down",
         (
             mean
-            / F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+            / F.sqrt(F.expr(wide_dbl("s2")) / n - mean * mean)
         ).alias("sharpe"),
-        (mean / F.sqrt(F.col("sneg").cast("double") / n)).alias("sortino"),
+        (mean / F.sqrt(F.expr(wide_dbl("sneg")) / n)).alias("sortino"),
     )
 
 
@@ -4666,7 +4671,7 @@ def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n, CAST(sse_snaive AS BIGINT) AS sse_snaive,
            CAST(sse_rw AS BIGINT) AS sse_rw,
-           sqrt(CAST(sse_snaive AS DOUBLE)) / sqrt(CAST(sse_rw AS DOUBLE))
+           sqrt((CAST(CAST((sse_snaive - sse_snaive % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sse_snaive % 1000000000000000000 - sse_snaive % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sse_snaive % 1000000000 AS BIGINT) AS DOUBLE))) / sqrt((CAST(CAST((sse_rw - sse_rw % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((sse_rw % 1000000000000000000 - sse_rw % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(sse_rw % 1000000000 AS BIGINT) AS DOUBLE)))
                AS theil_u2,
            CASE WHEN sse_snaive < sse_rw THEN 1 ELSE 0 END AS snaive_wins
     FROM sums
@@ -4712,8 +4717,8 @@ def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sse_snaive").cast("long").alias("sse_snaive"),
         F.col("sse_rw").cast("long").alias("sse_rw"),
         (
-            F.sqrt(F.col("sse_snaive").cast("double"))
-            / F.sqrt(F.col("sse_rw").cast("double"))
+            F.sqrt(F.expr(wide_dbl("sse_snaive")))
+            / F.sqrt(F.expr(wide_dbl("sse_rw")))
         ).alias("theil_u2"),
         F.when(F.col("sse_snaive") < F.col("sse_rw"), 1)
         .otherwise(0)
