@@ -3304,3 +3304,102 @@ def text_chat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, turn_idx
         """
     )
+
+
+@register(
+    "text_bpe_step",
+    oracle=r"""
+    WITH words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(wc) AS total
+        FROM words, (SELECT unnest(range(1, 40)) AS i) ix
+        WHERE i <= length(word) - 1
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT pair, CAST(total AS BIGINT) AS weighted_count,
+               CAST(row_number() OVER (ORDER BY total DESC, pair)
+                    AS BIGINT) AS rnk
+        FROM pairs
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+    savings AS (
+        SELECT t.pair, t.weighted_count, t.rnk,
+               CAST(SUM(w.wc * (length(w.word)
+                     - length(replace(w.word, t.pair, ''))) / 2)
+                    AS BIGINT) AS merged_occurrences
+        FROM top10 t CROSS JOIN words w
+        GROUP BY t.pair, t.weighted_count, t.rnk
+    )
+    SELECT pair, weighted_count, rnk, merged_occurrences
+    FROM savings ORDER BY rnk
+    """,
+)
+def text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact BPE training iteration over the corpus vocabulary:
+    frequency-weighted adjacent character pairs, the top-10 merge
+    candidates (deterministic count-then-lexicographic rank — 'er'
+    wins, as it does on real English), and each candidate's ACTUAL
+    merged-occurrence count via the replace-length trick (left-to-
+    right non-overlapping, identical semantics both engines) — the
+    number a tokenizer trainer uses, which differs from the raw pair
+    count exactly on overlapping repeats like 'aaa'.
+
+    Scale: pair counting explodes len-1 positions per DISTINCT word
+    (vocabulary-sized, not corpus-sized); candidate evaluation is a
+    10×vocab broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    pairs = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("total"))
+    )
+    w = Window.orderBy(F.desc("total"), "pair")
+    top10 = (
+        pairs.select(
+            "pair",
+            F.col("total").cast("long").alias("weighted_count"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    savings = (
+        F.broadcast(top10)
+        .crossJoin(words)
+        .groupBy("pair", "weighted_count", "rnk")
+        .agg(
+            F.sum(
+                F.col("wc")
+                * (
+                    F.length("word")
+                    - F.length(F.replace(F.col("word"), F.col("pair")))
+                )
+                / 2
+            )
+            .cast("long")
+            .alias("merged_occurrences")
+        )
+    )
+    return savings.select(
+        "pair", "weighted_count", "rnk", "merged_occurrences"
+    ).orderBy("rnk")
