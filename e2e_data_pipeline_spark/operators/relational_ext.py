@@ -3733,3 +3733,109 @@ def dq_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("defect_ppm"),
     )
+
+
+_OUTLIER_VOTES_TAIL = """
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(16,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM {daily}
+),
+percents AS (SELECT y AS v, count(*) AS c FROM {daily} GROUP BY y),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM percents),
+quarts AS (
+    SELECT
+      (SELECT MIN(v) FROM cum CROSS JOIN tot
+       WHERE cc >= (n + 3) {div} 4) AS q1,
+      (SELECT MIN(v) FROM cum CROSS JOIN tot
+       WHERE cc >= (n + 1) {div} 2) AS q2,
+      (SELECT MIN(v) FROM cum CROSS JOIN tot
+       WHERE cc >= (3 * n + 1) {div} 4) AS q3
+),
+mad AS (
+    SELECT (SELECT MIN(av) FROM (
+        SELECT CASE WHEN y >= q2 THEN y - q2 ELSE q2 - y END AS av,
+               SUM(1) OVER (ORDER BY CASE WHEN y >= q2 THEN y - q2
+                                          ELSE q2 - y END) AS cc2
+        FROM {daily} CROSS JOIN quarts) x CROSS JOIN tot
+        WHERE cc2 >= (n + 1) {div} 2) AS m
+    FROM quarts
+),
+votes AS (
+    SELECT d, y,
+           CASE WHEN y < q1 - 3 * (q3 - q1) OR y > q3 + 3 * (q3 - q1)
+                THEN 1 ELSE 0 END AS iqr_vote,
+           CASE WHEN (CASE WHEN y >= q2 THEN y - q2 ELSE q2 - y END)
+                     > 5 * m THEN 1 ELSE 0 END AS mad_vote,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(y AS DOUBLE)
+                       - CAST(s AS DOUBLE)
+                     > 3 * sqrt(CAST(n AS DOUBLE) * {qd}
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  OR CAST(s AS DOUBLE)
+                       - CAST(n AS DOUBLE) * CAST(y AS DOUBLE)
+                     > 3 * sqrt(CAST(n AS DOUBLE) * {qd}
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                THEN 1 ELSE 0 END AS z_vote,
+           CASE WHEN n * y - s >= 0 THEN n * y - s ELSE s - n * y END
+               AS dev_n
+    FROM {daily} CROSS JOIN quarts CROSS JOIN mad CROSS JOIN tot
+)
+SELECT d AS day, y AS rev_cents, iqr_vote, mad_vote, z_vote,
+       CAST(iqr_vote + mad_vote + z_vote AS BIGINT) AS n_votes
+FROM votes
+ORDER BY n_votes DESC, dev_n DESC, d
+LIMIT 20"""
+
+
+@register(
+    "dq_outlier_votes",
+    oracle="""WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),"""
+    + _OUTLIER_VOTES_TAIL.format(
+        daily="daily",
+        div="//",
+        qd="(CAST(CAST((q - q % 1000000000000000000) / 1000000000000000000"
+        " AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE)"
+        " + CAST(CAST((q % 1000000000000000000 - q % 1000000000)"
+        " / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE)"
+        " + CAST(CAST(q % 1000000000 AS BIGINT) AS DOUBLE))",
+    ),
+)
+def dq_outlier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier ENSEMBLE over daily revenue: three independent
+    detectors — Tukey 3·IQR fences, 5·MAD (both integer order-
+    statistic comparisons), and a cleared-denominator 3σ z-rule
+    (n·y − S vs 3·sqrt(n·Q − S²), wide moments through the limb
+    split) — each votes, and the top-20 days rank by consensus then
+    deviation. Single-rule monitors page on their own blind spots;
+    the vote separates 'one test twitched' from 'everything agrees'.
+
+    Scale: quartiles/MAD come from per-cents cumulative tables
+    (value-domain bounded); votes are a projection against broadcast
+    1-row stats.
+    """
+    from e2e_data_pipeline_spark.operators.registry import wide_dbl
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("votes_daily")
+    return spark.sql(
+        "WITH "
+        + _OUTLIER_VOTES_TAIL.format(
+            daily="votes_daily", div="div", qd=wide_dbl("q")
+        ).lstrip()
+    )
