@@ -11466,3 +11466,85 @@ def stats_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _CHOW_TAIL.format(daily="chow_daily", rss=_CHOW_RSS).lstrip()
     )
+
+
+_Z95 = 1.959963984540054
+_SLICE_AUDIT_TAIL = """
+per_slice AS (
+    SELECT slice,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+    FROM {scored} GROUP BY slice
+),
+wilson AS (
+    SELECT slice, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+            + CAST('{z2h}' AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST('{z}' AS DOUBLE)
+              * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + CAST('{z2q}' AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1 + CAST('{z2}' AS DOUBLE) / CAST(n AS DOUBLE)) AS wilson_lo
+    FROM per_slice
+)
+SELECT CAST(row_number() OVER (ORDER BY wilson_lo, slice) AS BIGINT)
+           AS worst_rank,
+       slice, n, k, accuracy, wilson_lo
+FROM wilson
+ORDER BY worst_rank""".replace("{z2h}", repr(_Z95 * _Z95 / 2)).replace(
+    "{z2q}", repr(_Z95 * _Z95 / 4)
+).replace("{z2}", repr(_Z95 * _Z95)).replace("{z}", repr(_Z95))
+
+
+@register(
+    "ml_slice_audit",
+    oracle="""WITH scored AS (
+        SELECT c.c_mktsegment AS slice,
+               CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    ),"""
+    + _SLICE_AUDIT_TAIL.format(scored="scored"),
+)
+def ml_slice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-slice model audit: per-segment accuracy of a fixed rule
+    ranked by the WILSON LOWER BOUND (not the point estimate, so a
+    tiny slice can't look worst on noise alone) — the slicing pass a
+    responsible-model review runs before shipping. Wilson constants
+    are generated from one Python float (repr-embedded) rather than
+    hand-typed: identical-expression ops are parity-blind to literal
+    typos, and this op exists because one was caught in review.
+
+    Scale: broadcast dims into the fact join, one conditional-count
+    partial agg, 5-row Wilson projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    scored = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("slice"),
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("pred"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("label"),
+        )
+    )
+    scored.createOrReplaceTempView("slice_scored")
+    return spark.sql(
+        "WITH " + _SLICE_AUDIT_TAIL.format(scored="slice_scored").lstrip()
+    )
