@@ -5313,3 +5313,199 @@ def agg_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _BASS_TAIL.format(first_buy="bass_first_buy", div="div")
     )
+
+
+_MARKOV_TAIL = """
+trans AS (
+    SELECT et AS i, COALESCE(next_et, '__null') AS j,
+           CAST(count(*) AS BIGINT) AS c
+    FROM {seq}
+    WHERE et IN ('click', 'view', 'signup', 'error')
+    GROUP BY 1, 2
+),
+row_n AS (SELECT i, CAST(SUM(c) AS BIGINT) AS n_i FROM trans GROUP BY i),
+tppm AS (
+    SELECT t.i, t.j, CAST(t.c * 1000000 AS BIGINT) {div} r.n_i AS p
+    FROM trans t JOIN row_n r ON r.i = t.i
+),
+variants AS (
+    SELECT 'base' AS v, NULL AS removed
+    UNION ALL SELECT 'click', 'click'
+    UNION ALL SELECT 'view', 'view'
+    UNION ALL SELECT 'signup', 'signup'
+    UNION ALL SELECT 'error', 'error'
+),
+vmat AS (
+    SELECT va.v, t.i, t.j, t.p
+    FROM variants va JOIN tppm t
+      ON va.removed IS NULL OR t.i <> va.removed
+),
+
+q1 AS (
+    SELECT v, i, CAST(COALESCE(MAX(CASE WHEN j = 'purchase' THEN p END), 0)
+                      AS DECIMAL(31,0)) AS q
+    FROM vmat GROUP BY v, i
+),
+q2 AS (
+    SELECT m.v, m.i,
+           CAST(CAST(COALESCE(MAX(CASE WHEN m.j = 'purchase' THEN m.p END),
+                              0) AS DECIMAL(31,0))
+                * CAST(1000000 AS DECIMAL(25,0))
+           + CAST(COALESCE(SUM(CASE WHEN m.j NOT IN ('purchase', '__null')
+                                    THEN CAST(m.p AS DECIMAL(7,0))
+                                         * CAST(qq.q AS DECIMAL(31,0)) END),
+                           0) AS DECIMAL(38,0)) AS DECIMAL(31,0)) AS q
+    FROM vmat m
+    LEFT JOIN q1 qq ON qq.v = m.v AND qq.i = m.j
+    GROUP BY m.v, m.i
+),
+q3 AS (
+    SELECT m.v, m.i,
+           CAST(CAST(COALESCE(MAX(CASE WHEN m.j = 'purchase' THEN m.p END),
+                              0) AS DECIMAL(31,0))
+                * CAST(1000000000000 AS DECIMAL(25,0))
+           + CAST(COALESCE(SUM(CASE WHEN m.j NOT IN ('purchase', '__null')
+                                    THEN CAST(m.p AS DECIMAL(7,0))
+                                         * CAST(qq.q AS DECIMAL(31,0)) END),
+                           0) AS DECIMAL(38,0)) AS DECIMAL(31,0)) AS q
+    FROM vmat m
+    LEFT JOIN q2 qq ON qq.v = m.v AND qq.i = m.j
+    GROUP BY m.v, m.i
+),
+q4 AS (
+    SELECT m.v, m.i,
+           CAST(CAST(COALESCE(MAX(CASE WHEN m.j = 'purchase' THEN m.p END),
+                              0) AS DECIMAL(31,0))
+                * CAST(1000000000000000000 AS DECIMAL(25,0))
+           + CAST(COALESCE(SUM(CASE WHEN m.j NOT IN ('purchase', '__null')
+                                    THEN CAST(m.p AS DECIMAL(7,0))
+                                         * CAST(qq.q AS DECIMAL(31,0)) END),
+                           0) AS DECIMAL(38,0)) AS DECIMAL(31,0)) AS q
+    FROM vmat m
+    LEFT JOIN q3 qq ON qq.v = m.v AND qq.i = m.j
+    GROUP BY m.v, m.i
+),
+q5 AS (
+    SELECT m.v, m.i,
+           CAST(CAST(COALESCE(MAX(CASE WHEN m.j = 'purchase' THEN m.p END),
+                              0) AS DECIMAL(31,0))
+                * CAST(1000000000000000000000000 AS DECIMAL(25,0))
+           + CAST(COALESCE(SUM(CASE WHEN m.j NOT IN ('purchase', '__null')
+                                    THEN CAST(m.p AS DECIMAL(7,0))
+                                         * CAST(qq.q AS DECIMAL(31,0)) END),
+                           0) AS DECIMAL(38,0)) AS DECIMAL(31,0)) AS q
+    FROM vmat m
+    LEFT JOIN q4 qq ON qq.v = m.v AND qq.i = m.j
+    GROUP BY m.v, m.i
+),
+starts AS (
+    SELECT et AS i, CAST(count(*) AS BIGINT) AS s_n
+    FROM {firsts}
+    WHERE et IN ('click', 'view', 'signup', 'error')
+    GROUP BY et
+),
+numer AS (
+    SELECT q5.v,
+           CAST(SUM(CAST(s.s_n AS DECIMAL(7,0))
+                    * CAST(q5.q AS DECIMAL(31,0))) AS DECIMAL(38,0)) AS num
+    FROM q5 JOIN starts s ON s.i = q5.i
+    GROUP BY q5.v
+),
+base_n AS (SELECT num AS base_num FROM numer WHERE v = 'base')
+SELECT numer.v AS removed_channel,
+       {numd} AS conv_weight,
+       CAST(1 AS DOUBLE) - {numd} / {based} AS removal_effect
+FROM numer CROSS JOIN base_n
+ORDER BY removal_effect DESC, removed_channel"""
+
+_MARKOV_DUCK_SEQ = """
+ordered AS (
+    SELECT user_id, event_type AS et, epoch_us(ts) AS us, event_id
+    FROM events
+),
+sess AS (
+    SELECT user_id, et, us,
+           SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+    FROM (SELECT user_id, et, us, event_id,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS pus
+          FROM ordered) x
+),
+seqd AS (
+    SELECT user_id, sid, et, us,
+           lead(et) OVER (PARTITION BY user_id, sid ORDER BY us) AS next_et,
+           row_number() OVER (PARTITION BY user_id, sid ORDER BY us) AS rn
+    FROM sess
+),
+firsts AS (SELECT et FROM seqd WHERE rn = 1)
+"""
+
+_MARKOV_SPARK_SEQ = """
+ordered AS (
+    SELECT user_id, event_type AS et, unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id
+    FROM events
+),
+sess AS (
+    SELECT user_id, et, us,
+           SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+    FROM (SELECT user_id, et, us, event_id,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS pus
+          FROM ordered) x
+),
+seqd AS (
+    SELECT user_id, sid, et, us,
+           lead(et) OVER (PARTITION BY user_id, sid ORDER BY us) AS next_et,
+           row_number() OVER (PARTITION BY user_id, sid ORDER BY us) AS rn
+    FROM sess
+),
+firsts AS (SELECT et FROM seqd WHERE rn = 1)
+"""
+
+
+@register(
+    "agg_attribution_markov",
+    oracle="WITH "
+    + _MARKOV_DUCK_SEQ
+    + ","
+    + _MARKOV_TAIL.format(
+        seq="seqd",
+        firsts="firsts",
+        div="//",
+        numd=wide_dbl("numer.num"),
+        based=wide_dbl("base_num"),
+    ),
+)
+def agg_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.): sessionized
+    event journeys become a ppm-integer transition matrix over the
+    four engagement channels (purchase absorbing, session-end null);
+    5-step absorption probabilities unroll as decimal-exact matrix-
+    vector products (each step one ppm factor, DECIMAL(31) state —
+    DuckDB silently DOUBLES decimal products past 38 digits, so every
+    multiply is width-capped); each channel's knockout variant drops
+    its state from the transient set, and the removal effect is one
+    wide_dbl division against the base journey weight — the
+    data-to-credit pipeline marketing-mix teams run, exactly.
+
+    Scale: sessionize + transition counts are the only data-sized
+    stages; the 5 knockout chains run on <= 25-row matrices.
+    """
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("markov_events")
+    return spark.sql(
+        "WITH "
+        + _MARKOV_SPARK_SEQ.replace("FROM events", "FROM markov_events")
+        + ","
+        + _MARKOV_TAIL.format(
+            seq="seqd",
+            firsts="firsts",
+            div="div",
+            numd=wide_dbl("numer.num"),
+            based=wide_dbl("base_num"),
+        )
+    )
