@@ -114,8 +114,14 @@ _CHECKED_PREFIX = [
     # driver's budget exceeds 50 keys ----
     "fn_variant",
     "sim_mmr_diversify",
-    "ml_perceptron_int",
+    "agg_attribution_markov",
+    "text_bpe_step",
+    "ml_eval_auc_delong",
+    "stats_ks_uniform_hash",
+    "sql_scripting_sigma_clip",
+    "text_chat_parse",
     "ts_lttb_downsample",
+    "ml_perceptron_int",
     "stats_jonckheere",
     "stats_pettitt_change",
     "stats_cmh",
