@@ -212,3 +212,61 @@ def test_median_polish_effects_bounded_by_band(spark):
     ).agg(F.max("sp")).collect()[0][0]
     for r in rows:
         assert abs(r.col_effect) <= spread
+
+
+def test_session4_calculator_invariants(spark):
+    """Cheap single-pass invariants for the session-4 calculators —
+    bounds and identities that a formula typo would break even though
+    shared-text oracle parity would not."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    rows = QUERIES["win_mfi"](spark, sf).collect()
+    for r in rows:
+        assert 0 <= r.mfi_ppm <= 1_000_000
+        assert r.pos_flow >= 0 and r.neg_flow >= 0
+
+    for r in QUERIES["win_keltner"](spark, sf).collect():
+        assert r.lower <= r.mid <= r.upper
+        if r.breakout_up:
+            assert r.close_cents > r.mid
+        if r.breakout_down:
+            assert r.close_cents < r.mid
+
+    mc = QUERIES["stats_median_ci"](spark, sf).collect()[0]
+    assert mc.ci_lo_cents <= mc.median_cents <= mc.ci_hi_cents
+    assert 1 <= mc.lo_rank < mc.hi_rank <= mc.n
+
+    dl = QUERIES["ml_eval_auc_delong"](spark, sf).collect()[0]
+    assert dl.ci_lo <= dl.auc <= dl.ci_hi
+    assert dl.se_delong > 0
+
+    vr = QUERIES["ts_variance_ratio"](spark, sf).collect()[0]
+    assert vr.vr5 > 0
+
+    dp = QUERIES["dq_digit_preference"](spark, sf).collect()
+    assert abs(sum(r.share_ppm for r in dp) - 1_000_000) <= len(dp)
+    assert len({r.whipple_ppm for r in dp}) == 1
+
+    b58 = QUERIES["fn_base58_codec"](spark, sf).collect()[0]
+    assert b58.n_roundtrip_ok == b58.n_rows
+
+    ks = QUERIES["stats_ks_uniform_hash"](spark, sf).collect()[0]
+    assert 0 <= ks.d_stat <= 1
+
+    cr = QUERIES["agg_capture_recapture"](spark, sf).collect()[0]
+    assert cr.m <= min(cr.n1, cr.n2)
+    assert cr.chapman >= 0
+
+    mk = QUERIES["agg_attribution_markov"](spark, sf).collect()
+    base = [r for r in mk if r.removed_channel == "base"][0]
+    assert base.removal_effect == 0.0
+    for r in mk:
+        assert r.removal_effect <= 1.0
+        assert r.conv_weight >= 0
+
+    er = QUERIES["win_kaufman_er"](spark, sf).collect()
+    for r in er:
+        assert 0 <= r.efficiency_ppm <= 1_000_000
+        assert r.net_abs <= r.path_abs or r.path_abs == 0
