@@ -11548,3 +11548,88 @@ def ml_slice_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _SLICE_AUDIT_TAIL.format(scored="slice_scored").lstrip()
     )
+
+
+def _wilson_expr(k: str, n: str, sign: str) -> str:
+    """Wilson interval endpoint as shared SQL text (repr-embedded
+    z constants; sign '+' = upper bound, '-' = lower bound)."""
+    kd, nd = f"CAST({k} AS DOUBLE)", f"CAST({n} AS DOUBLE)"
+    return (
+        f"(({kd} / {nd} + CAST('{_Z95 * _Z95 / 2!r}' AS DOUBLE) / {nd} "
+        f"{sign} CAST('{_Z95!r}' AS DOUBLE) "
+        f"* sqrt(({kd} / {nd}) * (1 - {kd} / {nd}) / {nd} "
+        f"+ CAST('{_Z95 * _Z95 / 4!r}' AS DOUBLE) / ({nd} * {nd}))) "
+        f"/ (1 + CAST('{_Z95 * _Z95!r}' AS DOUBLE) / {nd}))"
+    )
+
+
+_UPLIFT_TAIL = """
+cells AS (
+    SELECT seg,
+           CAST(SUM(t) AS BIGINT) AS nt,
+           CAST(SUM(t * y) AS BIGINT) AS kt,
+           CAST(SUM(1 - t) AS BIGINT) AS nc,
+           CAST(SUM((1 - t) * y) AS BIGINT) AS kc
+    FROM {scored} GROUP BY seg
+),
+bounds AS (
+    SELECT seg, nt, kt, nc, kc,
+           CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(kc AS DOUBLE) / CAST(nc AS DOUBLE) AS uplift,
+           {wl_t} - {wu_c} AS uplift_lo
+    FROM cells
+    WHERE nt > 0 AND nc > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY uplift_lo DESC, seg) AS BIGINT)
+           AS rnk,
+       seg, nt, kt, nc, kc, uplift, uplift_lo
+FROM bounds
+ORDER BY rnk"""
+
+
+@register(
+    "ml_uplift_segments",
+    oracle="""WITH scored AS (
+        SELECT p.p_brand AS seg,
+               CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS t,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+    ),"""
+    + _UPLIFT_TAIL.format(
+        scored="scored",
+        wl_t=_wilson_expr("kt", "nt", "-"),
+        wu_c=_wilson_expr("kc", "nc", "+"),
+    ),
+)
+def ml_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift ranking with a Newcombe-style guard:
+    treatment (deep discount) minus control return rates per brand,
+    ordered by the CONSERVATIVE bound Wilson_lo(treated) −
+    Wilson_hi(control) — a segment only tops the rollout list when
+    even its pessimistic uplift beats the others' optimistic reads.
+    Wilson endpoints share the repr-generated constants with
+    ml_slice_audit (one float literal source, no hand-typed z²).
+
+    Scale: broadcast part dim, one conditional-count partial agg,
+    25-row bound projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    scored = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("seg"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    scored.createOrReplaceTempView("uplift_scored")
+    return spark.sql(
+        "WITH "
+        + _UPLIFT_TAIL.format(
+            scored="uplift_scored",
+            wl_t=_wilson_expr("kt", "nt", "-"),
+            wu_c=_wilson_expr("kc", "nc", "+"),
+        ).lstrip()
+    )
