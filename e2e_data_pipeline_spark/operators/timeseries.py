@@ -5509,3 +5509,120 @@ def agg_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             based=wide_dbl("base_num"),
         )
     )
+
+
+@register(
+    "ts_holt_winters",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+               CAST(CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100)
+                    AS BIGINT)) AS BIGINT) AS DOUBLE) / 100 AS y
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(y ORDER BY d) AS ys, CAST(count(*) AS BIGINT) AS n,
+               MAX(d) AS last_d
+        FROM daily
+    ),
+    fitted AS (
+        SELECT n, last_d,
+               list_reduce(
+                   list_transform(ys, v -> [
+                       CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE),
+                       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                       CAST(0.0 AS DOUBLE)]),
+                   (acc, e) -> [
+                       CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                         + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.25 AS DOUBLE)
+                         * ((CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                             + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                            - acc[1])
+                         + CAST(0.75 AS DOUBLE) * acc[2],
+                       acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                       CAST(0.25 AS DOUBLE)
+                         * (e[1] - (CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                            + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])))
+                         + CAST(0.75 AS DOUBLE) * acc[3]]
+               ) AS st
+        FROM series
+    )
+    SELECT n AS n_days, last_d,
+           st[1] AS level, st[2] AS trend,
+           st[1] + 1 * st[2] + st[3] AS forecast_d1,
+           st[1] + 2 * st[2] + st[4] AS forecast_d2,
+           st[1] + 7 * st[2] + st[9] AS forecast_d7
+    FROM fitted
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (weekly season, dyadic α=1/2, β=γ=1/4 so
+    every smoothing constant is float-exact) as an array-state fold:
+    state = [level, trend, s1..s7], the seasonal slots ROTATE each
+    step so no modular indexing enters the lambda. Spark folds with
+    aggregate() + 1-based element_at, DuckDB with list_reduce — the
+    ts_holt_linear pattern extended to seasonal state, constructions
+    independent but op-for-op order-identical, so the doubles match
+    bit-for-bit. Emits the fitted state and 1/2/7-day-ahead
+    forecasts.
+
+    Scale: the only data-sized stage is the day-grain aggregate; the
+    fold runs once over the calendar-bounded series.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))"
+            " AS BIGINT) AS DOUBLE) / 100"
+        ).alias("y")
+    )
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y))), s -> s.y)"
+        ).alias("ys"),
+        F.count("*").cast("long").alias("n"),
+        F.max("d").alias("last_d"),
+    )
+    upd_level = (
+        "CAST(0.5 AS DOUBLE) * (v - element_at(acc, 3))"
+        " + CAST(0.5 AS DOUBLE) * (element_at(acc, 1) + element_at(acc, 2))"
+    )
+    fold = f"""
+    aggregate(
+      slice(ys, 2, CAST(n - 1 AS INT)),
+      array(element_at(ys, 1), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      (acc, v) -> array(
+        {upd_level},
+        CAST(0.25 AS DOUBLE) * (({upd_level}) - element_at(acc, 1))
+          + CAST(0.75 AS DOUBLE) * element_at(acc, 2),
+        element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),
+        element_at(acc, 7), element_at(acc, 8), element_at(acc, 9),
+        CAST(0.25 AS DOUBLE) * (v - ({upd_level}))
+          + CAST(0.75 AS DOUBLE) * element_at(acc, 3))
+    ) AS st
+    """
+    fitted = series.where(F.col("n") >= 1).select(
+        "n", "last_d", F.expr(fold)
+    )
+    return fitted.select(
+        F.col("n").alias("n_days"),
+        "last_d",
+        F.expr("element_at(st, 1)").alias("level"),
+        F.expr("element_at(st, 2)").alias("trend"),
+        F.expr(
+            "element_at(st, 1) + 1 * element_at(st, 2) + element_at(st, 3)"
+        ).alias("forecast_d1"),
+        F.expr(
+            "element_at(st, 1) + 2 * element_at(st, 2) + element_at(st, 4)"
+        ).alias("forecast_d2"),
+        F.expr(
+            "element_at(st, 1) + 7 * element_at(st, 2) + element_at(st, 9)"
+        ).alias("forecast_d7"),
+    )
