@@ -11633,3 +11633,78 @@ def ml_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             wu_c=_wilson_expr("kc", "nc", "+"),
         ).lstrip()
     )
+
+
+_DHONDT_TAIL = """
+quotients AS (
+    SELECT party, v, k,
+           CAST(v AS DOUBLE) / CAST(2 * k + 1 AS DOUBLE) AS q_sl,
+           CAST(v AS DOUBLE) / CAST(k + 1 AS DOUBLE) AS q_dh
+    FROM {votes} CROSS JOIN {ks}
+),
+dh AS (
+    SELECT party, row_number() OVER (ORDER BY q_dh DESC, party, k) AS r
+    FROM quotients
+),
+sl AS (
+    SELECT party, row_number() OVER (ORDER BY q_sl DESC, party, k) AS r
+    FROM quotients
+)
+SELECT v.party, v.v AS revenue_cents,
+       CAST((SELECT count(*) FROM dh
+             WHERE dh.party = v.party AND dh.r <= 10) AS BIGINT)
+           AS dhondt_seats,
+       CAST((SELECT count(*) FROM sl
+             WHERE sl.party = v.party AND sl.r <= 10) AS BIGINT)
+           AS sainte_lague_seats
+FROM {votes} v
+ORDER BY v.party"""
+
+
+@register(
+    "agg_divisor_apportionment",
+    oracle="""WITH votes AS (
+        SELECT c.c_mktsegment AS party,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ),"""
+    + _DHONDT_TAIL.format(
+        votes="votes", ks="(SELECT unnest(range(0, 10)) AS k) ks"
+    ),
+)
+def agg_divisor_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divisor-method seat apportionment — D'Hondt (divisors 1,2,3…)
+    and Sainte-Laguë (1,3,5…) side by side, allocating 10 slots by
+    segment revenue: the proportional-allocation family's divisor
+    branch (agg_apportionment covers Hamilton's largest remainder).
+    Quotients are single divisions of exact ints (identical doubles
+    both engines — legal ORDER BY keys), ties break
+    (party, divisor-index) deterministically.
+
+    Scale: parties × 10 divisor rows; ranking is constant-size after
+    the revenue partial agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    votes = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("party"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    votes.createOrReplaceTempView("dhondt_votes")
+    spark.range(0, 10).select(F.col("id").alias("k")).createOrReplaceTempView(
+        "dhondt_ks"
+    )
+    return spark.sql(
+        "WITH "
+        + _DHONDT_TAIL.format(votes="dhondt_votes", ks="dhondt_ks").lstrip()
+    )
