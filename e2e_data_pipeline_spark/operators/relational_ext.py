@@ -3839,3 +3839,78 @@ def dq_outlier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
             daily="votes_daily", div="div", qd=wide_dbl("q")
         ).lstrip()
     )
+
+
+_DICT_SPEC = [
+    ("region", [("r_regionkey", "int"), ("r_name", "str")]),
+    ("nation", [("n_nationkey", "int"), ("n_name", "str"),
+                ("n_regionkey", "int")]),
+    ("customer", [("c_custkey", "int"), ("c_name", "str"),
+                  ("c_nationkey", "int"), ("c_acctbal", "float"),
+                  ("c_mktsegment", "str")]),
+    ("supplier", [("s_suppkey", "int"), ("s_name", "str"),
+                  ("s_nationkey", "int"), ("s_acctbal", "float")]),
+    ("part", [("p_partkey", "int"), ("p_name", "str"),
+              ("p_brand", "str"), ("p_type", "str"),
+              ("p_size", "int"), ("p_retailprice", "float")]),
+    ("orders", [("o_orderkey", "int"), ("o_custkey", "int"),
+                ("o_orderstatus", "str"), ("o_totalprice", "float"),
+                ("o_orderdate", "timestamp"), ("o_orderpriority", "str")]),
+    ("lineitem", [("l_orderkey", "int"), ("l_partkey", "int"),
+                  ("l_suppkey", "int"), ("l_linenumber", "int"),
+                  ("l_quantity", "float"), ("l_extendedprice", "float"),
+                  ("l_discount", "float"), ("l_tax", "float"),
+                  ("l_returnflag", "str"), ("l_linestatus", "str"),
+                  ("l_shipdate", "timestamp")]),
+    ("events", [("event_id", "int"), ("ts", "timestamp"),
+                ("user_id", "int"), ("event_type", "str"),
+                ("value", "float"), ("props", "str")]),
+    ("documents", [("doc_id", "int"), ("text", "str"), ("lang", "str"),
+                   ("source", "str"), ("n_chars", "int")]),
+]
+
+
+def _dict_select(table: str, cols: list) -> str:
+    parts = []
+    for name, klass in cols:
+        c = name
+        parts.append(
+            f"SELECT '{table}' AS table_name, '{name}' AS column_name, "
+            f"'{klass}' AS dtype_class, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+            f"FROM {{prefix}}{table}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_DICT_SQL = "\nUNION ALL\n".join(
+    _dict_select(t, cols) for t, cols in _DICT_SPEC
+)
+
+
+@register(
+    "dq_data_dictionary",
+    oracle=_DICT_SQL.format(prefix="")
+    + "\nORDER BY table_name, column_name",
+)
+def dq_data_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data dictionary in one statement: every column of
+    the nine relational tables with its semantic class, row count,
+    null count, and EXACT distinct cardinality — the governance
+    artifact catalog tools scrape. Generated from ONE Python column
+    spec into both dialects ; embeddings' array
+    column is excluded (list equality isn't a cross-engine
+    contract).
+
+    Scale: one aggregate pass per table (Spark fuses the per-table
+    UNION branches over a shared scan); exact COUNT(DISTINCT) is the
+    honest cost — the approx twin is agg_approx.
+    """
+    for t, _ in _DICT_SPEC:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"dict_{t}")
+    return spark.sql(
+        _DICT_SQL.format(prefix="dict_")
+        + "\nORDER BY table_name, column_name"
+    )
