@@ -940,3 +940,160 @@ def test_wide_decimal_double_cast_hazard_and_remedy(spark):
         d = con.sql(f"SELECT {e}").fetchone()[0]
         s = spark.sql(f"SELECT {e} AS x").collect()[0][0]
         assert d.hex() == s.hex(), (v, d.hex(), s.hex())
+
+
+def test_serial_stats_match_python_reference(spark):
+    """DW, Ljung-Box, variance-ratio, and Chow share one derivation
+    across both engines (identical CTE text) — a formula bug would
+    hash-match. Pin each against a plain Python computation on the
+    same daily series."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    daily = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("y")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    ds = [r.d for r in daily]
+    ys = [r.y for r in daily]
+    n = len(ys)
+    mean = sum(ys) / n
+
+    # Durbin-Watson
+    dw_num = sum((a - b) ** 2 for a, b in zip(ys[1:], ys[:-1]))
+    dw_den = sum((y - mean) ** 2 for y in ys)
+    got = QUERIES["stats_durbin_watson"](spark, sf).collect()[0]
+    assert abs(got.dw_stat - dw_num / dw_den) < 1e-9
+
+    # Ljung-Box (lags 1-3)
+    c = [
+        sum((ys[t] - mean) * (ys[t - k] - mean) for t in range(k, n))
+        for k in range(4)
+    ]
+    q_lb = n * (n + 2) * sum(
+        (c[k] / c[0]) ** 2 / (n - k) for k in (1, 2, 3)
+    )
+    got = QUERIES["stats_ljung_box"](spark, sf).collect()[0]
+    assert abs(got.q_lb - q_lb) < 1e-6
+
+    # Variance ratio q=5 (population variances of available lagged diffs)
+    d1 = [b - a for a, b in zip(ys[:-1], ys[1:])]
+    d5 = [ys[t] - ys[t - 5] for t in range(5, n)]
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    got = QUERIES["ts_variance_ratio"](spark, sf).collect()[0]
+    assert abs(got.vr5 - pvar(d5) / (5 * pvar(d1))) < 1e-9
+
+    # Chow break at epoch day 10227
+    def rss(pairs):
+        m = len(pairs)
+        sx = sum(t for t, _ in pairs)
+        sy = sum(v for _, v in pairs)
+        sxx = sum(t * t for t, _ in pairs)
+        sxy = sum(t * v for t, v in pairs)
+        b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        a = (sy - b * sx) / m
+        return sum((v - a - b * t) ** 2 for t, v in pairs)
+
+    t0 = min(ds)
+    pts = [(d - t0, y) for d, y in zip(ds, ys)]
+    p1 = [(t, v) for (t, v), d in zip(pts, ds) if d < 10227]
+    p2 = [(t, v) for (t, v), d in zip(pts, ds) if d >= 10227]
+    rss_p, rss_1, rss_2 = rss(pts), rss(p1), rss(p2)
+    f_ref = ((rss_p - rss_1 - rss_2) / 2) / ((rss_1 + rss_2) / (n - 4))
+    got = QUERIES["stats_chow_break"](spark, sf).collect()[0]
+    assert abs(got.chow_f - f_ref) / max(f_ref, 1e-9) < 1e-6
+
+
+def test_pettitt_and_cmh_match_python_reference(spark):
+    """Pettitt's rank identity and the CMH pivot both share one
+    derivation across engines — pin against direct Python
+    computations."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    # Pettitt: brute-force U_t = sum_{i<=t, j>t} sign(x_j - x_i)
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias(
+                "d"
+            )
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r.y for r in daily]
+    n = len(ys)
+    best_k, best_day, best_u = -1, None, None
+    for t in range(1, n):
+        u = sum(
+            (1 if ys[j] > ys[i] else (-1 if ys[j] < ys[i] else 0))
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > best_k or (abs(u) == best_k and False):
+            best_k, best_day, best_u = abs(u), daily[t - 1].d, u
+    got = QUERIES["stats_pettitt_change"](spark, sf).collect()[0]
+    assert (got.k_stat, got.change_day, got.u_at_change) == (
+        best_k,
+        best_day,
+        best_u,
+    )
+
+    # CMH: recompute from the five stratum tables
+    rows = (
+        load_table(spark, sf, "orders")
+        .join(
+            load_table(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    strata = {}
+    for r in rows:
+        a, r1, c1, nn = strata.get(r.c_mktsegment, (0, 0, 0, 0))
+        exp = r.o_orderpriority in ("1-URGENT", "2-HIGH")
+        out = r.o_totalprice > 3000
+        strata[r.c_mktsegment] = (
+            a + (1 if exp and out else 0),
+            r1 + (1 if exp else 0),
+            c1 + (1 if out else 0),
+            nn + 1,
+        )
+    dev = sum(a - r1 * c1 / nn for a, r1, c1, nn in strata.values())
+    var = sum(
+        r1 * (nn - r1) * c1 * (nn - c1) / (nn * nn * (nn - 1))
+        for a, r1, c1, nn in strata.values()
+    )
+    got = QUERIES["stats_cmh"](spark, sf).collect()[0]
+    assert abs(got.dev - dev) < 1e-9
+    assert abs(got.var_sum - var) < 1e-9
+    assert abs(got.cmh_stat - dev * dev / var) < 1e-9
