@@ -46,7 +46,9 @@ def test_query_runs_on_empty_inputs(spark, empty_sf_dir, name):
     # sql_generate_series' 24-hour spine — which EXISTS to emit the
     # zero-filled axis when data is absent). Anything larger means
     # rows were fabricated from nothing.
-    static_caps = {"sql_generate_series": 24}
+    # dq_data_dictionary enumerates the 48-column catalog spec — a
+    # metadata row per column exists regardless of data.
+    static_caps = {"sql_generate_series": 24, "dq_data_dictionary": 48}
     cap = static_caps.get(name, 20)
     n = empty_df.count()
     assert n <= cap, f"{name} produced {n} rows from nothing"
