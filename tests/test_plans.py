@@ -923,3 +923,18 @@ def test_perceptron_sample_is_take_ordered(spark):
         )
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_sessionize_is_user_partitioned(spark):
+    """agg_attribution_markov's sessionize windows must shuffle on
+    user_id (never a global single-partition sort over raw events)."""
+    plan = plan_of(spark, "agg_attribution_markov")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_uplift_part_dim_is_broadcast(spark):
+    """ml_uplift_segments joins the part dimension by broadcast — the
+    fact side never shuffles onto a dimension key."""
+    plan = plan_of(spark, "ml_uplift_segments")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
