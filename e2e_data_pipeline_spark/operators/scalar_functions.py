@@ -3679,3 +3679,81 @@ def fn_natural_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "sort_key",
     ).orderBy("pos")
+
+
+def _feistel_sql(duck: bool) -> str:
+    """Two-round Feistel network over 16-bit halves, emitted per
+    dialect (hash60 text and xor spelling differ; structure is
+    identical)."""
+
+    def ff(r: str, rnd: int) -> str:
+        if duck:
+            arg = f"CAST({r} AS VARCHAR) || '#r{rnd}'"
+        else:
+            arg = f"CAST({r} AS STRING) || '#r{rnd}'"
+        if duck:
+            return (
+                f"(CAST(('0x' || substr(md5({arg}), 1, 15)) AS BIGINT)"
+                f" % 65536)"
+            )
+        return (
+            f"(CAST(conv(substr(md5({arg}), 1, 15), 16, 10) AS BIGINT)"
+            f" % 65536)"
+        )
+
+    x = "xor({a}, {b})" if duck else "({a} ^ {b})"
+    dv = "//" if duck else "div"
+    return f"""
+split AS (
+    SELECT k, (k - k % 65536) {dv} 65536 AS l0, k % 65536 AS r0
+    FROM {{ids}}
+),
+enc1 AS (SELECT k, r0 AS l1, {x.format(a='l0', b=ff('r0', 1))} AS r1
+         FROM split),
+enc2 AS (SELECT k, r1 AS l2, {x.format(a='l1', b=ff('r1', 2))} AS r2
+         FROM enc1),
+coded AS (SELECT k, l2 * 65536 + r2 AS token FROM enc2),
+dec AS (
+    SELECT k, token, (token - token % 65536) {dv} 65536 AS l2,
+           token % 65536 AS r2
+    FROM coded
+),
+dec1 AS (SELECT k, token, {x.format(a='r2', b=ff('l2', 2))} AS l1,
+                l2 AS r1 FROM dec),
+dec0 AS (SELECT k, token, {x.format(a='r1', b=ff('l1', 1))} AS l0,
+                l1 AS r0 FROM dec1),
+back AS (SELECT k, token, l0 * 65536 + r0 AS back_k FROM dec0)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN back_k = k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_roundtrip,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(CASE WHEN token = k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fixed_points,
+       min(token) AS min_token, max(token) AS max_token
+FROM back"""
+
+
+@register(
+    "fn_feistel_permutation",
+    oracle="WITH ids AS (SELECT o_orderkey AS k FROM orders),"
+    + _feistel_sql(duck=True).format(ids="ids"),
+)
+def fn_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving id obfuscation: a 2-round Feistel network
+    over 16-bit halves with md5-derived round functions — a BIJECTION
+    on 32-bit ids by construction (decode reverses the rounds), so
+    obfuscated tokens can be published without a lookup table and
+    joined back losslessly. The proof columns certify it on data:
+    full round-trip, all tokens distinct, zero fixed points. Each
+    dialect spells xor/hash natively; the network structure is
+    identical.
+
+    Scale: shuffle-free projection; COUNT(DISTINCT token) is the
+    only shuffled aggregate.
+    """
+    load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).createOrReplaceTempView("feistel_ids")
+    return spark.sql(
+        "WITH " + _feistel_sql(duck=False).format(ids="feistel_ids").lstrip()
+    )

@@ -270,3 +270,31 @@ def test_session4_calculator_invariants(spark):
     for r in er:
         assert 0 <= r.efficiency_ppm <= 1_000_000
         assert r.net_abs <= r.path_abs or r.path_abs == 0
+
+
+def test_apportionment_bpe_dictionary_invariants(spark):
+    """Micro-invariants for the late session ops."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    seats = QUERIES["agg_divisor_apportionment"](spark, sf).collect()
+    assert sum(r.dhondt_seats for r in seats) == 10
+    assert sum(r.sainte_lague_seats for r in seats) == 10
+
+    bpe = QUERIES["text_bpe_step"](spark, sf).collect()
+    for r in bpe:
+        assert r.merged_occurrences <= r.weighted_count
+
+    dd = QUERIES["dq_data_dictionary"](spark, sf).collect()
+    assert len(dd) == 48
+    for r in dd:
+        assert 0 <= r.n_null <= r.n_rows
+        assert r.n_distinct <= r.n_rows
+
+    fp = QUERIES["fn_feistel_permutation"](spark, sf).collect()[0]
+    assert fp.n_roundtrip == fp.n
+    assert fp.n_distinct_tokens == fp.n
+
+    hw = QUERIES["ts_holt_winters"](spark, sf).collect()[0]
+    assert hw.n_days >= 1 and hw.level is not None
