@@ -11708,3 +11708,89 @@ def agg_divisor_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _DHONDT_TAIL.format(votes="dhondt_votes", ks="dhondt_ks").lstrip()
     )
+
+
+def _votes_all_days(div: str, qd: str) -> str:
+    """dq_outlier_votes' construction WITHOUT its top-20 projection —
+    the full per-day vote table for agreement analysis."""
+    from e2e_data_pipeline_spark.operators.relational_ext import (
+        _OUTLIER_VOTES_TAIL,
+    )
+
+    tail = _OUTLIER_VOTES_TAIL.format(daily="{daily}", div=div, qd=qd)
+    marker = "ORDER BY n_votes DESC, dev_n DESC, d\nLIMIT 20"
+    assert marker in tail, "dq_outlier_votes tail changed — update kappa"
+    return tail.replace(marker, "")
+
+
+_FLEISS_TAIL = """
+per AS (
+    SELECT (iqr_vote + mad_vote + z_vote) AS x FROM allvotes
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS nd,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x + (3 - x) * (3 - x) - 3) AS BIGINT) AS snum
+    FROM per
+),
+calc AS (
+    SELECT nd,
+           CAST(snum AS DOUBLE) / (6 * CAST(nd AS DOUBLE)) AS p_bar,
+           CAST(sx AS DOUBLE) / (3 * CAST(nd AS DOUBLE)) AS p1
+    FROM sums
+)
+SELECT nd AS n_days, p1 AS positive_share, p_bar,
+       p1 * p1 + (1 - p1) * (1 - p1) AS p_e,
+       (p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))
+         / (1 - (p1 * p1 + (1 - p1) * (1 - p1))) AS fleiss_kappa
+FROM calc"""
+
+
+def _fleiss_oracle() -> str:
+    daily = """
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    """
+    votes = _votes_all_days("//", wide_dbl("q")).format(daily="daily")
+    return (
+        "WITH daily AS ("
+        + daily
+        + "), allvotes AS (WITH "
+        + votes
+        + "),"
+        + _FLEISS_TAIL
+    )
+
+
+@register("stats_fleiss_kappa", oracle=_fleiss_oracle())
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the three outlier detectors (IQR, MAD, 3σ)
+    treated as raters of every trading day — chance-corrected
+    agreement for the dq_outlier_votes ensemble (percent agreement
+    flatters raters who mostly say 'normal'; kappa doesn't). With 3
+    raters × 2 categories every P_i numerator is the integer
+    x²+(3−x)²−3, so P̄, the marginal shares, and kappa are one
+    fixed-order chain over exact int64 sums.
+
+    Scale: inherits the vote construction's per-cents tables; the
+    kappa fold is one partial-aggregable pass over day-grain votes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.createOrReplaceTempView("fleiss_daily")
+    votes = _votes_all_days("div", wide_dbl("q")).format(
+        daily="fleiss_daily"
+    )
+    return spark.sql(
+        "WITH allvotes AS (WITH " + votes + ")," + _FLEISS_TAIL
+    )
