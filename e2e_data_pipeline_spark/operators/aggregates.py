@@ -11794,3 +11794,116 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH allvotes AS (WITH " + votes + ")," + _FLEISS_TAIL
     )
+
+
+_BALANCE_TAIL = """
+moms AS (
+    SELECT cov,
+           CAST(SUM(t) AS BIGINT) AS nt,
+           CAST(SUM(t * x) AS BIGINT) AS st,
+           CAST(SUM(CAST(t * x AS DECIMAL(19,0))
+                    * CAST(x AS DECIMAL(14,0))) AS DECIMAL(38,0)) AS qt,
+           CAST(SUM(1 - t) AS BIGINT) AS nc,
+           CAST(SUM((1 - t) * x) AS BIGINT) AS sc,
+           CAST(SUM(CAST((1 - t) * x AS DECIMAL(19,0))
+                    * CAST(x AS DECIMAL(14,0))) AS DECIMAL(38,0)) AS qc
+    FROM {stacked} GROUP BY cov
+),
+calc AS (
+    SELECT cov, nt, nc,
+           CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS m_t,
+           CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS m_c,
+           (CAST(nt AS DOUBLE) * {qtd}
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)) AS v_t,
+           (CAST(nc AS DOUBLE) * {qcd}
+              - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (CAST(nc AS DOUBLE) * CAST(nc - 1 AS DOUBLE)) AS v_c
+    FROM moms
+)
+SELECT cov AS covariate, nt AS n_treated, nc AS n_control, m_t, m_c,
+       (m_t - m_c) / sqrt((v_t + v_c) / 2) AS smd,
+       CASE WHEN (m_t - m_c) / sqrt((v_t + v_c) / 2)
+                 > CAST('0.1' AS DOUBLE)
+             OR (m_t - m_c) / sqrt((v_t + v_c) / 2)
+                 < -CAST('0.1' AS DOUBLE)
+            THEN 1 ELSE 0 END AS imbalanced
+FROM calc
+ORDER BY covariate"""
+
+
+@register(
+    "ml_covariate_balance",
+    oracle="""WITH base AS (
+        SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS t,
+               CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+        FROM lineitem
+    ),
+    stacked AS (
+        SELECT 'quantity' AS cov, t, qty AS x FROM base
+        UNION ALL
+        SELECT 'price_cents', t, price_c FROM base
+        UNION ALL
+        SELECT 'tax_cents', t, tax_c FROM base
+    ),"""
+    + _BALANCE_TAIL.format(
+        stacked="stacked",
+        qtd="(CAST(CAST((qt - qt % 1000000000000000000)"
+        " / 1000000000000000000 AS BIGINT) AS DOUBLE)"
+        " * CAST(1000000000000000000 AS DOUBLE)"
+        " + CAST(CAST((qt % 1000000000000000000 - qt % 1000000000)"
+        " / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE)"
+        " + CAST(CAST(qt % 1000000000 AS BIGINT) AS DOUBLE))",
+        qcd="(CAST(CAST((qc - qc % 1000000000000000000)"
+        " / 1000000000000000000 AS BIGINT) AS DOUBLE)"
+        " * CAST(1000000000000000000 AS DOUBLE)"
+        " + CAST(CAST((qc % 1000000000000000000 - qc % 1000000000)"
+        " / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE)"
+        " + CAST(CAST(qc % 1000000000 AS BIGINT) AS DOUBLE))",
+    ),
+)
+def ml_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance table for the discount 'treatment':
+    standardized mean differences (Cohen's d with pooled SD) for
+    quantity, price, and tax between treated and control line items,
+    with the |SMD| > 0.1 imbalance flag — the diagnostic causal
+    analysts print BEFORE trusting any uplift estimate
+    (ml_uplift_segments' sanity precondition). Covariates stack into
+    rows so one moment fold covers all three; second moments ride
+    widened decimals rendered through the wide_dbl limbs.
+
+    Scale: one stacked conditional-moment partial agg (3× scan
+    width, one pass), 3-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("t"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_c"
+        ),
+        F.expr("CAST(ROUND(l_tax * 100) AS BIGINT)").alias("tax_c"),
+    )
+    stacked = (
+        base.select(F.lit("quantity").alias("cov"), "t",
+                    F.col("qty").alias("x"))
+        .unionAll(
+            base.select(F.lit("price_cents").alias("cov"), "t",
+                        F.col("price_c").alias("x"))
+        )
+        .unionAll(
+            base.select(F.lit("tax_cents").alias("cov"), "t",
+                        F.col("tax_c").alias("x"))
+        )
+    )
+    stacked.createOrReplaceTempView("balance_stacked")
+    return spark.sql(
+        "WITH "
+        + _BALANCE_TAIL.format(
+            stacked="balance_stacked",
+            qtd=wide_dbl("qt"),
+            qcd=wide_dbl("qc"),
+        ).lstrip()
+    )
