@@ -3914,3 +3914,65 @@ def dq_data_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DICT_SQL.format(prefix="dict_")
         + "\nORDER BY table_name, column_name"
     )
+
+
+# Second-digit Benford law, ppm (sum over first digits of
+# log10(1 + 1/(10*d1 + d2)) for d1 in 1..9), precomputed in Python —
+# repr-embedded so no engine evaluates a logarithm.
+_BENFORD2_PPM = [
+    119679, 113890, 108821, 104330, 100308,
+    96677, 93375, 90352, 87570, 84997,
+]
+
+_BENFORD2_CASE = "CASE d2 " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD2_PPM)
+) + " END"
+
+_BENFORD2_TAIL = """
+digits AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS {str}), 2, 1) AS BIGINT) AS d2
+    FROM {orders}
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 10
+),
+counts AS (
+    SELECT d2, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d2
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+SELECT d2 AS second_digit, c AS n_amounts,
+       CAST(c * 1000000 AS BIGINT) {div} n AS obs_ppm,
+       CAST({expected} AS BIGINT) AS benford_ppm,
+       CAST(c * 1000000 AS BIGINT) {div} n
+         - CAST({expected} AS BIGINT) AS deviation_ppm
+FROM counts CROSS JOIN tot
+ORDER BY d2"""
+
+
+@register(
+    "dq_benford_second",
+    oracle="WITH "
+    + _BENFORD2_TAIL.format(
+        orders="orders", div="//", expected=_BENFORD2_CASE, str="VARCHAR"
+    ).lstrip(),
+)
+def dq_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-digit Benford audit — the forensic refinement examiners
+    apply when first digits look clean (fabricators who know Benford
+    fix the lead digit and forget the second): observed second-digit
+    shares in exact ppm against the repr-embedded second-digit law
+    (no engine evaluates a log). Completes the digit-forensics
+    set with dq_benford_digits (leading) and dq_digit_preference
+    (terminal heaping).
+
+    Scale: one conditional-count partial agg, 10-row output.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "benford2_orders"
+    )
+    return spark.sql(
+        "WITH "
+        + _BENFORD2_TAIL.format(
+            orders="benford2_orders", div="div",
+            expected=_BENFORD2_CASE, str="STRING"
+        ).lstrip()
+    )
