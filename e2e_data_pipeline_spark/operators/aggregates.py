@@ -7653,8 +7653,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine hash.
 
     Scale: fold splits are scan predicates; the model is a 5-row
-    broadcast; the calibration rank runs on a single-column frame
-    (at 100 TB you'd range-partition it — the global_rank pattern).
+    broadcast; the calibration rank is DISTRIBUTED via
+    ``registry.global_rank`` (range-partition on score + per-partition
+    window + collected offsets — no single-partition sort), and the
+    total calibration count comes back from the same pass as a
+    literal, so the rank-k row is selected without a COUNT() OVER ()
+    global window. Ties on score are rank-order-free for the k-th
+    ORDER STATISTIC (any tiebreak yields the same score value).
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
@@ -7673,17 +7678,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), "o_orderpriority")
         .select(F.abs(F.col("y") - F.col("pred")).alias("score"))
     )
-    ranked = calib.select(
-        "score",
-        F.row_number()
-        .over(Window.orderBy("score"))
-        .cast("long")
-        .alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n_calib"),
+    ranked, n_calib, _ = global_rank(calib, [F.col("score")], rn_name="rnk")
+    k90 = ((n_calib + 1) * 9 + 9) // 10
+    qhat = ranked.where(F.col("rnk") == F.lit(k90)).select(
+        F.col("score").alias("q90"), F.lit(n_calib).cast("long").alias("n_calib")
     )
-    qhat = ranked.where(
-        F.col("rnk") == F.expr("((n_calib + 1) * 9 + 9) div 10")
-    ).select(F.col("score").alias("q90"), "n_calib")
     test = (
         base.where(F.col("fold") == 3)
         .join(F.broadcast(model), "o_orderpriority")
@@ -8692,11 +8691,15 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions and one subtraction: each op correctly rounded
     identically on both engines ⇒ bit-equal doubles.
 
-    Scale: one global rank (distributable via global_rank) plus one
-    per-sample rank; everything downstream is a one-row fold.  The Σ(r−i)²
-    sums ride in DECIMAL(38,0) (exact, order-insensitive, immune to
-    the ~N³ growth of U), the scale-0 decimal→double render is a
-    single rounding on both engines, and T splits into
+    Scale: the global rank r AND the per-sample rank i both come out
+    of ONE distributed ``registry.global_rank`` pass (range-partition
+    on (cents, o_orderkey), per-partition window + collected offsets —
+    no single-partition sort): i for an URGENT row is the running sum
+    of is_x over the same total order, and for a LOW row it is
+    r − cum_is_x.  Everything downstream is a one-row fold.  The
+    Σ(r−i)² sums ride in DECIMAL(38,0) (exact, order-insensitive,
+    immune to the ~N³ growth of U), the scale-0 decimal→double render
+    is a single rounding on both engines, and T splits into
     sx/(m(n+m))/n + sy/(n(n+m))/m so no 2^53-crossing integer
     PRODUCT is ever cast to double (a %4 orderkey fold additionally
     bounds the pool).
@@ -8715,15 +8718,17 @@ def stats_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_x"),
         )
     )
-    ranked = pool.select(
+    granked, _, _ = global_rank(
+        pool,
+        [F.col("cents"), F.col("o_orderkey")],
+        sum_cols=("is_x",),
+        rn_name="r",
+    )
+    ranked = granked.select(
         "is_x",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("long")
-        .alias("r"),
-        F.row_number()
-        .over(Window.partitionBy("is_x").orderBy("cents", "o_orderkey"))
-        .cast("long")
+        "r",
+        F.when(F.col("is_x") == 1, F.col("cum_is_x"))
+        .otherwise(F.col("r") - F.col("cum_is_x"))
         .alias("i"),
     )
     d2 = (

@@ -2081,3 +2081,198 @@ SELECT qs.query_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
 FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
 ORDER BY qs.query_id
 """
+
+
+@register(
+    "sim_ivf_index_roundtrip",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> q[i] * q[i])) AS BIGINT) AS nq
+        FROM pts
+    ),
+    kk AS (SELECT greatest(8, COUNT(*) // 64) AS k
+           FROM pts WHERE vec_id >= 8),
+    cents AS (
+        SELECT vec_id AS c, q AS cent FROM pts
+        WHERE vec_id >= 8 AND vec_id < 8 + (SELECT k FROM kk)
+    ),
+    assign AS (
+        SELECT vec_id AS neighbor_id, q, nq, c AS cell FROM (
+            SELECT p.vec_id, p.q, p.nq, c.c,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                               i -> (p.q[i] - c.cent[i])
+                                    * (p.q[i] - c.cent[i]))) AS BIGINT),
+                               c.c) AS rn
+            FROM normed p CROSS JOIN cents c
+            WHERE p.vec_id >= 8
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, q AS qq, nq AS qn, c AS cell FROM (
+            SELECT p.vec_id, p.q, p.nq, c.c,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                               i -> (p.q[i] - c.cent[i])
+                                    * (p.q[i] - c.cent[i]))) AS BIGINT),
+                               c.c) AS rn
+            FROM normed p CROSS JOIN cents c
+            WHERE p.vec_id < 8
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT pr.query_id, a.neighbor_id,
+               CAST(CAST(list_sum(list_transform(range(1, 65),
+                        i -> pr.qq[i] * a.q[i])) AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(pr.qn AS DOUBLE))
+                   / sqrt(CAST(a.nq AS DOUBLE)) AS cosine
+        FROM probes pr JOIN assign a ON a.cell = pr.cell
+    )
+    SELECT query_id, rn, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving round-trip: BUILD a deterministic IVF index,
+    PERSIST it as catalog tables (assignments bucketed by cell), and
+    answer the top-k query from the READ-BACK index — the full
+    index-build → index-store → probe lifecycle a serving stack runs,
+    where ``sim_topk_ivf`` only demonstrates the in-flight math.
+
+    Build: ppm-quantized integer vectors (one IEEE rounding, identical
+    both engines); K = max(8, N/64) seed centroids derived from the
+    corpus size IN-QUERY on both sides (fixed K goes quadratic at
+    scale — the round-3 lesson); integer-L2 argmin cell assignment.
+    Persist: assignments land via ``bucketBy(8, "cell")`` saveAsTable —
+    at 100 TB the index build is a one-off batch job and every probe
+    after it reads ONLY the probed cells' buckets (the collected probe
+    cells push a ``cell IN (...)`` filter; Spark bucket-pruning shows
+    `SelectedBucketsCount` in the plan, pinned by tests/test_plans.py).
+    Probe: each query scores only its 2 nearest cells' members;
+    cosine = dot/sqrt(nq)/sqrt(nc) over exact sub-2^53 ints is a
+    fixed-order div/sqrt/div chain — bit-identical doubles, so rank
+    boundaries cannot straddle a ulp and the oracle hash is exact.
+    """
+    import os
+    import re
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    normed = pts.select("vec_id", "q", dot_qq.alias("nq"))
+    n_corpus = emb.where(F.col("vec_id") >= N_QUERIES).count()
+    k_cells = max(8, n_corpus // 64)
+    cents = pts.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k_cells)
+    ).select(F.col("vec_id").alias("c"), F.col("q").alias("cent"))
+    dist = F.aggregate(
+        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c")
+    ranked_cells = (
+        normed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", "nq", "c", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    assign = (
+        ranked_cells.where((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "q",
+            "nq",
+            F.col("c").alias("cell"),
+        )
+    )
+    # -- persist the index: bucketed assignments + tiny centroid table
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_") + f"_{os.getpid()}"
+    db = f"ivf_index_{tag}"
+    loc = f"/tmp/spark_graft_ivf/{tag}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    (
+        assign.write.mode("overwrite")
+        .bucketBy(8, "cell")
+        .sortBy("cell")
+        .saveAsTable(f"{db}.assignments")
+    )
+    cents.write.mode("overwrite").saveAsTable(f"{db}.centroids")
+    # -- probe phase: everything below reads ONLY the catalog tables
+    index = spark.table(f"{db}.assignments")
+    cent_rb = spark.table(f"{db}.centroids")
+    dist_q = F.aggregate(
+        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "c")
+    probes = (
+        normed.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "q", "nq")
+        .crossJoin(F.broadcast(cent_rb))
+        .select(
+            "query_id",
+            F.col("q").alias("qq"),
+            F.col("nq").alias("qn"),
+            "c",
+            dist_q.alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 2)
+        .select("query_id", "qq", "qn", F.col("c").alias("cell"))
+    )
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = (
+        index.where(F.col("cell").isin(probed_cells))
+        if probed_cells
+        else index.where(F.lit(False))
+    )
+    dot_qa = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = pruned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot_qa.cast("double")
+            / F.sqrt(F.col("qn").cast("double"))
+            / F.sqrt(F.col("nq").cast("double"))
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+    )

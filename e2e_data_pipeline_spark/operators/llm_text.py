@@ -3403,3 +3403,173 @@ def text_bpe_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return savings.select(
         "pair", "weighted_count", "rnk", "merged_occurrences"
     ).orderBy("rnk")
+
+
+@register(
+    "corpus_e2e_manifest",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                              'string_agg', ' ') AS bow_key
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND n_chars BETWEEN 60 AND 10000
+          AND len(string_split(text, ' ')) >= 15
+    ),
+    admitted AS (
+        SELECT doc_id, lang, n_toks FROM (
+            SELECT doc_id, lang, n_toks,
+                   row_number() OVER (PARTITION BY bow_key ORDER BY doc_id)
+                       AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_toks,
+               SUM(n_toks) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM admitted
+    ),
+    shards AS (
+        SELECT (cum - 1) // 1024 AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM packed GROUP BY 1
+    )
+    SELECT '00_gate' AS stage, CAST(NULL AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS first_doc,
+           CAST(NULL AS BIGINT) AS last_doc,
+           CAST(NULL AS BIGINT) AS n_langs
+    FROM kept
+    UNION ALL
+    SELECT '01_dedup', NULL,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT), NULL, NULL, NULL
+    FROM admitted
+    UNION ALL
+    SELECT '02_shard', shard, n_docs, n_tokens, first_doc, last_doc, n_langs
+    FROM shards
+    """,
+)
+def corpus_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation flow end-to-end AS ONE PLAN with per-stage
+    Observation metrics: documents → tokenize → quality gate → exact
+    bag-of-words dedup → GLOBAL token-budget shard packing → shard
+    manifest. ``corpus_pipeline`` proves the stages fuse;
+    ``corpus_shard_pack`` packs per-language; this op is the
+    production artifact — the manifest a trainer actually consumes
+    (one row per ~1024-token shard: doc span, token count, language
+    mix) PLUS the stage-level admission counters, harvested from
+    ``Observation`` accumulators on the very pass that builds the
+    manifest (at 100 TB the DQ counters ride a job you were already
+    running — no second scan).
+
+    Scale: the quality gate is a scan predicate; dedup shuffles a
+    16-byte md5 of the sorted token bag, never the text; the
+    cumulative token sum that assigns shards is DISTRIBUTED via
+    ``registry.global_rank`` (range-partition on doc_id + collected
+    per-partition offsets — the single-partition running-sum trap
+    never appears; plan-pinned in tests/test_plans.py). The
+    Observation values are exact integers populated by global_rank's
+    own localCheckpoint action, then embedded as literals — the
+    oracle recomputes them in SQL, so the metrics themselves are
+    hash-verified, not just logged.
+    """
+    from pyspark.sql import Observation
+
+    from e2e_data_pipeline_spark.operators.registry import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    obs_gate = Observation("gate")
+    obs_dedup = Observation("dedup")
+    kept = docs.where(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(60, 10000)
+        & (F.size("toks") >= 15)
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.col("toks"))), " ")
+            .cast("binary")
+        ).alias("bow_fp"),
+    ).observe(
+        obs_gate,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bow_fp").orderBy("doc_id")
+    admitted = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_toks")
+        .observe(
+            obs_dedup,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    # Pin the admitted frame BEFORE ranging: repartitionByRange
+    # SAMPLES its child to pick range bounds, which would re-execute
+    # the dedup window and double-count the Observation accumulators.
+    # The eager localCheckpoint is the single action that populates
+    # both observation points exactly once, and the sampling then
+    # reads the pinned RDD instead of recomputing the shuffle.
+    admitted = admitted.localCheckpoint()
+    packed, _, _ = global_rank(
+        admitted, [F.col("doc_id")], sum_cols=("n_toks",)
+    )
+    shards = (
+        packed.withColumn(
+            "shard", F.expr("(cum_n_toks - 1) div 1024").cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            F.lit("02_shard").alias("stage"),
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+            "n_langs",
+        )
+    )
+    g, d = obs_gate.get, obs_dedup.get
+    nul = F.lit(None).cast("long")
+    meta_rows = spark.range(1).select(
+        F.lit("00_gate").alias("stage"),
+        nul.alias("shard"),
+        F.lit(int(g["n_docs"])).cast("long").alias("n_docs"),
+        F.lit(int(g["n_tokens"] or 0)).cast("long").alias("n_tokens"),
+        nul.alias("first_doc"),
+        nul.alias("last_doc"),
+        nul.alias("n_langs"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("01_dedup").alias("stage"),
+            nul.alias("shard"),
+            F.lit(int(d["n_docs"])).cast("long").alias("n_docs"),
+            F.lit(int(d["n_tokens"] or 0)).cast("long").alias("n_tokens"),
+            nul.alias("first_doc"),
+            nul.alias("last_doc"),
+            nul.alias("n_langs"),
+        )
+    )
+    return meta_rows.unionByName(shards)

@@ -2573,10 +2573,13 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     that generator is bigger than the data). Gaps longer than 50 are
     suppressed as intentional keyspace jumps.
 
-    Scale note: the ORDER BY id window is the documented exact twin
-    over the id-grain frame; the range-partitioned global_rank
-    pattern (registry.global_rank) removes the single-partition sort
-    when ids are dense enough to matter.
+    Scale note: the lead() is DISTRIBUTED — range-repartition the
+    distinct ids (layout pinned with localCheckpoint), lead WITHIN
+    each partition, and resolve each partition's last-row successor
+    from the NEXT partition's collected min(id) (range partitions are
+    totally ordered by id, so that IS the global successor; the final
+    partition's lookup misses → NULL, exactly lead()'s tail). One
+    O(32)-row collect, no single-partition sort.
     """
     ids = (
         load_table(spark, sf_dir, "orders")
@@ -2584,8 +2587,26 @@ def dq_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("id"))
         .distinct()
     )
-    w = Window.orderBy("id")
-    nb = ids.select("id", F.lead("id").over(w).alias("next_id"))
+    rp = ids.repartitionByRange(32, F.col("id")).localCheckpoint()
+    wp = rp.withColumn("__pid", F.spark_partition_id())
+    mins = {
+        r["__pid"]: r["mn"]
+        for r in wp.groupBy("__pid").agg(F.min("id").alias("mn")).collect()
+    }
+    next_first: dict[int, int] = {}
+    pids = sorted(mins)
+    for a, b in zip(pids, pids[1:]):
+        next_first[a] = mins[b]
+    if next_first:
+        nf_map = F.create_map(
+            *[F.lit(x) for kv in next_first.items() for x in kv]
+        )[F.col("__pid")]
+    else:
+        nf_map = F.lit(None).cast("long")
+    w = Window.partitionBy("__pid").orderBy("id")
+    nb = wp.select(
+        "id", F.coalesce(F.lead("id").over(w), nf_map).alias("next_id")
+    )
     return nb.where(
         (F.col("next_id") - F.col("id") > 1)
         & (F.col("next_id") - F.col("id") - 1 <= 50)

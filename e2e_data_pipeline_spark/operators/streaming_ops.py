@@ -708,3 +708,211 @@ def stream_split_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alerts.unionByName(normal).select(
         "route", "event_type", "n_events", "cents"
     )
+
+
+@register(
+    "stream_dedup_minhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w)
+                   AS shingle,
+               lead(tok, 2) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE _tail IS NOT NULL
+    ),
+    hashed AS (
+        SELECT s.doc_id, g.seed,
+               MIN(('0x' || substr(md5('s' || CAST(g.seed AS VARCHAR)
+                                        || '|' || s.shingle), 1, 15))::BIGINT)
+                   AS sig
+        FROM sh s, range(0, 16) g(seed)
+        GROUP BY s.doc_id, g.seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               MAX(CASE WHEN seed % 2 = 0 THEN sig END) AS s0,
+               MAX(CASE WHEN seed % 2 = 1 THEN sig END) AS s1
+        FROM hashed GROUP BY doc_id, seed // 2
+    ),
+    state AS (
+        SELECT band, s0, s1, CAST(MIN(doc_id) AS BIGINT) AS canon
+        FROM bands GROUP BY band, s0, s1
+    )
+    SELECT d.doc_id,
+           CAST(MIN(st.canon) AS BIGINT) AS canonical_id,
+           CAST(CASE WHEN MIN(st.canon) < d.doc_id THEN 1 ELSE 0 END
+                AS INT) AS is_candidate
+    FROM bands d
+    JOIN state st ON st.band = d.band AND st.s0 = d.s0 AND st.s1 = d.s1
+    GROUP BY d.doc_id
+    """,
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental STREAMING MinHash dedup — ``dedup_minhash_det``'s
+    banded-signature index maintained by foreachBatch instead of
+    rebuilt per run (the stream_rollup_cascade state pattern applied
+    to dedup): each micro-batch computes its documents' 8×(2×60-bit)
+    band signatures ONCE, appends them to a signature log, and merges
+    them into a versioned band-bucket state keyed (band, s0, s1) with
+    canon = MIN(doc_id). MIN is associative+commutative, so the final
+    state is batch-order independent — exactly what a 100 TB corpus
+    ingest needs (nobody re-minhashes the standing corpus per batch;
+    they fold the batch's signatures into a persisted index). The
+    final per-document verdict joins the signature log against the
+    FINAL state: canonical_id = min canon over the doc's bands,
+    is_candidate = 1 iff some band bucket holds an earlier doc (the
+    LSH candidate test of dedup_minhash_det, served from state).
+
+    The DuckDB oracle recomputes the same state from scratch in one
+    batch — the hash match PROVES the incremental path equals the
+    batch path. Docs with <3 tokens have no shingles and are absent
+    on both sides.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_minhash_")
+    chunks = f"{work}/chunks"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4, F.pmod("doc_id", F.lit(4))).write.parquet(chunks)
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+
+    def batch_bands(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        sh = (
+            toks.select(
+                "doc_id",
+                F.concat_ws(
+                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                ).alias("shingle"),
+                F.lead("tok", 2).over(w).alias("_tail"),
+            )
+            .where(F.col("_tail").isNotNull())
+            .select("doc_id", "shingle")
+            .distinct()
+        )
+        hashed = (
+            sh.select(
+                "doc_id",
+                "shingle",
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("seed"),
+            )
+            .select(
+                "doc_id",
+                "seed",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("s"),
+                                F.col("seed").cast("string"),
+                                F.lit("|"),
+                                F.col("shingle"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .groupBy("doc_id", "seed")
+            .agg(F.min("h").alias("sig"))
+        )
+        return hashed.groupBy(
+            "doc_id", (F.col("seed") / 2).cast("long").alias("band")
+        ).agg(
+            F.max(F.when(F.col("seed") % 2 == 0, F.col("sig"))).alias("s0"),
+            F.max(F.when(F.col("seed") % 2 == 1, F.col("sig"))).alias("s1"),
+        )
+
+    state = {"path": None, "version": 0}
+    sig_log = f"{work}/sig_log"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bands = batch_bands(batch_df)
+        bands.write.mode("append").parquet(sig_log)
+        new = bands.groupBy("band", "s0", "s1").agg(
+            F.min("doc_id").alias("canon")
+        )
+        if state["path"] is not None:
+            old = spark.read.parquet(state["path"])
+            new = (
+                old.unionByName(new)
+                .groupBy("band", "s0", "s1")
+                .agg(F.min("canon").alias("canon"))
+            )
+        state["version"] += 1
+        out = f"{work}/state_v{state['version']}"
+        new.write.parquet(out)
+        state["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("incremental minhash stream did not finish")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    band_schema = StructType(
+        [
+            StructField("doc_id", docs.schema["doc_id"].dataType),
+            StructField("band", LongType()),
+            StructField("s0", LongType()),
+            StructField("s1", LongType()),
+        ]
+    )
+    if state["path"] is None:  # zero-row corpus: no batch ever fired
+        log = spark.createDataFrame([], band_schema)
+        st = spark.createDataFrame(
+            [], "band long, s0 long, s1 long, canon long"
+        )
+    else:
+        log = spark.read.schema(band_schema).parquet(sig_log)
+        st = spark.read.parquet(state["path"])
+    out = (
+        log.join(st, ["band", "s0", "s1"])
+        .groupBy("doc_id")
+        .agg(F.min("canon").alias("mc"))
+        .select(
+            "doc_id",
+            F.col("mc").cast("long").alias("canonical_id"),
+            F.when(F.col("mc") < F.col("doc_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_candidate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

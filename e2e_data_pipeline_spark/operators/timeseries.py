@@ -2779,30 +2779,78 @@ def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer seconds with floor-divided means; the single-run
     edge (no gaps) NULLIFs identically.
 
-    One ordered window for episode marking (global order on the
-    error substream — errors are sparse; partition by service key in
-    a multi-tenant deployment), then tiny span/gap aggregates.
+    Scale: the episode marking is DISTRIBUTED — range-repartition the
+    error substream on (sec, event_id), pin the layout with
+    localCheckpoint, lag WITHIN each partition, and resolve each
+    partition's first-row mark from the previous partition's
+    collected max(sec) (range partitions are totally ordered, so
+    that IS the global predecessor).  The episode id is the global
+    running sum of marks = per-partition running sum + a collected
+    per-partition prefix offset (the registry.global_rank
+    construction).  The inter-episode recovery-gap window is gone
+    entirely: episodes are disjoint and time-ordered, so
+    Σ recovery_gap = (Σstart − min(start)) − (Σend − max(end)) — a
+    closed-form aggregate.  Two O(32)-row collects, no
+    single-partition window.
     """
     ev = load_table(spark, sf_dir, "events")
     errs = ev.where(F.col("event_type") == "error").select(
         F.col("ts").cast("timestamp").cast("long").alias("sec"), "event_id"
     )
-    w = Window.orderBy("sec", "event_id")
-    marked = errs.select(
-        "sec",
+    rp = errs.repartitionByRange(
+        32, F.col("sec"), F.col("event_id")
+    ).localCheckpoint()
+    wp = rp.withColumn("__pid", F.spark_partition_id())
+    bounds = {
+        r["__pid"]: (r["mn"], r["mx"])
+        for r in wp.groupBy("__pid")
+        .agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+        .collect()
+    }
+    prev_last: dict[int, int] = {}
+    last: int | None = None
+    for pid in sorted(bounds):
+        if last is not None:
+            prev_last[pid] = last
+        last = bounds[pid][1]
+    if prev_last:
+        pl_items = [
+            F.lit(x) for kv in prev_last.items() for x in kv
+        ]
+        pl_map = F.create_map(*pl_items)[F.col("__pid")]
+    else:
+        pl_map = F.lit(None).cast("long")
+    w = Window.partitionBy("__pid").orderBy("sec", "event_id")
+    prev_sec = F.coalesce(F.lag("sec").over(w), pl_map)
+    marked = wp.withColumn(
+        "new_episode",
         F.when(
-            (F.col("sec") - F.lag("sec").over(w) > 600)
-            | F.lag("sec").over(w).isNull(),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_episode"),
-        "event_id",
+            prev_sec.isNull() | (F.col("sec") - prev_sec > 600), 1
+        ).otherwise(0),
     )
+    ep_counts = {
+        r["__pid"]: r["c"]
+        for r in marked.groupBy("__pid")
+        .agg(F.sum("new_episode").alias("c"))
+        .collect()
+    }
+    ep_off: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(ep_counts):
+        ep_off[pid] = acc
+        acc += ep_counts[pid] or 0
+    if not ep_off:
+        ep_off = {0: 0}
+    off_map = F.create_map(
+        *[F.lit(x) for kv in ep_off.items() for x in kv]
+    )[F.col("__pid")]
     episodes = marked.select(
-        F.sum("new_episode")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("ep"),
+        (
+            off_map
+            + F.sum("new_episode").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("ep"),
         "sec",
     )
     spans = episodes.groupBy("ep").agg(
@@ -2810,24 +2858,23 @@ def ts_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("end_s"),
         F.count("*").alias("n_errors"),
     )
-    wg = Window.orderBy("start_s")
-    gaps = spans.select(
-        (F.col("start_s") - F.lag("end_s").over(wg)).alias("recovery_gap")
-    )
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
     stats = spans.agg(
         F.count("*").alias("n_episodes"),
         F.sum(F.col("end_s") - F.col("start_s")).alias("total_outage_s"),
         F.max("n_errors").alias("worst_episode_errors"),
+        (
+            (dsum("start_s") - F.min("start_s"))
+            - (dsum("end_s") - F.max("end_s"))
+        ).cast("long").alias("gap_sum"),
     )
-    gap_stats = gaps.where(F.col("recovery_gap").isNotNull()).agg(
-        F.sum("recovery_gap").alias("gap_sum"),
-        F.count("*").alias("gap_n"),
-    )
-    return stats.crossJoin(F.broadcast(gap_stats)).select(
+    return stats.select(
         "n_episodes",
         "total_outage_s",
         F.expr("total_outage_s div n_episodes").cast("bigint").alias("mttr_s"),
-        F.expr("gap_sum div NULLIF(gap_n, 0)").cast("bigint").alias("mtbf_s"),
+        F.expr("gap_sum div NULLIF(n_episodes - 1, 0)")
+        .cast("bigint")
+        .alias("mtbf_s"),
         "worst_episode_errors",
     )
 
@@ -2934,20 +2981,54 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     float chain exact), then a fixed-order σ/μ expression with one
     sqrt — bit-identical doubles.
 
-    One global lag window over the event stream (partition by stream
-    key in production), a 1-row moment reduce.
+    Scale: the lag is DISTRIBUTED — range-repartition on
+    (sec, event_id) with the layout pinned by localCheckpoint, lag
+    WITHIN each partition (range partitions are totally ordered by
+    the key, so only the 31 cross-partition boundary gaps are
+    missing), then recover each boundary gap as
+    first_sec(p) − last_sec(p−1) from a collected 32-row min/max
+    stats pass (the registry.global_rank construction) and fold the
+    boundary contributions into the moment totals as exact integer
+    literals. No single-partition window anywhere; the gap multiset
+    is bit-identically the global one.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id")
     sec = F.col("ts").cast("timestamp").cast("long")
-    gaps = ev.select((sec - F.lag(sec).over(w)).alias("g")).where(
-        F.col("g").isNotNull()
-    )
+    rows = ev.select(sec.alias("sec"), "event_id")
+    rp = rows.repartitionByRange(
+        32, F.col("sec"), F.col("event_id")
+    ).localCheckpoint()
+    wp = rp.withColumn("__pid", F.spark_partition_id())
+    bounds = {
+        r["__pid"]: (r["mn"], r["mx"])
+        for r in wp.groupBy("__pid")
+        .agg(F.min("sec").alias("mn"), F.max("sec").alias("mx"))
+        .collect()
+    }
+    bgaps: list[int] = []
+    prev_last: int | None = None
+    for pid in sorted(bounds):
+        mn, mx = bounds[pid]
+        if prev_last is not None:
+            bgaps.append(mn - prev_last)
+        prev_last = mx
+    bn, bs = len(bgaps), sum(bgaps)
+    bs2 = sum(g * g for g in bgaps)
+    w = Window.partitionBy("__pid").orderBy("sec", "event_id")
+    gaps = wp.select(
+        (F.col("sec") - F.lag("sec").over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
     d = "DECIMAL(38,0)"
     m = gaps.agg(
-        F.count("g").alias("n"),
-        F.sum("g").alias("s"),
-        F.expr(f"SUM(CAST(g AS {d}) * CAST(g AS {d}))").alias("s2"),
+        (F.count("g") + F.lit(bn)).alias("n"),
+        (F.coalesce(F.sum("g"), F.lit(0)) + F.lit(bs)).cast("long").alias("s"),
+        (
+            F.coalesce(
+                F.expr(f"SUM(CAST(g AS {d}) * CAST(g AS {d}))"),
+                F.lit(0).cast(d),
+            )
+            + F.lit(str(bs2)).cast(d)
+        ).cast(d).alias("s2"),
     )
     sigma = (
         "sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"

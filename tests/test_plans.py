@@ -736,6 +736,12 @@ GLOBAL_RANK_KEYS = [
     "agg_cr4",
     "agg_rfm_segmentation",
     "agg_decile_lift",
+    # round-5: the five row-grain windows distributed per VERDICT r4
+    "stats_cvm_2sample",
+    "ml_conformal_interval",
+    "ts_burstiness",
+    "ts_mtbf_mttr",
+    "dq_id_gaps",
 ]
 
 
@@ -938,3 +944,36 @@ def test_uplift_part_dim_is_broadcast(spark):
     plan = plan_of(spark, "ml_uplift_segments")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_probe_prunes_buckets(spark):
+    """sim_ivf_index_roundtrip's probe phase must read ONLY the probed
+    cells' buckets from the persisted index (bucket pruning visible as
+    SelectedBucketsCount) and join them with a broadcast of the tiny
+    probe set — never a shuffle of the corpus-sized index."""
+    import re
+
+    plan = plan_of(spark, "sim_ivf_index_roundtrip")
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucket pruning missing from the index scan"
+    assert int(m.group(1)) <= int(m.group(2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_manifest_pack_is_distributed(spark):
+    """corpus_e2e_manifest's cumulative token sum must ride the
+    global_rank construction (per-__pid windows over the pinned
+    range layout), never a single-partition running sum."""
+    import re
+
+    plan = plan_of(spark, "corpus_e2e_manifest")
+    assert "hashpartitioning(__pid" in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line or re.search(r"\bSort\b", line):
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "SinglePartition" not in below, (
+                "manifest pack: single-partition sort/window"
+            )
