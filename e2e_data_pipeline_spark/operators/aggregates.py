@@ -11188,9 +11188,13 @@ def stats_ks_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number() over the whole population is the single-partition
     # sort this repo bans at entity grain.
     ranked, n_total, _ = global_rank(hashed, [F.col("h")], rn_name="r")
-    ranked.withColumn("n", F.lit(n_total).cast("long")).createOrReplaceTempView(
-        "ksu_ranked"
-    )
+    # n_total or 1: on a zero-row input the frame is empty (no output
+    # rows either way), but ANSI constant folding still evaluates the
+    # d_crit projection's 1.3581/sqrt(n) over the LITERAL and raises
+    # DIVIDE_BY_ZERO at plan time — caught by the round-5 plan sweep.
+    ranked.withColumn(
+        "n", F.lit(n_total or 1).cast("long")
+    ).createOrReplaceTempView("ksu_ranked")
     tail = _KSU_TAIL.format(hash60="h", customer="ksu_ranked")
     head, _, rest = tail.partition("devs AS (")
     return spark.sql(

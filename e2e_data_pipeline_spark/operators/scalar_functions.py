@@ -2340,9 +2340,11 @@ def fn_uuid_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs upsert instead of duplicating. Built from md5 hex with
     version nibble pinned to 5 and variant folded into 8/9/a/b; pure
     string surgery, portable across engines, and embarrassingly
-    parallel (no shuffle — a project over the scan). Contrast with
-    ``uuid()`` which is nondeterministic and breaks retry semantics
-    at scale.
+    parallel (a project over the scan; the row-count audit column
+    rides a 1-row broadcast aggregate, NOT a COUNT() OVER () global
+    window — the round-5 registry-wide single-partition sweep caught
+    the original window form). Contrast with ``uuid()`` which is
+    nondeterministic and breaks retry semantics at scale.
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     h = docs.select(
@@ -2365,9 +2367,9 @@ def fn_uuid_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("hx", 18, 3), F.lit("-"),
         F.substring("hx", 21, 12),
     )
-    n_total = F.count("*").over(Window.partitionBy())
-    return h.select(
-        "doc_id", uuid5.alias("uuid5"), n_total.cast("long").alias("n_total")
+    tot = h.agg(F.count("*").cast("long").alias("n_total"))
+    return h.select("doc_id", uuid5.alias("uuid5")).crossJoin(
+        F.broadcast(tot)
     )
 
 

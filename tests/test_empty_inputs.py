@@ -15,26 +15,18 @@ from __future__ import annotations
 import pytest
 
 from e2e_data_pipeline_spark.operators import QUERIES
-from e2e_data_pipeline_spark.schemas import TABLES
 from tests.conftest import SF_SMALL
 
 
-@pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory):
-    """A fixture-layout dir where every table has 0 rows but the real
-    schema (written from `limit(0)` of the sf0.001 parquet)."""
-    root = tmp_path_factory.mktemp("sf_empty")
-    for name in TABLES:
-        src = spark.read.parquet(f"{SF_SMALL}/{name}.parquet")
-        src.limit(0).write.mode("overwrite").parquet(str(root / f"{name}.parquet"))
-    return str(root)
+# The zero-row fixture dir and the per-key construction cache are
+# session fixtures in conftest.py, shared with test_plan_sweep.
 
 
 # Queries whose *content* depends on rows existing but which must
 # still execute and return an empty, schema-stable frame.
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_runs_on_empty_inputs(spark, empty_sf_dir, name):
-    empty_df = QUERIES[name](spark, empty_sf_dir)
+def test_query_runs_on_empty_inputs(spark, empty_query_cache, name):
+    empty_df, _ = empty_query_cache(name)
     full_df = QUERIES[name](spark, SF_SMALL)
     assert [f.name for f in empty_df.schema.fields] == [
         f.name for f in full_df.schema.fields
