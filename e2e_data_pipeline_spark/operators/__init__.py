@@ -59,65 +59,68 @@ _CHECKED_PREFIX = [
     "join_multiway",
     "join_skew_salted",
     "join_q3_shipping",
-    "join_q17_small_qty",
-    "agg_q6_forecast",
     # aggregations
     "agg_groupby",
     "agg_rollup_cube",
     "agg_stats",
-    "agg_bitmap_distinct",
     "agg_kmv_sketch",
     "stats_fisher_exact",
+    "stats_ks_uniform_hash",
+    "agg_attribution_markov",
+    "ml_eval_auc_delong",
     "agg_amortization",
     "dq_profile",
     # windows
     "win_running",
     "win_topk_per_group",
-    "sim_hamming_topk",
     # sort / set
     "sort_limit",
     "set_intersect_except",
     # relational extensions
     "pivot_wide",
-    "merge_upsert",
     "scd2_history",
     # time series
     "ts_gapfill",
     "ts_kalman_1d",
     # scalar-function families
-    "fn_json",
     "fn_higher_order",
+    "fn_variant",
     # text analysis
     "text_langid",
     "text_quality",
+    "text_bpe_step",
     # dedup
     "dedup_exact",
     "dedup_minhash_det",
-    "dedup_editdist_blocked",
+    "stream_dedup_minhash",
     # similarity
     "sim_topk",
     "sim_matryoshka_probe",
+    "sim_mmr_diversify",
+    "sim_ivf_index_roundtrip",
     # multimodal
     "multimodal_cols",
     # streaming (batch twin of the unified Dataset code)
     "stream_tumbling",
     "stream_session",
-    "stream_stateful",
     # UDF surface
-    "udf_scalar",
     "udf_arrow_batch",
     # SQL front-end + corpus curation composite
     "sql_lateral_topk",
     "sql_recursive_cte",
     "corpus_pipeline",
+    "corpus_e2e_manifest",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
-    "fn_variant",
-    "sim_mmr_diversify",
-    "agg_attribution_markov",
-    "text_bpe_step",
-    "ml_eval_auc_delong",
-    "stats_ks_uniform_hash",
+    "stream_stateful",
+    "merge_upsert",
+    "fn_json",
+    "udf_scalar",
+    "agg_bitmap_distinct",
+    "agg_q6_forecast",
+    "join_q17_small_qty",
+    "sim_hamming_topk",
+    "dedup_editdist_blocked",
     "sql_scripting_sigma_clip",
     "text_chat_parse",
     "ts_lttb_downsample",
