@@ -515,3 +515,138 @@ def test_editdist_blocking_finds_every_distance1_pair(spark):
         for r in QUERIES["dedup_editdist_blocked"](spark, sf).collect()
     ]
     assert got == expected
+
+
+def test_ivf_roundtrip_cosines_match_numpy(spark):
+    """sim_ivf_index_roundtrip shares its IVF derivation between the
+    Spark side and the oracle SQL (identical-expression hazard:
+    a wrong formula would match its oracle bit-for-bit), so pin the
+    reported cosines against an INDEPENDENT numpy reference on the
+    quantized vectors, and the candidate sets against a numpy replay
+    of the cell assignment."""
+    import numpy as np
+
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["sim_ivf_index_roundtrip"](spark, SF_SMALL).collect()
+    assert rows, "round-trip produced no results"
+    emb = {
+        r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    n_corpus = sum(1 for v in emb if v >= 8)
+    k = max(8, n_corpus // 64)
+    cents = {c: emb[c] for c in sorted(emb) if 8 <= c < 8 + k}
+
+    def cell_of(q):
+        return min(
+            cents, key=lambda c: (int(np.dot(q - cents[c], q - cents[c])), c)
+        )
+
+    for r in rows:
+        q, c = emb[r["query_id"]], emb[r["neighbor_id"]]
+        expect = (
+            float(np.dot(q, c)) / np.sqrt(float(np.dot(q, q)))
+            / np.sqrt(float(np.dot(c, c)))
+        )
+        assert abs(r["cosine"] - expect) < 1e-12, (r, expect)
+        # the neighbor must genuinely live in one of the query's 2
+        # probed cells (replay the integer-L2 argmin independently)
+        dists = sorted(
+            (int(np.dot(q - cents[c2], q - cents[c2])), c2) for c2 in cents
+        )
+        probed = {c2 for _, c2 in dists[:2]}
+        assert cell_of(c) in probed, r
+
+
+def test_stream_dedup_minhash_matches_python_reference(spark):
+    """stream_dedup_minhash's Spark side and oracle share the
+    md5-band construction, so replay the whole pipeline in pure
+    Python (hashlib md5, 16 seeds, 8x2 banding, min-canon state) on
+    the sf0.001 corpus and compare verdicts exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_candidate"])
+        for r in QUERIES["stream_dedup_minhash"](spark, SF_SMALL).collect()
+    }
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    bands = defaultdict(list)  # doc -> [(band, s0, s1)]
+    for r in docs:
+        toks = r["text"].split(" ")
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        if not sh:
+            continue
+        sigs = [
+            min(h60(f"s{seed}|{s}") for s in sh) for seed in range(16)
+        ]
+        bands[r["doc_id"]] = [
+            (b, sigs[2 * b], sigs[2 * b + 1]) for b in range(8)
+        ]
+    state = {}
+    for d, bs in bands.items():
+        for key in bs:
+            state[key] = min(state.get(key, d), d)
+    expect = {}
+    for d, bs in bands.items():
+        canon = min(state[key] for key in bs)
+        expect[d] = (canon, 1 if canon < d else 0)
+    assert got == expect
+
+
+def test_corpus_manifest_packing_properties(spark):
+    """corpus_e2e_manifest's stage counters and shard layout, checked
+    against a Python recomputation from the raw table: gate/dedup
+    counts match, shard doc-spans are disjoint and ordered, every
+    shard's token sum stays within budget + its own largest doc, and
+    the shard rows partition the admitted corpus exactly."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["corpus_e2e_manifest"](spark, SF_SMALL).collect()
+    meta = {r["stage"]: r for r in rows if r["stage"] != "02_shard"}
+    shards = sorted(
+        (r for r in rows if r["stage"] == "02_shard"),
+        key=lambda r: r["shard"],
+    )
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    kept = [
+        (r["doc_id"], r["lang"], r["text"].split(" "))
+        for r in docs
+        if r["lang"] in ("en", "de", "fr")
+        and 60 <= r["n_chars"] <= 10000
+        and len(r["text"].split(" ")) >= 15
+    ]
+    assert meta["00_gate"]["n_docs"] == len(kept)
+    assert meta["00_gate"]["n_tokens"] == sum(len(t) for _, _, t in kept)
+    seen = {}
+    admitted = []
+    for d, lang, toks in sorted(kept):
+        key = " ".join(sorted(set(toks)))
+        if key not in seen:
+            seen[key] = d
+            admitted.append((d, len(toks)))
+    assert meta["01_dedup"]["n_docs"] == len(admitted)
+    assert meta["01_dedup"]["n_tokens"] == sum(n for _, n in admitted)
+    # shard layout: cumulative-quota assignment over doc_id order
+    assert sum(r["n_docs"] for r in shards) == len(admitted)
+    assert sum(r["n_tokens"] for r in shards) == sum(n for _, n in admitted)
+    prev_last = -1
+    cum = 0
+    for r in shards:
+        assert r["first_doc"] > prev_last, "shard doc-spans must be ordered"
+        prev_last = r["last_doc"]
+        cum += r["n_tokens"]
+        # cumulative-quota: after this shard, cum > shard_id*1024
+        assert cum > r["shard"] * 1024
