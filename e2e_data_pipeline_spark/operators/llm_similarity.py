@@ -2083,10 +2083,97 @@ ORDER BY qs.query_id
 """
 
 
-@register(
-    "sim_ivf_index_roundtrip",
-    oracle="""
-    WITH pts AS (
+
+def _ppm_normed(emb: DataFrame) -> DataFrame:
+    """ppm-quantized integer vectors + exact integer squared norms —
+    the shared deterministic base of the integer-IVF family (one IEEE
+    rounding per element, identical on both engines; the
+    dedup_semantic_det construction)."""
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    )
+    dot_qq = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pts.select("vec_id", "q", dot_qq.alias("nq"))
+
+
+def _ivf2_probes(
+    normed: DataFrame, cents: DataFrame, super_hi: int, n_probe: int = 2
+) -> DataFrame:
+    """Two-level (IMI-style) coarse quantization — the sublinear
+    assignment that keeps the integer-IVF family from going quadratic
+    when K grows with the corpus (K = N/64 ⇒ flat argmin is N·K =
+    N²/64; the 10× smoke read ~6.8× on the assignment-bound ops).
+    Level 1: the K1 = max(4, isqrt(K)) lowest-id centroids double as
+    super-centroids; every centroid maps to its nearest super (K·K1,
+    tiny). Level 2: each point finds its 2 nearest supers (N·K1) and
+    exact-argmins only over the centroids living in those supers
+    (~N·2K/K1). Total ~N·3√K. All ties break (dist, id); everything
+    integer, so the oracle replicates the rule bit-for-bit.
+    Returns (vec_id, q, nq, c, rn) with rn <= n_probe.
+    """
+    supers = cents.where(F.col("c") < super_hi).select(
+        F.col("c").alias("s"), F.col("cent").alias("scent")
+    )
+    sdist = F.aggregate(
+        F.zip_with("q", "scent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist_s = F.aggregate(
+        F.zip_with("cent", "scent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("c").orderBy("d", "s")
+    c2s = (
+        cents.crossJoin(F.broadcast(supers))
+        .select("c", "cent", "s", cdist_s.alias("d"))
+        .withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") == 1)
+        .select("c", "cent", "s")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("d", "s")
+    p2s = (
+        normed.crossJoin(F.broadcast(supers))
+        .select("vec_id", "q", "nq", "s", sdist.alias("d"))
+        .withColumn("srn", F.row_number().over(wp))
+        .where(F.col("srn") <= 2)
+        .select("vec_id", "q", "nq", "s")
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wf = Window.partitionBy("vec_id").orderBy("dist", "c")
+    return (
+        p2s.join(F.broadcast(c2s), "s")
+        .select("vec_id", "q", "nq", "c", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= n_probe)
+        .drop("dist")
+    )
+
+
+def _ivf2_sql(lo: int) -> str:
+    """DuckDB twin of :func:`_ivf2_probes` over the embeddings table:
+    corpus = vec_id >= lo, centroids = the K lowest corpus ids,
+    supers = the K1 lowest centroid ids. Yields CTEs ``normed`` and
+    ``probes`` (vec_id, q, nq, c, rn<=2)."""
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    return f"""
+    pts AS (
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
@@ -2099,37 +2186,325 @@ ORDER BY qs.query_id
                     i -> q[i] * q[i])) AS BIGINT) AS nq
         FROM pts
     ),
-    kk AS (SELECT greatest(8, COUNT(*) // 64) AS k
-           FROM pts WHERE vec_id >= 8),
-    cents AS (
-        SELECT vec_id AS c, q AS cent FROM pts
-        WHERE vec_id >= 8 AND vec_id < 8 + (SELECT k FROM kk)
+    kk AS (SELECT greatest(8, COUNT(*) // 64) AS k FROM pts
+           WHERE vec_id >= {lo}),
+    k1 AS (SELECT greatest(4, CAST(floor(sqrt(CAST(k AS DOUBLE)))
+                                   AS BIGINT)) AS k1 FROM kk),
+    cents AS (SELECT vec_id AS c, q AS cent FROM pts
+              WHERE vec_id >= {lo}
+                AND vec_id < {lo} + (SELECT k FROM kk)),
+    supers AS (SELECT c AS s, cent AS scent FROM cents
+               WHERE c < {lo} + (SELECT k1 FROM k1)),
+    c2s AS (
+        SELECT c, cent, s FROM (
+            SELECT c.c, c.cent, s.s,
+                   row_number() OVER (PARTITION BY c.c
+                       ORDER BY {d2.format(a='c.cent', b='s.scent')}, s.s)
+                       AS crn
+            FROM cents c CROSS JOIN supers s
+        ) WHERE crn = 1
     ),
-    assign AS (
-        SELECT vec_id AS neighbor_id, q, nq, c AS cell FROM (
-            SELECT p.vec_id, p.q, p.nq, c.c,
-                   row_number() OVER (
-                       PARTITION BY p.vec_id
-                       ORDER BY CAST(list_sum(list_transform(range(1, 65),
-                               i -> (p.q[i] - c.cent[i])
-                                    * (p.q[i] - c.cent[i]))) AS BIGINT),
-                               c.c) AS rn
-            FROM normed p CROSS JOIN cents c
-            WHERE p.vec_id >= 8
-        ) WHERE rn = 1
+    p2s AS (
+        SELECT vec_id, q, nq, s FROM (
+            SELECT p.vec_id, p.q, p.nq, s.s,
+                   row_number() OVER (PARTITION BY p.vec_id
+                       ORDER BY {d2.format(a='p.q', b='s.scent')}, s.s)
+                       AS srn
+            FROM normed p CROSS JOIN supers s
+        ) WHERE srn <= 2
     ),
     probes AS (
-        SELECT vec_id AS query_id, q AS qq, nq AS qn, c AS cell FROM (
-            SELECT p.vec_id, p.q, p.nq, c.c,
-                   row_number() OVER (
-                       PARTITION BY p.vec_id
-                       ORDER BY CAST(list_sum(list_transform(range(1, 65),
-                               i -> (p.q[i] - c.cent[i])
-                                    * (p.q[i] - c.cent[i]))) AS BIGINT),
-                               c.c) AS rn
-            FROM normed p CROSS JOIN cents c
-            WHERE p.vec_id < 8
+        SELECT vec_id, q, nq, c, rn FROM (
+            SELECT ps.vec_id, ps.q, ps.nq, cs.c,
+                   row_number() OVER (PARTITION BY ps.vec_id
+                       ORDER BY {d2.format(a='ps.q', b='cs.cent')}, cs.c)
+                       AS rn
+            FROM p2s ps JOIN c2s cs ON cs.s = ps.s
         ) WHERE rn <= 2
+    )
+"""
+
+
+_IVF_BASE_SQL = _ivf2_sql(0)
+
+
+@register(
+    "sim_knn_join",
+    oracle="WITH "
+    + _IVF_BASE_SQL
+    + """,
+    cand AS (
+        SELECT p.vec_id, p.q AS pq, p.nq AS pn,
+               h.vec_id AS neighbor_id, h.q AS hq, h.nq AS hn
+        FROM probes p
+        JOIN probes h ON h.c = p.c AND h.rn = 1
+                     AND h.vec_id <> p.vec_id
+    ),
+    scored AS (
+        SELECT DISTINCT vec_id, neighbor_id,
+               CAST(CAST(list_sum(list_transform(range(1, 65),
+                        i -> pq[i] * hq[i])) AS BIGINT) AS DOUBLE)
+                   / sqrt(CAST(pn AS DOUBLE)) / sqrt(CAST(hn AS DOUBLE))
+                   AS cosine
+        FROM cand
+    )
+    SELECT vec_id, rn, neighbor_id, cosine FROM (
+        SELECT vec_id, neighbor_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN SELF-JOIN: every corpus vector gets its approximate 3
+    nearest neighbors — the all-pairs serving shape behind embedding
+    graph construction (kNN graphs for clustering, label propagation,
+    graph-based ANN indexes like HNSW seeds). Brute force is O(N²);
+    here each vector meets only the HOME members of its P=2 probed
+    IVF cells, so candidate work is ~P·(N/K)·N = ~128·N with the
+    corpus-derived K = max(8, N/64) — linear, and every join is an
+    equi-join on the cell id.
+
+    Same integer-exact machinery as sim_ivf_index_roundtrip
+    (ppm-int vectors, two-level integer-L2 cell probing via
+    ``_ivf2_probes`` — N·√K assignment, not the quadratic flat
+    argmin — and the dot/sqrt/sqrt fixed-order cosine ⇒ bit-identical
+    doubles), so rank boundaries can't straddle a ulp and the oracle
+    hash is exact. The kNN graph is asymmetric by construction (i in
+    knn(j) does not imply j in knn(i)) — downstream consumers
+    symmetrize as needed.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = _ppm_normed(emb)
+    n_vecs = emb.count()
+    k_cells = max(8, n_vecs // 64)
+    k1 = max(4, math.isqrt(k_cells))
+    cents = normed.where(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("c"), F.col("q").alias("cent")
+    )
+    probes = _ivf2_probes(normed, cents, super_hi=k1, n_probe=2)
+    home = probes.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("hq"),
+        F.col("nq").alias("hn"),
+        "c",
+    )
+    cand = probes.select(
+        "vec_id", F.col("q").alias("pq"), F.col("nq").alias("pn"), "c"
+    ).join(home, "c").where(F.col("neighbor_id") != F.col("vec_id"))
+    dot_ph = F.aggregate(
+        F.zip_with("pq", "hq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "vec_id",
+        "neighbor_id",
+        (
+            dot_ph.cast("double")
+            / F.sqrt(F.col("pn").cast("double"))
+            / F.sqrt(F.col("hn").cast("double"))
+        ).alias("cosine"),
+    ).distinct()
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("vec_id", "rn", "neighbor_id", "cosine")
+    )
+
+
+@register(
+    "sim_ivf_reindex_delta",
+    oracle="WITH "
+    + _IVF_BASE_SQL
+    + """,
+    assign AS (SELECT vec_id, c AS cell FROM probes WHERE rn = 1),
+    split AS (
+        SELECT cell,
+               CAST(SUM(CASE WHEN vec_id % 5 != 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM assign GROUP BY cell
+    ),
+    tot AS (SELECT CAST(SUM(n_total) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k_used FROM split)
+    SELECT s.cell, s.n_base, s.n_delta, s.n_total,
+           CAST(s.n_total * t.k_used * 1000000 // t.n AS BIGINT)
+               AS load_ppm_of_mean,
+           CAST(s.n_delta * 1000000 // s.n_total AS BIGINT)
+               AS delta_share_ppm
+    FROM split s CROSS JOIN tot t
+    """,
+)
+def sim_ivf_reindex_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only IVF index maintenance audit: vectors with
+    vec_id % 5 = 0 play the newly-arrived DELTA batch, assigned to
+    the EXISTING centroids without retraining (what every serving
+    stack does between reindex cycles — assignment is cheap, Lloyd is
+    not). Output per cell: base/delta/total occupancy, load relative
+    to the mean cell (ppm — the imbalance alarm that triggers a
+    retrain), and the delta share (how stale the centroids are
+    getting). Pairs with ``sim_centroid_drift``, which quantifies how
+    far those centroids have drifted once the deltas land.
+
+    Assignment is the shared two-level ``_ivf2_probes`` pass (N·√K,
+    sublinear per row — the flat argmin smoked 6.7× at 10× data, the
+    hierarchical one ~2-3×); everything after is a K-row aggregate.
+    Exact integer counts and ppm floor-divisions — hash-exact.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = _ppm_normed(emb)
+    n_vecs = emb.count()
+    k_cells = max(8, n_vecs // 64)
+    k1 = max(4, math.isqrt(k_cells))
+    cents = normed.where(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("c"), F.col("q").alias("cent")
+    )
+    assign = (
+        _ivf2_probes(normed, cents, super_hi=k1, n_probe=1)
+        .select("vec_id", F.col("c").alias("cell"))
+    )
+    split = assign.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 5 != 0, 1).otherwise(0)).alias(
+            "n_base"
+        ),
+        F.sum(F.when(F.col("vec_id") % 5 == 0, 1).otherwise(0)).alias(
+            "n_delta"
+        ),
+        F.count("*").alias("n_total"),
+    )
+    tot = split.agg(
+        F.sum("n_total").alias("n"), F.count("*").alias("k_used")
+    )
+    return split.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_delta").cast("long").alias("n_delta"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.expr("n_total * k_used * 1000000 div n")
+        .cast("long")
+        .alias("load_ppm_of_mean"),
+        F.expr("n_delta * 1000000 div n_total")
+        .cast("long")
+        .alias("delta_share_ppm"),
+    )
+
+
+@register(
+    "sim_centroid_drift",
+    oracle="WITH "
+    + _IVF_BASE_SQL
+    + """,
+    assign AS (
+        SELECT p.vec_id, p.q, p.c AS cell FROM probes p WHERE p.rn = 1
+    ),
+    dims AS (
+        SELECT cell, unnest(q) AS v,
+               unnest(range(1, len(q) + 1)) AS dim
+        FROM assign
+    ),
+    means AS (
+        SELECT cell, dim,
+               CAST((SUM(v) - ((SUM(v) % COUNT(*)) + COUNT(*))
+                     % COUNT(*)) // COUNT(*) AS BIGINT) AS mu
+        FROM dims GROUP BY cell, dim
+    ),
+    drift AS (
+        SELECT m.cell,
+               CAST(SUM((m.mu - c.cent[m.dim]) * (m.mu - c.cent[m.dim]))
+                    AS BIGINT) AS drift_l2sq
+        FROM means m JOIN cents c ON c.c = m.cell
+        GROUP BY m.cell
+    ),
+    sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM assign GROUP BY cell)
+    SELECT s.cell, s.n_members, d.drift_l2sq
+    FROM sizes s JOIN drift d ON d.cell = s.cell
+    """,
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift — the index-health metric that decides WHEN to
+    retrain: one integer Lloyd recentering (per-cell floor-mean of
+    the member vectors, dimension-wise) and the squared L2 distance
+    from the serving centroid to that recentered mean. Large drift on
+    a heavy cell = the index no longer reflects the data
+    distribution; pairs with ``sim_ivf_reindex_delta``'s occupancy
+    audit to close the maintenance loop.
+
+    Scale: member vectors posexplode to (cell, dim) cells — a 64×
+    fan-out that partial-aggregates BELOW the shuffle, so the
+    exchange carries K·64 cells, not N·64 elements. The floor-mean
+    uses the portable floor-division form
+    ``(s − ((s % n) + n) % n) div n`` (coordinates go negative —
+    Spark div truncates toward zero, DuckDB // floors; the pmod
+    sandwich makes both floor). Assignment rides the shared two-level
+    ``_ivf2_probes`` pass (N·√K). Everything integer ⇒ hash-exact.
+    """
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = _ppm_normed(emb)
+    n_vecs = emb.count()
+    k_cells = max(8, n_vecs // 64)
+    k1 = max(4, math.isqrt(k_cells))
+    cents = normed.where(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("c"), F.col("q").alias("cent")
+    )
+    assign = (
+        _ivf2_probes(normed, cents, super_hi=k1, n_probe=1)
+        .select("q", F.col("c").alias("cell"))
+    )
+    dims = assign.select(
+        "cell", F.posexplode("q").alias("dim0", "v")
+    ).select("cell", (F.col("dim0") + 1).alias("dim"), "v")
+    means = dims.groupBy("cell", "dim").agg(
+        F.expr(
+            "CAST((SUM(v) - pmod(SUM(v), COUNT(*))) div COUNT(*) AS BIGINT)"
+        ).alias("mu")
+    )
+    cent_dims = cents.select(
+        F.col("c").alias("cell"), F.posexplode("cent").alias("dim0", "cv")
+    ).select("cell", (F.col("dim0") + 1).alias("dim"), "cv")
+    drift = (
+        means.join(cent_dims, ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                (F.col("mu") - F.col("cv")) * (F.col("mu") - F.col("cv"))
+            )
+            .cast("long")
+            .alias("drift_l2sq")
+        )
+    )
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return sizes.join(drift, "cell").select(
+        "cell",
+        F.col("n_members").cast("long").alias("n_members"),
+        "drift_l2sq",
+    )
+
+
+@register(
+    "sim_ivf_index_roundtrip",
+    oracle="WITH "
+    + _ivf2_sql(8)
+    + """,
+    assign AS (
+        SELECT vec_id AS neighbor_id, q, nq, c AS cell
+        FROM probes WHERE vec_id >= 8 AND rn = 1
+    ),
+    qprobes AS (
+        SELECT vec_id AS query_id, q AS qq, nq AS qn, c AS cell
+        FROM probes WHERE vec_id < 8 AND rn <= 2
     ),
     scored AS (
         SELECT pr.query_id, a.neighbor_id,
@@ -2137,7 +2512,7 @@ ORDER BY qs.query_id
                         i -> pr.qq[i] * a.q[i])) AS BIGINT) AS DOUBLE)
                    / sqrt(CAST(pr.qn AS DOUBLE))
                    / sqrt(CAST(a.nq AS DOUBLE)) AS cosine
-        FROM probes pr JOIN assign a ON a.cell = pr.cell
+        FROM qprobes pr JOIN assign a ON a.cell = pr.cell
     )
     SELECT query_id, rn, neighbor_id, cosine FROM (
         SELECT query_id, neighbor_id, cosine,
@@ -2158,53 +2533,41 @@ def sim_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build: ppm-quantized integer vectors (one IEEE rounding, identical
     both engines); K = max(8, N/64) seed centroids derived from the
     corpus size IN-QUERY on both sides (fixed K goes quadratic at
-    scale — the round-3 lesson); integer-L2 argmin cell assignment.
-    Persist: assignments land via ``bucketBy(8, "cell")`` saveAsTable —
-    at 100 TB the index build is a one-off batch job and every probe
-    after it reads ONLY the probed cells' buckets (the collected probe
-    cells push a ``cell IN (...)`` filter; Spark bucket-pruning shows
-    `SelectedBucketsCount` in the plan, pinned by tests/test_plans.py).
-    Probe: each query scores only its 2 nearest cells' members;
-    cosine = dot/sqrt(nq)/sqrt(nc) over exact sub-2^53 ints is a
-    fixed-order div/sqrt/div chain — bit-identical doubles, so rank
-    boundaries cannot straddle a ulp and the oracle hash is exact.
+    scale — the round-3 lesson); cell assignment via the TWO-LEVEL
+    coarse quantizer ``_ivf2_probes`` (N·√K, not the flat N·K argmin
+    that itself goes quadratic when K grows with N). Persist:
+    assignments land via ``bucketBy(8, "cell")`` saveAsTable — at
+    100 TB the index build is a one-off batch job and every probe
+    after it reads ONLY the probed cells' buckets (the collected
+    probe cells push a ``cell IN (...)`` filter; Spark bucket-pruning
+    shows `SelectedBucketsCount` in the plan, pinned by
+    tests/test_plans.py). Probe: each query scores only its 2 nearest
+    cells' members; cosine = dot/sqrt(nq)/sqrt(nc) over exact
+    sub-2^53 ints is a fixed-order div/sqrt/div chain — bit-identical
+    doubles, so rank boundaries cannot straddle a ulp and the oracle
+    hash is exact.
     """
+    import math
     import os
     import re
     import shutil
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
-        ).alias("q"),
-    )
-    dot_qq = F.aggregate(
-        F.zip_with("q", "q", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    normed = pts.select("vec_id", "q", dot_qq.alias("nq"))
+    normed = _ppm_normed(emb)
     n_corpus = emb.where(F.col("vec_id") >= N_QUERIES).count()
     k_cells = max(8, n_corpus // 64)
-    cents = pts.where(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k_cells)
+    k1 = max(4, math.isqrt(k_cells))
+    cents = normed.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + k_cells)
     ).select(F.col("vec_id").alias("c"), F.col("q").alias("cent"))
-    dist = F.aggregate(
-        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "c")
-    ranked_cells = (
-        normed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "q", "nq", "c", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-    )
     assign = (
-        ranked_cells.where((F.col("vec_id") >= N_QUERIES) & (F.col("rn") == 1))
+        _ivf2_probes(
+            normed.where(F.col("vec_id") >= N_QUERIES),
+            cents,
+            super_hi=N_QUERIES + k1,
+            n_probe=1,
+        )
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "q",
@@ -2229,26 +2592,16 @@ def sim_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- probe phase: everything below reads ONLY the catalog tables
     index = spark.table(f"{db}.assignments")
     cent_rb = spark.table(f"{db}.centroids")
-    dist_q = F.aggregate(
-        F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy("dist", "c")
-    probes = (
-        normed.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "q", "nq")
-        .crossJoin(F.broadcast(cent_rb))
-        .select(
-            "query_id",
-            F.col("q").alias("qq"),
-            F.col("nq").alias("qn"),
-            "c",
-            dist_q.alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 2)
-        .select("query_id", "qq", "qn", F.col("c").alias("cell"))
+    probes = _ivf2_probes(
+        normed.where(F.col("vec_id") < N_QUERIES),
+        cent_rb,
+        super_hi=N_QUERIES + k1,
+        n_probe=2,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qn"),
+        F.col("c").alias("cell"),
     )
     probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     pruned = (
@@ -2276,3 +2629,61 @@ def sim_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
     )
+
+
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PERSISTED IVF index (sim_ivf_index_roundtrip)
+    graded against exact cosine top-5 (sim_topk) per query — the
+    acceptance gate for an index build: run it after every reindex,
+    alert when probe recall drops (cells drifted, imbalance grew).
+    Same operator-algebra composition as ``sim_recall_audit``; note
+    the exact ranking scores FLOAT cosines while the index ranks
+    ppm-quantized INTEGER cosines, so this audit also prices the
+    quantization: P=2 probes on the fixture land well above the
+    sign-bit sketch's ~20-40%.
+    """
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = sim_ivf_index_roundtrip(spark, sf_dir).select(
+        F.col("query_id").alias("i_q"), F.col("neighbor_id").alias("i_n")
+    )
+    qs = exact.select("query_id").distinct()
+    hits = (
+        exact.join(
+            ivf,
+            (F.col("i_q") == F.col("query_id"))
+            & (F.col("i_n") == F.col("neighbor_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                "CAST(COALESCE(n_overlap, 0) * 1000000 div 5 AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+register("sim_ivf_recall_audit")(sim_ivf_recall_audit)
+
+_ORACLES["sim_ivf_recall_audit"] = f"""
+WITH e AS ({_ORACLES['sim_topk']}),
+i AS ({_ORACLES['sim_ivf_index_roundtrip']}),
+qs AS (SELECT DISTINCT query_id FROM e),
+hits AS (
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM e JOIN i ON i.query_id = e.query_id
+               AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT qs.query_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(hits.n_overlap, 0) * 1000000 AS BIGINT) // 5
+           AS recall_ppm
+FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
+ORDER BY qs.query_id
+"""

@@ -2581,3 +2581,146 @@ def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("n_nationkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "scan_csv_quarantine",
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END AS bad
+        FROM customer
+    ),
+    stats AS (
+        SELECT CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_quarantined
+        FROM src
+    ),
+    good AS (
+        SELECT CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        FROM src JOIN customer USING (c_custkey) WHERE bad = 0
+    )
+    SELECT s.n_good, s.n_quarantined, g.key_sum,
+           CAST(s.n_quarantined * 1000000
+                // (s.n_good + s.n_quarantined) AS BIGINT) AS bad_ppm
+    FROM stats s CROSS JOIN good g
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingestion posture every
+    production CSV feed needs: read in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` sidecar column, split the stream
+    into clean rows and a quarantine (corrupt rows kept, never
+    silently dropped), and report the reject rate. The fixture writes
+    a CSV where every 37th customer's row is torn (wrong arity +
+    unparseable int), so the expected quarantine set is derivable in
+    SQL from the parquet — reject counts, the surviving key checksum,
+    and the bad-ppm rate all hash-check.
+
+    The DROPMALFORMED alternative loses data silently, and FAILFAST
+    kills the job for one bad row — at 100 TB PERMISSIVE+quarantine is
+    the only operable mode (reprocess the quarantine after the feed
+    producer fixes their bug). Corrupt-record capture requires the
+    schema to carry the sidecar column; the split is two pushed-down
+    filters over one scan.
+    """
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    # every 37th row is torn: non-numeric key + a stray third field
+    line = F.when(
+        F.col("c_custkey") % 37 == 0,
+        F.concat(F.lit("X"), F.col("c_custkey"), F.lit(",oops,extra")),
+    ).otherwise(F.concat(F.col("c_custkey"), F.lit(","), F.col("c_name")))
+    path = tempfile.mkdtemp(prefix="e2e_csv_quar_")
+    cust.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("c_custkey long, c_name string, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # cache: the corrupt-record column contract forbids projecting
+    # only the sidecar without materializing the parse first
+    back = back.localCheckpoint()
+    clean = back.where(F.col("_corrupt").isNull())
+    quarantined = back.where(F.col("_corrupt").isNotNull())
+    stats = clean.agg(
+        F.count("*").alias("n_good"),
+        F.sum("c_custkey").alias("key_sum"),
+    ).crossJoin(
+        F.broadcast(quarantined.agg(F.count("*").alias("n_quarantined")))
+    )
+    return stats.select(
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_quarantined").cast("long").alias("n_quarantined"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+        F.expr("n_quarantined * 1000000 div (n_good + n_quarantined)")
+        .cast("long")
+        .alias("bad_ppm"),
+    )
+
+
+@register(
+    "sink_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS cents,
+               o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (
+        SELECT o_orderkey, cents, NULL AS priority FROM v1
+        UNION ALL SELECT o_orderkey, cents, priority FROM v2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v1_rows,
+           CAST(COUNT(DISTINCT priority) AS BIGINT) AS n_priorities,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM unioned
+    """,
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the sink — the lakehouse reality that a
+    column added upstream must not break the table: v1 files land
+    (orderkey, cents), the producer later adds a `priority` column
+    and v2 files append WITH it, and a ``mergeSchema`` read serves
+    the union — v1 rows surface the new column as NULL, no rewrite
+    of old files, no reader fork. The audit row proves all rows
+    survived, exactly the v1 half is NULL-filled, and the money
+    column still sums exactly.
+
+    At 100 TB this is why mergeSchema (or a table format's schema
+    tracking) beats rewrite-on-evolve: adding a column is O(metadata),
+    not O(data). Per-file footers disagree on the schema; the merged
+    read reconciles them once at planning time.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    path = tempfile.mkdtemp(prefix="e2e_schema_evo_") + "/t"
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents
+    ).write.parquet(path)
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents, F.col("o_orderpriority").alias("priority")
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_v1_rows"),
+        F.countDistinct("priority").cast("long").alias("n_priorities"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -916,3 +916,152 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_sessionize_incremental",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000 AS sec,
+               event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, sec,
+               CASE WHEN lag(sec) OVER w IS NULL
+                      OR sec - lag(sec) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+        SELECT user_id, sec,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(sec) AS BIGINT) AS session_start,
+           CAST(MAX(sec) AS BIGINT) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization across micro-batch boundaries — the
+    stateful shape every clickstream pipeline actually needs: a
+    session OPEN at the end of one batch must absorb events arriving
+    in later batches, and here the batches split by event_id hash (NOT
+    time), so sessions genuinely arrive out of order and in pieces.
+    State is the per-user set of merged [start,end,count] intervals;
+    each foreachBatch sessionizes its own events to intervals, unions
+    them with the state, and re-closes under the 1800 s gap rule
+    (sort by start within user, running-max end, island when
+    start − prev running-max > gap). Gap-closure interval union is a
+    CLOSURE OPERATOR — idempotent, commutative, associative — so the
+    final state is batch-order independent, which the oracle proves
+    by computing plain gaps-and-islands over the whole table: the
+    hash match means incremental ≡ batch exactly (same starts, ends,
+    event counts).
+
+    Scale: every pass is partitioned by user_id (windows and
+    groupBys); state is one interval row per OPEN-or-closed session,
+    compacting as sessions merge — at 100 TB the state table is the
+    sessions, not the events. Same-second ties collapse into the same
+    interval, so the second-grain tie order is irrelevant.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap = 1800
+    work = tempfile.mkdtemp(prefix="stream_sess_inc_")
+    chunks = f"{work}/chunks"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+    )
+    ev.repartition(4, F.pmod("event_id", F.lit(4))).write.parquet(chunks)
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+
+    def merge_intervals(iv: DataFrame) -> DataFrame:
+        """Close a per-user interval set under the gap rule."""
+        w = Window.partitionBy("user_id").orderBy("s", "e")
+        run_max_e = F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        marked = iv.withColumn(
+            "new_island",
+            F.when(
+                run_max_e.isNull() | (F.col("s") - run_max_e > gap), 1
+            ).otherwise(0),
+        )
+        islands = marked.withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return islands.groupBy("user_id", "island").agg(
+            F.min("s").alias("s"),
+            F.max("e").alias("e"),
+            F.sum("n").alias("n"),
+        ).drop("island")
+
+    def batch_intervals(df: DataFrame) -> DataFrame:
+        pts = df.select(
+            "user_id",
+            F.col("sec").alias("s"),
+            F.col("sec").alias("e"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        return merge_intervals(pts)
+
+    state = {"path": None, "version": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_intervals(batch_df)
+        if state["path"] is not None:
+            old = spark.read.parquet(state["path"])
+            new = merge_intervals(old.unionByName(new))
+        state["version"] += 1
+        out = f"{work}/state_v{state['version']}"
+        new.write.parquet(out)
+        state["path"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("incremental sessionize stream did not finish")
+
+    if state["path"] is None:  # zero-row input: no batch ever fired
+        st = spark.createDataFrame(
+            [], "user_id long, s long, e long, n long"
+        )
+    else:
+        st = spark.read.schema(
+            "user_id long, s long, e long, n long"
+        ).parquet(state["path"])
+    out = st.select(
+        "user_id",
+        F.col("s").cast("long").alias("session_start"),
+        F.col("e").cast("long").alias("session_end"),
+        F.col("n").cast("long").alias("n_events"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -529,6 +529,8 @@ def test_ivf_roundtrip_cosines_match_numpy(spark):
     from e2e_data_pipeline_spark.operators import QUERIES
     from tests.conftest import SF_SMALL
 
+    import math
+
     rows = QUERIES["sim_ivf_index_roundtrip"](spark, SF_SMALL).collect()
     assert rows, "round-trip produced no results"
     emb = {
@@ -537,12 +539,26 @@ def test_ivf_roundtrip_cosines_match_numpy(spark):
     }
     n_corpus = sum(1 for v in emb if v >= 8)
     k = max(8, n_corpus // 64)
+    k1 = max(4, math.isqrt(k))
     cents = {c: emb[c] for c in sorted(emb) if 8 <= c < 8 + k}
+    supers = {s: cents[s] for s in sorted(cents) if s < 8 + k1}
 
-    def cell_of(q):
-        return min(
-            cents, key=lambda c: (int(np.dot(q - cents[c], q - cents[c])), c)
-        )
+    def d2(a, b):
+        return int(np.dot(a - b, a - b))
+
+    # replay the two-level quantizer: cell -> super, point -> 2 supers,
+    # point -> argmin over the cells of those supers
+    c2s = {
+        c: min(supers, key=lambda s: (d2(cents[c], supers[s]), s))
+        for c in cents
+    }
+
+    def probe_cells(v, n_probe):
+        sd = sorted((d2(v, supers[s]), s) for s in supers)
+        probed_supers = {s for _, s in sd[:2]}
+        cand = [c for c in cents if c2s[c] in probed_supers]
+        cd = sorted((d2(v, cents[c]), c) for c in cand)
+        return [c for _, c in cd[:n_probe]]
 
     for r in rows:
         q, c = emb[r["query_id"]], emb[r["neighbor_id"]]
@@ -551,13 +567,9 @@ def test_ivf_roundtrip_cosines_match_numpy(spark):
             / np.sqrt(float(np.dot(c, c)))
         )
         assert abs(r["cosine"] - expect) < 1e-12, (r, expect)
-        # the neighbor must genuinely live in one of the query's 2
-        # probed cells (replay the integer-L2 argmin independently)
-        dists = sorted(
-            (int(np.dot(q - cents[c2], q - cents[c2])), c2) for c2 in cents
-        )
-        probed = {c2 for _, c2 in dists[:2]}
-        assert cell_of(c) in probed, r
+        # the neighbor's assigned cell must be one of the query's 2
+        # probed cells (independent replay of the two-level rule)
+        assert probe_cells(c, 1)[0] in probe_cells(q, 2), r
 
 
 def test_stream_dedup_minhash_matches_python_reference(spark):

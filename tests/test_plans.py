@@ -977,3 +977,26 @@ def test_corpus_manifest_pack_is_distributed(spark):
             assert "SinglePartition" not in below, (
                 "manifest pack: single-partition sort/window"
             )
+
+
+def test_knn_join_is_cell_equi_join(spark):
+    """sim_knn_join's candidate generation must be an equi-join on
+    the cell id (plus the intended broadcast of the tiny centroid
+    table) — never a corpus×corpus cartesian."""
+    plan = plan_of(spark, "sim_knn_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_centroid_drift_fanout_combines_map_side(spark):
+    """sim_centroid_drift's 64x (cell, dim) posexplode must partial-
+    aggregate below its exchange so the shuffle carries K*64 cells,
+    not N*64 elements."""
+    lines = plan_of(spark, "sim_centroid_drift").splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    ex_idx = [
+        i for i, l in enumerate(lines)
+        if "Exchange" in l and "Broadcast" not in l
+    ]
+    assert agg_idx and ex_idx
+    assert max(agg_idx) > min(ex_idx), "partial aggregate missing below shuffle"
