@@ -1951,3 +1951,102 @@ def join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c.s_suppkey").alias("nearest_suppkey"))
         .select("custkey", "nearest_suppkey", "dist2")
     )
+
+
+@register(
+    "join_ip_cidr",
+    oracle="""
+    WITH ips AS (
+        SELECT c_custkey,
+               (CAST(c_custkey AS BIGINT) * 2654435761) % 4294967296 AS ip
+        FROM customer
+    ),
+    blocks AS (
+        SELECT n_nationkey, n_name,
+               CAST(8 + n_nationkey % 5 AS BIGINT) AS plen,
+               CAST(n_nationkey AS BIGINT) * 134217728 AS net
+        FROM nation
+    ),
+    binned AS (
+        SELECT b.n_nationkey, b.n_name, b.net, b.plen,
+               b.net + (1::BIGINT << (32 - b.plen)) - 1 AS hi,
+               unnest(range(b.net // 65536,
+                            (b.net + (1::BIGINT << (32 - b.plen)) - 1)
+                                // 65536 + 1)) AS bin
+        FROM blocks b
+    ),
+    matched AS (
+        SELECT i.c_custkey, i.ip, bb.n_name
+        FROM ips i
+        JOIN binned bb ON bb.bin = i.ip // 65536
+                      AND i.ip BETWEEN bb.net AND bb.hi
+    )
+    SELECT COALESCE(m.n_name, '(unrouted)') AS block_name,
+           CAST(COUNT(*) AS BIGINT) AS n_ips,
+           CAST(MIN(i.ip) AS BIGINT) AS min_ip,
+           CAST(MAX(i.ip) AS BIGINT) AS max_ip
+    FROM ips i LEFT JOIN matched m ON m.c_custkey = i.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-to-CIDR containment join — the network-analytics routing
+    shape (geo-IP, firewall attribution, tenant-by-subnet): customer
+    IPs (Knuth multiplicative hash of the key — exact int32 both
+    engines) against nation-owned CIDR blocks of MIXED prefix length
+    (/12…/16). A BETWEEN(net, hi) condition alone plans as a nested
+    loop (the join_range_binned lesson — 15× at sf0.1); instead each
+    block EXPLODES into the /16 bins it covers (≤256 bins for a /8)
+    and the probe is an equi-join on ``ip div 2^16`` with the
+    containment check as a residual — linear, broadcastable block
+    side, no BroadcastNestedLoopJoin (plan-pinned). Unrouted IPs
+    survive as the '(unrouted)' bucket via the left join, because a
+    routing table that silently drops is how outages hide.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ips = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey").cast("long") * 2654435761) % 4294967296).alias("ip"),
+    )
+    blocks = nation.select(
+        "n_nationkey",
+        "n_name",
+        (8 + F.col("n_nationkey") % 5).cast("long").alias("plen"),
+        (F.col("n_nationkey").cast("long") * 134217728).alias("net"),
+    )
+    hi = F.col("net") + F.expr("CAST(1 AS BIGINT) << (32 - plen)") - 1
+    binned = blocks.select(
+        "n_nationkey",
+        "n_name",
+        "net",
+        "plen",
+        hi.alias("hi"),
+        F.explode(
+            F.sequence(
+                F.expr("net div 65536"),
+                F.expr(
+                    "(net + (CAST(1 AS BIGINT) << (32 - plen)) - 1)"
+                    " div 65536"
+                ),
+            )
+        ).alias("bin"),
+    )
+    matched = ips.join(
+        F.broadcast(binned),
+        (F.col("bin") == F.expr("ip div 65536"))
+        & F.col("ip").between(F.col("net"), F.col("hi")),
+    ).select("c_custkey", F.col("n_name").alias("m_name"))
+    return (
+        ips.join(matched, "c_custkey", "left")
+        .groupBy(
+            F.coalesce(F.col("m_name"), F.lit("(unrouted)")).alias(
+                "block_name"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_ips"),
+            F.min("ip").cast("long").alias("min_ip"),
+            F.max("ip").cast("long").alias("max_ip"),
+        )
+    )

@@ -1000,3 +1000,12 @@ def test_centroid_drift_fanout_combines_map_side(spark):
     ]
     assert agg_idx and ex_idx
     assert max(agg_idx) > min(ex_idx), "partial aggregate missing below shuffle"
+
+
+def test_ip_cidr_join_is_binned_equi_join(spark):
+    """join_ip_cidr must probe via the /16-bin equi-join (containment
+    as residual) — a bare BETWEEN would plan as a nested loop."""
+    plan = plan_of(spark, "join_ip_cidr")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
