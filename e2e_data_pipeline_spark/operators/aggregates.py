@@ -11916,3 +11916,150 @@ def ml_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             qcd=wide_dbl("qc"),
         ).lstrip()
     )
+
+
+@register(
+    "agg_log_histogram_quantiles",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT cents,
+               length(bin(cents)) AS msb,
+               (cents >> (length(bin(cents)) - 3)) & 3 AS sub
+        FROM vals
+    ),
+    hist AS (
+        SELECT msb * 4 + sub AS bucket,
+               (1::BIGINT << (msb - 1))
+                   + sub * (1::BIGINT << (msb - 3)) AS lo,
+               (1::BIGINT << (msb - 1))
+                   + (sub + 1) * (1::BIGINT << (msb - 3)) - 1 AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT bucket, lo, hi, n,
+               SUM(n) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_n,
+               (SELECT CAST(SUM(n) AS BIGINT) FROM hist) AS n_total
+        FROM hist
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (95), (99)) t(q_pct)),
+    est AS (
+        SELECT q.q_pct, c.bucket, c.lo, c.hi, c.n_total
+        FROM qs q JOIN cum c
+          ON c.cum_n >= (q.q_pct * c.n_total + 99) // 100
+         AND c.cum_n - c.n < (q.q_pct * c.n_total + 99) // 100
+    ),
+    ranked_vals AS (
+        SELECT cents,
+               SUM(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_v
+        FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM vals GROUP BY cents)
+    ),
+    truth AS (
+        SELECT q.q_pct,
+               MIN(r.cents) AS true_q
+        FROM qs q JOIN ranked_vals r
+          ON r.cum_v >= (q.q_pct * (SELECT n_total FROM est LIMIT 1)
+                         + 99) // 100
+        GROUP BY q.q_pct
+    )
+    SELECT e.q_pct, e.n_total, e.bucket,
+           e.lo AS est_lo_cents, e.hi AS est_hi_cents,
+           CAST((e.hi - e.lo) * 1000000 // e.lo AS BIGINT)
+               AS rel_err_bound_ppm,
+           t.true_q AS true_q_cents,
+           CAST(CASE WHEN t.true_q BETWEEN e.lo AND e.hi
+                THEN 1 ELSE 0 END AS BIGINT) AS bound_holds
+    FROM est e JOIN truth t USING (q_pct)
+    """,
+)
+def agg_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch with an IN-QUERY audit:
+    values land in base-2^(1/4) buckets derived purely from integer
+    bit surgery (msb = length(bin(x)), two sub-bits — `ln()` is NOT
+    cross-engine portable, bit twiddling is), the histogram is a
+    ~120-cell mergeable state (counts add — partial aggregation and
+    cross-day merging work at any scale, the DDSketch idea made
+    hash-exact), and p50/p95/p99 come from the cumulative crossing
+    bucket with a guaranteed relative-error bound of 2^(1/4)−1 ≈ 19%
+    (the bucket width, reported in exact ppm of the lower edge). The
+    audit column proves the TRUE discrete quantile (computed on the
+    distinct-cents frame, the stats_mannwhitney machinery) falls
+    inside the reported bucket — the sketch grades itself in the
+    same query.
+
+    Scale: one partial-agg pass to the bucket histogram; the
+    cumulative walks run on bounded frames (buckets; distinct cents).
+    """
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    bucketed = vals.select(
+        "cents",
+        F.length(F.bin("cents")).cast("long").alias("msb"),
+        F.expr("(cents >> (length(bin(cents)) - 3)) & 3").alias("sub"),
+    )
+    hist = (
+        bucketed.groupBy(
+            (F.col("msb") * 4 + F.col("sub")).alias("bucket"),
+            F.expr(
+                "(CAST(1 AS BIGINT) << (msb - 1))"
+                " + sub * (CAST(1 AS BIGINT) << (msb - 3))"
+            ).alias("lo"),
+            F.expr(
+                "(CAST(1 AS BIGINT) << (msb - 1))"
+                " + (sub + 1) * (CAST(1 AS BIGINT) << (msb - 3)) - 1"
+            ).alias("hi"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("n").alias("n_total"))
+    cum = hist.withColumn("cum_n", F.sum("n").over(wb)).crossJoin(
+        F.broadcast(tot)
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q_pct")
+    )
+    thresh = F.expr("(q_pct * n_total + 99) div 100")
+    est = qs.join(
+        cum,
+        (F.col("cum_n") >= thresh) & (F.col("cum_n") - F.col("n") < thresh),
+    )
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked_vals = (
+        vals.groupBy("cents")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum_v", F.sum("cnt").over(wv))
+    )
+    truth = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(ranked_vals, F.col("cum_v") >= thresh)
+        .groupBy("q_pct")
+        .agg(F.min("cents").alias("true_q"))
+    )
+    return est.join(truth, "q_pct").select(
+        "q_pct",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("lo").alias("est_lo_cents"),
+        F.col("hi").alias("est_hi_cents"),
+        F.expr("(hi - lo) * 1000000 div lo")
+        .cast("long")
+        .alias("rel_err_bound_ppm"),
+        F.col("true_q").alias("true_q_cents"),
+        F.when(
+            F.col("true_q").between(F.col("lo"), F.col("hi")), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("bound_holds"),
+    )

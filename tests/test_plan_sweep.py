@@ -88,6 +88,7 @@ BOUNDED_GRAIN = {
     "win_vortex": "daily bar series",
     # --- value-domain (distinct cents / distinct values) frames ---
     "agg_winsorized_mean": "distinct-cents frame",
+    "agg_log_histogram_quantiles": "~120-cell log-bucket + distinct-cents frames",
     "stats_emd_1d": "distinct-cents prefix walk",
     "stats_kruskal_wallis": "distinct-cents rank frame",
     "stats_ks_test": "distinct-value step function",

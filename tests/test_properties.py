@@ -1097,3 +1097,34 @@ def test_pettitt_and_cmh_match_python_reference(spark):
     assert abs(got.dev - dev) < 1e-9
     assert abs(got.var_sum - var) < 1e-9
     assert abs(got.cmh_stat - dev * dev / var) < 1e-9
+
+
+def test_log_histogram_quantiles_bound_holds_vs_python(spark):
+    """agg_log_histogram_quantiles shares its derivation with the
+    oracle (identical-expression rule) — replay the truth side in
+    plain Python and assert the sketch's bucket really contains the
+    true discrete quantile (bound_holds must be 1 on real data, and
+    the true quantile must equal the Python reference)."""
+    import math
+
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r["q_pct"]: r
+        for r in QUERIES["agg_log_histogram_quantiles"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    cents = sorted(
+        int(round(r["o_totalprice"] * 100))
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    )
+    n = len(cents)
+    for q in (50, 95, 99):
+        r = rows[q]
+        true_q = cents[math.ceil(q * n / 100) - 1]
+        assert r["true_q_cents"] == true_q, (q, r, true_q)
+        assert r["est_lo_cents"] <= true_q <= r["est_hi_cents"], (q, r)
+        assert r["bound_holds"] == 1
+        assert r["n_total"] == n
