@@ -3039,3 +3039,161 @@ def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_neighbors"), "name")
         .limit(100)
     )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round in SQL: every non-seed
+    node adopts the majority label among its neighbors' previous
+    labels (ties -> lexicographically smallest), keeps its old label
+    when no neighbor is labeled; seeds are clamped."""
+    return f"""
+    {out}_msg AS (
+        SELECT e.dst AS node, p.label
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        WHERE p.label IS NOT NULL
+    ),
+    {out}_pick AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                       ORDER BY COUNT(*) DESC, label) AS rn
+            FROM {out}_msg GROUP BY node, label
+        ) WHERE rn = 1
+    ),
+    {out} AS (
+        SELECT p.node,
+               CASE WHEN p.seed IS NOT NULL THEN p.seed
+                    ELSE COALESCE(k.label, p.label) END AS label,
+               p.seed
+        FROM {prev} p LEFT JOIN {out}_pick k ON k.node = p.node
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ),
+    cnodes AS (
+        SELECT DISTINCT 'c' || CAST(c.c_custkey AS VARCHAR) AS node,
+               CASE WHEN c.c_custkey % 17 = 0 THEN n.n_name END AS seed
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE 'c' || CAST(c.c_custkey AS VARCHAR) IN (SELECT a FROM pairs)
+    ),
+    snodes AS (
+        SELECT DISTINCT b AS node, CAST(NULL AS VARCHAR) AS seed
+        FROM pairs
+    ),
+    r0 AS (
+        SELECT node, seed AS label, seed FROM cnodes
+        UNION ALL SELECT node, seed, seed FROM snodes
+    ),"""
+    + _lpa_round_sql("r0", "r1")
+    + ","
+    + _lpa_round_sql("r1", "r2")
+    + ","
+    + _lpa_round_sql("r2", "r3")
+    + """
+    SELECT COALESCE(label, '(unlabeled)') AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN seed IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seeds
+    FROM r3 GROUP BY 1
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the customer↔supplier
+    trading graph: ~6% of customers arrive labeled with their nation
+    (the seeds, clamped), and 3 synchronous rounds spread labels to
+    the rest by NEIGHBOR MAJORITY with a lexicographic tie-break —
+    the deterministic LPA every entity-resolution / community stack
+    runs, made hash-exact (classic LPA's random tie-breaking cannot
+    be oracle-checked; `graph_connected_components` finds structure,
+    this op ASSIGNS MEANING from sparse ground truth). Nodes with no
+    labeled neighbor stay '(unlabeled)' honestly.
+
+    Each round is one edge join + one (node,label) count + one
+    per-node rank — the Pregel cost model as joins (pagerank's
+    shape), edge list localCheckpointed once. Output: label
+    histogram after round 3 with seed counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    cnodes = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            ),
+            F.when(F.col("c_custkey") % 17 == 0, F.col("n_name")).alias(
+                "seed"
+            ),
+        )
+        .join(pairs.select(F.col("a").alias("node")).distinct(), "node")
+    )
+    snodes = pairs.select(F.col("b").alias("node")).distinct().select(
+        "node", F.lit(None).cast("string").alias("seed")
+    )
+    lab = cnodes.select("node", F.col("seed").alias("label"), "seed").unionByName(
+        snodes.select("node", F.col("seed").alias("label"), "seed")
+    ).localCheckpoint(eager=True)
+    for _ in range(3):
+        msg = (
+            edges.join(
+                lab.where(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"), "label"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), "label")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
+        pick = (
+            msg.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        lab = (
+            lab.join(pick, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("seed").isNotNull(), F.col("seed"))
+                .otherwise(F.coalesce("new_label", "label"))
+                .alias("label"),
+                "seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab.groupBy(
+        F.coalesce("label", F.lit("(unlabeled)")).alias("label")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("seed").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_seeds"),
+    )

@@ -662,3 +662,64 @@ def test_corpus_manifest_packing_properties(spark):
         cum += r["n_tokens"]
         # cumulative-quota: after this shard, cum > shard_id*1024
         assert cum > r["shard"] * 1024
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """graph_label_propagation shares one derivation with its oracle,
+    so replay the 3 synchronous majority rounds in pure Python on the
+    sf0.001 graph and compare the final label histogram exactly."""
+    from collections import Counter, defaultdict
+
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["label"]: (r["n_nodes"], r["n_seeds"])
+        for r in QUERIES["graph_label_propagation"](spark, SF_SMALL).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    }
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    pairs = {
+        (f"c{orders[r['l_orderkey']]}", f"s{r['l_suppkey']}") for r in li
+    }
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = {
+        f"c{r['c_custkey']}": nation[r["c_nationkey"]]
+        for r in cust
+        if r["c_custkey"] % 17 == 0 and f"c{r['c_custkey']}" in adj
+    }
+    label = {n: seeds.get(n) for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            if n in seeds:
+                nxt[n] = seeds[n]
+                continue
+            counts = Counter(
+                label[m] for m in adj[n] if label[m] is not None
+            )
+            if counts:
+                best = min(
+                    counts, key=lambda lb: (-counts[lb], lb)
+                )
+                nxt[n] = best
+            else:
+                nxt[n] = label[n]
+        label = nxt
+    hist = Counter(label[n] or "(unlabeled)" for n in adj)
+    seed_hist = Counter(seeds[n] for n in seeds)
+    expect = {
+        lb: (hist[lb], seed_hist.get(lb, 0)) for lb in hist
+    }
+    assert got == expect
