@@ -118,6 +118,18 @@ AUDIT: dict[str, tuple[list[str], str]] = {
         "aggregate, so the shuffle carries <=200 (replicate, group) cells "
         "per task regardless of event volume.",
     ),
+    "sim_ivf_index_roundtrip": (
+        ["SelectedBucketsCount", "BroadcastHashJoin"],
+        "The probe reads ONLY the probed cells' buckets from the persisted "
+        "bucketBy(8, cell) index (bucket pruning), joined with a broadcast "
+        "of the tiny probe set.",
+    ),
+    "corpus_e2e_manifest": (
+        ["hashpartitioning(__pid", "HashAggregate"],
+        "The token-budget shard packing rides global_rank's per-__pid "
+        "windows over the pinned range layout — no single-partition "
+        "running sum.",
+    ),
 }
 
 
