@@ -3759,3 +3759,102 @@ def fn_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _feistel_sql(duck=False).format(ids="feistel_ids").lstrip()
     )
+
+
+def _luhn_terms(base: str) -> str:
+    """Σ of Luhn-weighted digits of a 10-char digit string expression
+    — identical SQL text on both engines (substr + CAST + CASE).
+    Digit i (1-indexed) is doubled when the appended check digit
+    makes its position-from-the-right even, i.e. when i is even."""
+    terms = []
+    for i in range(1, 11):
+        d = f"CAST(substr({base}, {i}, 1) AS BIGINT)"
+        if i % 2 == 0:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_BASE = (
+    "lpad(CAST((CAST(c_custkey AS BIGINT) * 37) % 10000000000 AS VARCHAR(20)),"
+    " 10, '0')"
+)
+_LUHN_CORRUPT = (
+    "CASE WHEN c_custkey % 13 = 0 THEN"
+    " CAST((CAST(substr(acct, 1, 1) AS BIGINT) + 5) % 10 AS VARCHAR(20))"
+    " || substr(acct, 2) ELSE acct END"
+)
+
+
+@register(
+    "fn_luhn_checksum",
+    oracle=f"""
+    WITH based AS (
+        SELECT c_custkey, {_LUHN_BASE} AS base FROM customer
+    ),
+    minted AS (
+        SELECT c_custkey, base,
+               base || CAST((10 - ({_luhn_terms('base')}) % 10) % 10
+                            AS VARCHAR(20)) AS acct
+        FROM based
+    ),
+    wired AS (
+        SELECT c_custkey, {_LUHN_CORRUPT} AS wire_acct FROM minted
+    ),
+    validated AS (
+        SELECT c_custkey,
+               CASE WHEN (({_luhn_terms('wire_acct')})
+                          + CAST(substr(wire_acct, 11, 1) AS BIGINT))
+                         % 10 = 0
+                    THEN 1 ELSE 0 END AS is_valid
+        FROM wired
+    )
+    SELECT is_valid,
+           CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+    FROM validated GROUP BY is_valid
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check digits — mint a valid account number per
+    customer (10 synthetic digits + computed check), corrupt every
+    13th one in transit (first digit +5 mod 10 — a non-doubled
+    position, so the checksum always catches it), and validate on
+    arrival: the card-number / IMEI / national-id ingestion gate.
+    The mint→corrupt→validate round proves the validator catches
+    exactly the corrupted population and nothing else (unit-pinned
+    against Python's textbook Luhn, since Spark and the oracle share
+    the digit-surgery text).
+
+    Pure per-row string/integer expressions — embarrassingly
+    parallel, no shuffle until the 2-cell audit aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    based = cust.select(
+        "c_custkey", F.expr(_LUHN_BASE).alias("base")
+    )
+    minted = based.select(
+        "c_custkey",
+        F.expr(
+            f"base || CAST((10 - ({_luhn_terms('base')}) % 10) % 10"
+            " AS VARCHAR(20))"
+        ).alias("acct"),
+    )
+    wired = minted.select(
+        "c_custkey", F.expr(_LUHN_CORRUPT).alias("wire_acct")
+    )
+    validated = wired.select(
+        "c_custkey",
+        F.expr(
+            f"CASE WHEN (({_luhn_terms('wire_acct')})"
+            " + CAST(substr(wire_acct, 11, 1) AS BIGINT)) % 10 = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_valid"),
+    )
+    return validated.groupBy("is_valid").agg(
+        F.count("*").alias("n_accounts"),
+        F.sum("c_custkey").cast("long").alias("custkey_sum"),
+    )

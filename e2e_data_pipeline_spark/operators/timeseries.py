@@ -5707,3 +5707,92 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "element_at(st, 1) + 7 * element_at(st, 2) + element_at(st, 9)"
         ).alias("forecast_d7"),
     )
+
+
+@register(
+    "ts_m4_downsample",
+    oracle="""
+    WITH pts AS (
+        SELECT epoch_us(ts) // 1000000 AS sec,
+               event_id,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(sec) AS lo, MAX(sec) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n FROM pts
+    ),
+    binned AS (
+        SELECT CAST(((p.sec - b.lo) * 400)
+                    // (b.hi - b.lo + 1) AS BIGINT) AS pixel,
+               p.sec, p.event_id, p.cents
+        FROM pts p CROSS JOIN bounds b
+    )
+    SELECT pixel,
+           CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(MIN(cents) AS BIGINT) AS y_min,
+           CAST(MAX(cents) AS BIGINT) AS y_max,
+           CAST((MIN({'s': sec, 'e': event_id, 'c': cents})).c
+                AS BIGINT) AS y_first,
+           CAST((MAX({'s': sec, 'e': event_id, 'c': cents})).c
+                AS BIGINT) AS y_last,
+           CAST(MIN(sec) AS BIGINT) AS t_min,
+           CAST(MAX(sec) AS BIGINT) AS t_max
+    FROM binned GROUP BY pixel
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14): per pixel-column
+    bucket keep min, max, first, and last — the four points that make
+    a line chart over millions of points PIXEL-PERFECT at a fixed
+    width (LTTB approximates shape; M4 is exact for rasterized
+    lines, and unlike LTTB it is a pure parallel aggregation). 400
+    pixel buckets over the global time span; first/last are
+    min_by/max_by over the deterministic (sec, event_id) order, so
+    ties can't drift between engines.
+
+    Scale: ONE partial-aggregable groupBy — every mapper reduces its
+    split to ≤400×4 points before the shuffle; the span bounds ride a
+    1-row broadcast. This is the canonical "render 100 TB as 400
+    pixels" shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = pts.agg(
+        F.min("sec").alias("lo"),
+        F.max("sec").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = pts.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((sec - lo) * 400) div (hi - lo + 1)")
+        .cast("long")
+        .alias("pixel"),
+        "sec",
+        "event_id",
+        "cents",
+    )
+    # Spark's min_by/max_by reject struct keys on some versions; the
+    # three-phase cascaded argmin/argmax (join_bitemporal pattern) is
+    # overkill here because (sec, event_id) packs exactly: sec < 2^31
+    # epoch-seconds and event_id < 2^31 on the fixtures would NOT hold
+    # at scale, so use min/max over a struct instead — struct ordering
+    # is lexicographic on both engines and carries the payload along.
+    return binned.groupBy("pixel").agg(
+        F.count("*").alias("n_pts"),
+        F.min("cents").alias("y_min"),
+        F.max("cents").alias("y_max"),
+        F.min(F.struct("sec", "event_id", "cents"))["cents"].alias(
+            "y_first"
+        ),
+        F.max(F.struct("sec", "event_id", "cents"))["cents"].alias(
+            "y_last"
+        ),
+        F.min("sec").alias("t_min"),
+        F.max("sec").alias("t_max"),
+    )

@@ -1128,3 +1128,89 @@ def test_log_histogram_quantiles_bound_holds_vs_python(spark):
         assert r["est_lo_cents"] <= true_q <= r["est_hi_cents"], (q, r)
         assert r["bound_holds"] == 1
         assert r["n_total"] == n
+
+
+def test_luhn_checksum_matches_textbook_python(spark):
+    """fn_luhn_checksum's digit surgery is shared Spark↔oracle text —
+    pin it against the textbook Luhn algorithm in Python: every
+    minted number must validate, every corrupted one must not, and
+    the per-verdict custkey sums must match a full replay."""
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    def luhn_ok(num: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(num)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    got = {
+        r["is_valid"]: (r["n_accounts"], r["custkey_sum"])
+        for r in QUERIES["fn_luhn_checksum"](spark, SF_SMALL).collect()
+    }
+    sums = {0: [0, 0], 1: [0, 0]}
+    for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect():
+        k = r["c_custkey"]
+        base = str((k * 37) % 10_000_000_000).zfill(10)
+        # mint the check digit the textbook way
+        check = next(d for d in range(10) if luhn_ok(base + str(d)))
+        acct = base + str(check)
+        assert luhn_ok(acct)
+        if k % 13 == 0:
+            acct = str((int(acct[0]) + 5) % 10) + acct[1:]
+        v = 1 if luhn_ok(acct) else 0
+        if k % 13 == 0:
+            assert v == 0, "corruption must always be caught"
+        sums[v][0] += 1
+        sums[v][1] += k
+    expect = {v: tuple(sums[v]) for v in sums if sums[v][0]}
+    assert got == expect
+
+
+def test_m4_downsample_matches_python_replay(spark):
+    """ts_m4_downsample shares its bucketing with the oracle — replay
+    M4 in Python (min/max/first/last per pixel over the deterministic
+    (sec, event_id) order) and compare every pixel exactly."""
+    from collections import defaultdict
+
+    from e2e_data_pipeline_spark.operators import QUERIES
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r["pixel"]: (
+            r["n_pts"], r["y_min"], r["y_max"], r["y_first"],
+            r["y_last"], r["t_min"], r["t_max"],
+        )
+        for r in QUERIES["ts_m4_downsample"](spark, SF_SMALL).collect()
+    }
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "ts", "event_id", "value"
+    ).collect()
+    pts = []
+    for r in rows:
+        sec = int(r["ts"].timestamp())  # UTC session ⇒ epoch truncation
+        cents = int(round((r["value"] or 0.0) * 100))
+        pts.append((sec, r["event_id"], cents))
+    lo = min(p[0] for p in pts)
+    hi = max(p[0] for p in pts)
+    byp = defaultdict(list)
+    for sec, eid, cents in pts:
+        byp[((sec - lo) * 400) // (hi - lo + 1)].append((sec, eid, cents))
+    expect = {}
+    for px, ps in byp.items():
+        ps.sort()
+        expect[px] = (
+            len(ps),
+            min(c for _, _, c in ps),
+            max(c for _, _, c in ps),
+            ps[0][2],
+            ps[-1][2],
+            ps[0][0],
+            max(s for s, _, _ in ps),
+        )
+    assert got == expect
