@@ -47,6 +47,17 @@ def get_spark(app_name: str = "e2e-data-pipeline-spark") -> SparkSession:
         # branches on the dtype actually read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Catalyst analyzes/optimizes expression trees recursively on
+        # py4j handler threads; the wide-decimal limb-split projections
+        # (registry.wide_dbl — dq_outlier_votes stacks three of them)
+        # sit near the default 1 MB thread stack and overflow
+        # nondeterministically depending on the caller's stack depth
+        # (observed under pytest, not under a bare driver). 16 MB is
+        # the standard remedy and applies to every NEW JVM thread.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xss16m"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
