@@ -59,16 +59,13 @@ _CHECKED_PREFIX = [
     "join_multiway",
     "join_skew_salted",
     "join_q3_shipping",
+    "join_ip_cidr",
     # aggregations
     "agg_groupby",
     "agg_rollup_cube",
     "agg_stats",
     "agg_kmv_sketch",
-    "stats_fisher_exact",
-    "stats_ks_uniform_hash",
-    "agg_attribution_markov",
-    "ml_eval_auc_delong",
-    "agg_amortization",
+    "agg_log_histogram_quantiles",
     "dq_profile",
     # windows
     "win_running",
@@ -81,7 +78,7 @@ _CHECKED_PREFIX = [
     "scd2_history",
     # time series
     "ts_gapfill",
-    "ts_kalman_1d",
+    "ts_m4_downsample",
     # scalar-function families
     "fn_higher_order",
     "fn_variant",
@@ -93,9 +90,11 @@ _CHECKED_PREFIX = [
     "dedup_exact",
     "dedup_minhash_det",
     "stream_dedup_minhash",
+    # graph
+    "graph_label_propagation",
     # similarity
     "sim_topk",
-    "sim_matryoshka_probe",
+    "sim_knn_join",
     "sim_mmr_diversify",
     "sim_ivf_index_roundtrip",
     # multimodal
@@ -103,6 +102,8 @@ _CHECKED_PREFIX = [
     # streaming (batch twin of the unified Dataset code)
     "stream_tumbling",
     "stream_session",
+    "stream_sessionize_incremental",
+    "stream_changelog_scd2",
     # UDF surface
     "udf_arrow_batch",
     # SQL front-end + corpus curation composite
@@ -112,6 +113,13 @@ _CHECKED_PREFIX = [
     "corpus_e2e_manifest",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "stats_fisher_exact",
+    "stats_ks_uniform_hash",
+    "agg_attribution_markov",
+    "ml_eval_auc_delong",
+    "agg_amortization",
+    "ts_kalman_1d",
+    "sim_matryoshka_probe",
     "stream_stateful",
     "merge_upsert",
     "fn_json",

@@ -2319,6 +2319,11 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.crossJoin(s)
         .crossJoin(ties)
+        # empty in, empty out: var18 = 0 (n = 0 on a zero-row input,
+        # or a fully-tied degenerate series) would raise ANSI
+        # DIVIDE_BY_ZERO in the z projection; any real day series
+        # keeps the row
+        .where(F.expr("n * (n - 1) * (2 * n + 5) - tie_adj > 0"))
         .select(
             "n",
             "s",
@@ -4177,6 +4182,9 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
         " / (1.0 + 1.959964 * 1.959964 / CAST(n AS DOUBLE))"
     )
+    # empty in, empty out: the degenerate n=0 aggregate row exists
+    # only on zero-row input and would raise ANSI DIVIDE_BY_ZERO
+    m = m.where(F.col("n") > 0)
     return m.select(
         "n",
         "k",
@@ -11317,6 +11325,9 @@ moms AS (
     FROM diffs
 ),
 vars AS (
+    -- n1 > 0 guard: the zero-row frame's degenerate moment row would
+    -- raise ANSI DIVIDE_BY_ZERO (shared text: both engines filter
+    -- identically; any real series has n1 >= n5 > 0)
     SELECT n1,
            (CAST(n1 AS DOUBLE) * (CAST(CAST((q1 - q1 % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((q1 % 1000000000000000000 - q1 % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(q1 % 1000000000 AS BIGINT) AS DOUBLE))
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
@@ -11325,6 +11336,7 @@ vars AS (
               - CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE))
              / (CAST(n5 AS DOUBLE) * CAST(n5 AS DOUBLE)) AS v5
     FROM moms
+    WHERE n1 > 0 AND n5 > 0
 )
 SELECT n1 AS n_returns,
        v5 / (5 * v1) AS vr5,

@@ -1994,7 +1994,7 @@ def join_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (geo-IP, firewall attribution, tenant-by-subnet): customer
     IPs (Knuth multiplicative hash of the key — exact int32 both
     engines) against nation-owned CIDR blocks of MIXED prefix length
-    (/12…/16). A BETWEEN(net, hi) condition alone plans as a nested
+    (/8…/12). A BETWEEN(net, hi) condition alone plans as a nested
     loop (the join_range_binned lesson — 15× at sf0.1); instead each
     block EXPLODES into the /16 bins it covers (≤256 bins for a /8)
     and the probe is an equi-join on ``ip div 2^16`` with the

@@ -3,11 +3,15 @@ BASELINE.json:6): joining text-derived, vector-derived and relational
 columns, plus the binary-payload plumbing for image/audio/video-style
 data.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic fake behind ``mapInPandas`` — but the
-Spark-side plumbing (binary column, typed metadata struct schema,
+The container has no image/audio codec libs, so most *decode* steps
+are clearly-marked deterministic fakes behind ``mapInPandas`` — but
+the Spark-side plumbing (binary column, typed metadata struct schema,
 Arrow batch shape, partition-preserving narrow execution) is real and
-tested (tests/test_llm_ops.py).
+tested (tests/test_llm_ops.py). The exception is
+``multimodal_png_codec``: PNG needs only stdlib zlib+struct, so that
+op pushes REAL image bytes through a REAL spec-conformant decoder
+(operators/png_codec.py) and hash-checks the round trip against the
+pixel-generator oracle.
 """
 
 from __future__ import annotations
@@ -759,3 +763,126 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("last_frame_end"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png_codec",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS BIGINT) AS w,
+               CAST(4 + doc_id % 11 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 192
+    ),
+    expanded AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM imgs
+    ),
+    pix AS (
+        SELECT doc_id, w, h,
+               CAST(('0x' || substr(md5('px:' || CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+        FROM expanded
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max,
+           CAST(MIN(h) * (MIN(w) + 1) AS BIGINT) AS idat_raw_len
+    FROM pix GROUP BY doc_id
+    """,
+)
+def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image bytes through a REAL decoder — the multimodal
+    family's genuine codec proof (no codec libs needed: PNG is zlib +
+    struct, both stdlib). Per document, a deterministic grayscale
+    image (pixel p = first md5 byte of ``px:{doc_id}:{p}`` — the
+    portable-hash trick, so DuckDB can regenerate the exact pixels in
+    SQL) is ENCODED into a spec-conformant PNG (signature, IHDR,
+    CRC-32 per chunk, zlib IDAT, scanline filter y%5 so all five PNG
+    filters are exercised), then a SEPARATE stdlib decoder parses the
+    chunks, verifies every CRC, inflates, and reverses the filters.
+    The output rows are pixel statistics of the DECODED image; the
+    oracle computes the same statistics from the generator formula
+    directly — a hash match therefore proves the whole
+    encode→filter→deflate→inflate→unfilter chain is lossless. Any
+    codec bug (wrong Paeth predictor, off-by-one stride, bad CRC)
+    breaks the hash.
+
+    Both codec steps are Arrow-batched ``mapInPandas`` kernels over a
+    ``binary`` column — the real Spark plumbing for image corpora
+    (schema, batch shape, narrow partition-preserving execution). At
+    100 TB the decode stage is embarrassingly parallel and
+    shuffle-free; the 192-image cap here is fixture sizing, not a
+    design limit (drop the WHERE and every document row carries its
+    image).
+
+    Round-trip on random images is property-tested in
+    tests/test_png_codec.py (reference: operators/png_codec.py).
+    """
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 192)
+    )
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            pngs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 13, 4 + i % 11
+                px = bytes(
+                    int(
+                        hashlib.md5(f"px:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                pngs.append(encode_png_gray(px, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    imgs = docs.mapInPandas(mint, "doc_id long, png binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, px = decode_png_gray(bytes(png))
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        sum(px),
+                        min(px),
+                        max(px),
+                        h * (w + 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_sum",
+                    "px_min",
+                    "px_max",
+                    "idat_raw_len",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        decode,
+        "doc_id long, width long, height long, px_sum long,"
+        " px_min long, px_max long, idat_raw_len long",
+    )

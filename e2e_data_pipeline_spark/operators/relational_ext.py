@@ -2181,6 +2181,10 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nationkey")
         )
     )
+    # empty in, empty out: n_child = 0 happens only when the child
+    # table itself is empty (a pruned-away partition) and would raise
+    # ANSI DIVIDE_BY_ZERO; real data always has n_child >= 1
+    pairs = pairs.where(F.col("n_child") > 0)
     return pairs.select(
         "candidate",
         F.col("n_child").alias("n_child_distinct"),
@@ -2467,6 +2471,10 @@ def dq_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     ).select(F.lit("validity").alias("component"), F.lit(10).alias("weight"), "bad", "n")
     legs = null_leg.unionAll(dup_leg).unionAll(orphan_leg).unionAll(range_leg)
+    # empty in, empty out: every leg carries n = COUNT(*) over orders;
+    # n = 0 (zero-row input) would raise ANSI DIVIDE_BY_ZERO in both
+    # ppm divisions below — real data always has n >= 1
+    legs = legs.where(F.col("n") > 0)
     overall = legs.agg(
         F.expr("SUM(weight * ((n - bad) * 1000000 div n)) div 100")
         .cast("bigint")
@@ -3466,6 +3474,9 @@ def dq_ledger_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> CAST(s.digest AS STRING))"
         ).alias("arr"),
     )
+    # empty in, empty out: zero-row input gives arr = [] — the slice
+    # length -1 and element_at(arr, 1) init raise under ANSI
+    listed = listed.where(F.expr("size(arr) > 0"))
     folded = listed.select(
         "n_days",
         "n_rows",

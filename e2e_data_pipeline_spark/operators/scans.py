@@ -2602,7 +2602,8 @@ def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.n_good, s.n_quarantined, g.key_sum,
            CAST(s.n_quarantined * 1000000
-                // (s.n_good + s.n_quarantined) AS BIGINT) AS bad_ppm
+                // greatest(1, s.n_good + s.n_quarantined) AS BIGINT)
+               AS bad_ppm
     FROM stats s CROSS JOIN good g
     """,
 )
@@ -2657,7 +2658,12 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_good").cast("long").alias("n_good"),
         F.col("n_quarantined").cast("long").alias("n_quarantined"),
         F.col("key_sum").cast("long").alias("key_sum"),
-        F.expr("n_quarantined * 1000000 div (n_good + n_quarantined)")
+        # greatest(1, ...) guards the zero-row frame: Spark 4 ANSI
+        # raises DIVIDE_BY_ZERO at plan/collect time even when no row
+        # survives (the stats_ks_uniform_hash lesson)
+        F.expr(
+            "n_quarantined * 1000000 div greatest(1, n_good + n_quarantined)"
+        )
         .cast("long")
         .alias("bad_ppm"),
     )

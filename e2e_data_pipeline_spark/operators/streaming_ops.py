@@ -928,7 +928,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     marked AS (
-        SELECT user_id, sec,
+        SELECT user_id, sec, event_id,
                CASE WHEN lag(sec) OVER w IS NULL
                       OR sec - lag(sec) OVER w > 1800
                     THEN 1 ELSE 0 END AS new_s
@@ -937,7 +937,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, sec,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM marked
     )
@@ -1163,4 +1163,279 @@ def stream_changelog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("sec").over(w).cast("long").alias("valid_to_s"),
     ).localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def _write_four_chunks(df, chunks: str) -> int:
+    """Write df as EXACTLY four single-file parquet chunk dirs keyed
+    by ``event_id % 4`` (``repartition(4, pmod(...))`` hashes the mod
+    class again and routinely collides two classes into one partition,
+    leaving 3 files — observed, not hypothetical). Returns the number
+    of non-empty data files actually written (0 for zero-row input:
+    Spark skips empty partitions, leaving only _SUCCESS markers)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    for i in range(4):
+        (
+            df.where(F.pmod("event_id", F.lit(4)) == i)
+            .coalesce(1)
+            .write.parquet(f"{chunks}/c{i}")
+        )
+    return len(_glob.glob(f"{chunks}/c*/part-*"))
+
+
+def _run_state_checkpoint(spark: SparkSession, sf_dir: str, work: str):
+    """Shared pipeline for the state-store introspection family: chunk
+    events into 4 files, stream them one file per trigger through a
+    per-event_type streaming aggregation (sum of exact integer cents +
+    count) in complete mode with a real checkpoint, and return
+    ``(ckpt, n_files)`` once all 4 micro-batches have committed
+    (``n_files == 0`` means zero-row input: no batch ever commits, so
+    callers must not read the state store).
+
+    The aggregation keys and values are chosen for oracle portability:
+    cents sums are exact int64 on both engines (the "INT64 sums are
+    immune" rule), so whatever Spark persisted in its OWN state files
+    must hash-equal the batch recompute — no tolerance anywhere.
+    """
+    from pyspark.sql import functions as F
+
+    chunks = f"{work}/chunks"
+    ckpt = f"{work}/ckpt"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    n_files = _write_four_chunks(ev, chunks)
+    if n_files == 0:
+        return ckpt, 0
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{chunks}/*")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.sum("cents").alias("sum_cents"),
+        F.count("*").alias("n_events"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:  # pragma: no cover - hang guard
+        q.stop()
+        raise TimeoutError("state-store checkpoint stream did not finish")
+    return ckpt, n_files
+
+
+@register(
+    "stream_state_reader",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection via Spark 4's ``statestore`` data
+    source — the production debugging surface for every stateful
+    streaming op: run a real multi-batch streaming aggregation to a
+    checkpoint, then read Spark's OWN persisted state files back as a
+    DataFrame (``spark.read.format("statestore").load(ckpt)``) and
+    hash-match them against the batch recompute. Unlike the
+    hand-versioned foreachBatch proofs (stream_dedup_minhash et al.),
+    the thing being verified here is the engine's internal HDFS-backed
+    state format itself: key struct, value struct (partial-agg sum +
+    count), one row per live key. The oracle hash being exact means
+    checkpoint state ≡ batch answer after 4 incremental updates.
+
+    Scale: the state read is partition-parallel (one task per state
+    store partition — 32 here, thousands on a real cluster) and never
+    touches the event stream; this is how you audit a 100 TB
+    pipeline's state without replaying it.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_reader_")
+    try:
+        ckpt, n_files = _run_state_checkpoint(spark, sf_dir, work)
+        if n_files == 0:  # zero-row input: no batch committed
+            return spark.createDataFrame(
+                [], "event_type string, sum_cents long, n_events long"
+            )
+        st = spark.read.format("statestore").load(ckpt)
+        # value struct fields carry the PHYSICAL agg-function names
+        # (sum, count), not the logical aliases — project positionally
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        out = st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("long").alias("sum_cents"),
+            F.col(f"value.{vcols[1]}").cast("long").alias("n_events"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_state_metadata",
+    oracle="""
+    SELECT 'stateStoreSave' AS operator_name,
+           'default' AS store_name,
+           CAST(32 AS BIGINT) AS num_partitions,
+           CAST(0 AS BIGINT) AS min_batch_id,
+           CAST(3 AS BIGINT) AS max_batch_id,
+           CAST(COUNT(DISTINCT event_type)
+                + MAX(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_state_keys
+    FROM events
+    """,
+)
+def stream_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint metadata introspection via the ``state-metadata``
+    data source: which stateful operators live in a checkpoint, their
+    store names, partition counts, and committed batch range — the
+    first question an on-call engineer asks of a wedged streaming job
+    ("did batch N commit? how many stores does this checkpoint
+    carry?"). The pipeline shape is pinned (4 chunk files × one file
+    per trigger ⇒ batches 0..3; 32 shuffle partitions), so every
+    metadata field is deterministic and the oracle states them as
+    constants — plus the live-key count cross-read from the state
+    store itself, tying the two introspection sources together.
+
+    Zero-row inputs write no chunk files, so no batch ever commits
+    and the op returns a schema-stable empty frame (empty in, empty
+    out).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_meta_")
+    try:
+        ckpt, n_files = _run_state_checkpoint(spark, sf_dir, work)
+        if n_files == 0:  # zero-row input: no batch, no checkpoint
+            return spark.createDataFrame(
+                [],
+                "operator_name string, store_name string,"
+                " num_partitions long, min_batch_id long,"
+                " max_batch_id long, n_state_keys long",
+            )
+        meta = spark.read.format("state-metadata").load(ckpt)
+        n_keys = spark.read.format("statestore").load(ckpt).count()
+        out = meta.select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("stateStoreName").alias("store_name"),
+            F.col("numPartitions").cast("long").alias("num_partitions"),
+            F.col("minBatchId").cast("long").alias("min_batch_id"),
+            F.col("maxBatchId").cast("long").alias("max_batch_id"),
+            F.lit(n_keys).cast("long").alias("n_state_keys"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_state_rocksdb",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_state_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream_state_reader proof under the RocksDB state store
+    provider — the provider every production deployment actually runs
+    (HDFS-backed in-memory maps don't survive large key spaces; the
+    CLAUDE/working notes record rocksdbjni IS bundled here). A
+    per-user-bucket streaming aggregation checkpoints under
+    ``RocksDBStateStoreProvider``; the state files Spark wrote into
+    RocksDB SSTs are then read back via the same ``statestore`` source
+    and hash-matched against the batch recompute. Provider conf is
+    session-scoped, so it is set for the query and restored in a
+    ``finally`` (the conf-scoped-op pattern from join_cbo_reorder).
+
+    Scale: RocksDB keeps state off-heap and spills to disk per
+    partition — the provider choice IS the 100 TB answer, which is
+    why its on-disk format earns its own parity proof.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(conf_key, None)
+    work = tempfile.mkdtemp(prefix="state_rocks_")
+    try:
+        spark.conf.set(conf_key, rocks)
+        chunks = f"{work}/chunks"
+        ckpt = f"{work}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.expr("user_id % 50").alias("user_bucket"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        n_files = _write_four_chunks(ev, chunks)
+        if n_files == 0:  # zero-row input: no batch commits
+            return spark.createDataFrame(
+                [], "user_bucket long, sum_cents long, n_events long"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_bucket long, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/*")
+        )
+        agg = stream.groupBy("user_bucket").agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count("*").alias("n_events"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("rocksdb state stream did not finish")
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        out = st.select(
+            F.col("key.user_bucket").alias("user_bucket"),
+            F.col(f"value.{vcols[0]}").cast("long").alias("sum_cents"),
+            F.col(f"value.{vcols[1]}").cast("long").alias("n_events"),
+        ).localCheckpoint(eager=True)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+        shutil.rmtree(work, ignore_errors=True)
     return out

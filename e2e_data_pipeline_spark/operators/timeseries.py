@@ -3036,6 +3036,9 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
     )
     mu = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    # empty in, empty out: n = 0 (zero-row or single-event input has
+    # no gaps) would raise ANSI DIVIDE_BY_ZERO in sigma/mu
+    m = m.where(F.col("n") > 0)
     return m.select(
         "n",
         "s",
@@ -3686,6 +3689,10 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> array(CAST(s.x AS DOUBLE), CAST(s.gap AS DOUBLE)))"
         ).alias("arr"),
     )
+    # empty in, empty out: a zero-row input yields one aggregate row
+    # with arr = [] — slice(arr, 2, -1) and the element_at(arr, 1)
+    # init both raise under ANSI; real data always has size >= 1
+    listed = listed.where(F.expr("size(arr) > 0"))
     folded = listed.select(
         "n_demand_days",
         "total_demand",
@@ -4004,6 +4011,9 @@ def ts_renko_bricks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> CAST(s.close AS DOUBLE))"
         ).alias("arr"),
     )
+    # empty in, empty out: zero-row input gives arr = [] — the slice
+    # length -1 and element_at(arr, 1) init raise under ANSI
+    listed = listed.where(F.expr("size(arr) > 0"))
     folded = listed.select(
         "n_days",
         F.expr(

@@ -42,5 +42,10 @@ def test_query_runs_on_empty_inputs(spark, empty_query_cache, name):
     # metadata row per column exists regardless of data.
     static_caps = {"sql_generate_series": 24, "dq_data_dictionary": 48}
     cap = static_caps.get(name, 20)
-    n = empty_df.count()
+    # collect(), NOT count(): count() lets column pruning drop every
+    # projected expression, hiding plan-time ANSI hazards (a literal
+    # 0/0 folded at planning raises DIVIDE_BY_ZERO only when the
+    # column survives — the stats_ks_uniform_hash/scan_csv_quarantine
+    # class). Inputs are empty, so materializing all columns is free.
+    n = len(empty_df.collect())
     assert n <= cap, f"{name} produced {n} rows from nothing"

@@ -585,3 +585,133 @@ def test_dedup_state_expiry_readmits_after_watermark(spark, tmp_path):
     write_file("c", [(t(11, 5), 1)])
     out3 = {r.event_id: r["count"] for r in run()}
     assert out3 == {1: 2, 99: 1, 100: 1}, out3
+
+
+def test_statestore_reader_survives_checkpoint_restart(spark, tmp_path):
+    """The state-store introspection contract across a RESTART: run a
+    streaming agg over the first half of the data, stop, append more
+    files, restart from the SAME checkpoint, and verify (a) the
+    statestore read now reflects ALL data (state carried over and was
+    updated incrementally, not rebuilt), and (b) state-metadata shows
+    the committed batch range advancing — the exactly-once evidence an
+    on-call engineer reads off a production checkpoint."""
+    from pyspark.sql import functions as F
+
+    chunks = tmp_path / "chunks"
+    ckpt = str(tmp_path / "ckpt")
+    full = load_table(spark, SF_SMALL, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def write_half(which: int) -> None:
+        half = full.where(F.pmod("event_id", F.lit(2)) == which)
+        half.coalesce(1).write.parquet(str(chunks / f"c{which}"))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks) + "/*")
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.sum("cents").alias("s"), F.count("*").alias("n")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def read_state():
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        return {
+            r["k"]: (r["s"], r["n"])
+            for r in st.select(
+                F.col("key.event_type").alias("k"),
+                F.col(f"value.{vcols[0]}").cast("long").alias("s"),
+                F.col(f"value.{vcols[1]}").cast("long").alias("n"),
+            ).collect()
+        }
+
+    write_half(0)
+    run_once()
+    state1 = read_state()
+    half_expected = {
+        r["event_type"]: (r["s"], r["n"])
+        for r in full.where(F.pmod("event_id", F.lit(2)) == 0)
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert state1 == half_expected
+
+    meta1 = spark.read.format("state-metadata").load(ckpt).collect()[0]
+
+    write_half(1)
+    run_once()  # restart from the same checkpoint
+    state2 = read_state()
+    full_expected = {
+        r["event_type"]: (r["s"], r["n"])
+        for r in full.groupBy("event_type")
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert state2 == full_expected
+
+    meta2 = spark.read.format("state-metadata").load(ckpt).collect()[0]
+    assert meta2["maxBatchId"] > meta1["maxBatchId"]
+    assert meta2["minBatchId"] == 0
+
+
+def test_statestore_reader_time_travel_batch_option(spark, tmp_path):
+    """`batchId` option on the statestore source: reading state AS OF
+    an earlier committed batch returns the earlier aggregate — state
+    time travel, the post-incident 'what did the job believe at batch
+    N' question."""
+    from pyspark.sql import functions as F
+
+    chunks = tmp_path / "chunks"
+    ckpt = str(tmp_path / "ckpt")
+    full = load_table(spark, SF_SMALL, "events").select(
+        "event_id", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents")
+    )
+    for i in range(2):
+        full.where(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            str(chunks / f"c{i}")
+        )
+    stream = (
+        spark.readStream.schema("event_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks) + "/*")
+    )
+    agg = stream.groupBy(F.pmod("event_id", F.lit(3)).alias("g")).agg(
+        F.sum("cents").alias("s")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    latest = spark.read.format("statestore").load(ckpt)
+    asof0 = (
+        spark.read.format("statestore").option("batchId", 0).load(ckpt)
+    )
+    vcol = latest.schema["value"].dataType.fields[0].name
+    total_latest = latest.select(F.sum(f"value.{vcol}")).collect()[0][0]
+    total_asof0 = asof0.select(F.sum(f"value.{vcol}")).collect()[0][0]
+    full_sum = full.agg(F.sum("cents")).collect()[0][0]
+    assert total_latest == full_sum
+    assert 0 < total_asof0 < full_sum  # batch 0 saw only one file
