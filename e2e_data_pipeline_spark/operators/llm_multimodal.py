@@ -886,3 +886,246 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, px_sum long,"
         " px_min long, px_max long, idat_raw_len long",
     )
+
+
+@register(
+    "multimodal_png_quarantine",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS BIGINT) AS w,
+               CAST(4 + doc_id % 11 AS BIGINT) AS h,
+               CASE WHEN doc_id % 7 = 3 THEN 'crc_mismatch'
+                    WHEN doc_id % 7 = 5 THEN 'truncated'
+                    ELSE 'ok' END AS status
+        FROM documents WHERE doc_id < 192
+    ),
+    expanded AS (
+        SELECT doc_id, w, h, status, unnest(range(0, w * h)) AS p
+        FROM imgs WHERE status = 'ok'
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(('0x' || substr(md5('pq:'
+                    || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(p AS VARCHAR)), 1, 2)) AS BIGINT))
+                    AS BIGINT) AS px_sum
+        FROM expanded GROUP BY doc_id
+    )
+    SELECT i.doc_id, i.status,
+           CASE WHEN i.status = 'ok' THEN i.w END AS width,
+           CASE WHEN i.status = 'ok' THEN i.h END AS height,
+           s.px_sum
+    FROM imgs i LEFT JOIN stats s ON s.doc_id = i.doc_id
+    """,
+)
+def multimodal_png_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload quarantine — scan_csv_quarantine's posture for
+    IMAGE feeds: a corrupted blob must be classified and set aside,
+    never crash the decode stage or silently pass. The fixture mints
+    real PNGs, then deterministically damages two classes (doc_id%7==3:
+    one IDAT payload byte XOR-flipped — caught by the decoder's
+    per-chunk CRC-32 check; doc_id%7==5: the file truncated to half —
+    caught as a short chunk read). The decode kernel catches and
+    classifies instead of failing the task, because at 100 TB a feed
+    WILL contain torn uploads and bit rot, and one bad blob must not
+    kill a 10-hour job. Good images emit their decoded pixel stats;
+    quarantined rows carry NULL stats + the reject reason.
+
+    The oracle predicts the classification from the corruption
+    schedule and the stats from the pixel-generator formula — a hash
+    match proves the decoder rejects EXACTLY the damaged blobs, with
+    the right reason, and decodes everything else losslessly (a
+    too-lax decoder passes a flipped byte; a too-strict one rejects a
+    good image; both break the hash). Classification determinism for
+    every id is unit-pinned in tests/test_png_codec.py.
+    """
+    import struct as _struct
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 192)
+    )
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            pngs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 13, 4 + i % 11
+                px = bytes(
+                    int(
+                        hashlib.md5(f"pq:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                png = encode_png_gray(px, w, h)
+                if i % 7 == 3:  # bit rot inside the IDAT payload
+                    b = bytearray(png)
+                    b[len(png) // 2] ^= 0xFF
+                    png = bytes(b)
+                elif i % 7 == 5:  # torn upload
+                    png = png[: len(png) // 2]
+                pngs.append(png)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    imgs = docs.mapInPandas(mint, "doc_id long, png binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                try:
+                    w, h, px = decode_png_gray(bytes(png))
+                    rows.append((int(doc_id), "ok", w, h, sum(px)))
+                except ValueError as e:
+                    reason = (
+                        "crc_mismatch" if "CRC" in str(e) else "truncated"
+                    )
+                    rows.append((int(doc_id), reason, None, None, None))
+                except (_struct.error, Exception):  # short read / zlib
+                    rows.append((int(doc_id), "truncated", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "status", "width", "height", "px_sum"],
+            )
+
+    return imgs.mapInPandas(
+        decode,
+        "doc_id long, status string, width long, height long, px_sum long",
+    )
+
+
+@register(
+    "multimodal_png_phash",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id FROM documents WHERE doc_id < 256
+    ),
+    pix AS (
+        SELECT b.doc_id,
+               p.p,
+               CASE WHEN b.doc_id < 128
+                    THEN CAST(('0x' || substr(md5('ah:'
+                         || CAST(b.doc_id AS VARCHAR) || ':'
+                         || CAST(p.p AS VARCHAR)), 1, 2)) AS BIGINT)
+                    ELSE LEAST(255,
+                         CAST(('0x' || substr(md5('ah:'
+                         || CAST(b.doc_id - 128 AS VARCHAR) || ':'
+                         || CAST(p.p AS VARCHAR)), 1, 2)) AS BIGINT) + 3)
+               END AS v
+        FROM base b, (SELECT unnest(range(0, 64)) AS p) p
+    ),
+    sums AS (
+        SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s FROM pix GROUP BY doc_id
+    ),
+    bits AS (
+        SELECT p.doc_id, p.p,
+               CASE WHEN 64 * p.v > s.s THEN 1 ELSE 0 END AS b
+        FROM pix p JOIN sums s ON s.doc_id = p.doc_id
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN p < 32
+                    THEN b * (CAST(1 AS BIGINT) << (31 - p))
+                    ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN p >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (63 - p))
+                    ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+               upper(lpad(hex(hi), 8, '0'))
+                   || upper(lpad(hex(lo), 8, '0')) AS ahash
+        FROM hashes
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_imgs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM keyed GROUP BY ahash
+    """,
+)
+def multimodal_png_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual-hash dedup over DECODED pixels — the image
+    near-dup detector every multimodal training corpus needs, now fed
+    by the genuine PNG decoder instead of a hash stand-in
+    (multimodal_dedup_phash's documented limitation). 256 images: 128
+    bases (8×8 gray, md5-formula pixels) and 128 brightness-shifted
+    variants (+3, clipped at 255 — a re-encode/levels-tweak
+    lookalike). Each is encoded to real PNG bytes, decoded back, and
+    aHashed: bit p = pixel > image mean, computed as the integer
+    cross-multiply ``64·px > Σpx`` so there is NO division anywhere —
+    bit-exact on both engines. An unclipped brightness shift provably
+    preserves every bit (64(px+3) > S+192 ⟺ 64px > S), so base and
+    variant collide into one cluster UNLESS a pixel ≥253 clips — the
+    oracle replays the same LEAST(255, v+3), so even the near-misses
+    hash-check exactly.
+
+    Scale: decode + aHash is a narrow Arrow-batched pass; the
+    near-dup join is an equi-join on the 64-bit hash (band the hash
+    for Hamming-tolerant matching — dedup_simhash's construction —
+    when exact-collision recall is not enough).
+    """
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+    )
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            pngs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = i - 128 if i >= 128 else i
+                px = [
+                    int(
+                        hashlib.md5(f"ah:{base}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(64)
+                ]
+                if i >= 128:
+                    px = [min(255, v + 3) for v in px]
+                pngs.append(encode_png_gray(bytes(px), 8, 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    imgs = docs.mapInPandas(mint, "doc_id long, png binary")
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, png in zip(pdf["doc_id"], pdf["png"]):
+                w, h, px = decode_png_gray(bytes(png))
+                s = sum(px)
+                bits = 0
+                for p in range(64):
+                    if 64 * px[p] > s:
+                        bits |= 1 << (63 - p)
+                rows.append((int(doc_id), f"{bits:016X}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    hashed = imgs.mapInPandas(ahash, "doc_id long, ahash string")
+    return hashed.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n_imgs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

@@ -2546,6 +2546,15 @@ def sim_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-2^53 ints is a fixed-order div/sqrt/div chain — bit-identical
     doubles, so rank boundaries cannot straddle a ulp and the oracle
     hash is exact.
+
+    The probe-cell ``collect()`` + literal ``IN`` is the right call at
+    this op's design point (a handful of offline queries × ≤2 probes:
+    the literal list is what lets the scan bucket-prune statically).
+    It caps out when the probe set itself is large — online serving
+    with thousands of concurrent queries should ship the cell list as
+    a broadcast LEFT SEMI join against the bucketed index instead of
+    a driver round-trip, trading static bucket pruning for a
+    runtime-filtered scan that never materializes cells on the driver.
     """
     import math
     import os

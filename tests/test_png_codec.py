@@ -90,3 +90,60 @@ def test_pixel_formula_matches_oracle_hash():
                 FROM (SELECT unnest(range(0, {w * h})) AS p)"""
         ).fetchall()
         assert py == [r[0] for r in sql]
+
+
+def test_quarantine_corruption_classes_deterministic():
+    """multimodal_png_quarantine's oracle predicts the decoder verdict
+    per doc_id from the corruption schedule alone — pin that EVERY id
+    in the fixture range classifies exactly as scheduled (a flipped
+    IDAT byte is always a CRC mismatch, a half-truncation is always a
+    short read, untouched images always decode)."""
+    import hashlib
+    import struct as _struct
+
+    for i in range(192):
+        w, h = 4 + i % 13, 4 + i % 11
+        px = bytes(
+            int(hashlib.md5(f"pq:{i}:{p}".encode()).hexdigest()[:2], 16)
+            for p in range(w * h)
+        )
+        png = encode_png_gray(px, w, h)
+        if i % 7 == 3:
+            b = bytearray(png)
+            b[len(png) // 2] ^= 0xFF
+            png = bytes(b)
+            with pytest.raises(ValueError, match="CRC"):
+                decode_png_gray(png)
+        elif i % 7 == 5:
+            png = png[: len(png) // 2]
+            with pytest.raises((ValueError, _struct.error, Exception)):
+                decode_png_gray(png)
+        else:
+            assert decode_png_gray(png) == (w, h, px)
+
+
+def test_ahash_brightness_invariance_unless_clipped():
+    """multimodal_png_phash's collision claim: +3 brightness preserves
+    every aHash bit when no pixel clips (64(px+3) > S+192 ⟺ 64px > S);
+    with clipping, base and variant may differ — both paths replayed
+    here in pure Python against the op's exact formula."""
+    import hashlib
+
+    def bits_of(px):
+        s = sum(px)
+        return [1 if 64 * v > s else 0 for v in px]
+
+    unclipped = clipped = 0
+    for i in range(128):
+        base = [
+            int(hashlib.md5(f"ah:{i}:{p}".encode()).hexdigest()[:2], 16)
+            for p in range(64)
+        ]
+        var = [min(255, v + 3) for v in base]
+        if max(base) <= 252:
+            assert bits_of(base) == bits_of(var), i
+            unclipped += 1
+        else:
+            clipped += 1
+    # both branches must actually occur for the fixture to be honest
+    assert unclipped > 0 and clipped > 0
