@@ -2730,3 +2730,180 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("priority").cast("long").alias("n_priorities"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "scan_python_ds_pushdown",
+    oracle="""
+    WITH ids AS (
+        SELECT unnest(range(24000, 32000)) AS id
+    ),
+    rows_ AS (
+        SELECT id,
+               CAST(3 AS BIGINT) AS bucket,
+               (1103515245 * id + 12345) % 2147483648 % 100000 AS val
+        FROM ids
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(1 AS BIGINT) AS n_filters_pushed
+    FROM rows_ GROUP BY bucket
+    """,
+)
+def scan_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python DataSource (Spark 4.1
+    ``pushFilters``) — the connector capability that separates "reads
+    a remote feed" from "reads only the needed slice of a remote
+    feed". The ``sharded_lcg`` source (sources/python_ds.py) lays its
+    rows out in 8 bucket-keyed shards; the query's ``bucket = 3``
+    predicate reaches the reader at PLANNING time, the reader consumes
+    it and plans ONE partition instead of eight — source-side
+    partition pruning, scheduled-task count 1/8th.
+
+    The proof is in the hash: every row carries the reader's
+    consumed-filter count (driver-side pushFilters state pickled to
+    the executors), and the oracle pins ``n_filters_pushed = 1`` — if
+    the engine stopped offering the filter (conf off, API change),
+    the column reads 0 and the hash breaks. The row content itself is
+    the LCG formula, so DuckDB reproduces the pruned shard exactly.
+    Pushdown is conf-gated (``spark.sql.python.filterPushdown``), set
+    and restored around plan+execute (the conf-scoped-op pattern);
+    the partition-count claim is unit-pinned in
+    tests/test_python_ds.py.
+    """
+    from e2e_data_pipeline_spark.sources.python_ds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "true")
+        df = (
+            spark.read.format("sharded_lcg")
+            .option("rows", "64000")
+            .option("shards", "8")
+            .load()
+            .where(F.col("bucket") == 3)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("val").cast("long").alias("sum_val"),
+                F.min("pushed").cast("long").alias("n_filters_pushed"),
+            )
+        )
+        # pushdown happens at planning: pin plan AND result while the
+        # conf is still on (restored in finally before we return)
+        out = df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old)
+    return out
+
+
+_SQL_TVF_SETUP = """
+CREATE OR REPLACE TEMPORARY FUNCTION seg_order_cents(seg STRING)
+RETURNS TABLE(c_custkey BIGINT, cents BIGINT)
+RETURN SELECT c.c_custkey,
+              CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       WHERE c.c_mktsegment = seg
+"""
+
+
+@register(
+    "sql_table_function",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+    GROUP BY 1
+    """,
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body TABLE function (Spark 4 ``CREATE FUNCTION ... RETURNS
+    TABLE``) invoked CORRELATED under LATERAL — the reusable
+    parameterized-view primitive warehouse users reach for before
+    they ever write Python: define the per-segment order slice once,
+    then drive it from a row set (``FROM segs, LATERAL f(segs.seg)``),
+    one function call per driving row IN THE PLAN ONLY. Catalyst
+    inlines the SQL body and decorrelates the lateral into an
+    ordinary join, so what reads like a loop over function calls
+    executes as one shuffle — the same lift-and-shift guarantee
+    sql_lateral_topk pins for subqueries, now for named functions.
+    The oracle is the manually-inlined equivalent; matching hashes
+    prove the function abstraction is free.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(_SQL_TVF_SETUP)
+    return spark.sql(
+        """
+        SELECT s.seg,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT t.c_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(t.cents) AS BIGINT) AS sum_cents
+        FROM VALUES ('BUILDING'), ('MACHINERY'), ('FURNITURE') AS s(seg),
+        LATERAL seg_order_cents(s.seg) t
+        GROUP BY s.seg
+        """
+    )
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+    WITH cutoff AS (
+        SELECT CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) // 2 AS c
+        FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MIN(cutoff.c) AS BIGINT) AS cutoff_cents
+    FROM orders o, cutoff
+    WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) >= cutoff.c
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL via ``EXECUTE IMMEDIATE`` + session variables — the
+    admin-scripting surface (warehouse migrations, param sweeps,
+    ops runbooks) ported from Oracle/Snowflake/DB2 dialects: step 1
+    runs a query INTO a session variable (the half-of-max cutoff in
+    exact integer cents), step 2 executes a parameterized query
+    string binding that variable positionally with ``USING``. The
+    dynamic text is planned by the same Catalyst path as static SQL —
+    parameter markers are literals by the time the optimizer sees
+    them, so pushdown/pruning work unchanged. Cutoff rides along in
+    the output so the hash pins BOTH steps.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE exec_imm_cutoff BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "EXECUTE IMMEDIATE"
+        " 'SELECT CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) div 2"
+        "  FROM orders'"
+        " INTO exec_imm_cutoff"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS n_big,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                CAST(? AS BIGINT) AS cutoff_cents
+         FROM orders
+         WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= ?
+         GROUP BY o_orderpriority'
+        USING exec_imm_cutoff, exec_imm_cutoff
+        """
+    )

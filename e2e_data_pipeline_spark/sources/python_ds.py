@@ -129,10 +129,88 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+class ShardedLcgReader(DataSourceReader):
+    """Filter-pushdown-capable reader (Spark 4.1 ``pushFilters``): the
+    source is laid out in SHARDS keyed by ``bucket`` (shard s owns the
+    contiguous id range [s·rows/shards, (s+1)·rows/shards)), so an
+    ``EqualTo('bucket', k)`` predicate received at PLANNING time
+    (pushFilters runs on the driver, before partition planning) lets
+    ``partitions()`` emit ONLY shard k — the task for every other
+    shard is never scheduled. That is source-side partition pruning,
+    the property that makes a 100 TB remote feed scan one shard
+    instead of all of them.
+
+    The reader records what it consumed (``n_pushed``, the pruned
+    bucket); those attributes are pickled with the reader to the
+    executors AFTER planning, so every emitted row can carry the
+    pushdown evidence into the result — which is how the oracle
+    hash-verifies that pushdown actually happened (n_pushed = 0 would
+    break the hash).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 64_000))
+        self.shards = int(options.get("shards", 8))
+        self.bucket_eq: int | None = None
+        self.n_pushed = 0
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        # eager (NOT a generator): the consumed-filter bookkeeping must
+        # run even if the engine never iterates the returned remainder
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("bucket",)
+                and self.bucket_eq is None
+            ):
+                self.bucket_eq = int(f.value)
+                self.n_pushed += 1
+            else:
+                remaining.append(f)  # unsupported → Spark keeps applying
+        return remaining
+
+    def partitions(self) -> list[InputPartition]:
+        per = self.rows // self.shards
+        shard_ids = (
+            [self.bucket_eq]
+            if self.bucket_eq is not None
+            and 0 <= self.bucket_eq < self.shards
+            else list(range(self.shards))
+        )
+        return [
+            _RangePartition(s * per, (s + 1) * per) for s in shard_ids
+        ] or [_RangePartition(0, 0)]
+
+    def read(self, partition: _RangePartition):
+        per = self.rows // self.shards
+        for i in range(partition.lo, partition.hi):
+            x = (_A * i + _C) % _M
+            yield (i, i // per, x % 100_000, self.n_pushed)
+
+
+class ShardedLcgDataSource(DataSource):
+    """``spark.read.format("sharded_lcg")`` — the pushdown-capable
+    batch source behind scan_python_ds_pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sharded_lcg"
+
+    def schema(self) -> str:
+        return "id bigint, bucket bigint, val bigint, pushed bigint"
+
+    def reader(self, schema) -> ShardedLcgReader:
+        return ShardedLcgReader(self.options)
+
+
 def register_python_sources(spark) -> None:
     """Idempotently register all custom Python data sources."""
     spark.dataSource.register(SyntheticEventsDataSource)
     spark.dataSource.register(JsonLinesDirDataSource)
+    spark.dataSource.register(ShardedLcgDataSource)
 
 
 # ---------------------------------------------------------------------------
