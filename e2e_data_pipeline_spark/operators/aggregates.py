@@ -12075,3 +12075,94 @@ def agg_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bound_holds"),
     )
+
+
+_HLL_TAIL = """
+parts AS (
+    SELECT h {div} 4503599627370496 AS bucket,
+           h % 4503599627370496 AS w
+    FROM hashed
+),
+regs AS (
+    -- bin() is unpadded on BOTH engines, so length(bin(w)) is the bit
+    -- length; the w=0 case is explicit (NEVER two-arg ltrim here:
+    -- Spark's ltrim(a, b) argument order is REVERSED vs DuckDB's)
+    SELECT bucket,
+           MAX(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS m
+    FROM parts GROUP BY bucket
+),
+filled AS (
+    SELECT s.b AS bucket, COALESCE(r.m, 0) AS m
+    FROM spine s LEFT JOIN regs r ON r.bucket = s.b
+),
+z AS (
+    SELECT CAST(SUM(CAST((CAST(1 AS BIGINT) << (62 - m))
+                    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS zs,
+           CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+           CAST(MAX(m) AS BIGINT) AS max_rho
+    FROM filled
+)
+SELECT z.v0 AS n_zero_registers,
+       z.max_rho,
+       {widez} AS z_scaled,
+       CAST('0.7182725932495458' AS DOUBLE) * CAST(65536 AS DOUBLE)
+         * CAST(4611686018427387904 AS DOUBLE) / {widez} AS hll_estimate,
+       e.n_exact
+FROM z CROSS JOIN exact e"""
+
+
+def _hll_sql(hash_expr: str, spine: str, div: str) -> str:
+    return (
+        "WITH hashed AS (SELECT "
+        + hash_expr
+        + " AS h FROM orders), spine AS ("
+        + spine
+        + "), exact AS (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)"
+        " AS n_exact FROM orders),"
+        + _HLL_TAIL.format(div=div, widez=wide_dbl("z.zs"))
+    )
+
+
+@register(
+    "agg_hll_det",
+    oracle=_hll_sql(
+        "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT)",
+        "SELECT unnest(range(0, 256)) AS b",
+        "//",
+    ),
+)
+def agg_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog, hash-exact across engines — the
+    parity proof of the SKETCH ITSELF that the rows-only `agg_approx`
+    (engine HLL++) cannot give. The portable 60-bit md5 hash splits
+    into an 8-bit register index and a 52-bit suffix; rho is computed
+    WITHOUT log2 (not correctly rounded across engines) as
+    ``53 - length(ltrim(bin(w),'0'))`` — bin() is unpadded on both
+    engines, so the string length IS the bit length. Registers fold
+    with MAX (order-free, merge-safe — the property that makes HLL
+    shardable at 100 TB); the harmonic denominator stays EXACT by
+    scaling each term to the integer ``1 << (62 - M_j)`` (M ≤ 53 ⇒
+    shift ≤ 62, dodging the <<63 wrap/raise divergence) and summing
+    in DECIMAL(38,0); the final estimate is a fixed-order float chain
+    over that exact integer rendered through registry.wide_dbl (the
+    3-limb rule for wide decimals past 2^53). No bias/linear-counting
+    correction (ln is not portable); the raw estimator regime holds
+    at every fixture sf, and the exact distinct rides along so the
+    accuracy is self-documenting.
+
+    Scale: one partial-aggregable GROUP BY over 256 registers — the
+    sketch is 256 bytes no matter how many trillion rows feed it.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _hll_sql(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)",
+            "SELECT id AS b FROM range(256)",
+            "div",
+        )
+    )
