@@ -12166,3 +12166,108 @@ def agg_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div",
         )
     )
+
+
+_HLL_ROLLUP_TAIL = """
+parts AS (
+    SELECT region, c_custkey,
+           h {div} 4503599627370496 AS bucket,
+           h % 4503599627370496 AS w
+    FROM base
+),
+regs AS (
+    SELECT region, bucket,
+           MAX(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS m
+    FROM parts GROUP BY region, bucket
+),
+merged AS (
+    SELECT 'GLOBAL' AS region, bucket, MAX(m) AS m
+    FROM regs GROUP BY bucket
+),
+allregs AS (
+    SELECT region, bucket, m FROM regs
+    UNION ALL
+    SELECT region, bucket, m FROM merged
+),
+rnames AS (
+    SELECT DISTINCT region FROM base
+    UNION ALL
+    SELECT 'GLOBAL'
+),
+filled AS (
+    SELECT rn.region, s.b AS bucket, COALESCE(a.m, 0) AS m
+    FROM rnames rn CROSS JOIN spine s
+    LEFT JOIN allregs a ON a.region = rn.region AND a.bucket = s.b
+),
+z AS (
+    SELECT region,
+           CAST(SUM(CAST((CAST(1 AS BIGINT) << (62 - m))
+                    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS zs
+    FROM filled GROUP BY region
+),
+exact AS (
+    SELECT region, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact
+    FROM base GROUP BY region
+    UNION ALL
+    SELECT 'GLOBAL', CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM base
+)
+SELECT z.region,
+       CAST('0.7182725932495458' AS DOUBLE) * CAST(65536 AS DOUBLE)
+         * CAST(4611686018427387904 AS DOUBLE) / {widez} AS hll_estimate,
+       e.n_exact
+FROM z JOIN exact e ON e.region = z.region"""
+
+
+def _hll_rollup_sql(hash_expr: str, spine: str, div: str) -> str:
+    return (
+        "WITH base AS (SELECT r.r_name AS region, c.c_custkey, "
+        + hash_expr
+        + " AS h"
+        " FROM orders o"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+        " JOIN nation n ON n.n_nationkey = c.c_nationkey"
+        " JOIN region r ON r.r_regionkey = n.n_regionkey),"
+        " spine AS (" + spine + "),"
+        + _HLL_ROLLUP_TAIL.format(div=div, widez=wide_dbl("z.zs"))
+    )
+
+
+@register(
+    "agg_hll_merge_rollup",
+    oracle=_hll_rollup_sql(
+        "CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT)",
+        "SELECT unnest(range(0, 256)) AS b",
+        "//",
+    ),
+)
+def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY across rollup grains — the property that makes
+    sketches the 100 TB answer to COUNT(DISTINCT) rollups: per-region
+    register tables are built once from the facts, and the GLOBAL
+    estimate is computed by MERGING the regional registers
+    (``MAX(m) GROUP BY bucket``), never re-touching a fact row. That
+    is exactly how a production cube maintains distinct-user counts
+    at every grain from one sketch pass (re-aggregation, not
+    re-scan). All arithmetic is the agg_hll_det machinery
+    (portable md5 hash, log2-free rho, exact integer-shift harmonic
+    sum, wide_dbl rendering), so every grain's estimate — INCLUDING
+    the merged one — is hash-exact across engines, with the exact
+    distinct riding along per grain for self-audit.
+
+    Scale: facts are touched once (one partial-aggregable GROUP BY
+    region×256-bucket); every further grain is algebra over ≤
+    regions×256 register rows.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _hll_rollup_sql(
+            "CAST(conv(substr(md5(CAST(c.c_custkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)",
+            "SELECT id AS b FROM range(256)",
+            "div",
+        )
+    )

@@ -3573,3 +3573,130 @@ def corpus_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return meta_rows.unionByName(shards)
+
+
+@register(
+    "ml_eval_rouge2",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id < 400
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM toks WHERE len(w) >= 2
+        )
+    ),
+    cand AS (SELECT doc_id, g FROM grams WHERE doc_id % 2 = 0),
+    ref  AS (SELECT doc_id, g FROM grams WHERE doc_id % 2 = 1),
+    pairs AS (
+        SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+               c.g AS cg, r.g AS rg
+        FROM cand c JOIN ref r
+          ON r.doc_id = c.doc_id + 1 AND r.g = c.g
+    ),
+    counts AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams
+        GROUP BY doc_id
+    ),
+    overlap AS (
+        SELECT cand_id, ref_id, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY cand_id, ref_id
+    )
+    SELECT cc.doc_id AS cand_id,
+           cr.doc_id AS ref_id,
+           cc.n AS n_cand_bigrams,
+           cr.n AS n_ref_bigrams,
+           COALESCE(o.o, 0) AS n_overlap,
+           CAST(COALESCE(o.o, 0) * 1000000 // cr.n AS BIGINT)
+               AS rouge2_recall_ppm,
+           CAST(COALESCE(o.o, 0) * 2000000 // (cc.n + cr.n) AS BIGINT)
+               AS rouge2_f1_ppm
+    FROM counts cc
+    JOIN counts cr ON cr.doc_id = cc.doc_id + 1
+    LEFT JOIN overlap o
+      ON o.cand_id = cc.doc_id AND o.ref_id = cr.doc_id
+    WHERE cc.doc_id % 2 = 0
+    """,
+)
+def ml_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap) between candidate/reference
+    document pairs — the n-gram eval metric LLM summarization and
+    data-curation loops report, exact to the ppm: recall = |∩|/|ref|,
+    and F1 collapses ALGEBRAICALLY to 2·|∩|/(|cand|+|ref|) for set
+    ROUGE (P = o/c, R = o/r ⇒ 2PR/(P+R) = 2o/(c+r)) — so both scores
+    are single integer floor-divisions, no float chain at all. Pairs
+    are (even doc_id, +1); docs under 2 tokens drop on both engines
+    identically; zero-overlap pairs survive with 0 scores (a metric
+    that silently drops the worst pairs flatters the average —
+    the eval-pipeline bug this op's LEFT JOIN exists to prevent).
+
+    Scale: bigram explode is linear in tokens; the overlap is an
+    equi-join on (pair, bigram) — no quadratic document comparison
+    anywhere.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 400)
+        .select(
+            "doc_id", F.split(F.lower("text"), " ").alias("w")
+        )
+    )
+    grams = (
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat(element_at(w, i + 1), ' ',"
+                    " element_at(w, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    counts = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = grams.where(F.col("doc_id") % 2 == 0)
+    ref = grams.where(F.col("doc_id") % 2 == 1)
+    overlap = (
+        cand.alias("c")
+        .join(
+            ref.alias("r"),
+            (F.col("r.doc_id") == F.col("c.doc_id") + 1)
+            & (F.col("r.g") == F.col("c.g")),
+        )
+        .groupBy(
+            F.col("c.doc_id").alias("cand_id"),
+            F.col("r.doc_id").alias("ref_id"),
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    cc, cr = counts.alias("cc"), counts.alias("cr")
+    return (
+        cc.where(F.col("cc.doc_id") % 2 == 0)
+        .join(cr, F.col("cr.doc_id") == F.col("cc.doc_id") + 1)
+        .join(
+            overlap,
+            (F.col("cand_id") == F.col("cc.doc_id"))
+            & (F.col("ref_id") == F.col("cr.doc_id")),
+            "left",
+        )
+        .select(
+            F.col("cc.doc_id").alias("cand_id"),
+            F.col("cr.doc_id").alias("ref_id"),
+            F.col("cc.n").alias("n_cand_bigrams"),
+            F.col("cr.n").alias("n_ref_bigrams"),
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr("COALESCE(o, 0) * 1000000 div cr.n")
+            .cast("long")
+            .alias("rouge2_recall_ppm"),
+            F.expr("COALESCE(o, 0) * 2000000 div (cc.n + cr.n)")
+            .cast("long")
+            .alias("rouge2_f1_ppm"),
+        )
+    )
