@@ -1439,3 +1439,85 @@ def stream_state_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, old)
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_state_dedup_keys",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_state_keys,
+           CAST(SUM(DISTINCT event_id) AS BIGINT) AS sum_keys,
+           CAST(MIN(event_id) AS BIGINT) AS min_key,
+           CAST(MAX(event_id) AS BIGINT) AS max_key
+    FROM events
+    """,
+)
+def stream_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State introspection for the DEDUPLICATION stateful operator —
+    a different state layout from the aggregation family
+    (stream_state_reader): ``dropDuplicates`` keeps one KEY-ONLY
+    entry per seen id (value struct is empty; the key set IS the
+    state). The stream re-delivers every event twice across chunk
+    files (union of two identical halves), so exactly-once emission
+    depends entirely on that state surviving across micro-batches;
+    reading it back via the ``statestore`` source and summing the
+    keys proves the persisted key set equals the distinct key set of
+    the feed — no duplicate slipped in, none was lost. Without a
+    watermark the state never expires, so the read is deterministic
+    (the watermark-expiry variant is pinned separately in
+    tests/test_streaming.py::test_dedup_state_expiry_readmits_after_watermark).
+
+    Scale: dedup state is O(distinct keys); the state read is
+    partition-parallel and never replays the stream — auditing
+    exactly-once delivery on a 100 TB feed without recomputing it.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_dedup_")
+    try:
+        chunks = f"{work}/chunks"
+        ckpt = f"{work}/ckpt"
+        ev = load_table(spark, sf_dir, "events").select("event_id")
+        # two identical halves → every id arrives twice, in different
+        # micro-batches for ids straddling the pmod split
+        dup = ev.unionAll(ev)
+        n_files = _write_four_chunks(dup, chunks)
+        if n_files == 0:  # zero-row input: no batch commits
+            return spark.createDataFrame(
+                [],
+                "n_state_keys long, sum_keys long,"
+                " min_key long, max_key long",
+            )
+        stream = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/*")
+        )
+        deduped = stream.dropDuplicates(["event_id"])
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("dedup state stream did not finish")
+        st = spark.read.format("statestore").load(ckpt)
+        out = (
+            st.select(F.col("key.event_id").alias("k"))
+            .agg(
+                F.count("*").cast("long").alias("n_state_keys"),
+                F.sum("k").cast("long").alias("sum_keys"),
+                F.min("k").cast("long").alias("min_key"),
+                F.max("k").cast("long").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
