@@ -3700,3 +3700,131 @@ def ml_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rouge2_f1_ppm"),
         )
     )
+
+
+@register(
+    "text_wordpiece_step",
+    oracle=r"""
+    WITH words AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+        GROUP BY w
+    ),
+    chars AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS c, SUM(wc) AS cc
+        FROM words, (SELECT unnest(range(1, 41)) AS i) ix
+        WHERE i <= length(word)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(wc) AS total
+        FROM words, (SELECT unnest(range(1, 40)) AS i) ix
+        WHERE i <= length(word) - 1
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.pair,
+               CAST(p.total AS BIGINT) AS pair_count,
+               CAST(l.cc AS BIGINT) AS left_count,
+               CAST(r.cc AS BIGINT) AS right_count,
+               CAST(p.total AS DOUBLE) / CAST(l.cc * r.cc AS DOUBLE)
+                   AS likelihood
+        FROM pairs p
+        JOIN chars l ON l.c = substr(p.pair, 1, 1)
+        JOIN chars r ON r.c = substr(p.pair, 2, 1)
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY likelihood DESC, pair)
+                       AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT pair, pair_count, left_count, right_count, likelihood, rnk
+    FROM ranked WHERE rnk <= 10 ORDER BY rnk
+    """,
+)
+def text_wordpiece_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact WordPiece training iteration — text_bpe_step's
+    scoring sibling: where BPE merges the most FREQUENT adjacent
+    pair, WordPiece merges the pair maximizing the likelihood ratio
+    ``count(ab) / (count(a)·count(b))`` — frequency normalized by its
+    parts, so a rare-but-always-together pair beats a common
+    coincidence (the reason WordPiece vocabularies pick up morphemes
+    earlier). The score is ONE double division over exact int64
+    operands (char-count product < 2^53 ⇒ the quotient is a single
+    correctly-rounded double, bit-identical both engines — a legal
+    ORDER BY key per the fixed-order-chain rule), so the top-10
+    ranking hash-checks exactly.
+
+    Scale: char and pair tables are VOCABULARY-grain (distinct words
+    × ≤40 positions), the scoring join is ≤676 pairs against ≤26
+    chars, and only rank ≤ 10 rows cross the final exchange (partial
+    WindowGroupLimit — the plan-sweep auto-exemption).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wc"))
+    )
+    chars = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("c"),
+        )
+        .groupBy("c")
+        .agg(F.sum("wc").alias("cc"))
+    )
+    pairs = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("total"))
+    )
+    left = chars.select(
+        F.col("c").alias("lc_c"), F.col("cc").alias("left_count")
+    )
+    right = chars.select(
+        F.col("c").alias("rc_c"), F.col("cc").alias("right_count")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(left),
+            F.expr("substring(pair, 1, 1)") == F.col("lc_c"),
+        )
+        .join(
+            F.broadcast(right),
+            F.expr("substring(pair, 2, 1)") == F.col("rc_c"),
+        )
+        .select(
+            "pair",
+            F.col("total").cast("long").alias("pair_count"),
+            F.col("left_count").cast("long").alias("left_count"),
+            F.col("right_count").cast("long").alias("right_count"),
+            F.expr(
+                "CAST(total AS DOUBLE)"
+                " / CAST(left_count * right_count AS DOUBLE)"
+            ).alias("likelihood"),
+        )
+    )
+    w = Window.orderBy(F.desc("likelihood"), "pair")
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
