@@ -811,3 +811,71 @@ def join_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
         )
     )
+
+
+@register(
+    "join_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — the last of the 22 TPC-H
+    shapes, completing the set: revenue per nation where the customer
+    and the supplier share a nation inside one region for one order
+    year. The interesting constraint is s_nationkey = c_nationkey —
+    a SECOND equi-condition on the supplier join that correlates two
+    dimension paths through the fact, which is what distinguishes Q5
+    from a plain star probe (a row only counts when BOTH its dim
+    chains land on the same nation).
+
+    Plan: region filter prunes nation BEFORE anything touches facts
+    (5 regions → ~5 nations broadcast); customer/supplier broadcast
+    at fixture scale and shuffle on their keys at real scale; the
+    one-year o_orderdate filter pushes to the orders scan so
+    lineitem joins an already-thin order set. The dual-key supplier
+    condition rides the same hash join (composite key), never a
+    post-filter over a wider join.
+    """
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            supp,
+            (supp.s_suppkey == F.col("l_suppkey"))
+            & (supp.s_nationkey == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dec_sum(_revenue(), 4).alias("revenue"))
+    )
