@@ -12271,3 +12271,138 @@ def agg_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div",
         )
     )
+
+
+_HLL_SETOP_TAIL = """
+parts AS (
+    SELECT seg,
+           h {div} 4503599627370496 AS bucket,
+           h % 4503599627370496 AS w
+    FROM base
+),
+regs AS (
+    SELECT seg, bucket,
+           MAX(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END) AS m
+    FROM parts GROUP BY seg, bucket
+),
+unioned AS (
+    SELECT 'UNION' AS seg, bucket, MAX(m) AS m
+    FROM regs GROUP BY bucket
+),
+allregs AS (
+    SELECT seg, bucket, m FROM regs
+    UNION ALL
+    SELECT seg, bucket, m FROM unioned
+),
+segnames AS (
+    SELECT DISTINCT seg FROM base UNION ALL SELECT 'UNION'
+),
+filled AS (
+    SELECT sn.seg, s.b AS bucket, COALESCE(a.m, 0) AS m
+    FROM segnames sn CROSS JOIN spine s
+    LEFT JOIN allregs a ON a.seg = sn.seg AND a.bucket = s.b
+),
+z AS (
+    SELECT seg,
+           CAST(SUM(CAST((CAST(1 AS BIGINT) << (62 - m))
+                    AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS zs
+    FROM filled GROUP BY seg
+),
+est AS (
+    SELECT seg,
+           CAST('0.7182725932495458' AS DOUBLE) * CAST(65536 AS DOUBLE)
+             * CAST(4611686018427387904 AS DOUBLE) / {widez} AS e
+    FROM z
+),
+wide AS (
+    SELECT MAX(CASE WHEN seg = 'A' THEN e END) AS est_a,
+           MAX(CASE WHEN seg = 'B' THEN e END) AS est_b,
+           MAX(CASE WHEN seg = 'UNION' THEN e END) AS est_union
+    FROM est
+),
+truth AS (
+    SELECT CAST(COUNT(DISTINCT CASE WHEN seg = 'A' THEN c_custkey END)
+                AS BIGINT) AS exact_a,
+           CAST(COUNT(DISTINCT CASE WHEN seg = 'B' THEN c_custkey END)
+                AS BIGINT) AS exact_b,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_union
+    FROM base
+),
+ab AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+    FROM (
+        SELECT c_custkey FROM base GROUP BY c_custkey
+        HAVING COUNT(DISTINCT seg) = 2
+    )
+)
+SELECT w.est_a, w.est_b, w.est_union,
+       w.est_a + w.est_b - w.est_union AS est_intersection,
+       t.exact_a, t.exact_b, t.exact_union, ab.exact_intersection
+FROM wide w CROSS JOIN truth t CROSS JOIN ab"""
+
+
+def _hll_setop_sql(hash_expr: str, spine: str, div: str) -> str:
+    # cohorts are activity-year-derived so the overlap is PARTIAL
+    # (customers active in both years) — an attribute-derived split
+    # would be disjoint and a low-selectivity predicate makes one
+    # cohort swallow the other; either way the intersection estimate
+    # would be degenerate (the vacuous-oracle rule)
+    return (
+        "WITH base AS ("
+        "SELECT 'A' AS seg, o.o_custkey AS c_custkey, "
+        + hash_expr
+        + " AS h FROM orders o"
+        " WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o.o_orderdate < TIMESTAMP '1997-01-01'"
+        " UNION ALL "
+        "SELECT 'B' AS seg, o.o_custkey AS c_custkey, "
+        + hash_expr
+        + " AS h FROM orders o"
+        " WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'"
+        " AND o.o_orderdate < TIMESTAMP '1998-01-01'),"
+        " spine AS (" + spine + "),"
+        + _HLL_SETOP_TAIL.format(div=div, widez=wide_dbl("z.zs"))
+    )
+
+
+@register(
+    "agg_hll_set_algebra",
+    oracle=_hll_setop_sql(
+        "CAST(('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))"
+        " AS BIGINT)",
+        "SELECT unnest(range(0, 256)) AS b",
+        "//",
+    ),
+)
+def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA on deterministic HLL registers: |A∪B| comes
+    free from the register MAX-merge, and |A∩B| by inclusion–
+    exclusion (est_a + est_b − est_union) — how audience-overlap
+    questions ("how many buyers shop BOTH segments?") are answered
+    at 100 TB without a COUNT DISTINCT over the pair. The cohorts are
+    activity years (A = ordered in 1996, B = in 1997) so the overlap
+    is PARTIAL by construction — a segment split is disjoint and a
+    low-selectivity predicate makes one cohort swallow the other;
+    both degenerate cases were hit and rejected while building this
+    (the vacuous-oracle rule). The exact A/B/union/intersection
+    counts ride along, so the sheet self-documents the estimator's
+    error INCLUDING the inflated variance inclusion–exclusion is
+    known for. Every number is the agg_hll_det fixed-point machinery
+    — hash-exact both engines.
+
+    Scale: one pass over facts builds both cohorts' registers
+    (seg×bucket partial agg); union/intersection are algebra over
+    512 register rows.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _hll_setop_sql(
+            "CAST(conv(substr(md5(CAST(o.o_custkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)",
+            "SELECT id AS b FROM range(256)",
+            "div",
+        )
+    )
