@@ -12406,3 +12406,119 @@ def agg_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div",
         )
     )
+
+
+_GRUBBS_G = (
+    "CAST(dev AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))"
+    " / sqrt(CAST(n AS DOUBLE)) / sqrt({widev})"
+)
+
+_GRUBBS_MOMS = """
+moms AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                    * CAST(cents AS DECIMAL(14,0)))
+                AS DECIMAL(38,0)) AS q
+    FROM daily
+),
+var_s AS (
+    SELECT n, s,
+           CAST(CAST(q AS DECIMAL(30,0)) * CAST(n AS DECIMAL(8,0))
+                - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                AS DECIMAL(38,0)) AS nq_s2
+    FROM moms
+)"""
+
+
+@register(
+    "stats_grubbs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),"""
+    + _GRUBBS_MOMS
+    + """,
+    peak AS (
+        SELECT (MAX({'a': abs(v.n * dy.cents - v.s), 'b': -dy.d,
+                     'c': dy.d, 'e': dy.cents})).c AS peak_day,
+               (MAX({'a': abs(v.n * dy.cents - v.s), 'b': -dy.d,
+                     'c': dy.d, 'e': dy.cents})).e AS peak_cents,
+               (MAX({'a': abs(v.n * dy.cents - v.s), 'b': -dy.d,
+                     'c': dy.d, 'e': dy.cents})).a AS dev
+        FROM daily dy CROSS JOIN var_s v
+    )
+    SELECT v.n AS n_days,
+           CAST(p.peak_day AS BIGINT) AS peak_day,
+           CAST(p.peak_cents AS BIGINT) AS peak_cents,
+           CAST(p.dev AS BIGINT) AS dev_scaled,
+           """
+    + _GRUBBS_G.format(widev=wide_dbl("v.nq_s2"))
+    + """ AS grubbs_g
+    FROM var_s v CROSS JOIN peak p
+    WHERE v.n > 1
+    """,
+)
+def stats_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic on the daily
+    revenue series — the mean-based single-outlier screen beside
+    dq_dixon_q's range ratio and dq_mad_outliers' robust fences: G =
+    max|x − x̄| / s, reported for the most extreme day. Exactness by
+    clearing denominators: the argmax runs on the INTEGER score
+    |n·x − S| (identical ordering, no division), the peak is picked
+    by the portable MAX(named-struct) argmax with a -day tie-break
+    (the ts_m4_downsample construction), and G itself is the fixed
+    written-order chain dev·√(n−1)/√n/√(nQ−S²) over exact integer
+    moments (Q via the d(19)×d(14) decimal multiply that forces
+    DuckDB's HUGEINT kernel; nQ−S² ~5e26 rendered through
+    registry.wide_dbl). No verdict column — the t-based critical
+    value is not portable arithmetic; G is the evidence, the
+    threshold is policy.
+
+    Scale: one partial-aggregable moment pass + one broadcast
+    cross-join of two 1-row frames; WHERE n > 1 is the
+    empty-in-empty-out guard (n = 1 would divide by √0).
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT)
+                       div 86400 AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),"""
+        + _GRUBBS_MOMS
+        + """,
+        peak AS (
+            SELECT MAX(named_struct(
+                       'a', abs(v.n * dy.cents - v.s),
+                       'b', -dy.d, 'c', dy.d, 'e', dy.cents)).c
+                       AS peak_day,
+                   MAX(named_struct(
+                       'a', abs(v.n * dy.cents - v.s),
+                       'b', -dy.d, 'c', dy.d, 'e', dy.cents)).e
+                       AS peak_cents,
+                   MAX(named_struct(
+                       'a', abs(v.n * dy.cents - v.s),
+                       'b', -dy.d, 'c', dy.d, 'e', dy.cents)).a
+                       AS dev
+            FROM daily dy CROSS JOIN var_s v
+        )
+        SELECT v.n AS n_days,
+               CAST(p.peak_day AS BIGINT) AS peak_day,
+               CAST(p.peak_cents AS BIGINT) AS peak_cents,
+               CAST(p.dev AS BIGINT) AS dev_scaled,
+               """
+        + _GRUBBS_G.format(widev=wide_dbl("v.nq_s2"))
+        + """ AS grubbs_g
+        FROM var_s v CROSS JOIN peak p
+        WHERE v.n > 1
+        """
+    )

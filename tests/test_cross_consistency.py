@@ -298,3 +298,35 @@ def test_apportionment_bpe_dictionary_invariants(spark):
 
     hw = QUERIES["ts_holt_winters"](spark, sf).collect()[0]
     assert hw.n_days >= 1 and hw.level is not None
+
+
+def test_grubbs_g_matches_numpy_replay(spark):
+    """stats_grubbs_test's cleared-denominator chain replicated
+    independently: daily cents rebuilt in pure pandas/numpy, G =
+    max|x − x̄|/s with ddof=1 — the textbook formula, none of the op's
+    integer-moment algebra. Identical-expression ops are parity-blind
+    to formula bugs; this pin is the independent reference."""
+    import math
+
+    row = QUERIES["stats_grubbs_test"](spark, SF_SMALL).collect()[0]
+
+    import pandas as pd
+
+    orders = spark.read.parquet(SF_SMALL + "/orders.parquet").select(
+        "o_orderdate", "o_totalprice"
+    )
+    pdf = orders.toPandas()
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    day = (
+        pd.to_datetime(pdf["o_orderdate"]).astype("int64") // (86400 * 10**9)
+    )
+    daily = cents.groupby(day).sum()
+    n = len(daily)
+    mean = daily.mean()
+    s = daily.std(ddof=1)
+    g_ref = (daily - mean).abs().max() / s
+    peak_day_ref = (daily - mean).abs().idxmax()
+
+    assert row["n_days"] == n
+    assert row["peak_day"] == peak_day_ref
+    assert math.isclose(row["grubbs_g"], g_ref, rel_tol=1e-9)
