@@ -3712,15 +3712,17 @@ def ml_eval_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w
     ),
     chars AS (
+        -- length-driven positions (NOT a fixed 40-cap): must cover the
+        -- full word exactly like Spark's sequence(1, length(word))
         SELECT substr(word, CAST(i AS INT), 1) AS c, SUM(wc) AS cc
-        FROM words, (SELECT unnest(range(1, 41)) AS i) ix
-        WHERE i <= length(word)
+        FROM (SELECT word, wc, unnest(range(1, length(word) + 1)) AS i
+              FROM words) t
         GROUP BY 1
     ),
     pairs AS (
         SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(wc) AS total
-        FROM words, (SELECT unnest(range(1, 40)) AS i) ix
-        WHERE i <= length(word) - 1
+        FROM (SELECT word, wc, unnest(range(1, length(word))) AS i
+              FROM words) t
         GROUP BY 1
     ),
     scored AS (

@@ -1335,6 +1335,16 @@ def stream_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " num_partitions long, min_batch_id long,"
                 " max_batch_id long, n_state_keys long",
             )
+        if n_files != 4:
+            # the oracle pins max_batch_id = 3 on the 4-chunk shape;
+            # an input whose event_id%4 classes aren't all populated
+            # commits fewer batches — fail LOUDLY rather than letting
+            # valid data silently hash-mismatch the pinned constant
+            raise AssertionError(
+                f"stream_state_metadata expects 4 chunk files "
+                f"(one committed batch each); got {n_files} — "
+                f"an event_id%4 class is empty for this input"
+            )
         meta = spark.read.format("state-metadata").load(ckpt)
         n_keys = spark.read.format("statestore").load(ckpt).count()
         out = meta.select(

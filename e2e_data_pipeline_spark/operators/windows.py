@@ -2403,3 +2403,143 @@ def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _KER_TAIL.format(daily="ker_daily", div="div").lstrip()
     )
+
+
+@register(
+    "win_candlestick",
+    oracle="""
+    WITH pts AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               epoch_us(ts) // 1000000 AS sec,
+               event_id,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bars AS (
+        SELECT d,
+               CAST((MIN({'s': sec, 'e': event_id, 'c': cents})).c
+                    AS BIGINT) AS open_c,
+               CAST(MAX(cents) AS BIGINT) AS high_c,
+               CAST(MIN(cents) AS BIGINT) AS low_c,
+               CAST((MAX({'s': sec, 'e': event_id, 'c': cents})).c
+                    AS BIGINT) AS close_c
+        FROM pts GROUP BY d
+    ),
+    lagged AS (
+        SELECT *, lag(open_c) OVER (ORDER BY d) AS po,
+                  lag(close_c) OVER (ORDER BY d) AS pc
+        FROM bars
+    )
+    SELECT CAST(d AS BIGINT) AS d, open_c, high_c, low_c, close_c,
+           CASE WHEN high_c > low_c
+                 AND 20 * abs(close_c - open_c) <= high_c - low_c
+                THEN 1 ELSE 0 END AS doji,
+           CASE WHEN abs(close_c - open_c) > 0
+                 AND LEAST(open_c, close_c) - low_c
+                     >= 2 * abs(close_c - open_c)
+                 AND high_c - GREATEST(open_c, close_c)
+                     <= abs(close_c - open_c)
+                THEN 1 ELSE 0 END AS hammer,
+           CASE WHEN pc IS NOT NULL AND pc < po AND close_c > open_c
+                 AND open_c <= pc AND close_c >= po
+                THEN 1 ELSE 0 END AS bull_engulf,
+           CASE WHEN pc IS NOT NULL AND pc > po AND close_c < open_c
+                 AND open_c >= pc AND close_c <= po
+                THEN 1 ELSE 0 END AS bear_engulf
+    FROM lagged
+    """,
+)
+def win_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern detection over daily event-value bars —
+    the technical-indicator family's PATTERN branch (the other
+    win_* indicators are continuous series; chart patterns are the
+    discrete alarms a monitoring pipeline pages on). Daily OHLC bars
+    come from the M4 construction (open/close = min/max over the
+    deterministic (sec, event_id) struct order — ties can't drift
+    between engines; ts_m4_downsample pattern), then four classic
+    patterns as PURE INTEGER-CENTS comparisons, division-free:
+
+    * doji: body ≤ 5% of range (20·|c−o| ≤ h−l, cross-multiplied)
+    * hammer: lower shadow ≥ 2·body, upper shadow ≤ body
+    * bullish/bearish engulfing: today's body straddles yesterday's,
+      directions opposed (lag over the day axis)
+
+    Scale: the only fact-table work is ONE partial-aggregable
+    groupBy(day) carrying 4 cascading aggregates; the pattern pass is
+    a day-grain projection + lag (bounded by the calendar, whitelisted
+    in the plan sweep's BOUNDED_GRAIN).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        "event_id",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long")
+        .alias("cents"),
+    ).select(
+        F.expr("sec div 86400").cast("long").alias("d"),
+        "sec",
+        "event_id",
+        "cents",
+    )
+    bars = pts.groupBy("d").agg(
+        F.min(F.struct("sec", "event_id", "cents"))["cents"].alias(
+            "open_c"
+        ),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max(F.struct("sec", "event_id", "cents"))["cents"].alias(
+            "close_c"
+        ),
+    )
+    wl = Window.orderBy("d")
+    lagged = bars.select(
+        "*",
+        F.lag("open_c").over(wl).alias("po"),
+        F.lag("close_c").over(wl).alias("pc"),
+    )
+    o, h, lo, c = (
+        F.col("open_c"),
+        F.col("high_c"),
+        F.col("low_c"),
+        F.col("close_c"),
+    )
+    body = F.abs(c - o)
+    return lagged.select(
+        "d",
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        F.when((h > lo) & (F.lit(20) * body <= h - lo), 1)
+        .otherwise(0)
+        .alias("doji"),
+        F.when(
+            (body > 0)
+            & (F.least(o, c) - lo >= F.lit(2) * body)
+            & (h - F.greatest(o, c) <= body),
+            1,
+        )
+        .otherwise(0)
+        .alias("hammer"),
+        F.when(
+            F.col("pc").isNotNull()
+            & (F.col("pc") < F.col("po"))
+            & (c > o)
+            & (o <= F.col("pc"))
+            & (c >= F.col("po")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bull_engulf"),
+        F.when(
+            F.col("pc").isNotNull()
+            & (F.col("pc") > F.col("po"))
+            & (c < o)
+            & (o >= F.col("pc"))
+            & (c <= F.col("po")),
+            1,
+        )
+        .otherwise(0)
+        .alias("bear_engulf"),
+    )

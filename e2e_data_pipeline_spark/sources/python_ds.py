@@ -174,12 +174,17 @@ class ShardedLcgReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         per = self.rows // self.shards
-        shard_ids = (
-            [self.bucket_eq]
-            if self.bucket_eq is not None
-            and 0 <= self.bucket_eq < self.shards
-            else list(range(self.shards))
-        )
+        if self.bucket_eq is not None:
+            # the filter was CONSUMED (removed from `remaining`), so the
+            # engine never re-applies it — this reader alone is
+            # responsible for honoring it. A bucket no shard can satisfy
+            # therefore MUST plan the empty scan, never fall back to a
+            # full one (that would return every row for `bucket = 99`).
+            if not (0 <= self.bucket_eq < self.shards):
+                return [_RangePartition(0, 0)]
+            shard_ids = [self.bucket_eq]
+        else:
+            shard_ids = list(range(self.shards))
         return [
             _RangePartition(s * per, (s + 1) * per) for s in shard_ids
         ] or [_RangePartition(0, 0)]

@@ -330,3 +330,81 @@ def test_grubbs_g_matches_numpy_replay(spark):
     assert row["n_days"] == n
     assert row["peak_day"] == peak_day_ref
     assert math.isclose(row["grubbs_g"], g_ref, rel_tol=1e-9)
+
+
+def test_logreg_newton_matches_numpy_replay(spark):
+    """ml_logreg_newton's closed form replicated independently: the
+    Newton step from beta=0 computed as the textbook matrix product
+    4*(X'X)^-1 X'(y-1/2) in numpy — none of the op's cleared-halves
+    algebra. Identical-expression ops are parity-blind to formula
+    bugs; this pin is the independent reference."""
+    import math
+
+    import numpy as np
+
+    row = QUERIES["ml_logreg_newton"](spark, SF_SMALL).collect()[0]
+
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet").select(
+        "l_quantity", "l_returnflag"
+    )
+    pdf = li.toPandas()
+    x = pdf["l_quantity"].round().astype("int64").to_numpy()
+    y = (pdf["l_returnflag"] == "R").astype("int64").to_numpy()
+    X = np.stack([np.ones_like(x), x], axis=1).astype("float64")
+    beta = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    n_pred = int(((beta[0] + beta[1] * x) > 0).sum())
+
+    assert row["n"] == len(x)
+    assert row["n_pos"] == int(y.sum())
+    assert math.isclose(row["beta0"], beta[0], rel_tol=1e-9)
+    assert math.isclose(row["beta1"], beta[1], rel_tol=1e-9)
+    assert row["n_pred_pos"] == n_pred
+    # one Newton step from 0 must IMPROVE the log-likelihood vs beta=0
+    z = beta[0] + beta[1] * x
+    ll1 = float((y * z - np.log1p(np.exp(z))).sum())
+    ll0 = float(len(x) * math.log(0.5))
+    assert ll1 > ll0
+
+
+def test_brunner_munzel_matches_numpy_replay(spark):
+    """stats_brunner_munzel replayed with the textbook midrank
+    construction (scipy.stats.brunnermunzel's formulation) in pure
+    numpy — none of the op's x2-integer-unit algebra. The two engine
+    sides share the rank CTEs, so parity alone cannot catch a formula
+    bug; this pin is the independent reference."""
+    import math
+
+    import numpy as np
+
+    row = QUERIES["stats_brunner_munzel"](spark, SF_SMALL).collect()[0]
+
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet").select(
+        "l_quantity", "l_discount"
+    )
+    pdf = li.toPandas()
+    v = pdf["l_quantity"].round().astype("int64").to_numpy()
+    g = (pdf["l_discount"] > 0.05).to_numpy()
+    x, y = v[~g], v[g]  # control, treated
+
+    def midranks(a, within):
+        # midrank of each element of `within` among `a`
+        a_sorted = np.sort(a)
+        lo = np.searchsorted(a_sorted, within, side="left")
+        hi = np.searchsorted(a_sorted, within, side="right")
+        return (lo + hi + 1) / 2.0
+
+    comb = np.concatenate([x, y])
+    rcx, rcy = midranks(comb, x), midranks(comb, y)
+    rx, ry = midranks(x, x), midranks(y, y)
+    nx, ny = len(x), len(y)
+    sx2 = ((rcx - rx - rcx.mean() + (nx + 1) / 2.0) ** 2).sum() / (nx - 1)
+    sy2 = ((rcy - ry - rcy.mean() + (ny + 1) / 2.0) ** 2).sum() / (ny - 1)
+    w_ref = (
+        nx * ny * (rcy.mean() - rcx.mean())
+        / ((nx + ny) * math.sqrt(nx * sx2 + ny * sy2))
+    )
+    p_ref = (rcy.mean() - (ny + 1) / 2.0) / nx
+
+    assert row["n_control"] == nx and row["n_treated"] == ny
+    assert math.isclose(row["bm_stat"], w_ref, rel_tol=1e-9)
+    assert math.isclose(row["p_hat"], p_ref, rel_tol=1e-9)

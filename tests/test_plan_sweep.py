@@ -69,6 +69,7 @@ BOUNDED_GRAIN = {
     # --- daily OHLC/bar technical indicators ---
     "win_aroon": "daily bar series",
     "win_atr": "daily bar series",
+    "win_candlestick": "daily bar series",
     "win_bollinger": "daily bar series",
     "win_cci": "daily bar series",
     "win_donchian": "daily bar series",
@@ -92,6 +93,7 @@ BOUNDED_GRAIN = {
     "stats_emd_1d": "distinct-cents prefix walk",
     "stats_kruskal_wallis": "distinct-cents rank frame",
     "stats_ks_test": "distinct-value step function",
+    "stats_brunner_munzel": "50-value quantity domain rank frame",
     "stats_mannwhitney": "distinct-cents rank frame",
     "stats_median_ci": "distinct-cents order stats",
     "ml_eval_auc": "distinct-score-cents rank frame",

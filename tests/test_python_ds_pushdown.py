@@ -43,10 +43,31 @@ def test_unsupported_filters_returned_to_engine():
 def test_out_of_range_bucket_yields_empty_scan():
     r = ShardedLcgReader({"rows": "64000", "shards": "8"})
     r.pushFilters([EqualTo(("bucket",), 99)])
-    # a filter no shard can satisfy must not fall back to a full scan;
-    # partitions() keeps the contract by planning all shards (engine
-    # re-checks nothing: the reader consumed the filter, but no row
-    # it emits has bucket 99, so the result is correctly empty)
+    # the filter was consumed, so the engine will NOT re-apply it —
+    # a bucket no shard can satisfy must plan the empty scan (a full
+    # scan here would wrongly return all 64000 rows for bucket = 99)
     parts = r.partitions()
+    assert len(parts) == 1 and (parts[0].lo, parts[0].hi) == (0, 0)
     rows = [row for p in parts for row in r.read(p)]
-    assert all(b != 99 for _, b, _, _ in rows)
+    assert rows == []
+
+
+def test_out_of_range_bucket_empty_end_to_end(spark):
+    from e2e_data_pipeline_spark.sources.python_ds import (
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("sharded_lcg")
+            .option("rows", "800")
+            .option("shards", "8")
+            .load()
+            .where("bucket = 99")
+        )
+        assert df.count() == 0
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
