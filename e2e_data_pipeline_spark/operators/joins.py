@@ -2050,3 +2050,62 @@ def join_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ip").cast("long").alias("max_ip"),
         )
     )
+
+
+@register(
+    "join_lateral_api",
+    oracle="""
+    SELECT n.n_name, t.top_custkey, t.bal_cents
+    FROM nation n, LATERAL (
+        SELECT c_custkey AS top_custkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.bal_cents DESC, t.top_custkey
+    """,
+)
+def join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.lateralJoin`` — the DataFrame-API twin of
+    the SQL LATERAL correlated subquery (sql_lateral_topk covers the
+    SQL spelling): per nation, the top-2 customers by account balance,
+    written as a correlated inner frame (``F.col("n.…").outer()``
+    marks the outer reference; both frames must be ALIASED or the
+    bare name silently resolves against the inner frame and the
+    correlation degenerates to a tautology — probed empirically).
+
+    Scale: Catalyst decorrelates the correlated ORDER BY … LIMIT k
+    into a rank-over-join, so the plan is an equi-join + per-key
+    window, never a nested-loop re-execution per outer row — the
+    same 100 TB shape the SQL spelling gets.
+    """
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .alias("n")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .alias("c")
+    )
+    inner = (
+        cust.where(
+            F.col("n.n_nationkey").outer() == F.col("c.c_nationkey")
+        )
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(2)
+        .select(
+            F.col("c_custkey").alias("top_custkey"),
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    return (
+        nat.lateralJoin(inner)
+        .select("n_name", "top_custkey", "bal_cents")
+        .orderBy("n_name", F.desc("bal_cents"), "top_custkey")
+    )

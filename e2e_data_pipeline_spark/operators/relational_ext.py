@@ -4100,3 +4100,122 @@ def dq_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
             expected=_BENFORD2_CASE, str="STRING"
         ).lstrip()
     )
+
+
+@register(
+    "reshape_transpose",
+    oracle="""
+    WITH per AS (
+        SELECT r.r_name,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS n_ord,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cst
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+    ),
+    spine AS (
+        SELECT col0 AS r_name FROM (VALUES ('AFRICA'), ('AMERICA'),
+            ('ASIA'), ('EUROPE'), ('MIDDLE EAST')) v(col0)
+    ),
+    wide AS (
+        SELECT s.r_name,
+               CAST(COALESCE(p.rev, 0) AS DOUBLE) AS rev,
+               CAST(COALESCE(p.n_ord, 0) AS DOUBLE) AS n_ord,
+               CAST(COALESCE(p.n_cst, 0) AS DOUBLE) AS n_cst
+        FROM spine s LEFT JOIN per p ON p.r_name = s.r_name
+    )
+    SELECT 'rev' AS key,
+           MAX(CASE WHEN r_name = 'AFRICA' THEN rev END) AS "AFRICA",
+           MAX(CASE WHEN r_name = 'AMERICA' THEN rev END) AS "AMERICA",
+           MAX(CASE WHEN r_name = 'ASIA' THEN rev END) AS "ASIA",
+           MAX(CASE WHEN r_name = 'EUROPE' THEN rev END) AS "EUROPE",
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN rev END)
+               AS "MIDDLE EAST"
+    FROM wide
+    UNION ALL
+    SELECT 'n_ord',
+           MAX(CASE WHEN r_name = 'AFRICA' THEN n_ord END),
+           MAX(CASE WHEN r_name = 'AMERICA' THEN n_ord END),
+           MAX(CASE WHEN r_name = 'ASIA' THEN n_ord END),
+           MAX(CASE WHEN r_name = 'EUROPE' THEN n_ord END),
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_ord END)
+    FROM wide
+    UNION ALL
+    SELECT 'n_cst',
+           MAX(CASE WHEN r_name = 'AFRICA' THEN n_cst END),
+           MAX(CASE WHEN r_name = 'AMERICA' THEN n_cst END),
+           MAX(CASE WHEN r_name = 'ASIA' THEN n_cst END),
+           MAX(CASE WHEN r_name = 'EUROPE' THEN n_cst END),
+           MAX(CASE WHEN r_name = 'MIDDLE EAST' THEN n_cst END)
+    FROM wide
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose`` — the executive-summary
+    reshape (metrics as rows, entities as columns) as a FIRST-CLASS
+    operator instead of the collect-and-flip pandas detour. Regional
+    revenue/volume/reach stats pivot so each region becomes a column
+    keyed by the metric name.
+
+    The region axis rides a STATIC VALUES spine (TPC-H's five region
+    names) left-joined to the data, so the transposed SCHEMA is
+    data-independent — the zero-row sweep's contract. Values unify to
+    DOUBLE (transpose requires one common value type; the int64
+    metrics convert with one IEEE rounding each, portable at any
+    magnitude).
+
+    Scale: transpose is driver-safe ONLY when the row axis is
+    bounded (5 regions); the heavy side (orders→region rollup) is one
+    partial-aggregable join tree with broadcast dims. An unbounded
+    transpose is a design error — that is what pivot_wide is for.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    per = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev"),
+            F.count("*").alias("n_ord"),
+            F.countDistinct("o_custkey").alias("n_cst"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("AFRICA",), ("AMERICA",), ("ASIA",), ("EUROPE",),
+         ("MIDDLE EAST",)],
+        "r_name string",
+    )
+    wide = (
+        spine.join(per, "r_name", "left")
+        .select(
+            "r_name",
+            F.coalesce(F.col("rev"), F.lit(0)).cast("double").alias("rev"),
+            F.coalesce(F.col("n_ord"), F.lit(0))
+            .cast("double")
+            .alias("n_ord"),
+            F.coalesce(F.col("n_cst"), F.lit(0))
+            .cast("double")
+            .alias("n_cst"),
+        )
+        .orderBy("r_name")
+    )
+    return wide.transpose()

@@ -3858,3 +3858,63 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_accounts"),
         F.sum("c_custkey").cast("long").alias("custkey_sum"),
     )
+
+
+@register(
+    "fn_collation_match",
+    oracle="""
+    WITH mangled AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+                    ELSE o_orderpriority END AS pr
+        FROM orders
+    )
+    SELECT lower(MIN(pr)) AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN pr = lower(pr) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lowercase
+    FROM mangled
+    GROUP BY lower(pr)
+    ORDER BY priority
+    """,
+)
+def fn_collation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support as grouping semantics: a feed whose
+    priority labels arrive case-mangled (half the rows lowercased —
+    the classic multi-producer normalization bug) groups on
+    ``UTF8_LCASE``-collated equality instead of hand-folding with
+    lower() in every expression; the output counts how mangled each
+    label family is.
+
+    Engine note (probed, not assumed): collated keys do not support
+    binary equality, so Spark 4.1 falls back from hash- to SORT-based
+    strategies for them — fine for GROUP BY (sort aggregates still do
+    map-side partials; the shape stays one partial-aggregable pass)
+    but NOT for joins (a collated equi-join plans as SortMergeJoin
+    even against a 5-row dimension — never broadcastable; this op
+    deliberately uses the aggregate form, and a production join on
+    collated keys should pre-fold to a binary key). The group
+    representative publishes as lower(MIN(pr)) because the collated
+    MIN may surface any case variant of a tied group — folding makes
+    it deterministic on both engines. The DuckDB oracle spells the
+    same semantics with lower() grouping (UTF8_LCASE ≡ lowercase-fold
+    equality on this ASCII domain).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mangled = orders.select(
+        F.expr(
+            "CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)"
+            " ELSE o_orderpriority END"
+        ).alias("pr")
+    )
+    return (
+        mangled.groupBy(F.expr("pr COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.expr("lower(MIN(pr))").alias("priority"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("pr") == F.lower("pr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lowercase"),
+        )
+        .select("priority", "n_orders", "n_lowercase")
+        .orderBy("priority")
+    )
