@@ -2907,3 +2907,153 @@ def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING exec_imm_cutoff, exec_imm_cutoff
         """
     )
+
+
+@register(
+    "scan_parquet_bloom_filter",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders
+    WHERE o_custkey IN (7, 42, 99, 123, 500)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS at write time — the point-lookup
+    accelerator for high-cardinality keys where min/max row-group
+    stats are useless (a shuffled custkey spans the full domain in
+    every row group, so stats prune nothing; the bloom filter skips
+    row groups that provably lack the key). Written per-column via
+    ``parquet.bloom.filter.enabled#<col>`` + ``expected.ndv#<col>``
+    writer options — table-property-free, so hot columns opt in
+    per-write exactly like sink_zstd_roundtrip's codec choice.
+
+    The oracle recomputes the IN-probe from the logical table,
+    proving the bloom path never drops or duplicates a row (a false
+    positive costs a read, a false NEGATIVE would corrupt results —
+    this is the check that it cannot); the footer's
+    bloom-filter offset (and its absence without the option) is
+    pinned via the JVM parquet reader in tests/test_etl_flow.py.
+
+    Scale: at 100 TB this is the difference between reading ~every
+    row group of a fact table for a needle query and reading the
+    handful that might contain it; NDV sizing keeps the filter ~1%
+    FP at ~1.2 bytes/key.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="e2e_bloom_")
+    (
+        orders.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+        # parquet-mr SKIPS the bloom when a chunk is fully
+        # dictionary-encoded (the dictionary already gives exact
+        # skipping); fixture-scale custkeys fit a dictionary, so turn
+        # it off for the bloomed column to exercise the real path a
+        # 100 TB high-cardinality key takes (footer pinned in tests)
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double"
+    ).parquet(path)
+    return (
+        back.where(F.col("o_custkey").isin(7, 42, 99, 123, 500))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "scan_merge_on_read",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, cents
+        FROM base WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, cents + 100
+        FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scan_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ snapshot assembly — the Iceberg/Delta deletion-
+    vector protocol on plain parquet: immutable BASE files, a small
+    DELETE file (tombstoned keys), and a DELTA file (updated rows),
+    merged at READ time instead of rewriting base files (the only
+    affordable update path when a 100 TB table takes a 1%-row upsert:
+    copy-on-write would rewrite ~every file; MOR writes KBs).
+
+    Reader algebra: ``(base ANTI-JOIN (deletes ∪ delta-keys)) UNION
+    ALL delta`` — the anti-join side is the tombstone set, always
+    tiny relative to base, so Catalyst broadcasts it and the merge
+    costs one base scan. The oracle computes the same snapshot
+    logically from the source table, so the hash proves the
+    file-level protocol loses/duplicates nothing (a key in both
+    delete and delta sets, double-application, or a missed tombstone
+    all break it). Compaction (folding the deltas back into base) is
+    sink_compaction's job.
+
+    Deterministic schedule: keys %97==0 tombstoned, keys %101==0
+    (and not tombstoned) updated (+$1.00).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="e2e_mor_")
+    base_p, del_p, delta_p = (
+        f"{root}/base",
+        f"{root}/deletes",
+        f"{root}/delta",
+    )
+    orders.write.mode("overwrite").parquet(base_p)
+    orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey"
+    ).write.mode("overwrite").parquet(del_p)
+    orders.where(
+        (F.col("o_orderkey") % 101 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).select(
+        "o_orderkey", "o_orderstatus", (F.col("cents") + 100).alias("cents")
+    ).write.mode("overwrite").parquet(delta_p)
+
+    schema = "o_orderkey long, o_orderstatus string, cents long"
+    base = spark.read.schema(schema).parquet(base_p)
+    deletes = spark.read.schema("o_orderkey long").parquet(del_p)
+    delta = spark.read.schema(schema).parquet(delta_p)
+    tombstones = deletes.unionByName(
+        delta.select("o_orderkey")
+    ).distinct()
+    merged = base.join(
+        F.broadcast(tombstones), "o_orderkey", "left_anti"
+    ).unionByName(delta)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

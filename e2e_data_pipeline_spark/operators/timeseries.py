@@ -5806,3 +5806,157 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("t_min"),
         F.max("sec").alias("t_max"),
     )
+
+
+def _esd_round_sql(rem: str, div: str) -> str:
+    """One robust-ESD round over view {rem}: discrete-median center,
+    discrete-MAD spread, cascaded argmax pick (max dev, then min day
+    among ties). All order statistics are low-median integers; the
+    score is ONE double division of exact ints (GREATEST(1, mad)
+    guards the degenerate all-equal-residuals case)."""
+    return f"""
+        WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {rem}),
+        med AS (
+            SELECT (SELECT MIN(r) FROM (
+                SELECT r, SUM(1) OVER (ORDER BY r) AS c FROM {rem}) t
+                CROSS JOIN nn WHERE c >= (n + 1) {div} 2) AS m
+            FROM nn
+        ),
+        madt AS (
+            SELECT (SELECT MIN(av) FROM (
+                SELECT CASE WHEN r >= m THEN r - m ELSE m - r END AS av,
+                       SUM(1) OVER (ORDER BY CASE WHEN r >= m THEN r - m
+                                                  ELSE m - r END) AS c
+                FROM {rem} CROSS JOIN med) t
+                CROSS JOIN nn WHERE c >= (n + 1) {div} 2) AS mad
+            FROM med
+        ),
+        devs AS (
+            SELECT d, y, r,
+                   CASE WHEN r >= m THEN r - m ELSE m - r END AS dev,
+                   m, mad
+            FROM {rem} CROSS JOIN med CROSS JOIN madt
+        )
+        SELECT d, y, r, dev, mad,
+               CAST(dev AS DOUBLE) / CAST(GREATEST(1, mad) AS DOUBLE)
+                   AS score
+        FROM devs
+        WHERE dev = (SELECT MAX(dev) FROM devs) AND d = (
+            SELECT MIN(d) FROM devs
+            WHERE dev = (SELECT MAX(dev) FROM devs))
+    """
+
+
+_ESD_BASE = """
+    WITH dowmed AS (
+        SELECT dow, MIN(y) AS med_dow FROM (
+            SELECT dow, y,
+                   SUM(1) OVER (PARTITION BY dow ORDER BY y) AS c,
+                   COUNT(*) OVER (PARTITION BY dow) AS nw
+            FROM {daily}) t
+        WHERE c >= (nw + 1) {div} 2 GROUP BY dow
+    )
+    SELECT d, y, b.dow, y - med_dow AS r
+    FROM {daily} b JOIN dowmed ON dowmed.dow = b.dow
+"""
+
+
+@register(
+    "ts_seasonal_esd",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) % 7
+                   AS dow,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    resid AS MATERIALIZED ("""
+    + _ESD_BASE.format(daily="daily", div="//")
+    + """),
+    a1 AS (SELECT 1 AS round, * FROM ("""
+    + _esd_round_sql("resid", "//")
+    + """) t1),
+    rem2 AS MATERIALIZED (
+        SELECT * FROM resid WHERE d NOT IN (SELECT d FROM a1)),
+    a2 AS (SELECT 2 AS round, * FROM ("""
+    + _esd_round_sql("rem2", "//")
+    + """) t2),
+    rem3 AS MATERIALIZED (
+        SELECT * FROM rem2 WHERE d NOT IN (SELECT d FROM a2)),
+    a3 AS (SELECT 3 AS round, * FROM ("""
+    + _esd_round_sql("rem3", "//")
+    + """) t3)
+    SELECT round, d AS day, y AS rev_cents, r AS resid, dev, mad, score
+    FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+          UNION ALL SELECT * FROM a3) u
+    ORDER BY round
+    """,
+)
+def ts_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly detection (Twitter's S-H-ESD,
+    Hochenbaum et al. 2017) over daily revenue: remove day-of-week
+    seasonality by subtracting the per-DOW discrete MEDIAN, then run
+    k=3 rounds of ROBUST ESD — each round centers on the remaining
+    residuals' median, spreads by their MAD, flags the max deviate
+    (ties break to the earliest day), and REMOVES it before the next
+    round, so one monster outlier cannot mask its neighbors (the
+    masking problem single-pass Grubbs/MAD screens have;
+    stats_grubbs_test and dq_mad_outliers are the single-pass
+    cousins).
+
+    All centers/spreads are integer low-median order statistics; the
+    score is one double division of exact ints (GREATEST(1, mad)
+    guards all-equal residuals). The Spark side MATERIALIZES each
+    round (localCheckpoint, day-grain ⇒ free) and re-derives the
+    remaining set by anti-join, so no collect path carries the
+    3-round nested-subquery tower the single-statement oracle builds
+    — the plan-depth discipline from _votes_frame_staged; DuckDB has
+    no such cliff and keeps the nested text.
+
+    Scale: one partial-aggregable day rollup; everything after is
+    day-grain (calendar-bounded windows, BOUNDED_GRAIN whitelisted).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("d"),
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400 % 7"
+        ).alias("dow"),
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    daily.localCheckpoint(eager=True).createOrReplaceTempView("esd_daily")
+    resid = spark.sql(
+        _ESD_BASE.format(daily="esd_daily", div="div")
+    ).localCheckpoint(eager=True)
+    resid.createOrReplaceTempView("esd_rem1")
+    parts = []
+    for k in (1, 2, 3):
+        a = spark.sql(_esd_round_sql(f"esd_rem{k}", "div")).localCheckpoint(
+            eager=True
+        )
+        a.createOrReplaceTempView(f"esd_a{k}")
+        parts.append(a.select(F.lit(k).alias("round"), "*"))
+        if k < 3:
+            spark.sql(
+                f"SELECT * FROM esd_rem{k} WHERE d NOT IN"
+                f" (SELECT d FROM esd_a{k})"
+            ).localCheckpoint(eager=True).createOrReplaceTempView(
+                f"esd_rem{k + 1}"
+            )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        "round",
+        F.col("d").alias("day"),
+        F.col("y").alias("rev_cents"),
+        F.col("r").alias("resid"),
+        "dev",
+        "mad",
+        "score",
+    ).orderBy("round")

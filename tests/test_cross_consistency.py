@@ -408,3 +408,47 @@ def test_brunner_munzel_matches_numpy_replay(spark):
     assert row["n_control"] == nx and row["n_treated"] == ny
     assert math.isclose(row["bm_stat"], w_ref, rel_tol=1e-9)
     assert math.isclose(row["p_hat"], p_ref, rel_tol=1e-9)
+
+
+def test_seasonal_esd_matches_pandas_replay(spark):
+    """ts_seasonal_esd replayed with the textbook S-H-ESD loop in
+    pandas (dow-median deseasonalize, then per-round median/MAD argmax
+    + removal) — none of the op's order-statistic SQL. The two engine
+    sides share the round text, so parity alone cannot catch a
+    formula bug."""
+    import pandas as pd
+
+    rows = QUERIES["ts_seasonal_esd"](spark, SF_SMALL).collect()
+
+    orders = spark.read.parquet(SF_SMALL + "/orders.parquet").select(
+        "o_orderdate", "o_totalprice"
+    )
+    pdf = orders.toPandas()
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    day = (
+        pd.to_datetime(pdf["o_orderdate"]).astype("int64")
+        // (86400 * 10**9)
+    )
+    daily = cents.groupby(day).sum().sort_index()
+
+    def low_median(s):  # discrete low median: rank (n+1)//2
+        v = sorted(s)
+        return v[(len(v) + 1) // 2 - 1]
+
+    dow = daily.index % 7
+    med_dow = {w: low_median(daily[dow == w]) for w in set(dow)}
+    resid = daily - pd.Series([med_dow[w] for w in dow], index=daily.index)
+
+    rem = resid.copy()
+    for k, row in zip((1, 2, 3), rows):
+        m = low_median(rem)
+        dev = (rem - m).abs()
+        mad = low_median(dev)
+        top = dev.max()
+        d = min(rem.index[dev == top])
+        assert row["round"] == k
+        assert row["day"] == d, f"round {k}: {row['day']} != {d}"
+        assert row["resid"] == rem[d]
+        assert row["dev"] == top and row["mad"] == mad
+        assert abs(row["score"] - top / max(1, mad)) < 1e-12
+        rem = rem.drop(d)

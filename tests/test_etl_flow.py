@@ -331,3 +331,54 @@ def test_sorted_clustered_sink_files_are_sorted(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_parquet_bloom_filter_written_to_footer(spark, tmp_path):
+    """Structural pin for scan_parquet_bloom_filter: the writer option
+    must actually persist a bloom filter in the parquet footer (JVM
+    reader exposes the offset; pyarrow 16 does not), and an identical
+    write WITHOUT the option must not. Dictionary encoding is disabled
+    for the bloomed column: parquet-mr skips blooms on fully
+    dictionary-encoded chunks (the dictionary already gives exact
+    skipping), which is also why the operator disables it."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 997).alias("o_custkey"),
+    )
+
+    def bloom_offset(path: str) -> int:
+        import glob
+
+        f = sorted(glob.glob(path + "/*.parquet"))[0]
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+        try:
+            cols = reader.getFooter().getBlocks().get(0).getColumns()
+            for i in range(cols.size()):
+                c = cols.get(i)
+                if c.getPath().toDotString() == "o_custkey":
+                    return c.getBloomFilterOffset()
+            raise AssertionError("o_custkey column chunk not found")
+        finally:
+            reader.close()
+
+    with_bloom = str(tmp_path / "with_bloom")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "1000")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(with_bloom)
+    )
+    without = str(tmp_path / "without_bloom")
+    df.coalesce(1).write.mode("overwrite").parquet(without)
+
+    assert bloom_offset(with_bloom) >= 0, "bloom filter missing from footer"
+    assert bloom_offset(without) == -1, "unexpected bloom without option"
