@@ -1531,3 +1531,136 @@ def stream_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_state_join_reader",
+    oracle="""
+    SELECT CASE WHEN event_type = 'click' THEN 'left' ELSE 'right' END
+               AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_state_join_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection for the HARDEST state format:
+    STREAM-STREAM JOIN state. A real two-source streaming inner join
+    (clicks ⋈ purchases on user_id) runs to a checkpoint; the
+    persisted join state is then read back per side via
+    ``format("statestore").option("joinSide", "left"/"right")`` and
+    hash-matched against the batch recompute of each side's full
+    input — for an un-watermarked inner join Spark must retain EVERY
+    input row in state (nothing can age out), so side-state ≡
+    side-input is an exact invariant, not an approximation. The
+    per-row ``matched`` flag the store also carries is arrival-order
+    dependent and deliberately NOT part of the hash.
+
+    This is the on-call surface for the classic stream-join
+    pathology (state growing without bound because a watermark is
+    missing/too wide): read the store, count it, size it — without
+    replaying the streams. The read is partition-parallel like
+    every statestore scan.
+
+    Scale: fixture streams are 2 chunk files per side; on a real
+    cluster the same two options point at a TB-scale checkpoint.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_join_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        sides = {"L": "click", "R": "purchase"}
+        n_files = 0
+        for tag, etype in sides.items():
+            side = ev.where(F.col("event_type") == etype)
+            for i in range(2):
+                (
+                    side.where(F.pmod("event_id", F.lit(2)) == i)
+                    .coalesce(1)
+                    .write.parquet(f"{work}/{tag}{i}")
+                )
+            n_files += len(_glob.glob(f"{work}/{tag}*/part-*"))
+        if n_files < 4:  # an empty side/chunk: batches won't line up
+            return spark.createDataFrame(
+                [],
+                "side string, n_rows long, n_users long, sum_cents long",
+            )
+        schema = (
+            "event_id long, event_type string, user_id long, cents long"
+        )
+        left = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/L*")
+            .select(
+                F.col("user_id").alias("l_user"),
+                F.col("cents").alias("l_cents"),
+            )
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/R*")
+            .select(
+                F.col("user_id").alias("r_user"),
+                F.col("cents").alias("r_cents"),
+            )
+        )
+        joined = left.join(right, F.col("l_user") == F.col("r_user"))
+        ckpt = f"{work}/ckpt"
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("stream-stream join did not finish")
+
+        frames = []
+        for side_name, ucol, ccol in (
+            ("left", "l_user", "l_cents"),
+            ("right", "r_user", "r_cents"),
+        ):
+            st = (
+                spark.read.format("statestore")
+                .option("joinSide", side_name)
+                .load(ckpt)
+            )
+            frames.append(
+                st.select(
+                    F.lit(side_name).alias("side"),
+                    F.col(f"value.{ucol}").alias("u"),
+                    F.col(f"value.{ccol}").alias("c"),
+                )
+            )
+        both = frames[0].unionByName(frames[1])
+        out = (
+            both.groupBy("side")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("u").alias("n_users"),
+                F.sum("c").cast("long").alias("sum_cents"),
+            )
+            .orderBy("side")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
