@@ -2543,3 +2543,101 @@ def win_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("bear_engulf"),
     )
+
+
+_PSAR_CAND = (
+    "(ps.sar + CAST(ps.afs AS DOUBLE) * CAST('0.02' AS DOUBLE)"
+    " * (ps.ep - ps.sar))"
+)
+
+_PSAR_RECURSION = """
+WITH RECURSIVE ps(day, trend, sar, ep, afs) AS (
+    SELECT day, 1, lo, hi, 1 FROM {daily} WHERE day = 1
+    UNION ALL
+    SELECT d.day,
+           CASE WHEN ps.trend = 1
+                THEN CASE WHEN d.lo < {cand} THEN -1 ELSE 1 END
+                ELSE CASE WHEN d.hi > {cand} THEN 1 ELSE -1 END END,
+           CASE WHEN ps.trend = 1
+                THEN CASE WHEN d.lo < {cand} THEN ps.ep ELSE {cand} END
+                ELSE CASE WHEN d.hi > {cand} THEN ps.ep ELSE {cand} END
+                END,
+           CASE WHEN ps.trend = 1
+                THEN CASE WHEN d.lo < {cand} THEN d.lo
+                          ELSE GREATEST(ps.ep, d.hi) END
+                ELSE CASE WHEN d.hi > {cand} THEN d.hi
+                          ELSE LEAST(ps.ep, d.lo) END END,
+           CASE WHEN ps.trend = 1
+                THEN CASE WHEN d.lo < {cand} THEN 1
+                          WHEN d.hi > ps.ep THEN LEAST(ps.afs + 1, 10)
+                          ELSE ps.afs END
+                ELSE CASE WHEN d.hi > {cand} THEN 1
+                          WHEN d.lo < ps.ep THEN LEAST(ps.afs + 1, 10)
+                          ELSE ps.afs END END
+    FROM ps JOIN {daily} d ON d.day = ps.day + 1
+)
+SELECT day, trend, sar, ep, CAST(afs AS BIGINT) AS afs FROM ps
+ORDER BY day
+"""
+
+_PSAR_ORACLE = _PSAR_RECURSION.format(
+    daily="psar_daily", cand=_PSAR_CAND
+).replace(
+    "WITH RECURSIVE ps(",
+    """WITH RECURSIVE psar_daily AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS day,
+           CAST(hi AS DOUBLE) AS hi, CAST(lo AS DOUBLE) AS lo
+    FROM (SELECT epoch_us(ts) // 86400000000 AS d,
+                 MAX(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS hi,
+                 MIN(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS lo
+          FROM events GROUP BY 1) b
+),
+ps(""",
+)
+
+
+@register("win_parabolic_sar", oracle=_PSAR_ORACLE)
+def win_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parabolic SAR (Wilder) over daily hi/lo bars — the technical
+    family's genuinely SEQUENTIAL indicator: the stop level
+    sar' = sar + af·(ep − sar) accelerates (af 0.02→0.20 in 0.02
+    steps, integer-counted) while the trend holds and FLIPS (sar
+    resets to the prior extreme, af to 0.02) when price pierces it —
+    state that no window frame can express, so it rides the same
+    WITH RECURSIVE day-grain recursion as ts_kalman_1d, with
+    IDENTICAL text on both engines (fixed-order float chain per step
+    ⇒ bit-identical trajectories; the af constant follows the
+    string-literal rule). Simplified variant: no two-bar SAR clamp —
+    the convention is pinned against a pure-Python replay in
+    tests/test_cross_consistency.py.
+
+    Scale: the recursion runs over the CALENDAR (one row per day
+    after a partial-aggregable hi/lo rollup), not over events —
+    sequential depth is bounded by the date domain, which is why a
+    sequential indicator is still a legal 100 TB operator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("d"),
+            F.expr(
+                "CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.max("cents").alias("hi"), F.min("cents").alias("lo"))
+        .select(
+            F.row_number()
+            .over(Window.orderBy("d"))
+            .cast("long")
+            .alias("day"),
+            F.col("hi").cast("double").alias("hi"),
+            F.col("lo").cast("double").alias("lo"),
+        )
+    )
+    daily.createOrReplaceTempView("psar_daily")
+    return spark.sql(
+        _PSAR_RECURSION.format(daily="psar_daily", cand=_PSAR_CAND)
+    )

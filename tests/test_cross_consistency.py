@@ -452,3 +452,50 @@ def test_seasonal_esd_matches_pandas_replay(spark):
         assert row["dev"] == top and row["mad"] == mad
         assert abs(row["score"] - top / max(1, mad)) < 1e-12
         rem = rem.drop(d)
+
+
+def test_parabolic_sar_matches_python_replay(spark):
+    """win_parabolic_sar's recursion replayed as a plain Python loop
+    (the textbook Wilder update with the documented simplified-clamp
+    convention). Shared-text recursions are parity-blind to formula
+    bugs; this is the independent reference."""
+    import pandas as pd
+
+    rows = QUERIES["win_parabolic_sar"](spark, SF_SMALL).collect()
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet").select(
+        "ts", "value"
+    )
+    pdf = ev.toPandas()
+    cents = (pdf["value"].fillna(0) * 100).round().astype("int64")
+    day = pd.to_datetime(pdf["ts"]).astype("int64") // (86400 * 10**9)
+    g = pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"]
+    hi, lo = g.max().sort_index(), g.min().sort_index()
+
+    trend, sar, ep, afs = 1, float(lo.iloc[0]), float(hi.iloc[0]), 1
+    expect = [(1, trend, sar, ep, afs)]
+    for i in range(1, len(hi)):
+        h, l = float(hi.iloc[i]), float(lo.iloc[i])
+        cand = sar + afs * 0.02 * (ep - sar)
+        if trend == 1:
+            if l < cand:
+                trend, sar, ep, afs = -1, ep, l, 1
+            else:
+                sar = cand
+                if h > ep:
+                    afs = min(afs + 1, 10)
+                ep = max(ep, h)
+        else:
+            if h > cand:
+                trend, sar, ep, afs = 1, ep, h, 1
+            else:
+                sar = cand
+                if l < ep:
+                    afs = min(afs + 1, 10)
+                ep = min(ep, l)
+        expect.append((i + 1, trend, sar, ep, afs))
+
+    assert len(rows) == len(expect)
+    for row, (d, t, s, e, a) in zip(rows, expect):
+        assert (row["day"], row["trend"], row["afs"]) == (d, t, a)
+        assert row["sar"] == s and row["ep"] == e, f"day {d}"
