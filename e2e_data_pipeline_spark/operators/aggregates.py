@@ -12722,3 +12722,84 @@ folds AS (
 ),"""
         + _BM_FINAL
     )
+
+
+@register(
+    "ml_als_rank1_step",
+    oracle="""
+    WITH r AS (
+        SELECT l_suppkey AS u, l_partkey AS p,
+               CAST(ROUND(l_quantity) AS BIGINT) AS rt
+        FROM lineitem
+    ),
+    solved AS (
+        SELECT u,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(rt * (8 + p % 7)) AS BIGINT) AS num8,
+               CAST(64 + SUM((8 + p % 7) * (8 + p % 7)) AS BIGINT)
+                   AS den64,
+               8 * CAST(SUM(rt * (8 + p % 7)) AS DOUBLE)
+                 / CAST(64 + SUM((8 + p % 7) * (8 + p % 7)) AS DOUBLE)
+                   AS factor
+        FROM r GROUP BY u
+    )
+    SELECT u AS suppkey, n_items, num8, den64, factor
+    FROM solved
+    ORDER BY factor DESC, suppkey
+    LIMIT 15
+    """,
+)
+def ml_als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT rank-1 ALS half-step — the matrix-factorization
+    building block (recommender family): with item factors fixed, the
+    ridge-regularized user solve u_i = Σ_j r_ij·x_j / (λ + Σ_j x_j²)
+    is a CLOSED FORM per user, computable as one partial-aggregable
+    pass (a full ALS fit alternates this shape user↔item; at 100 TB
+    each half-step shuffles two numbers per entity, never rows — the
+    reason ALS beats SGD on clusters).
+
+    Portability: item factors are EIGHTHS x_j = (8 + p%7)/8, so the
+    numerator and ridge denominator clear to pure INT64 sums (num8 =
+    Σr·8x, den64 = 64λ + Σ(8x)²) and each factor is ONE fixed-order
+    double chain — bit-identical both engines, legal ORDER BY key for
+    the top-15 ranking (λ = 1).
+
+    Scale: one groupBy(user) partial agg + TakeOrdered(15); the
+    item half-step is the same shape keyed by item.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    solved = (
+        li.select(
+            F.col("l_suppkey").alias("u"),
+            F.col("l_partkey").alias("p"),
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("rt"),
+        )
+        .groupBy("u")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.expr("rt * (8 + p % 7)")).cast("long").alias("num8"),
+            (
+                F.lit(64)
+                + F.sum(F.expr("(8 + p % 7) * (8 + p % 7)"))
+            )
+            .cast("long")
+            .alias("den64"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "8 * CAST(num8 AS DOUBLE) / CAST(den64 AS DOUBLE)"
+            ).alias("factor"),
+        )
+    )
+    return (
+        solved.select(
+            F.col("u").alias("suppkey"),
+            "n_items",
+            "num8",
+            "den64",
+            "factor",
+        )
+        .orderBy(F.desc("factor"), "suppkey")
+        .limit(15)
+    )

@@ -499,3 +499,31 @@ def test_parabolic_sar_matches_python_replay(spark):
     for row, (d, t, s, e, a) in zip(rows, expect):
         assert (row["day"], row["trend"], row["afs"]) == (d, t, a)
         assert row["sar"] == s and row["ep"] == e, f"day {d}"
+
+
+def test_als_rank1_matches_numpy_replay(spark):
+    """ml_als_rank1_step's cleared-eighths algebra replayed as the
+    textbook ridge solve u = (X'X + lambda)^-1 X'r in numpy per
+    supplier — independent of the op's integer units."""
+    import math
+
+    import numpy as np
+
+    rows = QUERIES["ml_als_rank1_step"](spark, SF_SMALL).collect()
+
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    pdf = li.toPandas()
+    pdf["rt"] = pdf["l_quantity"].round().astype("int64")
+    pdf["x"] = (8 + pdf["l_partkey"] % 7) / 8.0
+    best = {}
+    for u, g in pdf.groupby("l_suppkey"):
+        x, r = g["x"].to_numpy(), g["rt"].to_numpy()
+        best[u] = float((r * x).sum() / (1.0 + (x * x).sum()))
+    top = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    assert len(rows) == min(15, len(best))  # sf0.001 has 10 suppliers
+    for row, (u, f) in zip(rows, top):
+        assert row["suppkey"] == u
+        assert math.isclose(row["factor"], f, rel_tol=1e-12)
