@@ -97,8 +97,8 @@ _CHECKED_PREFIX = [
     "sim_knn_join",
     "sim_mmr_diversify",
     "sim_ivf_index_roundtrip",
-    # multimodal
-    "multimodal_cols",
+    # multimodal (the real-codec proof key)
+    "multimodal_png_codec",
     # streaming (batch twin of the unified Dataset code)
     "stream_tumbling",
     "stream_session",
@@ -113,6 +113,13 @@ _CHECKED_PREFIX = [
     "corpus_e2e_manifest",
     # ---- positions 51+: strongest follow-ups first, in case the
     # driver's budget exceeds 50 keys ----
+    "multimodal_gif_codec",
+    "stream_state_join_reader",
+    "ts_seasonal_esd",
+    "win_parabolic_sar",
+    "ml_logreg_newton",
+    "scan_merge_on_read",
+    "multimodal_cols",
     "stats_fisher_exact",
     "stats_ks_uniform_hash",
     "agg_attribution_markov",
