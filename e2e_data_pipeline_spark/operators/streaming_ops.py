@@ -1664,3 +1664,115 @@ def stream_state_join_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_state_watermark_eviction",
+    oracle="""
+    WITH pts AS (
+        SELECT epoch_us(ts) AS us,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    wm AS (
+        SELECT MAX(us) - CAST(21600000000 AS BIGINT) AS wm_us FROM pts
+    )
+    SELECT CAST((us // 86400000000) * 86400 AS BIGINT)
+               AS window_start_sec,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM pts CROSS JOIN wm
+    WHERE (us // 86400000000 + 1) * 86400000000 > wm_us
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_state_watermark_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark EVICTION precision, proven from the state files: an
+    append-mode day-windowed aggregation with a 6-hour watermark runs
+    to a checkpoint, then the retained state is read back and
+    hash-matched against the closed-form prediction — exactly the
+    windows whose end exceeds (global max event time − 6h), with
+    exact sums. Finalized windows MUST have left the store (state
+    that only grows is the watermark bug this audits) and surviving
+    windows must be complete (their rows can never have been dropped
+    as too-late, since any mid-stream watermark ≤ the final one).
+    availableNow's trailing no-data batch applies the final watermark,
+    which makes the retained set independent of file arrival order.
+
+    Together with stream_state_reader (agg state ≡ batch recompute)
+    and stream_state_join_reader (join state ≡ side inputs) this
+    closes the state-introspection triangle: values, joins, and
+    LIFECYCLE.
+
+    Scale: the state read is partition-parallel and touches only
+    live windows — the audit costs O(open windows), not O(stream).
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_wm_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.expr("CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        for i in range(4):
+            (
+                ev.where(F.pmod("event_id", F.lit(4)) == i)
+                .coalesce(1)
+                .write.parquet(f"{work}/chunks/c{i}")
+            )
+        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        if n_files == 0:
+            return spark.createDataFrame(
+                [], "window_start_sec long, sum_cents long, n_events long"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/chunks/c*")
+        )
+        agg = (
+            stream.withWatermark("ts", "6 hours")
+            .groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.sum("cents").alias("sum_cents"),
+                 F.count("*").alias("n_events"))
+        )
+        ckpt = f"{work}/ckpt"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("watermark eviction stream did not finish")
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        out = (
+            st.select(
+                F.col("key.window.start")
+                .cast("long")
+                .alias("window_start_sec"),
+                F.col(f"value.{vcols[0]}").cast("long").alias("sum_cents"),
+                F.col(f"value.{vcols[1]}").cast("long").alias("n_events"),
+            )
+            .orderBy("window_start_sec")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
