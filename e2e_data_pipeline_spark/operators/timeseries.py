@@ -5960,3 +5960,111 @@ def ts_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         "score",
     ).orderBy("round")
+
+
+def _dft_angle_values() -> str:
+    """Shared 150-row VALUES table of EXACT double constants
+    cos/sin(2π·k·t/30) for k=1..5, t=0..29, rendered via repr() —
+    shortest-repr doubles round-trip bit-exactly through both
+    engines' strtod, so the trig table is identical on both sides
+    (libm cos/sin are NOT guaranteed cross-engine identical; the
+    float-constant string-literal rule, applied 300 times)."""
+    import math
+
+    rows = ", ".join(
+        f"({k}, {t}, CAST('{math.cos(2 * math.pi * k * t / 30)!r}'"
+        f" AS DOUBLE), CAST('{math.sin(2 * math.pi * k * t / 30)!r}'"
+        f" AS DOUBLE))"
+        for k in range(1, 6)
+        for t in range(30)
+    )
+    return f"(VALUES {rows}) angles(k, t, c, s)"
+
+
+_PERIODOGRAM_TAIL = """
+idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t,
+           y
+    FROM {daily}
+),
+terms AS (
+    SELECT angles.k, i.t,
+           CAST(i.y AS DOUBLE) * angles.c AS yc,
+           CAST(i.y AS DOUBLE) * angles.s AS ys
+    FROM idx i JOIN {angles} ON angles.t = i.t
+),
+folded AS (
+    SELECT k, {cos_fold} AS cos_sum, {sin_fold} AS sin_sum
+    FROM terms GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       cos_sum, sin_sum,
+       cos_sum * cos_sum + sin_sum * sin_sum AS power
+FROM folded ORDER BY k"""
+
+
+@register(
+    "ts_periodogram",
+    oracle="""
+    WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS d,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),"""
+    + _PERIODOGRAM_TAIL.format(
+        daily="daily",
+        angles=_dft_angle_values().replace(") angles(", ") AS angles("),
+        cos_fold=(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            " list(yc ORDER BY t)), (a, x) -> a + x)"
+        ),
+        sin_fold=(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            " list(ys ORDER BY t)), (a, x) -> a + x)"
+        ),
+    ),
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier PERIODOGRAM of the daily event-count series —
+    spectral power at cycle frequencies k=1..5 over the 30-day
+    fixture span, the classic seasonality detector (a weekly cycle
+    lights up k≈4 ≙ period 7.5d; ts_seasonal_esd ASSUMES the weekly
+    period, this op MEASURES it). P(k) = (Σy·cos)² + (Σy·sin)².
+
+    Portability: the trig table is INJECTED as 300 repr()-exact
+    double literals shared by both engines (libm cos/sin differ
+    cross-engine; strtod of shortest-repr doesn't), each y·c term is
+    one exact-int × exact-constant product, and the per-frequency
+    sums fold in FIXED t order (bounded 30-element lists — the
+    ts_dtw/brunner-munzel fold pattern), so every output double is
+    bit-identical. Day index t = dense rank of the day, so a fixture
+    span ≠ 30 days drops/keeps rows IDENTICALLY on both sides (the
+    parity contract never depends on the span assumption).
+
+    Scale: one partial-aggregable day rollup; the spectral fold is
+    150 rows. For arbitrary-length series the same shape runs per
+    (series, frequency) key — still one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias(
+            "d"
+        )
+    ).agg(F.count("*").alias("y"))
+    daily.createOrReplaceTempView("periodogram_daily")
+    spark.sql(
+        "SELECT * FROM " + _dft_angle_values()
+    ).createOrReplaceTempView("periodogram_angles")
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(t, {c}))),"
+        " e -> e.{c}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return spark.sql(
+        "WITH "
+        + _PERIODOGRAM_TAIL.format(
+            daily="periodogram_daily",
+            angles="periodogram_angles AS angles",
+            cos_fold=fold.format(c="yc"),
+            sin_fold=fold.format(c="ys"),
+        ).lstrip()
+    )

@@ -527,3 +527,30 @@ def test_als_rank1_matches_numpy_replay(spark):
     for row, (u, f) in zip(rows, top):
         assert row["suppkey"] == u
         assert math.isclose(row["factor"], f, rel_tol=1e-12)
+
+
+def test_periodogram_matches_numpy_replay(spark):
+    """ts_periodogram vs numpy's own trig: P(k) computed with
+    np.cos/np.sin over the same daily counts. The op's injected
+    constants and fold order are implementation details; the spectrum
+    itself must match the textbook DFT to float tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rows = QUERIES["ts_periodogram"](spark, SF_SMALL).collect()
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet").select("ts")
+    day = (
+        pd.to_datetime(ev.toPandas()["ts"]).astype("int64")
+        // (86400 * 10**9)
+    )
+    y = day.value_counts().sort_index().to_numpy().astype("float64")
+    t = np.arange(len(y))
+    assert len(rows) == 5
+    for row in rows:
+        k = row["k"]
+        ang = 2 * np.pi * k * t / 30.0
+        c, s = float((y * np.cos(ang)).sum()), float((y * np.sin(ang)).sum())
+        assert abs(row["cos_sum"] - c) < 1e-6 * max(1, abs(c))
+        assert abs(row["sin_sum"] - s) < 1e-6 * max(1, abs(s))
+        assert abs(row["power"] - (c * c + s * s)) < 1e-6 * (c * c + s * s)

@@ -44,6 +44,7 @@ BOUNDED_GRAIN = {
     "ts_error_budget": "day-grain SLO series",
     "ts_granger_lag1": "day-grain series pair",
     "ts_holt_linear": "day-grain series",
+    "ts_periodogram": "day-grain series (dense rank over calendar days)",
     "ts_peak_detect": "day-grain series",
     "ts_record_highs": "day-grain series",
     "ts_seasonal_decompose": "day-grain series",
