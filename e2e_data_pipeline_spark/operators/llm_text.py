@@ -3830,3 +3830,135 @@ def text_wordpiece_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
+
+
+_TEXTRANK_TAIL = """
+sent_words AS (
+    SELECT DISTINCT doc_id, sid, w
+    FROM {tok}
+),
+degs AS (
+    SELECT doc_id, sid, CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM sent_words GROUP BY doc_id, sid
+),
+ovl AS (
+    SELECT a.doc_id, a.sid AS sa, b.sid AS sb,
+           CAST(COUNT(*) AS BIGINT) AS ov
+    FROM sent_words a
+    JOIN sent_words b
+      ON b.doc_id = a.doc_id AND b.w = a.w AND b.sid > a.sid
+    GROUP BY a.doc_id, a.sid, b.sid
+),
+edges AS (
+    SELECT doc_id, sa AS src, sb AS dst FROM ovl WHERE ov >= 2
+    UNION ALL
+    SELECT doc_id, sb AS src, sa AS dst FROM ovl WHERE ov >= 2
+),
+outdeg AS (
+    SELECT doc_id, src, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM edges GROUP BY doc_id, src
+),
+r1 AS (
+    SELECT d.doc_id, d.sid,
+           150000 + (850000 * COALESCE(SUM(1000000 {div} o.deg), 0))
+               {div} 1000000 AS r
+    FROM degs d
+    LEFT JOIN edges e ON e.doc_id = d.doc_id AND e.dst = d.sid
+    LEFT JOIN outdeg o ON o.doc_id = e.doc_id AND o.src = e.src
+    GROUP BY d.doc_id, d.sid
+),
+r2 AS (
+    SELECT d.doc_id, d.sid,
+           150000 + (850000 * COALESCE(SUM(ru.r {div} o.deg), 0))
+               {div} 1000000 AS r
+    FROM degs d
+    LEFT JOIN edges e ON e.doc_id = d.doc_id AND e.dst = d.sid
+    LEFT JOIN outdeg o ON o.doc_id = e.doc_id AND o.src = e.src
+    LEFT JOIN r1 ru ON ru.doc_id = e.doc_id AND ru.sid = e.src
+    GROUP BY d.doc_id, d.sid
+),
+stats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents
+    FROM degs GROUP BY doc_id
+),
+estats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM ovl WHERE ov >= 2 GROUP BY doc_id
+),
+best AS (
+    SELECT doc_id, sid, r FROM (
+        SELECT doc_id, sid, r,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY r DESC, sid) AS rk
+        FROM r2) t
+    WHERE rk = 1
+)
+SELECT b.doc_id,
+       CAST(b.sid AS BIGINT) AS top_sentence,
+       CAST(b.r AS BIGINT) AS rank_ppm,
+       s.n_sents,
+       COALESCE(e.n_edges, 0) AS n_edges
+FROM best b
+JOIN stats s ON s.doc_id = b.doc_id
+LEFT JOIN estats e ON e.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+
+@register(
+    "text_textrank_sentences",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST((pos - 1) // 10 AS BIGINT) AS sid,
+               w
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1))
+                       AS pos
+            FROM documents WHERE doc_id < 120
+        ) t WHERE w != ''
+    ),"""
+    + _TEXTRANK_TAIL.format(tok="tok", div="//"),
+)
+def text_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004) —
+    the corpus-curation answer to "which sentence represents this
+    document": sentences become graph nodes, ≥2-shared-word pairs
+    become edges, and 2 unrolled PageRank iterations (damping 0.85)
+    pick the most central sentence per document. Fixture documents
+    are punctuation-free word streams, so 10-word windows stand in as
+    pseudo-sentences (the documented proxy used by the quality ops;
+    the graph algebra is split-rule-independent).
+
+    Portability: ranks live in INTEGER ppm with truncating division
+    (1e6-scaled contributions, r' = 0.15e6 + 0.85·Σ(r div deg) — the
+    unweighted-TextRank variant), so both iterations are exact int64
+    on both engines; the per-document argmax tiebreaks (rank desc,
+    sentence id).
+
+    Scale: tokenize → (doc, word) equi-self-join (never cross-doc),
+    per-doc quadratic only in sentences-per-doc (bounded by document
+    length); ranks/argmax are hash-partitioned by doc_id. The same
+    shape summarizes a 100 TB corpus one document at a time.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.expr("CAST(pos0 div 10 AS BIGINT)").alias("sid"),
+            "w",
+        )
+    )
+    tok.createOrReplaceTempView("textrank_tok")
+    return spark.sql(
+        "WITH "
+        + _TEXTRANK_TAIL.format(tok="textrank_tok", div="div").lstrip()
+    )

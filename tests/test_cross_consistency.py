@@ -554,3 +554,49 @@ def test_periodogram_matches_numpy_replay(spark):
         assert abs(row["cos_sum"] - c) < 1e-6 * max(1, abs(c))
         assert abs(row["sin_sum"] - s) < 1e-6 * max(1, abs(s))
         assert abs(row["power"] - (c * c + s * s)) < 1e-6 * (c * c + s * s)
+
+
+def test_textrank_matches_python_replay(spark):
+    """text_textrank_sentences replayed as a plain Python graph loop
+    (pseudo-sentence windows, >=2-shared-word edges, two integer
+    ppm PageRank iterations) — independent of the op's SQL."""
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_textrank_sentences"](
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_SMALL}/documents.parquet").to_pandas()
+    tbl = tbl[tbl.doc_id < 120]
+    for _, doc in tbl.iterrows():
+        words = [w for w in doc.text.split(" ") if w]
+        sents = {}
+        for i, w in enumerate(words):
+            sents.setdefault(i // 10, set()).add(w)
+        sids = sorted(sents)
+        edges = {s: set() for s in sids}
+        n_edges = 0
+        for i, a in enumerate(sids):
+            for b in sids[i + 1 :]:
+                if len(sents[a] & sents[b]) >= 2:
+                    edges[a].add(b)
+                    edges[b].add(a)
+                    n_edges += 1
+        r = {s: 1_000_000 for s in sids}
+        for _ in range(2):
+            r = {
+                v: 150_000
+                + (850_000 * sum(r[u] // len(edges[u]) for u in edges[v]))
+                // 1_000_000
+                for v in sids
+            }
+        best = min(sids, key=lambda s: (-r[s], s))
+        got = rows[doc.doc_id]
+        assert got["n_sents"] == len(sids)
+        assert got["n_edges"] == n_edges
+        assert (got["top_sentence"], got["rank_ppm"]) == (best, r[best]), (
+            f"doc {doc.doc_id}"
+        )
