@@ -12803,3 +12803,90 @@ def ml_als_rank1_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("factor"), "suppkey")
         .limit(15)
     )
+
+
+_QINI_TAIL = """
+cells AS (
+    SELECT bucket, t,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS r
+    FROM {scored} GROUP BY bucket, t
+),
+buckets AS (
+    SELECT bucket,
+           CAST(COALESCE(MAX(CASE WHEN t = 1 THEN n END), 0) AS BIGINT)
+               AS nt,
+           CAST(COALESCE(MAX(CASE WHEN t = 0 THEN n END), 0) AS BIGINT)
+               AS nc,
+           CAST(COALESCE(MAX(CASE WHEN t = 1 THEN r END), 0) AS BIGINT)
+               AS rt,
+           CAST(COALESCE(MAX(CASE WHEN t = 0 THEN r END), 0) AS BIGINT)
+               AS rc
+    FROM cells GROUP BY bucket
+),
+cum AS (
+    SELECT bucket,
+           SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+           SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc
+    FROM buckets
+    WINDOW w AS (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(cnt AS BIGINT) AS n_treated,
+       CAST(cnc AS BIGINT) AS n_control,
+       CAST(crt AS BIGINT) AS resp_treated,
+       CAST(crc AS BIGINT) AS resp_control,
+       CAST(crt * cnc - crc * cnt AS BIGINT) AS qini_num,
+       CAST(crt AS DOUBLE)
+         - CAST(crc AS DOUBLE) * CAST(cnt AS DOUBLE)
+           / CAST(GREATEST(1, cnc) AS DOUBLE) AS qini
+FROM cum ORDER BY bucket"""
+
+
+@register(
+    "ml_uplift_qini",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(('0x' || substr(md5('q:'
+                    || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                // 144115188075855872 AS bucket,
+               CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS t,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),"""
+    + _QINI_TAIL.format(scored="scored"),
+)
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve — the uplift-model evaluation standard
+    (ml_uplift_segments ranks segments; this op evaluates a SCORE):
+    cumulative incremental responders at each score decile,
+    Qini(k) = Rt(k) − Rc(k)·Nt(k)/Nc(k) over 8 score octiles
+    (power-of-two range buckets of the 60-bit hash — a ×10 decile
+    product would overflow int64), published both as the exact
+    integer cross-product Rt·Nc − Rc·Nt (the curve's sign/ordering
+    carrier, overflow-free to ~10^9 rows/bucket) and as the double
+    (one fixed-order chain). The 'model' is a deterministic 60-bit
+    md5 score (the portable-hash recipe) bucketed by range — a
+    uniform random model, so the curve hugging zero is itself the
+    sanity check; swap any real score column in production.
+
+    Scale: one (bucket, treatment) partial agg — octiles come from
+    RANGE-bucketing the uniform hash (a pure projection; no global
+    sort/ntile anywhere), the cumulative pass runs over 8 rows
+    (BOUNDED_GRAIN).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        F.expr(
+            "conv(substr(md5(concat('q:', CAST(l_orderkey AS STRING),"
+            " ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10)"
+            " div 144115188075855872"
+        ).alias("bucket"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("t"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).createOrReplaceTempView("qini_scored")
+    return spark.sql(
+        "WITH " + _QINI_TAIL.format(scored="qini_scored").lstrip()
+    )

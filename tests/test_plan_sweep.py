@@ -112,6 +112,7 @@ BOUNDED_GRAIN = {
     "ml_slice_audit": "5-slice audit table",
     "ml_threshold_sweep": "9 fixed thresholds",
     "ml_uplift_segments": "25-segment bound",
+    "ml_uplift_qini": "8 score-octile buckets (cumulative frame)",
     "stats_bh_fdr": "dim-grain hypothesis family",
     "stats_bootstrap_ci": "100 bootstrap replicates",
     "stats_cramers_v": "<=15 contingency cells",
