@@ -130,6 +130,18 @@ AUDIT: dict[str, tuple[list[str], str]] = {
         "windows over the pinned range layout — no single-partition "
         "running sum.",
     ),
+    "join_lateral_api": (
+        ["BroadcastHashJoin", "WindowGroupLimit", "NestedLoop"],
+        "The correlated LATERAL (DataFrame.lateralJoin) decorrelates to "
+        "an equi-join + partial WindowGroupLimit — no per-outer-row "
+        "re-execution, no nested loop.",
+    ),
+    "scan_merge_on_read": (
+        ["BroadcastHashJoin", "LeftAnti", "Union"],
+        "The MOR snapshot assembly broadcasts the tombstone set into a "
+        "LeftAnti join over one base scan — the merge never shuffles "
+        "the base table.",
+    ),
 }
 
 
