@@ -3057,3 +3057,122 @@ def scan_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "scan_avro_py",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scan_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingestion WITHOUT spark-avro (the jar is absent here —
+    the one 'missing' connector verdict r6 listed): a pure-stdlib
+    Object Container File writer and an INDEPENDENT reader
+    (operators/avro_codec.py — magic, metadata map, zigzag varints,
+    raw-deflate blocks, per-block sync markers). The write is
+    task-parallel (each partition serializes its own .avro via
+    ``mapInPandas``), the read is the binaryFile-source → Arrow-batch
+    decode shape every custom-format corpus uses at 100 TB; the
+    oracle recomputes the aggregate from the logical table, so the
+    hash proves the whole serialize→deflate→parse chain is lossless
+    (doubles travel as IEEE bytes — bit-exact round trip).
+
+    Round-trip, both codecs, and corruption rejection (magic/sync)
+    are property-tested in tests/test_avro_codec.py.
+    """
+    import pandas as pd
+
+    from e2e_data_pipeline_spark.operators.avro_codec import (
+        read_ocf,
+        write_ocf,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="e2e_avro_")
+    fields = [
+        ("o_orderkey", "long"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+    ]
+
+    def write_part(batches):
+        import os
+        import uuid
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                zip(
+                    pdf["o_orderkey"].astype("int64"),
+                    pdf["o_orderstatus"],
+                    pdf["o_totalprice"].astype("float64"),
+                )
+            )
+        if rows:
+            path = os.path.join(root, f"part-{uuid.uuid4().hex}.avro")
+            data = write_ocf(
+                [(int(k), str(s), float(p)) for k, s, p in rows],
+                fields,
+                codec="deflate",
+                sync=bytes(16),
+            )
+            with open(path, "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"path": [path], "n": [len(rows)]})
+
+    written = orders.repartition(4).mapInPandas(
+        write_part, "path string, n long"
+    )
+    n_files = written.count()  # materializes the parallel write
+    if n_files == 0:  # zero-row input: no OCF files minted
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_rows long, total_cents long"
+        )
+
+    def decode(batches):
+        for pdf in batches:
+            out_k, out_s, out_p = [], [], []
+            for blob in pdf["content"]:
+                got_fields, rows = read_ocf(bytes(blob))
+                assert [n for n, _ in got_fields] == [
+                    n for n, _ in fields
+                ], "schema drift in OCF metadata"
+                for k, s, p in rows:
+                    out_k.append(k)
+                    out_s.append(s)
+                    out_p.append(p)
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(out_k, dtype="int64"),
+                    "o_orderstatus": pd.Series(out_s, dtype="object"),
+                    "o_totalprice": pd.Series(out_p, dtype="float64"),
+                }
+            )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(f"{root}/part-*.avro")
+        .select("content")
+        .mapInPandas(
+            decode,
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
