@@ -6068,3 +6068,127 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             sin_fold=fold.format(c="ys"),
         ).lstrip()
     )
+
+
+_COXPH_RANKS = """
+mx AS (SELECT MAX(day) AS mx FROM {pts}),
+u AS (
+    SELECT subj,
+           MAX(day) - MIN(day) AS dur,
+           CASE WHEN MAX(day) >= (SELECT mx FROM mx) - 90
+                THEN 0 ELSE 1 END AS event,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM {pts} GROUP BY subj
+),
+g AS (
+    SELECT dur,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event) AS BIGINT) AS d,
+           CAST(SUM(x) AS BIGINT) AS sx_all,
+           CAST(SUM(x * x) AS BIGINT) AS sxx_all,
+           CAST(SUM(event * x) AS BIGINT) AS sx_d
+    FROM u GROUP BY dur
+),
+risk AS (
+    SELECT dur, d, sx_d,
+           SUM(n) OVER w AS s0,
+           SUM(sx_all) OVER w AS s1,
+           SUM(sxx_all) OVER w AS s2
+    FROM g
+    WINDOW w AS (ORDER BY dur DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+    SELECT dur,
+           CAST(sx_d AS DOUBLE)
+             - CAST(d AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(s0 AS DOUBLE) AS tu,
+           CAST(d AS DOUBLE)
+             * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS ti
+    FROM risk WHERE d > 0
+),
+tots AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_subjects,
+           CAST(SUM(d) AS BIGINT) AS n_events
+    FROM g
+),
+"""
+
+_COXPH_FINAL = """
+SELECT t.n_subjects, t.n_events,
+       f.u AS u_score, f.i AS fisher_info,
+       f.u / f.i AS beta
+FROM tots t CROSS JOIN folds f
+WHERE t.n_events > 0"""
+
+
+@register(
+    "ml_coxph_newton",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS subj,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders
+    ),"""
+    + _COXPH_RANKS.format(pts="pts", div="//")
+    + """
+folds AS (
+    SELECT
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(tu ORDER BY dur)), (a, x) -> a + x) AS u,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(ti ORDER BY dur)), (a, x) -> a + x) AS i
+    FROM terms
+)"""
+    + _COXPH_FINAL,
+)
+def ml_coxph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton step of COX PROPORTIONAL HAZARDS from β = 0 —
+    the survival-regression building block beside ts_survival_km's
+    nonparametric table: does purchase VOLUME (per-customer order
+    count, the covariate) predict churn hazard? Subjects are
+    customers over their order history (duration = first→last order
+    day, churned unless active in the final 90 days — ~2/3 of
+    customers event, rich duration structure; the events table's
+    users are all active to the end, which is why the KM op's 7-day
+    rule would be vacuous here — the 0-row first draft was caught by
+    the eyeball-the-row-count rule). At β = 0 every exp(βx) is 1,
+    so the Breslow-ties score U = Σ_t(Σ_{deaths}x − d_t·S1_t/S0_t)
+    and information I = Σ_t d_t(S2_t/S0_t − (S1_t/S0_t)²) are CLOSED
+    FORMS over risk-set suffix sums (S0/S1/S2 = subjects, Σx, Σx²
+    with duration ≥ t — the KM "risk set = descending suffix sum"
+    trick), and β₁ = U/I.
+
+    Portability: all moments are exact int64; the per-event-time
+    terms carry divisions, so U and I fold in FIXED duration order
+    over the day-bounded term list (the brunner-munzel/dtw pattern),
+    making every output double bit-identical. Numpy Breslow replay
+    unit-pinned.
+
+    Scale: one per-user aggregate → duration-grain (calendar-bounded)
+    suffix sums → a ≤days-long fold. No per-time-point pass over
+    subjects anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        F.col("o_custkey").alias("subj"),
+        F.expr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+        ).alias("day"),
+    ).createOrReplaceTempView("coxph_pts")
+    return spark.sql(
+        "WITH "
+        + _COXPH_RANKS.format(pts="coxph_pts", div="div").lstrip()
+        + """
+folds AS (
+    SELECT
+        aggregate(transform(array_sort(collect_list(struct(dur, tu))),
+            e -> e.tu), CAST(0 AS DOUBLE), (a, x) -> a + x) AS u,
+        aggregate(transform(array_sort(collect_list(struct(dur, ti))),
+            e -> e.ti), CAST(0 AS DOUBLE), (a, x) -> a + x) AS i
+    FROM terms
+)"""
+        + _COXPH_FINAL
+    )

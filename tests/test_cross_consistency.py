@@ -600,3 +600,43 @@ def test_textrank_matches_python_replay(spark):
         assert (got["top_sentence"], got["rank_ppm"]) == (best, r[best]), (
             f"doc {doc.doc_id}"
         )
+
+
+def test_coxph_newton_matches_numpy_replay(spark):
+    """ml_coxph_newton replayed with the textbook Breslow score /
+    information loop in numpy (risk sets rebuilt per event time by
+    brute force) — none of the op's suffix-sum algebra."""
+    import math
+
+    import pandas as pd
+
+    row = QUERIES["ml_coxph_newton"](spark, SF_SMALL).collect()[0]
+
+    o = spark.read.parquet(SF_SMALL + "/orders.parquet").select(
+        "o_custkey", "o_orderdate"
+    )
+    pdf = o.toPandas()
+    day = (
+        pd.to_datetime(pdf["o_orderdate"]).astype("int64")
+        // (86400 * 10**9)
+    )
+    g = pd.DataFrame({"c": pdf["o_custkey"], "d": day}).groupby("c")["d"]
+    dur = (g.max() - g.min()).to_numpy()
+    event = (g.max() < g.max().max() - 90).to_numpy().astype(int)
+    x = g.count().to_numpy().astype(float)
+
+    u_score = info = 0.0
+    for t in sorted(set(dur[event == 1])):
+        at_risk = dur >= t
+        deaths = (dur == t) & (event == 1)
+        d_t = int(deaths.sum())
+        s0, s1 = at_risk.sum(), x[at_risk].sum()
+        s2 = (x[at_risk] ** 2).sum()
+        u_score += x[deaths].sum() - d_t * s1 / s0
+        info += d_t * (s2 / s0 - (s1 / s0) ** 2)
+
+    assert row["n_subjects"] == len(dur)
+    assert row["n_events"] == int(event.sum())
+    assert math.isclose(row["u_score"], u_score, rel_tol=1e-9)
+    assert math.isclose(row["fisher_info"], info, rel_tol=1e-9)
+    assert math.isclose(row["beta"], u_score / info, rel_tol=1e-9)

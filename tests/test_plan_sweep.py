@@ -111,6 +111,7 @@ BOUNDED_GRAIN = {
     "ml_one_rule": "bounded attribute-value cells",
     "ml_slice_audit": "5-slice audit table",
     "ml_threshold_sweep": "9 fixed thresholds",
+    "ml_coxph_newton": "duration-grain suffix sums (calendar-bounded)",
     "ml_uplift_segments": "25-segment bound",
     "ml_uplift_qini": "8 score-octile buckets (cumulative frame)",
     "stats_bh_fdr": "dim-grain hypothesis family",
