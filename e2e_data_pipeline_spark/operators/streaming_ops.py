@@ -1776,3 +1776,138 @@ def stream_state_watermark_eviction(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_state_session_window",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, sec, cents,
+               CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                                              ORDER BY sec) > 1800
+                    OR LAG(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM pts
+    ),
+    islands AS (
+        SELECT user_id, sec, cents,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_no
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(MIN(sec) AS BIGINT) AS sess_start_sec,
+           CAST(MAX(sec) + 1800 AS BIGINT) AS sess_end_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM islands GROUP BY user_id, sess_no
+    """,
+)
+def stream_state_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION-WINDOW state introspection — the fourth state format
+    (after agg values, join state, and window lifecycle): a real
+    ``session_window`` streaming aggregation (30-minute gap, keyed by
+    user) runs over 4 file-batches to a checkpoint, then the session
+    store is read back and hash-matched against the batch gap-island
+    sessionization. The watermark delay (40 days) exceeds the fixture
+    span, so NO session finalizes and no late row can be dropped —
+    the retained state must therefore equal the COMPLETE batch
+    sessionization, which makes the hash a direct proof of Spark's
+    cross-batch session MERGING (batches arrive event_id-interleaved,
+    so almost every session is assembled from rows of several
+    batches; a single mis-merge splits or double-counts a session and
+    breaks the hash). Eviction correctness is
+    stream_state_watermark_eviction's job; this op isolates merging.
+
+    Scale: the state read is partition-parallel and session-grain;
+    the oracle-side construction is the standard island algebra.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_sess_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.expr("CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        for i in range(4):
+            (
+                ev.where(F.pmod("event_id", F.lit(4)) == i)
+                .coalesce(1)
+                .write.parquet(f"{work}/chunks/c{i}")
+            )
+        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        if n_files == 0:
+            return spark.createDataFrame(
+                [],
+                "user_id long, sess_start_sec long, sess_end_sec long,"
+                " n_events long, sum_cents long",
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, cents long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/chunks/c*")
+        )
+        agg = (
+            stream.withWatermark("ts", "40 days")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"),
+                "user_id",
+            )
+            .agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n_events"),
+            )
+        )
+        ckpt = f"{work}/ckpt"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("session-window stream did not finish")
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        # value = (session_window struct, key cols..., sum, count) —
+        # physical agg names, project positionally from the tail
+        out = (
+            st.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.session_window.start")
+                .cast("long")
+                .alias("sess_start_sec"),
+                F.col("value.session_window.end")
+                .cast("long")
+                .alias("sess_end_sec"),
+                F.col(f"value.{vcols[-1]}").cast("long").alias("n_events"),
+                F.col(f"value.{vcols[-2]}").cast("long").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
