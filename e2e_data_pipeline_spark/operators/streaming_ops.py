@@ -1911,3 +1911,100 @@ def stream_state_session_window(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_progress_metrics",
+    oracle="""
+    WITH classed AS (
+        SELECT event_id % 4 AS k, event_type FROM events
+    ),
+    per AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_input FROM classed
+        GROUP BY k
+    ),
+    cum AS (
+        SELECT p.k, p.n_input,
+               (SELECT CAST(COUNT(DISTINCT c.event_type) AS BIGINT)
+                FROM classed c WHERE c.k <= p.k) AS state_rows
+        FROM per p
+    )
+    SELECT CAST(k + 1 AS BIGINT) AS batch_seq, n_input, state_rows
+    FROM cum ORDER BY batch_seq
+    """,
+)
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingQueryProgress as a QUERYABLE surface — the
+    observability feed every streaming SLO dashboard is built on:
+    run the 4-chunk streaming aggregation, then turn the engine's OWN
+    ``recentProgress`` reports (per-batch input rows + state-store
+    row totals) into a DataFrame and hash-match them against the
+    closed-form prediction — batch k must ingest EXACTLY the k-th
+    chunk's rows (one file per trigger, files ordered
+    oldest-first) and carry state = distinct event types seen through
+    chunk k. A drift here is the on-call symptom table: input ≠
+    chunk ⇒ source double-read/skip; state ≠ cumulative distinct ⇒
+    state leak. Trailing no-data batches (0 input rows) are excluded;
+    ordering rides the progress sequence, not raw batchId.
+
+    Scale: progress objects are O(batches) driver-side JSON — this
+    audit costs nothing at any data size; it is the same feed a
+    StreamingQueryListener ships to a metrics store in production.
+    """
+    import glob as _glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="progress_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        for i in range(4):
+            (
+                ev.where(F.pmod("event_id", F.lit(4)) == i)
+                .coalesce(1)
+                .write.parquet(f"{work}/chunks/c{i}")
+            )
+        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        if n_files == 0:
+            return spark.createDataFrame(
+                [], "batch_seq long, n_input long, state_rows long"
+            )
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/chunks/c*")
+        )
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("progress stream did not finish")
+        rows = []
+        seq = 0
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else _json.loads(p.json)
+            n_in = int(d["numInputRows"])
+            if n_in == 0:  # trailing no-data batch
+                continue
+            seq += 1
+            state = int(d["stateOperators"][0]["numRowsTotal"])
+            rows.append((seq, n_in, state))
+        out = spark.createDataFrame(
+            rows, "batch_seq long, n_input long, state_rows long"
+        ).orderBy("batch_seq")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
