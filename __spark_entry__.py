@@ -39,6 +39,11 @@ def _configure(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:  # pragma: no cover
         pass
+    # Ship the package to Python workers (addPyFile zip) so the ~23
+    # pickled-function ops survive a driver launched from any cwd.
+    from e2e_data_pipeline_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

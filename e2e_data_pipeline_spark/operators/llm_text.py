@@ -3317,8 +3317,8 @@ def text_chat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
         SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(wc) AS total
-        FROM words, (SELECT unnest(range(1, 40)) AS i) ix
-        WHERE i <= length(word) - 1
+        FROM (SELECT word, wc, unnest(range(1, length(word))) AS i
+              FROM words) t
         GROUP BY 1
     ),
     ranked AS (

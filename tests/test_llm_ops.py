@@ -723,3 +723,57 @@ def test_label_propagation_matches_python_replay(spark):
         lb: (hist[lb], seed_hist.get(lb, 0)) for lb in hist
     }
     assert got == expect
+
+
+def test_dedup_minhash_fast_recall(spark):
+    """Production xxhash64 twin (rows-only key): its reported pair set
+    must EQUAL the exact-Jaccard≥0.6 truth set on the fixture corpus.
+
+    ⊆ holds by construction (candidates are exactly verified before
+    the threshold); ⊇ is the recall claim — 8×2 banding found every
+    true pair (P(miss)≈2.8% per pair at J=0.6; zero misses observed,
+    deterministic because xxhash64 is a fixed seeded function). Also
+    pins fast ≡ det pair-for-pair: the two keys share every plan
+    stage except the signature hash, so any drift means a real edit
+    to one side only.
+    """
+    from e2e_data_pipeline_spark.operators.llm_dedup import _shingles
+
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_fast"](spark, SF_SMALL).collect()
+    }
+    det = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_det"](spark, SF_SMALL).collect()
+    }
+    sh = _shingles(spark, SF_SMALL)
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sb"))
+    common = (
+        a.join(
+            b, (F.col("shingle") == F.col("sb")) & (F.col("da") < F.col("db"))
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    truth = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "da").withColumnRenamed(
+                "n", "na"
+            ),
+            "da",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "db").withColumnRenamed(
+                "n", "nb"
+            ),
+            "db",
+        )
+        .where(16 * F.col("c") >= 6 * (F.col("na") + F.col("nb")))
+    )
+    tset = {(r.da, r.db) for r in truth.collect()}
+    assert tset, "vacuous fixture: no true near-dup pairs"
+    assert fast == tset
+    assert det == tset
