@@ -3287,3 +3287,169 @@ def dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_substring_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    nt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY doc_id
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                         lead(tok, 3) OVER w, lead(tok, 4) OVER w) AS g,
+               lead(tok, 4) OVER w AS _tail
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    gv AS (SELECT doc_id, pos, g FROM grams WHERE _tail IS NOT NULL),
+    firstdoc AS (SELECT g, MIN(doc_id) AS fd FROM gv GROUP BY g),
+    dup AS (
+        SELECT v.doc_id, v.pos, v.pos + 4 AS pend
+        FROM gv v JOIN firstdoc f ON f.g = v.g AND f.fd < v.doc_id
+    ),
+    isl AS (
+        SELECT doc_id, pos, pend,
+               CASE WHEN MAX(pend) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        >= pos - 1
+                    THEN 0 ELSE 1 END AS new_island
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos, pend,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MIN(pos) AS s, MAX(pend) AS e
+        FROM grp GROUP BY doc_id, island
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
+    ),
+    dg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams
+        FROM dup GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(dg.dup_grams, 0) AS dup_grams,
+           COALESCE(cov.n_spans, 0) AS n_spans,
+           COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(cov.covered_tokens, 0) * 1000000
+                // nt.n_tokens AS BIGINT) AS covered_ppm
+    FROM nt
+    LEFT JOIN cov ON cov.doc_id = nt.doc_id
+    LEFT JOIN dg ON dg.doc_id = nt.doc_id
+    """,
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup accounting — the published training-data
+    methodology (find verbatim ≥k-token substrings repeated across
+    documents, keep the first occurrence, measure how much of each
+    later document is covered by repeats). Per document: every
+    5-token gram whose FIRST corpus occurrence lies in an earlier
+    doc_id marks the span [pos, pos+4] as duplicated; overlapping
+    spans are merged by the interval-union island pattern (running
+    max of span-end over the 1-PRECEDING frame — same construction as
+    the sessionization family), and the output reports gram hits,
+    merged span count, covered token count, and integer-ppm coverage
+    — the quantities a corpus curator thresholds on before dropping
+    or trimming a document.
+
+    Scale: the gram table is corpus-linear (one row per token), the
+    first-occurrence reduce is one shuffle on the gram string, and
+    all windows are per-document — no global sort anywhere. At 100 TB
+    the gram string would be swapped for its xxhash64 (same plan; the
+    md5-style portability trade documented on dedup_minhash_det).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    nt = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            "tok",
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+            F.lead("tok", 3).over(w),
+            F.lead("tok", 4).over(w),
+        ).alias("g"),
+        F.lead("tok", 4).over(w).alias("_tail"),
+    ).where(F.col("_tail").isNotNull())
+    firstdoc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    dup = (
+        grams.join(firstdoc, "g")
+        .where(F.col("fd") < F.col("doc_id"))
+        .select("doc_id", "pos", (F.col("pos") + 4).alias("pend"))
+    )
+    prev = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = dup.select(
+        "doc_id",
+        "pos",
+        "pend",
+        F.when(
+            F.max("pend").over(prev) >= F.col("pos") - 1, F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    ).select(
+        "doc_id",
+        "pos",
+        "pend",
+        F.sum("new_island").over(run).alias("island"),
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("pend").alias("e")
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    dg = dup.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dup_grams")
+    )
+    return (
+        nt.join(cov, "doc_id", "left")
+        .join(dg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr(
+                "CAST(coalesce(covered_tokens, 0) * 1000000"
+                " div n_tokens AS BIGINT)"
+            ).alias("covered_ppm"),
+        )
+    )

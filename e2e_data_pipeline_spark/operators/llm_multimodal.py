@@ -1596,3 +1596,154 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, peak_frame long, peak_energy long,"
         " total_energy long",
     )
+
+
+@register(
+    "multimodal_video_codec",
+    oracle="""
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(2 + doc_id % 4 AS BIGINT) AS nf,
+               CAST(4 + doc_id % 9 AS BIGINT) AS w,
+               CAST(4 + doc_id % 7 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 144
+    ),
+    sampled AS (
+        SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM vids
+    ),
+    keep AS (SELECT * FROM sampled WHERE f % 2 = 0),
+    px AS (
+        SELECT doc_id, nf, w, h, f, unnest(range(0, w * h)) AS p
+        FROM keep
+    ),
+    vals AS (
+        SELECT doc_id, nf, w, h, f,
+               CAST(('0x' || substr(md5('vf:' || CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(f AS VARCHAR)
+                    || ':' || CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(MIN(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(v) AS BIGINT) AS sampled_px_sum,
+           CAST(MIN(nf) * MIN(h) * (MIN(w) + 1) AS BIGINT)
+               AS total_raw_bytes
+    FROM vals GROUP BY doc_id
+    """,
+)
+def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO through a real decode chain — the third modality made
+    concrete: per document a short CLIP is minted as a length-prefixed
+    multi-frame container (magic 'VID0', u32 frame count, u32-length-
+    prefixed spec-conformant PNG per frame — pixel p of frame f from
+    the md5 generator formula, so SQL can regenerate every sampled
+    pixel), then decoded by walking the container INDEPENDENTLY
+    (magic/bounds validation) and pushing every KEPT frame (stride-2
+    sampling — the standard training-data frame-sampling step,
+    applied inside the decode kernel) through the real PNG decoder.
+    Output rows are per-clip frame accounting + sampled-pixel stats;
+    a hash match proves container framing, per-frame codec round trip
+    AND the sampling pattern all at once (an off-by-one in the frame
+    index or a wrong stride shifts sampled_px_sum).
+
+    Scale: clips stay inside Arrow batches end to end (no frame
+    explode); decode+sample is shuffle-free and embarrassingly
+    parallel — the 144-clip cap is fixture sizing.
+    """
+    import struct as _struct
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 144)
+    )
+
+    def mint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf, w, h = 2 + i % 4, 4 + i % 9, 4 + i % 7
+                parts = [b"VID0", _struct.pack(">I", nf)]
+                for f in range(nf):
+                    px = bytes(
+                        int(
+                            hashlib.md5(
+                                f"vf:{i}:{f}:{p}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        for p in range(w * h)
+                    )
+                    png = encode_png_gray(px, w, h)
+                    parts.append(_struct.pack(">I", len(png)))
+                    parts.append(png)
+                blobs.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": blobs})
+
+    clips = docs.mapInPandas(mint, "doc_id long, clip binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["clip"]):
+                data = bytes(blob)
+                if data[:4] != b"VID0":
+                    raise ValueError("bad container magic")
+                (nf,) = _struct.unpack_from(">I", data, 4)
+                pos = 8
+                w = h = None
+                n_sampled = 0
+                px_sum = 0
+                for f in range(nf):
+                    (ln,) = _struct.unpack_from(">I", data, pos)
+                    frame = data[pos + 4 : pos + 4 + ln]
+                    if len(frame) != ln:
+                        raise ValueError("truncated frame")
+                    pos += 4 + ln
+                    if f % 2 == 0:  # stride-2 frame sampling
+                        fw, fh, px = decode_png_gray(frame)
+                        w, h = fw, fh
+                        n_sampled += 1
+                        px_sum += sum(px)
+                if pos != len(data):
+                    raise ValueError("trailing bytes in container")
+                rows.append(
+                    (
+                        int(doc_id),
+                        nf,
+                        n_sampled,
+                        w,
+                        h,
+                        px_sum,
+                        nf * h * (w + 1),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_sampled",
+                    "width",
+                    "height",
+                    "sampled_px_sum",
+                    "total_raw_bytes",
+                ],
+            )
+
+    return clips.mapInPandas(
+        decode,
+        "doc_id long, n_frames long, n_sampled long, width long,"
+        " height long, sampled_px_sum long, total_raw_bytes long",
+    )

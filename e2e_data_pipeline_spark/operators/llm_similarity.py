@@ -2696,3 +2696,130 @@ SELECT qs.query_id, COALESCE(hits.n_overlap, 0) AS n_overlap,
 FROM qs LEFT JOIN hits ON hits.query_id = qs.query_id
 ORDER BY qs.query_id
 """
+
+
+_BQ_PACK_SQL = """list_sum(list_transform(range({lo}, {hi}),
+    i -> CASE WHEN {t}.embedding[i] > 0
+              THEN (CAST(1 AS BIGINT) << (i - {lo}))
+              ELSE CAST(0 AS BIGINT) END))"""
+
+
+@register(
+    "sim_quantize_binary",
+    oracle=f"""
+    WITH packed AS (
+        SELECT vec_id, label, embedding,
+               {_BQ_PACK_SQL.format(t='embeddings', lo=1, hi=33)} AS w0,
+               {_BQ_PACK_SQL.format(t='embeddings', lo=33, hi=65)} AS w1
+        FROM embeddings
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w0, c.w0))
+                    + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming,
+               q.embedding AS qe, c.embedding AS ce
+        FROM packed q JOIN packed c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrn
+        FROM ham
+    ),
+    rerank AS (
+        SELECT query_id, neighbor_id, hamming,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ce,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                     6) AS cosine
+        FROM cand WHERE hrn <= 50
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM rerank)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-BIT embedding quantization + exact rerank — the extreme end
+    of the quantization family (int8 ≫ binary): each 64-d vector
+    collapses to TWO 32-bit sign words (two words, not one 64-bit
+    pack — bit 63 is the int64 sign and the r3 `1<<63` wrap/raise
+    asymmetry makes full-width packs non-portable), candidate
+    generation is integer Hamming distance (`bit_count(xor)` — 32×
+    less memory traffic than float dot products, the reason binary
+    quantization is the default first stage of modern vector stores),
+    the top-50 Hamming candidates per query are reranked by EXACT
+    cosine, and the final top-5 is emitted with both distances.
+    Deterministic end to end (Hamming ties break on neighbor_id), so
+    hash-exact — unlike the rows-only `sim_quantize_int8` this one's
+    quantizer is fully SQL-reproducible. Recall vs brute-force
+    `sim_topk` is pinned in tests/test_llm_ops.py.
+
+    Scale: packing is one narrow projection (64 floats → 2 ints,
+    stored 32× smaller); the Hamming scan is the only corpus-wide
+    pass and runs on broadcast queries with no shuffle; exact math
+    touches only Q×50 pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pack = [
+        F.expr(
+            f"aggregate(sequence({hi}, {lo}, -1), 0L, (acc, i) ->"
+            " acc * 2 + CASE WHEN element_at(embedding, i) > 0"
+            " THEN 1L ELSE 0L END)"
+        ).alias(w)
+        for w, lo, hi in (("w0", 1, 32), ("w1", 33, 64))
+    ]
+    packed = emb.select("vec_id", "embedding", *pack)
+    q = packed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    c = packed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
+    )
+    ham = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qe",
+            "ce",
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("cw0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = ham.withColumn("hrn", F.row_number().over(hw)).where(
+        F.col("hrn") <= 50
+    )
+    rerank = cand.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.round(
+            dot(F.col("qe"), F.col("ce"))
+            / (F.sqrt(sq_norm(F.col("qe"))) * F.sqrt(sq_norm(F.col("ce")))),
+            6,
+        ).alias("cosine"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return rerank.withColumn(
+        "rn", F.row_number().over(rw).cast("long")
+    ).where(F.col("rn") <= TOP_K)

@@ -3962,3 +3962,159 @@ def text_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _TEXTRANK_TAIL.format(tok="textrank_tok", div="div").lstrip()
     )
+
+
+@register(
+    "text_pretokenize_gpt",
+    oracle=r"""
+    WITH runs AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+') AS lr,
+               regexp_extract_all(text, '[0-9]+') AS dr,
+               regexp_extract_all(text, '[^A-Za-z0-9 ]+') AS orr
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lr) AS BIGINT) AS letter_runs,
+           CAST(len(dr) AS BIGINT) AS digit_runs,
+           CAST(len(orr) AS BIGINT) AS other_runs,
+           CAST(COALESCE(list_sum(list_transform(lr, x -> length(x))), 0)
+                AS BIGINT) AS letter_chars,
+           CAST(COALESCE(list_sum(list_transform(dr, x -> length(x))), 0)
+                AS BIGINT) AS digit_chars,
+           CAST(COALESCE(list_sum(list_transform(orr, x -> length(x))), 0)
+                AS BIGINT) AS other_chars,
+           CAST(COALESCE(list_max(list_transform(lr, x -> length(x))), 0)
+                AS BIGINT) AS max_letter_run
+    FROM runs
+    """,
+)
+def text_pretokenize_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style PRE-tokenization accounting — the regex pass every
+    modern BPE tokenizer runs before merges (split text into letter
+    runs, digit runs and punctuation runs so merges never cross
+    category boundaries). Per document: run counts, per-class
+    character mass and the longest letter run — the quantities that
+    size a tokenizer's worst case and flag pathological inputs
+    (minified code, number dumps) before training. Classes use
+    explicit ASCII ranges — portable across Java-regex and RE2
+    without \\p{} dialect differences; the fixture corpus is ASCII.
+
+    Scale: one narrow projection per document, no shuffle, regex
+    evaluated JVM-side inside codegen (no Python).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)").alias("lr"),
+        F.expr("regexp_extract_all(text, '[0-9]+', 0)").alias("dr"),
+        F.expr("regexp_extract_all(text, '[^A-Za-z0-9 ]+', 0)").alias("orr"),
+    ).select(
+        "doc_id",
+        F.size("lr").cast("long").alias("letter_runs"),
+        F.size("dr").cast("long").alias("digit_runs"),
+        F.size("orr").cast("long").alias("other_runs"),
+        F.expr(
+            "CAST(coalesce(aggregate(lr, 0, (a, x) -> a + length(x)), 0)"
+            " AS BIGINT)"
+        ).alias("letter_chars"),
+        F.expr(
+            "CAST(coalesce(aggregate(dr, 0, (a, x) -> a + length(x)), 0)"
+            " AS BIGINT)"
+        ).alias("digit_chars"),
+        F.expr(
+            "CAST(coalesce(aggregate(orr, 0, (a, x) -> a + length(x)), 0)"
+            " AS BIGINT)"
+        ).alias("other_chars"),
+        F.expr(
+            "CAST(coalesce(array_max(transform(lr, x -> length(x))), 0)"
+            " AS BIGINT)"
+        ).alias("max_letter_run"),
+    )
+
+
+@register(
+    "text_unicode_normalize",
+    oracle="""
+    WITH minted AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 5 + doc_id % 7),
+                   k -> chr(97 + CAST((doc_id + k) % 26 AS INT))
+                        || CASE WHEN (doc_id + k) % 3 = 0
+                                THEN chr(769) ELSE '' END), '') AS s
+        FROM documents WHERE doc_id < 256
+    ),
+    normed AS (
+        SELECT doc_id, s, nfc_normalize(s) AS n FROM minted
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS cp_before,
+           CAST(length(n) AS BIGINT) AS cp_after,
+           CAST(CASE WHEN n = s THEN 0 ELSE 1 END AS BIGINT) AS changed,
+           CAST(('0x' || substr(md5(n), 1, 15)) AS BIGINT) AS norm_h
+    FROM normed
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit — the text-cleaning step a
+    multilingual corpus needs before ANY exact dedup or hashing
+    (visually identical strings differ by composed vs decomposed
+    accents; un-normalized corpora leak duplicates past every
+    hash-based stage). Deterministic probe strings are minted from a
+    codepoint formula (base letters + combining acute U+0301 on every
+    third unit — vowels COMPOSE to one codepoint under NFC,
+    consonants legally stay two, so the audit exercises real
+    composition logic, not just length math). Spark normalizes with
+    Python's unicodedata (Arrow-batched — Spark SQL has no NFC
+    builtin, and its ``chr`` is mod-256 so even the minting must be
+    Python-side); DuckDB mints with SQL ``chr`` and normalizes with
+    ``nfc_normalize`` — two INDEPENDENT Unicode implementations whose
+    codepoint counts and md5-of-UTF-8 must agree bit-for-bit.
+
+    Scale: narrow per-row projection, Arrow-batched, shuffle-free;
+    the 256-doc cap is fixture sizing.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 256)
+    )
+
+    def normalize(batches):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                s = "".join(
+                    chr(97 + (i + k) % 26)
+                    + ("́" if (i + k) % 3 == 0 else "")
+                    for k in range(5 + i % 7)
+                )
+                n = unicodedata.normalize("NFC", s)
+                h = int(
+                    hashlib.md5(n.encode("utf-8")).hexdigest()[:15], 16
+                )
+                rows.append(
+                    (i, len(s), len(n), 0 if n == s else 1, h)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "cp_before",
+                    "cp_after",
+                    "changed",
+                    "norm_h",
+                ],
+            )
+
+    return docs.mapInPandas(
+        normalize,
+        "doc_id long, cp_before long, cp_after long, changed long,"
+        " norm_h long",
+    )

@@ -3176,3 +3176,322 @@ def scan_avro_py(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "scan_parquet_rowgroup_stats",
+    oracle="""
+    SELECT CAST(event_id % 8 AS BIGINT) AS file_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           MIN(v) AS min_value,
+           MAX(v) AS max_value,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS value_nulls
+    FROM (SELECT event_id,
+                 CASE WHEN event_id % 13 = 7 THEN NULL ELSE value END AS v
+          FROM events) t
+    GROUP BY 1
+    """,
+)
+def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY scan audit: read parquet FOOTER statistics (row
+    count, per-column-chunk min/max, null counts) and hash-prove they
+    equal the data. This is the machinery every engine's scan pruning
+    stands on — row-group skipping, partition elimination, NDV hints —
+    exercised as a first-class query: events are sunk into 8
+    deterministic single-file chunks (event_id % 8, the four-chunks
+    pattern widened), then a DISTRIBUTED metadata pass (mapInPandas
+    over the FILE LIST — each task opens only its footer via pyarrow,
+    never touching a data page) emits what the footers CLAIM, with
+    column-chunk stats min/max-merged across each file's row groups.
+    The oracle recomputes the same quantities from the rows; a hash
+    match means the footers are trustworthy, i.e. stats-based pruning
+    on this layout is sound.
+
+    Scale: the audit is O(files) footer reads with zero data I/O —
+    at 100 TB (≈100k files) this is exactly how you verify a layout
+    migration without a full scan; the mod-8 chunking stands in for
+    any real partitioning scheme.
+
+    Doubles are compared stats-vs-data with NO arithmetic (parquet
+    stores exact IEEE bounds), so float portability is moot.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # fixture values are never NULL, which would leave the footer
+        # null_count audit vacuous — blank a deterministic 1/13 slice
+        # so the stats path is genuinely exercised
+        F.expr(
+            "CASE WHEN event_id % 13 = 7 THEN NULL ELSE value END"
+        ).alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="rg_stats_")
+    try:
+        for i in range(8):
+            (
+                ev.where(F.pmod("event_id", F.lit(8)) == i)
+                .coalesce(1)
+                .write.parquet(f"{work}/chunks/c{i}")
+            )
+        files = sorted(_glob.glob(f"{work}/chunks/c*/part-*.parquet"))
+        if not files:  # zero-row input: empty partitions write no files
+            return spark.createDataFrame(
+                [],
+                "file_class long, n_rows long, min_event_id long,"
+                " max_event_id long, min_value double, max_value double,"
+                " value_nulls long",
+            )
+        paths = spark.createDataFrame(
+            [(p,) for p in files], "path string"
+        ).repartition(len(files))
+
+        def read_footers(
+            batches: _It[_pd.DataFrame],
+        ) -> _It[_pd.DataFrame]:
+            import re
+
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                rows = []
+                for path in pdf["path"]:
+                    cls = int(re.search(r"/c(\d+)/", path).group(1))
+                    md = pq.ParquetFile(path).metadata
+                    if md.num_rows == 0:
+                        # 0-row part file from an empty mod-class: the
+                        # oracle emits no row for it, neither do we
+                        continue
+                    names = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    n_rows = md.num_rows
+                    mins: dict = {}
+                    maxs: dict = {}
+                    nulls = 0
+                    for rg in range(md.num_row_groups):
+                        for col, idx in names.items():
+                            st = md.row_group(rg).column(idx).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            if col not in mins or st.min < mins[col]:
+                                mins[col] = st.min
+                            if col not in maxs or st.max > maxs[col]:
+                                maxs[col] = st.max
+                            if col == "value" and st.null_count is not None:
+                                nulls += st.null_count
+                    rows.append(
+                        (
+                            cls,
+                            n_rows,
+                            mins.get("event_id"),
+                            maxs.get("event_id"),
+                            mins.get("value"),
+                            maxs.get("value"),
+                            nulls,
+                        )
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file_class",
+                        "n_rows",
+                        "min_event_id",
+                        "max_event_id",
+                        "min_value",
+                        "max_value",
+                        "value_nulls",
+                    ],
+                )
+
+        out = paths.mapInPandas(
+            read_footers,
+            "file_class long, n_rows long, min_event_id long,"
+            " max_event_id long, min_value double, max_value double,"
+            " value_nulls long",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle="""
+    WITH mx AS (
+        SELECT MAX(l_orderkey) // 16 + 1 AS wo,
+               MAX(l_partkey) // 16 + 1 AS wp
+        FROM lineitem
+    ),
+    b AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk,
+               l_orderkey // wo AS a, l_partkey // wp AS b2
+        FROM lineitem, mx
+    ),
+    z AS (
+        SELECT ok, pk,
+               (b2 % 2) + 2 * (a % 2)
+               + 4 * ((b2 // 2) % 2) + 8 * ((a // 2) % 2)
+               + 16 * ((b2 // 4) % 2) + 32 * ((a // 4) % 2)
+               + 64 * ((b2 // 8) % 2) + 128 * ((a // 8) % 2) AS zv
+        FROM b
+    )
+    SELECT CAST(zv // 32 AS BIGINT) AS file_class,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(ok) AS BIGINT) AS min_orderkey,
+           CAST(MAX(ok) AS BIGINT) AS max_orderkey,
+           CAST(MIN(pk) AS BIGINT) AS min_partkey,
+           CAST(MAX(pk) AS BIGINT) AS max_partkey,
+           CAST(CASE WHEN MIN(ok) <= 3 * (SELECT wo FROM mx) - 1
+                      AND MAX(ok) >= 2 * (SELECT wo FROM mx)
+                      AND MIN(pk) <= 10 * (SELECT wp FROM mx) - 1
+                      AND MAX(pk) >= 9 * (SELECT wp FROM mx)
+                     THEN 0 ELSE 1 END AS BIGINT) AS skip_probe
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered sink + footer-verified skip audit — the #1
+    physical-layout lever at 100 TB: multidimensional clustering makes
+    row-group min/max stats selective on BOTH predicate columns, where
+    a linear sort helps only its leading key. lineitem is bucketed
+    into 16 range buckets per key (widths derived IN-QUERY from the
+    corpus max — the corpus-derived-parameter rule, so the oracle
+    reproduces them at any SF), the two 4-bit bucket ids are Morton-
+    interleaved into an 8-bit z-value by pure div/mod arithmetic
+    (portable — no shift-operator asymmetries), and rows are sunk into
+    8 z-range files. The REAL parquet footers are then read back
+    (pyarrow, metadata-only) and each file's claimed [min,max] of both
+    keys — plus the resulting skip/scan verdict for a pinned 2-d probe
+    (orderkey bucket 2 ∧ partkey bucket 9) — is hash-checked against
+    the data recompute. Z-ordering bounds every file to a ≤2×2 bucket
+    neighborhood per 32-z slab, so most files skip the probe; the same
+    audit on a 1-d sort would pin only orderkey. Footer≡data is the
+    parity claim; the skip-count advantage vs an orderkey-sorted
+    layout is asserted in tests/test_plans.py.
+
+    Scale: the z computation is one narrow projection, the write is
+    range-partitioned on z (8 files here, thousands at 100 TB), and
+    the audit is O(files) footer reads with zero data I/O.
+    """
+    import glob as _glob
+    import re as _re
+    import shutil
+    import tempfile
+
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    row = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).collect()[0]
+    out_schema = (
+        "file_class long, n_rows long, min_orderkey long,"
+        " max_orderkey long, min_partkey long, max_partkey long,"
+        " skip_probe long"
+    )
+    if row["mo"] is None:  # zero-row input
+        return spark.createDataFrame([], out_schema)
+    wo = int(row["mo"]) // 16 + 1
+    wp = int(row["mp"]) // 16 + 1
+
+    def bit(col: str, i: int) -> str:
+        return f"(({col} div {2 ** i}) % 2)"
+
+    a, b = f"(l_orderkey div {wo})", f"(l_partkey div {wp})"
+    zv = " + ".join(
+        f"{2 ** (2 * i)} * {bit(b, i)} + {2 ** (2 * i + 1)} * {bit(a, i)}"
+        for i in range(4)
+    )
+    zed = li.withColumn("zv", F.expr(zv))
+    work = tempfile.mkdtemp(prefix="zorder_")
+    try:
+        for c in range(8):
+            (
+                zed.where(F.col("zv").between(c * 32, c * 32 + 31))
+                .drop("zv")
+                .coalesce(1)
+                .write.parquet(f"{work}/z{c}")
+            )
+        files = sorted(_glob.glob(f"{work}/z*/part-*.parquet"))
+        if not files:
+            return spark.createDataFrame([], out_schema)
+        paths = spark.createDataFrame(
+            [(p,) for p in files], "path string"
+        ).repartition(len(files))
+        lo_o, hi_o = 2 * wo, 3 * wo - 1
+        lo_p, hi_p = 9 * wp, 10 * wp - 1
+
+        def read_footers(
+            batches: _It[_pd.DataFrame],
+        ) -> _It[_pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                rows = []
+                for path in pdf["path"]:
+                    cls = int(_re.search(r"/z(\d+)/", path).group(1))
+                    md = pq.ParquetFile(path).metadata
+                    if md.num_rows == 0:
+                        # an empty z-class can still leave a 0-row part
+                        # file (coalesce(1) task commits it); the oracle
+                        # emits no row for an empty class, so neither do
+                        # we — and there are no stats to read anyway
+                        continue
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }
+                    agg = {}
+                    for rg in range(md.num_row_groups):
+                        for col, j in idx.items():
+                            st = md.row_group(rg).column(j).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            mn, mx2 = agg.get(col, (None, None))
+                            if mn is None or st.min < mn:
+                                mn = st.min
+                            if mx2 is None or st.max > mx2:
+                                mx2 = st.max
+                            agg[col] = (mn, mx2)
+                    mno, mxo = agg["l_orderkey"]
+                    mnp, mxp = agg["l_partkey"]
+                    skip = 0 if (
+                        mno <= hi_o and mxo >= lo_o
+                        and mnp <= hi_p and mxp >= lo_p
+                    ) else 1
+                    rows.append(
+                        (cls, md.num_rows, mno, mxo, mnp, mxp, skip)
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file_class",
+                        "n_rows",
+                        "min_orderkey",
+                        "max_orderkey",
+                        "min_partkey",
+                        "max_partkey",
+                        "skip_probe",
+                    ],
+                )
+
+        out = paths.mapInPandas(read_footers, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -2008,3 +2008,168 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _state_evolution_run(spark: SparkSession, sf_dir: str, work: str):
+    """Shared driver for the state-schema-evolution proof: run agg v1
+    (sum+count per event_type) over the first two event chunks to a
+    checkpoint, then RESTART the same checkpoint with a CHANGED but
+    state-schema-compatible v2 (an upstream parity filter — the state
+    value struct is untouched) over two more chunks. Returns
+    ``(ckpt, n_files, stream_schema)``; n_files == 0 means zero-row
+    input (no batch ever committed)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    chunks = f"{work}/chunks"
+    ckpt = f"{work}/ckpt"
+    schema = "event_id long, event_type string, cents long"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    for i in range(4):
+        (
+            ev.where(F.pmod("event_id", F.lit(4)) == i)
+            .coalesce(1)
+            .write.parquet(f"{chunks}/c{i}")
+        )
+    if len(_glob.glob(f"{chunks}/c[01]/part-*")) == 0:
+        return ckpt, 0, schema
+    # hide the v2 chunks from the v1 run (the file source tracks SEEN
+    # files in the checkpoint; files appearing later are new input)
+    import os as _os
+
+    staged = f"{work}/staged"
+    _os.makedirs(staged, exist_ok=True)
+    for i in (2, 3):
+        _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
+
+    def run(q_builder):
+        q = q_builder()
+        q.awaitTermination(180)
+        if q.isActive:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError("state-evolution stream did not finish")
+
+    def v1():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/c*")
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count("*").alias("n_events"),
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run(v1)
+    for i in (2, 3):
+        _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
+
+    def v2():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{chunks}/c*")
+        )
+        # the evolution: v2 ingests only even-cent events. Upstream
+        # projection/filter changes are exactly what Spark's
+        # state-schema-compat check ALLOWS (key/value structs
+        # unchanged); adding an aggregate is what it must REJECT
+        # (negative pin in tests/test_streaming.py).
+        agg = (
+            stream.where(F.col("cents") % 2 == 0)
+            .groupBy("event_type")
+            .agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n_events"),
+            )
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run(v2)
+    return ckpt, 4, schema
+
+
+@register(
+    "stream_state_evolution",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    qualifying AS (
+        SELECT event_type, cents FROM ev
+        WHERE event_id % 4 <= 1 OR cents % 2 = 0
+    )
+    SELECT event_type,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM qualifying
+    GROUP BY event_type
+    """,
+)
+def stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-schema EVOLUTION proof (VERDICT r7 item 5) —
+    the production failure the state family didn't cover: a stateful
+    job stopped, its query edited, and restarted against the SAME
+    checkpoint. Spark's StateSchemaCompatibilityChecker allows the
+    restart iff the state key/value structs are unchanged; here v1
+    (plain per-type sum+count) commits two batches, then a CHANGED v2
+    (an upstream parity filter — same agg, so same value struct)
+    resumes the checkpoint for two more. The final state is read back
+    through the ``statestore`` source and hash-checked against the
+    batch recompute of the MERGED semantics: chunks 0-1 under v1's
+    rules plus chunks 2-3 under v2's — proof the engine merged old
+    state with the new query rather than restarting from scratch.
+    The inverse case (v3 ADDS a max aggregate → value struct grows →
+    restart must raise the schema-compat error, not corrupt state)
+    is pinned in tests/test_streaming.py.
+
+    Groups whose every v2-era row is filtered out and that never
+    appeared in v1 have no state row; the oracle's qualifying-row
+    grouping reproduces that exactly.
+
+    Scale: the restart cost is O(state), not O(history) — at 100 TB
+    the whole point of a checkpoint is that v2 does not replay v1's
+    input.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_evo_")
+    try:
+        ckpt, n_files, _schema = _state_evolution_run(spark, sf_dir, work)
+        if n_files == 0:  # zero-row input: no batch committed
+            return spark.createDataFrame(
+                [], "event_type string, sum_cents long, n_events long"
+            )
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        out = st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("long").alias("sum_cents"),
+            F.col(f"value.{vcols[1]}").cast("long").alias("n_events"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

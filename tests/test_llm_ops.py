@@ -777,3 +777,22 @@ def test_dedup_minhash_fast_recall(spark):
     assert tset, "vacuous fixture: no true near-dup pairs"
     assert fast == tset
     assert det == tset
+
+
+def test_sim_quantize_binary_recall(spark):
+    """1-bit quantization + top-20 Hamming + exact rerank must recover
+    most of the brute-force cosine top-5. Deterministic (sign packing
+    + fixed tie-breaks), so the observed fixture recall is a stable
+    pin, floored here at 0.6 — the level below which a binary
+    prefilter would be misconfigured."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk"](spark, SF_SMALL).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_quantize_binary"](spark, SF_SMALL).collect()
+    }
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall

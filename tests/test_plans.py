@@ -1009,3 +1009,56 @@ def test_ip_cidr_join_is_binned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_zorder_beats_linear_sort_on_secondary_key():
+    """The z-order layout's reason to exist: for a probe on the
+    SECONDARY key alone (partkey bucket 9), per-file min/max pruning
+    skips files under z-clustering but can skip NOTHING under an
+    orderkey-sorted layout (every file spans the full partkey range).
+    Computed from data (same math the sunk footers carry) on sf0.001
+    via DuckDB."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    z_skips, lin_skips = con.execute(
+        """
+        WITH mx AS (
+            SELECT MAX(l_orderkey) // 16 + 1 AS wo,
+                   MAX(l_partkey) // 16 + 1 AS wp
+            FROM lineitem
+        ),
+        b AS (
+            SELECT l_partkey AS pk,
+                   l_orderkey // wo AS a, l_partkey // wp AS b2,
+                   NTILE(8) OVER (ORDER BY l_orderkey) AS lin_file
+            FROM lineitem, mx
+        ),
+        z AS (
+            SELECT pk, lin_file,
+                   ((b2 % 2) + 2 * (a % 2)
+                    + 4 * ((b2 // 2) % 2) + 8 * ((a // 2) % 2)
+                    + 16 * ((b2 // 4) % 2) + 32 * ((a // 4) % 2)
+                    + 64 * ((b2 // 8) % 2) + 128 * ((a // 8) % 2)) // 32
+                       AS z_file
+            FROM b
+        ),
+        zb AS (SELECT z_file, MIN(pk) AS mn, MAX(pk) AS mx2
+               FROM z GROUP BY 1),
+        lb AS (SELECT lin_file, MIN(pk) AS mn, MAX(pk) AS mx2
+               FROM z GROUP BY 1),
+        probe AS (SELECT 9 * wp AS lo, 10 * wp - 1 AS hi FROM mx)
+        SELECT
+          (SELECT COUNT(*) FROM zb, probe
+            WHERE NOT (mn <= hi AND mx2 >= lo)),
+          (SELECT COUNT(*) FROM lb, probe
+            WHERE NOT (mn <= hi AND mx2 >= lo))
+        """
+    ).fetchone()
+    assert z_skips > lin_skips, (z_skips, lin_skips)
+    assert lin_skips == 0  # linear layout prunes nothing on partkey
+    assert z_skips >= 4  # z fixes partkey's top bit per 32-z slab

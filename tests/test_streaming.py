@@ -715,3 +715,52 @@ def test_statestore_reader_time_travel_batch_option(spark, tmp_path):
     full_sum = full.agg(F.sum("cents")).collect()[0][0]
     assert total_latest == full_sum
     assert 0 < total_asof0 < full_sum  # batch 0 saw only one file
+
+
+def test_state_evolution_incompatible_schema_raises(spark, tmp_path):
+    """Restarting a checkpoint with a GROWN state value struct (an
+    added max aggregate) must fail Spark's state-schema-compat check
+    loudly — the negative half of stream_state_evolution's contract.
+    A silent pass here would mean a query edit can corrupt persisted
+    state."""
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from e2e_data_pipeline_spark.operators.streaming_ops import (
+        _state_evolution_run,
+    )
+
+    work = str(tmp_path / "evo")
+    ckpt, n_files, schema = _state_evolution_run(spark, SF_SMALL, work)
+    assert n_files == 4
+
+    # the schema-compat check only fires when a batch actually runs,
+    # so give the restarted query one unseen input file
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ev.limit(100).coalesce(1).write.parquet(f"{work}/chunks/c4")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/chunks/c*")
+    )
+    grown = stream.groupBy("event_type").agg(
+        F.sum("cents").alias("sum_cents"),
+        F.count("*").alias("n_events"),
+        F.max("cents").alias("max_cents"),  # value struct grows
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q = (
+            grown.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    msg = str(ei.value)
+    assert "SCHEMA" in msg.upper() and "COMPAT" in msg.upper(), msg
