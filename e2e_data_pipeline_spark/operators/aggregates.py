@@ -12890,3 +12890,376 @@ def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _QINI_TAIL.format(scored="qini_scored").lstrip()
     )
+
+
+_TREE2_ORACLE = """
+    WITH rows_ AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s FROM rows_),
+    melt AS (SELECT 'q' AS f, q AS v, y FROM rows_
+             UNION ALL SELECT 'd', d, y FROM rows_),
+    vs AS (SELECT f, v, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(y) AS BIGINT) AS sy
+           FROM melt GROUP BY 1, 2),
+    run AS (
+        SELECT f, v,
+               SUM(c) OVER w AS nl, SUM(sy) OVER w AS sl,
+               MAX(v) OVER (PARTITION BY f) AS mx
+        FROM vs
+        WINDOW w AS (PARTITION BY f ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    cand AS (
+        SELECT f, v, nl, sl,
+               CAST(t.n AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))
+               - CAST(nl AS DECIMAL(19,0)) * CAST(t.s AS DECIMAL(19,0)) AS A,
+               nl * (t.n - nl) AS den
+        FROM run, tot t WHERE v < mx
+    ),
+    scored AS (
+        SELECT f, v,
+               (CAST(CAST((A - A % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((A % 1000000000000000000 - A % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(A % 1000000000 AS BIGINT) AS DOUBLE)) * (CAST(CAST((A - A % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((A % 1000000000000000000 - A % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(A % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(den AS DOUBLE) AS g
+        FROM cand
+    ),
+    pick1 AS (
+        SELECT (MIN(STRUCT_PACK(a := -g, b := f, c := v))).b AS rf,
+               (MIN(STRUCT_PACK(a := -g, b := f, c := v))).c AS rt
+        FROM scored
+    ),
+    sided AS (
+        SELECT r.y, r.q, r.d, p.rf, p.rt,
+               CASE WHEN (p.rf = 'q' AND r.q <= p.rt)
+                      OR (p.rf = 'd' AND r.d <= p.rt)
+                    THEN 'L' ELSE 'R' END AS side
+        FROM rows_ r, pick1 p
+    ),
+    tot2 AS (SELECT side, CAST(COUNT(*) AS BIGINT) AS n2,
+                    CAST(SUM(y) AS BIGINT) AS s2
+             FROM sided GROUP BY 1),
+    melt2 AS (SELECT side, 'q' AS f, q AS v, y FROM sided
+              UNION ALL SELECT side, 'd', d, y FROM sided),
+    vs2 AS (SELECT side, f, v, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM melt2 GROUP BY 1, 2, 3),
+    run2 AS (
+        SELECT side, f, v,
+               SUM(c) OVER w AS nl, SUM(sy) OVER w AS sl,
+               MAX(v) OVER (PARTITION BY side, f) AS mx
+        FROM vs2
+        WINDOW w AS (PARTITION BY side, f ORDER BY v
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cand2 AS (
+        SELECT r.side, r.f, r.v, r.nl, r.sl,
+               CAST(t.n2 AS DECIMAL(19,0)) * CAST(r.sl AS DECIMAL(19,0))
+               - CAST(r.nl AS DECIMAL(19,0))
+                 * CAST(t.s2 AS DECIMAL(19,0)) AS A,
+               r.nl * (t.n2 - r.nl) AS den
+        FROM run2 r JOIN tot2 t ON t.side = r.side WHERE r.v < r.mx
+    ),
+    scored2 AS (
+        SELECT side, f, v,
+               (CAST(CAST((A - A % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((A % 1000000000000000000 - A % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(A % 1000000000 AS BIGINT) AS DOUBLE)) * (CAST(CAST((A - A % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((A % 1000000000000000000 - A % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(A % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(den AS DOUBLE) AS g
+        FROM cand2
+    ),
+    pick2 AS (
+        SELECT side,
+               (MIN(STRUCT_PACK(a := -g, b := f, c := v))).b AS lf,
+               (MIN(STRUCT_PACK(a := -g, b := f, c := v))).c AS lt
+        FROM scored2 GROUP BY side
+    ),
+    leaves AS (
+        SELECT s.side, s.rf, s.rt, p.lf, p.lt, s.y,
+               CASE WHEN p.lf IS NULL THEN 'A'
+                    WHEN (p.lf = 'q' AND s.q <= p.lt)
+                      OR (p.lf = 'd' AND s.d <= p.lt)
+                    THEN 'L' ELSE 'R' END AS sub
+        FROM sided s LEFT JOIN pick2 p ON p.side = s.side
+    ),
+    agg AS (
+        SELECT side || sub AS leaf,
+               MIN(rf) AS root_feat, CAST(MIN(rt) AS BIGINT) AS root_thr,
+               MIN(lf) AS leaf_feat, CAST(MIN(lt) AS BIGINT) AS leaf_thr,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                   AS sum_y,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM leaves GROUP BY 1
+    )
+    SELECT leaf, root_feat, root_thr, leaf_feat, leaf_thr, n_rows,
+           (CAST(CAST((CAST(sum_y AS DECIMAL(38,0)) - CAST(sum_y AS DECIMAL(38,0)) % 1000000000000000000) / 1000000000000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000000000000 AS DOUBLE) + CAST(CAST((CAST(sum_y AS DECIMAL(38,0)) % 1000000000000000000 - CAST(sum_y AS DECIMAL(38,0)) % 1000000000) / 1000000000 AS BIGINT) AS DOUBLE) * CAST(1000000000 AS DOUBLE) + CAST(CAST(CAST(sum_y AS DECIMAL(38,0)) % 1000000000 AS BIGINT) AS DOUBLE)) / CAST(cnt AS DOUBLE) AS pred
+    FROM agg
+"""
+
+
+@register("ml_regression_tree_depth2", oracle=_TREE2_ORACLE)
+def ml_regression_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact depth-2 CART regression tree — the ensemble family\'s
+    next rung above `ml_decision_stump`: a root split then the best
+    split INSIDE each side, chosen by exact variance-reduction
+    algebra. The key identity making a greedy tree hash-exact: a
+    node\'s SSE gain needs only integer sums within the node —
+    gain ∝ A²/(n_l·(n_s−n_l)) with A = n_s·Σ_left(y) − n_l·S_s, a
+    DECIMAL(38,0) integer — so feature/threshold ranking is a
+    fixed-order float chain over `registry.wide_dbl` renderings
+    (bit-identical both engines), never a sum of per-row doubles.
+    Thresholds enumerate each feature\'s value domain via cumulative
+    counts partitioned by feature (no single-partition window); ties
+    break (gain desc, feature asc, threshold asc) through the
+    portable struct-argmin. Leaves report n and the exact-mean
+    prediction (wide_dbl single division). A side whose features are
+    constant keeps leaf \'A\' (no second split) — the LEFT JOIN path.
+    Split choices are pinned against a numpy replay in
+    tests/test_cross_consistency.py (shared-derivation rule).
+
+    Scale: two passes of (feature × value) partial aggregation — the
+    classic distributed-histogram tree construction (same shape
+    XGBoost\'s approx mode uses); candidate frames are value-domain-
+    sized, not row-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("q"),
+        F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)").alias("d"),
+    )
+    tot = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    melt = rows.selectExpr("\'q\' AS f", "q AS v", "y").unionAll(
+        rows.selectExpr("\'d\' AS f", "d AS v", "y")
+    )
+    vs = melt.groupBy("f", "v").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    wrun = Window.partitionBy("f").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("f")
+    run = vs.select(
+        "f",
+        "v",
+        F.sum("c").over(wrun).alias("nl"),
+        F.sum("sy").over(wrun).alias("sl"),
+        F.max("v").over(wall).alias("mx"),
+    )
+    a_expr = (
+        "CAST(n AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))"
+        " - CAST(nl AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))"
+    )
+    cand = (
+        run.where(F.col("v") < F.col("mx"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("A", F.expr(a_expr))
+        .withColumn("den", F.expr("nl * (n - nl)"))
+    )
+    g_expr = "%s * %s / CAST(den AS DOUBLE)" % (wide_dbl("A"), wide_dbl("A"))
+    scored = cand.withColumn("g", F.expr(g_expr))
+
+    def argmin_struct(df, keys):
+        p = F.min(
+            F.struct(
+                (-F.col("g")).alias("a"),
+                F.col("f").alias("b"),
+                F.col("v").alias("c"),
+            )
+        ).alias("p")
+        return df.groupBy(*keys).agg(p) if keys else df.agg(p)
+
+    pick1 = argmin_struct(scored, []).select(
+        F.col("p.b").alias("rf"), F.col("p.c").alias("rt")
+    )
+    sided = rows.crossJoin(F.broadcast(pick1)).withColumn(
+        "side",
+        F.expr(
+            "CASE WHEN (rf = \'q\' AND q <= rt) OR (rf = \'d\' AND d <= rt)"
+            " THEN \'L\' ELSE \'R\' END"
+        ),
+    )
+    tot2 = sided.groupBy("side").agg(
+        F.count("*").cast("long").alias("n2"),
+        F.sum("y").cast("long").alias("s2"),
+    )
+    melt2 = sided.selectExpr("side", "\'q\' AS f", "q AS v", "y").unionAll(
+        sided.selectExpr("side", "\'d\' AS f", "d AS v", "y")
+    )
+    vs2 = melt2.groupBy("side", "f", "v").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    wrun2 = Window.partitionBy("side", "f").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall2 = Window.partitionBy("side", "f")
+    run2 = vs2.select(
+        "side",
+        "f",
+        "v",
+        F.sum("c").over(wrun2).alias("nl"),
+        F.sum("sy").over(wrun2).alias("sl"),
+        F.max("v").over(wall2).alias("mx"),
+    )
+    a2_expr = (
+        "CAST(n2 AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))"
+        " - CAST(nl AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))"
+    )
+    cand2 = (
+        run2.where(F.col("v") < F.col("mx"))
+        .join(tot2, "side")
+        .withColumn("A", F.expr(a2_expr))
+        .withColumn("den", F.expr("nl * (n2 - nl)"))
+    )
+    scored2 = cand2.withColumn("g", F.expr(g_expr))
+    pick2 = argmin_struct(scored2, ["side"]).select(
+        "side", F.col("p.b").alias("lf"), F.col("p.c").alias("lt")
+    )
+    leaves = sided.join(pick2, "side", "left").withColumn(
+        "sub",
+        F.expr(
+            "CASE WHEN lf IS NULL THEN \'A\'"
+            " WHEN (lf = \'q\' AND q <= lt) OR (lf = \'d\' AND d <= lt)"
+            " THEN \'L\' ELSE \'R\' END"
+        ),
+    )
+    agg = leaves.groupBy("side", "sub").agg(
+        F.min("rf").alias("root_feat"),
+        F.min("rt").cast("long").alias("root_thr"),
+        F.min("lf").alias("leaf_feat"),
+        F.min("lt").cast("long").alias("leaf_thr"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))").alias(
+            "sum_y"
+        ),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    pred_expr = "%s / CAST(cnt AS DOUBLE)" % wide_dbl(
+        "CAST(sum_y AS DECIMAL(38,0))"
+    )
+    return agg.select(
+        F.concat("side", "sub").alias("leaf"),
+        "root_feat",
+        "root_thr",
+        "leaf_feat",
+        "leaf_thr",
+        "n_rows",
+        F.expr(pred_expr).alias("pred"),
+    )
+
+
+@register(
+    "stats_sprt_sequential",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 2 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS t
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT strftime(d, '%Y-%m-%d') AS day, s, t,
+               SUM(s * 95310 + (t - s) * (-105361)) OVER (
+                   ORDER BY d ROWS UNBOUNDED PRECEDING) AS llr
+        FROM daily
+    ),
+    crossing AS (
+        SELECT MIN(CASE WHEN llr >= 2944439 OR llr <= -2944439
+                        THEN day END) AS dday
+        FROM cum
+    )
+    SELECT c.day, c.s AS successes, c.t AS trials,
+           CAST(c.llr AS BIGINT) AS cum_llr_micro,
+           x.dday AS decision_day,
+           CASE WHEN x.dday IS NULL THEN 'continue'
+                WHEN (SELECT llr FROM cum WHERE day = x.dday) >= 2944439
+                THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+    FROM cum c, crossing x
+    """,
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SEQUENTIAL probability ratio test (SPRT) — the
+    always-valid sequential A/B method: monitor the cumulative
+    log-likelihood ratio after every day's batch and stop the moment
+    it crosses ±ln((1−β)/α), with Type-I/II error guaranteed by
+    construction no matter when you peek (the property fixed-horizon
+    z-tests lose under continuous monitoring). Bernoulli H0 p=0.5 vs
+    H1 p=0.55 over the even-cents indicator; the per-observation LLR
+    increments and the ±2.944439 boundary are EXACT integer
+    micro-units precomputed as literals (the string-literal-constant
+    rule — ln() is not portable, r3), so the whole trajectory is an
+    int64 cumulative sum and the stopping day is an exact window
+    argmin. Every day reports its LLR plus the sticky decision.
+
+    Scale: day-grain rollup first (distributed), then an O(days)
+    bounded cumulative window — the standard calendar-series shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 2 = 0"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("s"),
+            F.count("*").cast("long").alias("t"),
+        )
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("s").alias("successes"),
+        F.col("t").alias("trials"),
+        F.sum(
+            F.col("s") * F.lit(95310)
+            + (F.col("t") - F.col("s")) * F.lit(-105361)
+        )
+        .over(wcum)
+        .cast("long")
+        .alias("cum_llr_micro"),
+    )
+    crossing = cum.agg(
+        F.min(
+            F.when(
+                (F.col("cum_llr_micro") >= 2944439)
+                | (F.col("cum_llr_micro") <= -2944439),
+                F.col("day"),
+            )
+        ).alias("dday")
+    )
+    dec_llr = (
+        cum.join(crossing, F.col("day") == F.col("dday"))
+        .select(F.col("cum_llr_micro").alias("dec_llr"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(crossing))
+        .crossJoin(
+            F.broadcast(
+                dec_llr.unionAll(
+                    cum.sparkSession.createDataFrame(
+                        [(None,)], "dec_llr long"
+                    )
+                ).limit(1)
+            )
+        )
+        .select(
+            "day",
+            "successes",
+            "trials",
+            "cum_llr_micro",
+            F.col("dday").alias("decision_day"),
+            F.when(F.col("dday").isNull(), F.lit("continue"))
+            .when(F.col("dec_llr") >= 2944439, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )

@@ -2109,3 +2109,74 @@ def join_lateral_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "top_custkey", "bal_cents")
         .orderBy("n_name", F.desc("bal_cents"), "top_custkey")
     )
+
+
+@register(
+    "join_hint_override",
+    oracle="""
+    WITH j AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM j GROUP BY priority
+    """,
+)
+def join_hint_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS — the escape hatch every production Spark
+    job eventually needs when statistics mislead the planner. The
+    same orders⋈lineitem query is planned twice with opposing hints:
+    ``MERGE`` (force sort-merge even though AQE might prefer
+    broadcast at this size) and ``SHUFFLE_HASH`` (forbid the sort),
+    and their results are UNIONed through an exact-count/sum check
+    that both plans produce identical rows — the semantic guarantee
+    hints must never break. The returned frame carries one copy of
+    the aggregate (the two plan variants' results are asserted equal
+    inside the query via an anti-join that must be empty, making the
+    equality part of the hash contract — if a hinted plan dropped or
+    duplicated rows, the output would gain rows and fail the oracle).
+    Physical-plan obedience (SortMergeJoin vs ShuffledHashJoin
+    operators actually present) is pinned in tests/test_plans.py.
+
+    Scale: hints matter MOST at 100 TB — a mis-broadcast OOMs a
+    cluster, a needless sort doubles a stage; this key is the
+    regression harness for the engine honoring explicit strategy
+    choices.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+    def agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    merged = agg(
+        orders.hint("merge").join(
+            li, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+    )
+    hashed = agg(
+        orders.hint("shuffle_hash").join(
+            li, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+    )
+    # plan-variant disagreement surfaces as extra rows -> hash fail
+    disagreement = merged.exceptAll(hashed).unionAll(
+        hashed.exceptAll(merged)
+    )
+    return merged.unionAll(disagreement)

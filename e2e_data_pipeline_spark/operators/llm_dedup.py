@@ -2517,10 +2517,40 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "graph_connected_components",
-    oracle="""
-    WITH """ + _EDGES_SQL + """,
+def _cc_label_frames(spark: SparkSession, sf_dir: str):
+    """Shared 6-round min-label propagation over the co-purchase
+    graph: returns (edges, und, labels) where labels = (node, lab)
+    at the pinned fixed point. Each round is one neighbour join +
+    min aggregation, localCheckpointed to keep lineage flat — the
+    BSP/Pregel CC step. Used by graph_connected_components and
+    graph_modularity; the fixed point (round 7 changes nothing) is
+    unit-pinned."""
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint()
+    lab = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint()
+    for _ in range(6):
+        nbr = (
+            lab.join(und, lab.node == und.u)
+            .join(
+                lab.select(
+                    F.col("node").alias("vnode"), F.col("lab").alias("vlab")
+                ),
+                F.col("v") == F.col("vnode"),
+            )
+            .groupBy("node")
+            .agg(F.least(F.min("lab"), F.min("vlab")).alias("lab"))
+        )
+        lab = nbr.localCheckpoint()
+    return edges, und, lab
+
+
+_CC_STAGES_SQL = """
     und AS MATERIALIZED (
         SELECT p1 AS u, p2 AS v FROM edges
         UNION ALL SELECT p2 AS u, p1 AS v FROM edges
@@ -2564,6 +2594,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN l5 n ON n.node = e.v
         GROUP BY l.node
     )
+"""
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH """ + _EDGES_SQL + "," + _CC_STAGES_SQL + """
     SELECT CAST(lab AS BIGINT) AS component,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
            CAST(MIN(node) AS BIGINT) AS min_node,
@@ -2587,28 +2624,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     step expressed as DataFrame ops; localCheckpoint keeps lineage
     flat so the plan does not grow exponentially with rounds.
     """
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionAll(
-        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).localCheckpoint()
-    lab = und.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    ).localCheckpoint()
-    for _ in range(6):
-        nbr = (
-            lab.join(und, lab.node == und.u)
-            .join(
-                lab.select(
-                    F.col("node").alias("vnode"), F.col("lab").alias("vlab")
-                ),
-                F.col("v") == F.col("vnode"),
-            )
-            .groupBy("node")
-            .agg(F.least(F.min("lab"), F.min("vlab")).alias("lab"))
-        )
-        lab = nbr.localCheckpoint()
+    _edges, _und, lab = _cc_label_frames(spark, sf_dir)
     return lab.groupBy(F.col("lab").alias("component")).agg(
         F.count("*").alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -3451,5 +3467,98 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(coalesce(covered_tokens, 0) * 1000000"
                 " div n_tokens AS BIGINT)"
             ).alias("covered_ppm"),
+        )
+    )
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+    WITH """ + _EDGES_SQL + "," + _CC_STAGES_SQL + """,
+    lab AS (SELECT node, CAST(lab AS BIGINT) AS lab FROM l6),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY u),
+    comm AS (
+        SELECT l.lab, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(dg.d) AS BIGINT) AS d_sum
+        FROM lab l JOIN deg dg ON dg.node = l.node GROUP BY l.lab
+    ),
+    intra AS (
+        SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM edges e
+        JOIN lab la ON la.node = e.p1
+        JOIN lab lb ON lb.node = e.p2 AND lb.lab = la.lab
+        GROUP BY la.lab
+    )
+    SELECT c.lab AS community, c.n_nodes,
+           COALESCE(i.e_in, 0) AS intra_edges, c.d_sum,
+           CAST(4 * m.m * COALESCE(i.e_in, 0) - c.d_sum * c.d_sum
+                AS BIGINT) AS q_num,
+           CAST(4 * m.m * COALESCE(i.e_in, 0) - c.d_sum * c.d_sum
+                AS DOUBLE) / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+    FROM comm c LEFT JOIN intra i ON i.lab = c.lab, m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the co-purchase graph's connected
+    components — the community-quality score every clustering
+    pipeline reports: Q = Σ_c [e_c/m − (d_c/2m)²]. Communities come
+    from the shared 6-round min-label propagation
+    (`_cc_label_frames`); per community the op emits node count,
+    intra-community edge count, degree mass, the EXACT integer
+    numerator 4m·e_c − d_c² (all quantities < 2⁵³, so the one
+    division to q_contrib is a single identical rounding on both
+    engines) and its double contribution. Σ q_contrib over the rows
+    IS the graph's modularity; for pure components every edge is
+    intra, making Q's value a structural invariant the oracle locks.
+
+    Scale: degrees and intra-edge counts are one aggregation each
+    over the edge list, hash-partitioned on node — nothing beyond
+    the CC rounds themselves.
+    """
+    edges, und, lab = _cc_label_frames(spark, sf_dir)
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    comm = (
+        lab.join(deg, "node")
+        .groupBy("lab")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("p1"), F.col("lab").alias("la"))
+    lb = lab.select(F.col("node").alias("p2"), F.col("lab").alias("lb"))
+    intra = (
+        edges.join(la, "p1")
+        .join(lb, "p2")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    return (
+        comm.join(intra, "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lab").alias("community"),
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("intra_edges"),
+            "d_sum",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("q_num"),
+            (
+                (
+                    F.lit(4) * F.col("m") * F.coalesce("e_in", F.lit(0))
+                    - F.col("d_sum") * F.col("d_sum")
+                ).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_contrib"),
         )
     )

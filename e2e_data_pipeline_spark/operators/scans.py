@@ -3495,3 +3495,103 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "scan_deletion_vectors",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey % 4 AS file_class,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey % 4
+                   ORDER BY l_orderkey, l_linenumber,
+                            CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   ) - 1 AS BIGINT) AS pos,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT CAST(file_class AS BIGINT) AS file_class,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN (pos + file_class) % 7 = 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN (pos + file_class) % 7 <> 3
+                         THEN cents ELSE 0 END) AS BIGINT) AS live_cents
+    FROM base GROUP BY 1
+    """,
+)
+def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL deletion vectors — the merge-on-read delete
+    mechanism of modern table formats (Iceberg v2 / Delta DVs): a
+    delete is recorded as (file, row position), never by rewriting
+    data files, and readers subtract positions at scan time. The op
+    sinks lineitem into 4 single-task files each SORTED by
+    (orderkey, linenumber, cents) — the fixture's composite key is
+    not unique, but rows tying on all three are full duplicates of
+    the projected columns, so every admissible physical order yields
+    the same result multiset, mints a per-file delete vector from a position
+    formula ((pos + file_class) % 7 == 3 — a different phase per
+    file, as real DVs differ per file), and applies it at read time
+    via Spark's ``_metadata.row_index`` hidden column — the ENGINE's
+    own physical row position, not a recomputed rank. The oracle
+    derives positions from the sort order instead; a hash match
+    proves the engine's row_index numbering equals the documented
+    physical order, i.e. positional deletes land on exactly the
+    intended rows.
+
+    Scale: DV application is a per-row predicate on a metadata column
+    — no join, no shuffle; at 100 TB this is why engines prefer DVs
+    over copy-on-write rewrites for low-churn deletes.
+    """
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    out_schema = (
+        "file_class long, n_total long, n_deleted long, live_cents long"
+    )
+    work = tempfile.mkdtemp(prefix="dv_scan_")
+    try:
+        for c in range(4):
+            (
+                li.where(F.pmod("l_orderkey", F.lit(4)) == c)
+                .coalesce(1)
+                .sortWithinPartitions("l_orderkey", "l_linenumber", "cents")
+                .write.parquet(f"{work}/f{c}")
+            )
+        back = (
+            spark.read.parquet(f"{work}/f*")
+            .select(
+                "cents",
+                F.col("_metadata.row_index").alias("pos"),
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"/f(\d+)/", 1
+                )
+                .cast("long")
+                .alias("file_class"),
+            )
+        )
+        if back.isEmpty():
+            return spark.createDataFrame([], out_schema)
+        deleted = F.pmod(F.col("pos") + F.col("file_class"), F.lit(7)) == 3
+        out = (
+            back.groupBy("file_class")
+            .agg(
+                F.count("*").cast("long").alias("n_total"),
+                F.sum(F.when(deleted, 1).otherwise(0))
+                .cast("long")
+                .alias("n_deleted"),
+                F.sum(F.when(~deleted, F.col("cents")).otherwise(0))
+                .cast("long")
+                .alias("live_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

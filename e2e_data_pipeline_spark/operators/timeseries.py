@@ -6192,3 +6192,99 @@ folds AS (
 )"""
         + _COXPH_FINAL
     )
+
+
+@register(
+    "ts_matrix_profile",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               cents
+        FROM daily
+    ),
+    nwin AS (SELECT COUNT(*) - 6 AS nw FROM ranked),
+    pairs AS (
+        SELECT a.t AS t, b.t AS s,
+               CAST(SUM((x.cents - y.cents) * (x.cents - y.cents))
+                    AS BIGINT) AS dist2
+        FROM ranked a
+        JOIN ranked b ON abs(a.t - b.t) >= 4
+        JOIN nwin ON a.t <= nw AND b.t <= nw
+        CROSS JOIN (SELECT unnest(range(0, 7)) AS i) off
+        JOIN ranked x ON x.t = a.t + off.i
+        JOIN ranked y ON y.t = b.t + off.i
+        GROUP BY a.t, b.t
+    )
+    SELECT t AS win_idx,
+           CAST((MIN(STRUCT_PACK(a := dist2, b := s))).b AS BIGINT)
+               AS nn_idx,
+           CAST(MIN(dist2) AS BIGINT) AS nn_dist2
+    FROM pairs GROUP BY t
+    """,
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (Yeh et al.) over the daily revenue series —
+    the motif/discord primitive of modern time-series mining: for
+    every length-7 window, the squared euclidean distance to its
+    nearest non-trivial neighbor (exclusion zone |t−s| ≥ 4, half the
+    window, the standard trivial-match guard). Distances are exact
+    int64 (integer cents, no normalization — raw-amplitude MP), the
+    neighbor tie breaks to the smallest index via the portable
+    struct-argmin, and the global minimum pair is the series' top
+    motif while the maximum profile value is its top discord. An
+    independent numpy brute-force replay pins the construction
+    (shared-derivation ops are parity-blind — the r4 rule).
+
+    Scale: the profile is computed on the CALENDAR-grain rollup
+    (distributed partial agg first), so the O(n²·w) pair join runs on
+    a bounded frame — the same legality argument as every day-grain
+    op; at 100 TB only the rollup touches data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        "cents",
+    )
+    nw = ranked.count() - 6
+    if nw < 5:  # need |t-s| >= 4 within 1..nw
+        return spark.createDataFrame(
+            [], "win_idx long, nn_idx long, nn_dist2 long"
+        )
+    a = ranked.select(F.col("t").alias("t"))
+    b = ranked.select(F.col("t").alias("s"))
+    off = spark.range(0, 7).select(F.col("id").alias("i"))
+    x = ranked.select(F.col("t").alias("xt"), F.col("cents").alias("xv"))
+    y = ranked.select(F.col("t").alias("yt"), F.col("cents").alias("yv"))
+    pairs = (
+        a.where(F.col("t") <= nw)
+        .join(b.where(F.col("s") <= nw), F.abs(F.col("t") - F.col("s")) >= 4)
+        .crossJoin(F.broadcast(off))
+        .join(x, F.col("xt") == F.col("t") + F.col("i"))
+        .join(y, F.col("yt") == F.col("s") + F.col("i"))
+        .groupBy("t", "s")
+        .agg(
+            F.sum(
+                (F.col("xv") - F.col("yv")) * (F.col("xv") - F.col("yv"))
+            )
+            .cast("long")
+            .alias("dist2")
+        )
+    )
+    return pairs.groupBy(F.col("t").alias("win_idx")).agg(
+        F.min(F.struct("dist2", "s"))["s"].cast("long").alias("nn_idx"),
+        F.min("dist2").cast("long").alias("nn_dist2"),
+    )

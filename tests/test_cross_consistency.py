@@ -640,3 +640,104 @@ def test_coxph_newton_matches_numpy_replay(spark):
     assert math.isclose(row["u_score"], u_score, rel_tol=1e-9)
     assert math.isclose(row["fisher_info"], info, rel_tol=1e-9)
     assert math.isclose(row["beta"], u_score / info, rel_tol=1e-9)
+
+
+def test_matrix_profile_matches_numpy_replay(spark):
+    """ts_matrix_profile vs a numpy brute force over the same daily
+    cents series — independent of the op's join construction (both
+    engine sides share one derivation, so this is the real check)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = {
+        r["win_idx"]: (r["nn_idx"], r["nn_dist2"])
+        for r in QUERIES["ts_matrix_profile"](spark, SF_SMALL).collect()
+    }
+
+    ev = spark.read.parquet(SF_SMALL + "/events.parquet").select(
+        "ts", "value"
+    )
+    pdf = ev.toPandas()
+    cents = (pdf["value"].fillna(0) * 100).round().astype("int64")
+    day = pd.to_datetime(pdf["ts"]).dt.floor("D")
+    series = (
+        pd.DataFrame({"d": day, "c": cents})
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    n = len(series)
+    nw = n - 6
+    assert nw >= 5
+    expect = {}
+    for t in range(1, nw + 1):
+        best = None
+        for s in range(1, nw + 1):
+            if abs(t - s) < 4:
+                continue
+            wa = series[t - 1 : t + 6]
+            wb = series[s - 1 : s + 6]
+            d2 = int(((wa - wb) ** 2).sum())
+            if best is None or (d2, s) < best:
+                best = (d2, s)
+        expect[t] = (best[1], best[0])
+    assert rows == expect
+
+
+def test_regression_tree_depth2_matches_numpy_replay(spark):
+    """ml_regression_tree_depth2's split choices and leaf means vs a
+    plain numpy greedy CART on the same integer data — independent of
+    the op's cumulative/decimal construction."""
+    import numpy as np
+
+    rows = {
+        r["leaf"]: r
+        for r in QUERIES["ml_regression_tree_depth2"](
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    li = spark.read.parquet(SF_SMALL + "/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity", "l_discount"
+    )
+    pdf = li.toPandas()
+    y = (pdf["l_extendedprice"] * 100).round().astype("int64").to_numpy()
+    feats = {
+        "q": pdf["l_quantity"].astype("int64").to_numpy(),
+        "d": (pdf["l_discount"] * 100).round().astype("int64").to_numpy(),
+    }
+
+    def best_split(mask):
+        n_s, s_s = int(mask.sum()), int(y[mask].sum())
+        best = None
+        for f in ("d", "q"):  # tie order: feature asc
+            vals = np.unique(feats[f][mask])
+            for t in vals[:-1]:
+                left = mask & (feats[f] <= t)
+                n_l, s_l = int(left.sum()), int(y[left].sum())
+                a = n_s * s_l - n_l * s_s
+                g = (a * a) / (n_l * (n_s - n_l))
+                key = (-g, f, int(t))
+                if best is None or key < best:
+                    best = key
+        return (best[1], best[2]) if best else None
+
+    all_mask = np.ones(len(y), bool)
+    rf, rt = best_split(all_mask)
+    assert (rows["LL"]["root_feat"], rows["LL"]["root_thr"]) == (rf, rt)
+    for side in ("L", "R"):
+        m = (
+            all_mask & (feats[rf] <= rt)
+            if side == "L"
+            else all_mask & (feats[rf] > rt)
+        )
+        lf, lt = best_split(m)
+        for sub in ("L", "R"):
+            leaf = rows[side + sub]
+            assert (leaf["leaf_feat"], leaf["leaf_thr"]) == (lf, lt)
+            mm = m & (feats[lf] <= lt) if sub == "L" else m & (feats[lf] > lt)
+            assert leaf["n_rows"] == int(mm.sum())
+            assert abs(leaf["pred"] - y[mm].mean()) < 1e-6 * abs(
+                y[mm].mean()
+            )

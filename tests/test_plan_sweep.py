@@ -40,6 +40,7 @@ BOUNDED_GRAIN = {
     "ts_autocorr": "day-grain series",
     "ts_burst_detect": "day-grain series",
     "ts_changepoint_cusum": "day-grain series",
+    "stats_sprt_sequential": "day-grain series (cumulative LLR walk)",
     "ts_croston": "day-grain demand series",
     "ts_error_budget": "day-grain SLO series",
     "ts_granger_lag1": "day-grain series pair",

@@ -1062,3 +1062,28 @@ def test_zorder_beats_linear_sort_on_secondary_key():
     assert z_skips > lin_skips, (z_skips, lin_skips)
     assert lin_skips == 0  # linear layout prunes nothing on partkey
     assert z_skips >= 4  # z fixes partkey's top bit per 32-z slab
+
+
+def test_join_hints_are_obeyed(spark):
+    """join_hint_override's MERGE and SHUFFLE_HASH hints must reach
+    the physical plan: the merged variant plans a SortMergeJoin, the
+    hashed variant a ShuffledHashJoin, and neither broadcasts."""
+    from pyspark.sql import functions as F
+
+    from e2e_data_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+
+    merged = orders.hint("merge").join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    hashed = orders.hint("shuffle_hash").join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    mp = merged._jdf.queryExecution().executedPlan().toString()
+    hp = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in mp and "BroadcastHashJoin" not in mp
+    assert "ShuffledHashJoin" in hp and "BroadcastHashJoin" not in hp
