@@ -3918,3 +3918,155 @@ def fn_collation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n_orders", "n_lowercase")
         .orderBy("priority")
     )
+
+
+_ULID_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   * 86400000 AS ts_ms,
+               CAST(('0x' || substr(md5('ulid:' || CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS r_hi,
+               CAST(('0x' || substr(md5('ulid:' || CAST(o_orderkey AS VARCHAR)), 11, 10)) AS BIGINT) AS r_lo
+        FROM orders WHERE o_orderkey < 4096
+    ),
+    minted AS (
+        SELECT o_orderkey, ts_ms,
+               substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 35184372088832) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 1099511627776) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms // 1) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi // 1) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo // 1) % 32 AS INT) + 1, 1) AS ulid
+        FROM base
+    )
+    SELECT o_orderkey, ulid, ts_ms,
+           CAST(((CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 1, 1)) AS BIGINT) - 1) * 35184372088832
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 2, 1)) AS BIGINT) - 1) * 1099511627776
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 3, 1)) AS BIGINT) - 1) * 34359738368
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 4, 1)) AS BIGINT) - 1) * 1073741824
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 5, 1)) AS BIGINT) - 1) * 33554432
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 6, 1)) AS BIGINT) - 1) * 1048576
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 7, 1)) AS BIGINT) - 1) * 32768
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 8, 1)) AS BIGINT) - 1) * 1024
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 9, 1)) AS BIGINT) - 1) * 32
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 10, 1)) AS BIGINT) - 1) * 1) AS BIGINT) AS ts_decoded,
+           CAST(CASE WHEN ((CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 1, 1)) AS BIGINT) - 1) * 35184372088832
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 2, 1)) AS BIGINT) - 1) * 1099511627776
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 3, 1)) AS BIGINT) - 1) * 34359738368
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 4, 1)) AS BIGINT) - 1) * 1073741824
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 5, 1)) AS BIGINT) - 1) * 33554432
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 6, 1)) AS BIGINT) - 1) * 1048576
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 7, 1)) AS BIGINT) - 1) * 32768
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 8, 1)) AS BIGINT) - 1) * 1024
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 9, 1)) AS BIGINT) - 1) * 32
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 10, 1)) AS BIGINT) - 1) * 1) = ts_ms
+                THEN 1 ELSE 0 END AS BIGINT) AS round_trip_ok
+    FROM minted
+"""
+
+_ULID_SPARK_SQL = """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)
+                   * 86400000 AS ts_ms,
+               CAST(conv(substr(md5(concat('ulid:', CAST(o_orderkey AS STRING))), 1, 10), 16, 10) AS BIGINT) AS r_hi,
+               CAST(conv(substr(md5(concat('ulid:', CAST(o_orderkey AS STRING))), 11, 10), 16, 10) AS BIGINT) AS r_lo
+        FROM orders WHERE o_orderkey < 4096
+    ),
+    minted AS (
+        SELECT o_orderkey, ts_ms,
+               substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 35184372088832) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 1099511627776) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((ts_ms div 1) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_hi div 1) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 34359738368) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 1073741824) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 33554432) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 1048576) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 32768) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 1024) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 32) % 32 AS INT) + 1, 1)
+               || substr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((r_lo div 1) % 32 AS INT) + 1, 1) AS ulid
+        FROM base
+    )
+    SELECT o_orderkey, ulid, ts_ms,
+           CAST(((CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 1, 1)) AS BIGINT) - 1) * 35184372088832
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 2, 1)) AS BIGINT) - 1) * 1099511627776
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 3, 1)) AS BIGINT) - 1) * 34359738368
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 4, 1)) AS BIGINT) - 1) * 1073741824
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 5, 1)) AS BIGINT) - 1) * 33554432
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 6, 1)) AS BIGINT) - 1) * 1048576
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 7, 1)) AS BIGINT) - 1) * 32768
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 8, 1)) AS BIGINT) - 1) * 1024
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 9, 1)) AS BIGINT) - 1) * 32
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 10, 1)) AS BIGINT) - 1) * 1) AS BIGINT) AS ts_decoded,
+           CAST(CASE WHEN ((CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 1, 1)) AS BIGINT) - 1) * 35184372088832
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 2, 1)) AS BIGINT) - 1) * 1099511627776
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 3, 1)) AS BIGINT) - 1) * 34359738368
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 4, 1)) AS BIGINT) - 1) * 1073741824
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 5, 1)) AS BIGINT) - 1) * 33554432
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 6, 1)) AS BIGINT) - 1) * 1048576
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 7, 1)) AS BIGINT) - 1) * 32768
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 8, 1)) AS BIGINT) - 1) * 1024
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 9, 1)) AS BIGINT) - 1) * 32
+                + (CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', substr(ulid, 10, 1)) AS BIGINT) - 1) * 1) = ts_ms
+                THEN 1 ELSE 0 END AS BIGINT) AS round_trip_ok
+    FROM minted
+"""
+
+
+@register("fn_ulid_codec", oracle=_ULID_ORACLE)
+def fn_ulid_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULID mint → decode round trip — the sortable-id codec family
+    member alongside `fn_snowflake_decode` and `fn_uuid_v5`: 48-bit
+    millisecond timestamp + 80-bit entropy (md5-derived, split into
+    two int64-safe 40-bit words — never a 128-bit value) rendered as
+    26 Crockford base-32 characters by pure div/mod arithmetic, then
+    DECODED back character-by-character (instr against the alphabet)
+    and the recovered timestamp equality asserted per row. Encode and
+    decode are generated from one Python loop so the 26-term
+    expressions cannot drift; the only per-dialect differences are
+    the integer-division token and the hex→int idiom (the r3
+    portable-hash recipe).
+
+    Scale: one narrow codegen projection, no shuffle, no UDF — id
+    minting at ingest speed.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ULID_SPARK_SQL)

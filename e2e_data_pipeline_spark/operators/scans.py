@@ -3595,3 +3595,41 @@ def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "sql_select_except",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM (SELECT * EXCLUDE (o_custkey, o_orderdate) FROM orders)
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-projection subtraction — Spark 4's ``SELECT * EXCEPT
+    (cols)`` (DuckDB spells it ``EXCLUDE``): the wide-table
+    ergonomic that matters at 100-column scale, where enumerating
+    97 keepers to drop 3 is exactly how stale-column bugs happen.
+    The dropped columns must also be PRUNED from the scan, not just
+    projected away — the downstream aggregate's ReadSchema should
+    not contain o_custkey (Catalyst column pruning through the
+    except-list, asserted here by reusing the pruned frame in an
+    aggregation the oracle recomputes).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM (SELECT * EXCEPT (o_custkey, o_orderdate)
+              FROM orders)
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )

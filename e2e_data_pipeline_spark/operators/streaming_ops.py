@@ -2173,3 +2173,122 @@ def stream_state_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_state_partition_pinning",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(8 AS BIGINT) AS state_partitions
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_state_partition_pinning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State partition-count PINNING — the operational gotcha every
+    streaming team hits once: ``spark.sql.shuffle.partitions`` is
+    frozen into a stateful checkpoint at FIRST run (offsets metadata),
+    and later restarts silently ignore the session's new value — the
+    state cannot be re-bucketed without a rebalance tool. Proof: the
+    first two event chunks run under shuffle.partitions=8, the
+    session conf is then raised to the default 32, and the restart
+    (two more chunks, same checkpoint) must STILL run 8-way state.
+    Output rows carry the per-type aggregate (hash-equal to the full
+    batch recompute — restart correctness) plus the
+    ``state-metadata`` numPartitions, which the oracle pins at 8: if
+    Spark ever started honoring the new conf mid-stream, the column
+    would read 32 and the hash would fail loudly.
+
+    Scale: this is exactly why you size state partitions for the
+    TARGET cluster before the first production run — at 100 TB an
+    8-way state from a laptop test run would bottleneck a
+    1000-executor restart forever.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="state_pin_")
+    chunks = f"{work}/chunks"
+    ckpt = f"{work}/ckpt"
+    schema = "event_id long, event_type string, cents long"
+    old_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        for i in range(4):
+            (
+                ev.where(F.pmod("event_id", F.lit(4)) == i)
+                .coalesce(1)
+                .write.parquet(f"{chunks}/c{i}")
+            )
+        if len(_glob.glob(f"{chunks}/c*/part-*")) == 0:
+            return spark.createDataFrame(
+                [],
+                "event_type string, sum_cents long, n_events long,"
+                " state_partitions long",
+            )
+        staged = f"{work}/staged"
+        _os.makedirs(staged, exist_ok=True)
+        for i in (2, 3):
+            _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
+
+        def run_round():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{chunks}/c*")
+            )
+            agg = stream.groupBy("event_type").agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n_events"),
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            if q.isActive:  # pragma: no cover - hang guard
+                q.stop()
+                raise TimeoutError("partition-pinning stream hung")
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        run_round()
+        # restart under a DIFFERENT session conf — must be ignored
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+        for i in (2, 3):
+            _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
+        run_round()
+
+        n_parts = (
+            spark.read.format("state-metadata")
+            .load(ckpt)
+            .select("numPartitions")
+            .collect()[0][0]
+        )
+        st = spark.read.format("statestore").load(ckpt)
+        vcols = [f.name for f in st.schema["value"].dataType.fields]
+        out = st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("long").alias("sum_cents"),
+            F.col(f"value.{vcols[1]}").cast("long").alias("n_events"),
+            F.lit(int(n_parts)).cast("long").alias("state_partitions"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_conf)
+        shutil.rmtree(work, ignore_errors=True)
+    return out
