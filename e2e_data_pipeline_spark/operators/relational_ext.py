@@ -4219,3 +4219,124 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r_name")
     )
     return wide.transpose()
+
+
+@register(
+    "dq_merkle_partitions",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_orderkey % 16 AS pclass,
+               CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR) || '|'
+                   || CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+               CASE WHEN l_orderkey % 4096 = 13 THEN 0 ELSE 1 END AS in_b
+        FROM lineitem
+    ),
+    leaves AS (
+        SELECT CAST(pclass AS BIGINT) AS pclass,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_a,
+               CAST(SUM(in_b) AS BIGINT) AS n_rows_b,
+               CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS leaf_a,
+               CAST(SUM(CAST(h * in_b AS DECIMAL(38,0))) AS VARCHAR)
+                   AS leaf_b
+        FROM rows_ GROUP BY 1
+    ),
+    roots AS (
+        SELECT md5(string_agg(leaf_a, '|' ORDER BY pclass)) AS root_a,
+               md5(string_agg(leaf_b, '|' ORDER BY pclass)) AS root_b
+        FROM leaves
+    )
+    SELECT l.pclass, l.n_rows_a, l.n_rows_b, l.leaf_a, l.leaf_b,
+           CAST(CASE WHEN l.leaf_a = l.leaf_b THEN 0 ELSE 1 END
+                AS BIGINT) AS changed,
+           CAST(CASE WHEN r.root_a = r.root_b THEN 0 ELSE 1 END
+                AS BIGINT) AS root_differs
+    FROM leaves l, roots r
+    """,
+)
+def dq_merkle_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE-style hierarchical table checksum — `dq_table_checksum`
+    answers "did anything change"; this answers "WHICH partition
+    changed" without re-reading the others: per partition class an
+    order-insensitive leaf digest (exact DECIMAL(38) sum of portable
+    60-bit row hashes — commutative, so partial-aggregable and
+    replica-order independent), and a root digest over the ordered
+    leaf digests. Two snapshots are compared in one pass (snapshot B
+    deterministically drops the l_orderkey%4096==13 rows, which all live
+    in one class — a localized deletion): the changed flag localizes the diff to exactly
+    class 13 while the other 15 leaves stay bit-identical (pinned:
+    the fixture would mark every class if the pattern were
+    class-independent), and
+    the root pair inequality is part of the hash contract.
+
+    Scale: this is the replica-reconciliation primitive — two
+    clusters exchange 16 leaf digests (bytes) instead of 100 TB, and
+    recurse only into unequal subtrees.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey % 16").alias("pclass"),
+        F.expr(
+            "CAST(conv(substr(md5(concat("
+            "CAST(l_orderkey AS STRING), '|',"
+            " CAST(l_linenumber AS STRING), '|',"
+            " CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.expr(
+            "CASE WHEN l_orderkey % 4096 = 13 THEN 0 ELSE 1 END"
+        ).alias("in_b"),
+    )
+    leaves = li.groupBy(F.col("pclass").cast("long").alias("pclass")).agg(
+        F.count("*").cast("long").alias("n_rows_a"),
+        F.sum("in_b").cast("long").alias("n_rows_b"),
+        F.expr(
+            "CAST(SUM(CAST(h AS DECIMAL(38,0))) AS STRING)"
+        ).alias("leaf_a"),
+        F.expr(
+            "CAST(SUM(CAST(h * in_b AS DECIMAL(38,0))) AS STRING)"
+        ).alias("leaf_b"),
+    )
+    # concat leaf digests in pclass order on both engines: Spark's
+    # string_agg has no ORDER BY, so sort (pclass, leaf) structs and
+    # project the leaf field before joining with '|'
+    roots = leaves.select(
+        F.struct("pclass", "leaf_a").alias("sa"),
+        F.struct("pclass", "leaf_b").alias("sb"),
+    ).agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    "transform(array_sort(collect_list(sa)), x -> x.leaf_a)"
+                ),
+            )
+        ).alias("root_a"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(
+                    "transform(array_sort(collect_list(sb)), x -> x.leaf_b)"
+                ),
+            )
+        ).alias("root_b"),
+    )
+    return (
+        leaves.crossJoin(F.broadcast(roots))
+        .select(
+            "pclass",
+            "n_rows_a",
+            "n_rows_b",
+            "leaf_a",
+            "leaf_b",
+            F.when(F.col("leaf_a") == F.col("leaf_b"), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("changed"),
+            F.when(F.col("root_a") == F.col("root_b"), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("root_differs"),
+        )
+    )
