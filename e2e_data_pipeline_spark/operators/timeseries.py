@@ -6288,3 +6288,115 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("dist2", "s"))["s"].cast("long").alias("nn_idx"),
         F.min("dist2").cast("long").alias("nn_dist2"),
     )
+
+
+@register(
+    "ts_nelson_aalen",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts) // 1000000) AS mx FROM events),
+    u AS (
+        SELECT user_id,
+               (MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000))
+                   // 86400 AS dur,
+               CASE WHEN MAX(epoch_us(ts) // 1000000)
+                         >= (SELECT mx FROM mx) - 7 * 86400
+                    THEN 1 ELSE 0 END AS censored
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT dur,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(1 - censored) AS BIGINT) AS d
+        FROM u GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur AS t, d,
+               CAST(SUM(n) OVER (ORDER BY dur DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_risk
+        FROM g
+    ),
+    haz AS (
+        SELECT t, d, n_risk,
+               CAST(d * 1000000 // n_risk AS BIGINT) AS h_ppm,
+               CAST(d * 1000000000000 // (n_risk * n_risk) AS BIGINT)
+                   AS var_pptt
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, n_risk, d, h_ppm,
+           CAST(SUM(h_ppm) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_hazard_ppm,
+           CAST(SUM(var_pptt) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_var_pptt
+    FROM haz WHERE t <= 30
+    """,
+)
+def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — `ts_survival_km`'s
+    counting-process twin (KM multiplies survival steps; NA sums
+    hazard increments d_i/n_i, the quantity Cox regression and
+    competing-risk models build on). Same right-censoring convention
+    as KM (users active in the last 7 days are censored); hazard
+    increments and their Poisson variance terms d/n² are integer ppm
+    / parts-per-trillion via exact integer division (the truncation
+    IS the documented estimator here — no float division anywhere),
+    so the cumulative sums are exact int64 in both engines.
+
+    Scale: user-grain rollup (distributed), then O(distinct
+    durations) bounded windows — the calendar-series shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.expr("MAX(CAST(CAST(ts AS TIMESTAMP) AS BIGINT))").alias("mx")
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "(MAX(CAST(CAST(ts AS TIMESTAMP) AS BIGINT))"
+                " - MIN(CAST(CAST(ts AS TIMESTAMP) AS BIGINT))) div 86400"
+            ).alias("dur"),
+            F.expr(
+                "MAX(CAST(CAST(ts AS TIMESTAMP) AS BIGINT))"
+            ).alias("last_s"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "dur",
+            F.expr(
+                "CASE WHEN last_s >= mx - 7 * 86400 THEN 1 ELSE 0 END"
+            ).alias("censored"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+    )
+    wrisk = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = g.select(
+        F.col("dur").alias("t"),
+        "d",
+        F.sum("n").over(wrisk).cast("long").alias("n_risk"),
+    )
+    haz = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.expr("CAST(d * 1000000 div n_risk AS BIGINT)").alias("h_ppm"),
+        F.expr(
+            "CAST(d * 1000000000000 div (n_risk * n_risk) AS BIGINT)"
+        ).alias("var_pptt"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return haz.where(F.col("t") <= 30).select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        "d",
+        "h_ppm",
+        F.sum("h_ppm").over(wcum).cast("long").alias("cum_hazard_ppm"),
+        F.sum("var_pptt").over(wcum).cast("long").alias("cum_var_pptt"),
+    )

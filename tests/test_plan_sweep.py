@@ -57,6 +57,7 @@ BOUNDED_GRAIN = {
     "ts_variance_ratio": "day-grain return series",
     "ts_viterbi_regimes": "day-grain series (DP is O(days))",
     "ts_survival_km": "distinct-duration grain (suffix-sum risk sets)",
+    "ts_nelson_aalen": "distinct-duration grain (suffix-sum risk sets)",
     "agg_bass_diffusion": "week-grain adoption curve",
     "sql_window_clause": "day-grain reducer output",
     "dq_volume_anomaly": "day-grain volume series",
