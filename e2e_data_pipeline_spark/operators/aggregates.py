@@ -13236,21 +13236,18 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dday")
     )
+    # Order-independent decision-LLR resolution (r9, advice fix): a
+    # global MAX over the (at most one) crossing-day row always yields
+    # exactly one row — NULL when no crossing — unlike the previous
+    # unionAll(null-row).limit(1), whose row choice depended on
+    # physical fetch order under GlobalLimit-over-Union.
     dec_llr = (
-        cum.join(crossing, F.col("day") == F.col("dday"))
-        .select(F.col("cum_llr_micro").alias("dec_llr"))
+        cum.join(F.broadcast(crossing), F.col("day") == F.col("dday"))
+        .agg(F.max("cum_llr_micro").cast("long").alias("dec_llr"))
     )
     return (
         cum.crossJoin(F.broadcast(crossing))
-        .crossJoin(
-            F.broadcast(
-                dec_llr.unionAll(
-                    cum.sparkSession.createDataFrame(
-                        [(None,)], "dec_llr long"
-                    )
-                ).limit(1)
-            )
-        )
+        .crossJoin(F.broadcast(dec_llr))
         .select(
             "day",
             "successes",
@@ -13261,5 +13258,306 @@ def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("dec_llr") >= 2944439, F.lit("accept_h1"))
             .otherwise(F.lit("accept_h0"))
             .alias("decision"),
+        )
+    )
+
+
+_GQ_SQL = """
+    WITH daily AS (
+        SELECT {DAYNUM} AS d,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) {IDIV} 10000
+                   AS y
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (
+        SELECT MIN(d) AS dmin, MAX(d) AS dmax,
+               (MAX(d) - MIN(d) + 1) {IDIV} 3 AS cut
+        FROM daily
+    ),
+    seg AS (
+        SELECT CASE WHEN d <= dmin + cut - 1 THEN 1
+                    WHEN d >= dmax - cut + 1 THEN 2 END AS s,
+               d - dmin AS x, y
+        FROM daily, bounds
+        WHERE d <= dmin + cut - 1 OR d >= dmax - cut + 1
+    ),
+    mom AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   AS syy
+        FROM seg GROUP BY s
+    ),
+    numer AS (
+        SELECT s, n, sx, sy,
+               CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
+                   AS sxx_n,
+               CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+                   AS sxy_n,
+               CAST(CAST(n AS DECIMAL(38,0)) * syy
+                    - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
+                   AS syy_n
+        FROM mom
+    ),
+    ssr AS (
+        SELECT s, n, sxx_n, sxy_n,
+               CAST(syy_n * sxx_n - sxy_n * sxy_n AS DECIMAL(38,0)) AS nk
+        FROM numer
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN s = 1 THEN n END) AS n1,
+               MAX(CASE WHEN s = 2 THEN n END) AS n2,
+               MAX(CASE WHEN s = 1 THEN sxx_n END) AS sxx1,
+               MAX(CASE WHEN s = 2 THEN sxx_n END) AS sxx2,
+               MAX(CASE WHEN s = 1 THEN sxy_n END) AS sxy1,
+               MAX(CASE WHEN s = 2 THEN sxy_n END) AS sxy2,
+               MAX(CASE WHEN s = 1 THEN nk END) AS nk1,
+               MAX(CASE WHEN s = 2 THEN nk END) AS nk2
+        FROM ssr
+    )
+    SELECT n1, n2,
+           CAST(CAST(sxy1 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sxx1 AS BIGINT) AS DOUBLE) AS slope1,
+           CAST(CAST(sxy2 AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sxx2 AS BIGINT) AS DOUBLE) AS slope2,
+           ({WNK2} * CAST(CAST(n1 * CAST(sxx1 AS BIGINT) * (n1 - 2)
+                              AS BIGINT) AS DOUBLE))
+               / ({WNK1} * CAST(CAST(n2 * CAST(sxx2 AS BIGINT) * (n2 - 2)
+                                    AS BIGINT) AS DOUBLE)) AS f_gq
+    FROM wide
+    WHERE n1 > 2 AND n2 > 2 AND CAST(sxx1 AS BIGINT) > 0
+      AND CAST(sxx2 AS BIGINT) > 0 AND nk1 > 0
+"""
+
+
+@register(
+    "stats_goldfeld_quandt",
+    oracle=_GQ_SQL.format(
+        DAYNUM="CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'"
+        " AS BIGINT)",
+        IDIV="//",
+        WNK1=wide_dbl("nk1"),
+        WNK2=wide_dbl("nk2"),
+    ),
+)
+def stats_goldfeld_quandt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDFELD-QUANDT heteroskedasticity test over the daily-revenue
+    trend: fit OLS (y = daily revenue in hundred-dollar units, x =
+    day offset) separately on the LOW and HIGH calendar thirds and
+    compare residual variances, F = (SSR2/df2)/(SSR1/df1) — the
+    classic pre-modeling diagnostic (variance growing with the level
+    breaks every equal-weight regression downstream). Exact
+    arithmetic throughout the distributed part: integer day grain,
+    SSR numerators via the closed form SSR·n·Sxx = Syy_n·Sxx_n −
+    Sxy_n² over DECIMAL(38) moments (the d19×d19 per-row square
+    forces DuckDB's HUGEINT kernel, r4 note), and the final F as a
+    fixed-order float chain over wide_dbl-rendered decimals and
+    int64→double single roundings (both immune rules, r3/r4).
+    Calendar split points use integer floor division on positive
+    spans (portable), NOT ntile — no global window anywhere.
+
+    Scale: day-grain rollup is partial-aggregable; everything after
+    is O(1) rows. Magnitudes are calendar-bounded: hundred-dollar
+    daily units keep Syy_n·Sxx_n < 9e33 (the wide_dbl envelope)
+    through ~100x the sf0.1 fixture.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _GQ_SQL.format(
+            DAYNUM="CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)",
+            IDIV="div",
+            WNK1=wide_dbl("nk1"),
+            WNK2=wide_dbl("nk2"),
+        )
+    )
+
+
+_LDA_SQL = """
+    WITH feat AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+        FROM lineitem
+    ),
+    mom AS (
+        SELECT g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22
+        FROM feat GROUP BY g
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN g = 0 THEN n END) AS n0,
+               MAX(CASE WHEN g = 1 THEN n END) AS n1,
+               MAX(CASE WHEN g = 0 THEN s1 END) AS s1_0,
+               MAX(CASE WHEN g = 1 THEN s1 END) AS s1_1,
+               MAX(CASE WHEN g = 0 THEN s2 END) AS s2_0,
+               MAX(CASE WHEN g = 1 THEN s2 END) AS s2_1,
+               MAX(CASE WHEN g = 0 THEN q11 END) AS q11_0,
+               MAX(CASE WHEN g = 1 THEN q11 END) AS q11_1,
+               MAX(CASE WHEN g = 0 THEN q12 END) AS q12_0,
+               MAX(CASE WHEN g = 1 THEN q12 END) AS q12_1,
+               MAX(CASE WHEN g = 0 THEN q22 END) AS q22_0,
+               MAX(CASE WHEN g = 1 THEN q22 END) AS q22_1
+        FROM mom
+    ),
+    means AS (
+        SELECT n0, n1,
+               CAST(s1_0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m1_0,
+               CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1_1,
+               CAST(s2_0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m2_0,
+               CAST(s2_1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m2_1,
+               s1_0, s1_1, s2_0, s2_1,
+               q11_0, q11_1, q12_0, q12_1, q22_0, q22_1
+        FROM wide WHERE n0 > 1 AND n1 > 1
+    ),
+    scatter AS (
+        SELECT n0, n1, m1_0, m1_1, m2_0, m2_1,
+               (CAST(q11_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * m1_0)
+             + (CAST(q11_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * m1_1)
+                   AS sw11,
+               (CAST(q12_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * m2_0)
+             + (CAST(q12_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * m2_1)
+                   AS sw12,
+               (CAST(q22_0 AS DOUBLE) - CAST(s2_0 AS DOUBLE) * m2_0)
+             + (CAST(q22_1 AS DOUBLE) - CAST(s2_1 AS DOUBLE) * m2_1)
+                   AS sw22
+        FROM means
+    ),
+    solved AS (
+        SELECT n0, n1, sw11, sw12, sw22,
+               m1_1 - m1_0 AS d1,
+               m2_1 - m2_0 AS d2,
+               sw22 * (m1_1 - m1_0) - sw12 * (m2_1 - m2_0) AS w1,
+               sw11 * (m2_1 - m2_0) - sw12 * (m1_1 - m1_0) AS w2
+        FROM scatter
+    )
+    SELECT n0, n1, w1, w2,
+           ((w1 * d1 + w2 * d2) * (w1 * d1 + w2 * d2))
+               / ((w1 * w1) * sw11 + (2.0 * w1) * (w2 * sw12)
+                  + (w2 * w2) * sw22) AS fisher_j
+    FROM solved
+    WHERE (w1 * w1) * sw11 + (2.0 * w1) * (w2 * sw12)
+          + (w2 * w2) * sw22 > 0
+"""
+
+
+@register("ml_lda_fisher", oracle=_LDA_SQL)
+def ml_lda_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER linear discriminant (2-class LDA direction) on the
+    returned-vs-kept lineitem population over (quantity, discount):
+    w ∝ Sw⁻¹(μ₁−μ₀) via the closed-form 2×2 adjugate — the classic
+    supervised projection every churn/fraud feature pipeline computes
+    before logistic refinement, plus Fisher's criterion J =
+    (wᵀd)²/(wᵀSw·w), the separation score itself. The distributed
+    part is six exact int64 moments per class (x ≤ 50, x² ≤ 2500 —
+    partial-aggregable, overflow-free to ~1e14 rows); everything
+    after is an O(1) fixed-order float chain over single-rounded
+    int64→double casts, spelled as IDENTICAL SQL text on both engines
+    (each op correctly rounded + same order = same bits). Guarded
+    n>1 per class and positive denominator (empty-in, empty-out).
+
+    Independent replay pin: tests/test_cross_consistency.py computes
+    w and J from the raw columns with numpy's lstsq-free textbook
+    formulas — the audit-required check for shared-derivation ops.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LDA_SQL)
+
+
+_PVM_SQL = """
+    WITH yr AS (
+        SELECT (MIN({YEARX}) + MAX({YEARX})) {IDIV} 2 AS pivot
+        FROM orders
+    ),
+    facts AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN {YEARO} <= yr.pivot THEN 1 ELSE 2 END AS period,
+               CAST(l.l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS r
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        CROSS JOIN yr
+    ),
+    agg AS (
+        SELECT brand, period,
+               CAST(SUM(q) AS BIGINT) AS q,
+               CAST(SUM(r) AS BIGINT) AS r
+        FROM facts GROUP BY brand, period
+    ),
+    wide AS (
+        SELECT brand,
+               MAX(CASE WHEN period = 1 THEN q END) AS q1,
+               MAX(CASE WHEN period = 2 THEN q END) AS q2,
+               MAX(CASE WHEN period = 1 THEN r END) AS r1,
+               MAX(CASE WHEN period = 2 THEN r END) AS r2
+        FROM agg GROUP BY brand
+    )
+    SELECT brand, q1, q2, r1, r2,
+           r2 - r1 AS delta_cents,
+           {WPEN} / CAST(q1 AS DOUBLE) AS price_effect_cents,
+           (CAST(q2 - q1 AS DOUBLE) * CAST(r1 AS DOUBLE))
+               / CAST(q1 AS DOUBLE) AS volume_effect_cents
+    FROM wide
+    WHERE q1 > 0 AND q2 > 0
+"""
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle=_PVM_SQL.format(
+        YEARX="CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)",
+        YEARO="CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)",
+        IDIV="//",
+        WPEN=wide_dbl(
+            "CAST(CAST(r2 AS DECIMAL(38,0)) * q1"
+            " - CAST(r1 AS DECIMAL(38,0)) * q2 AS DECIMAL(38,0))"
+        ),
+    ),
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME variance decomposition per brand between the low
+    and high calendar halves — the FP&A 'revenue bridge': ΔR =
+    (P₂−P₁)·Q₂ + (Q₂−Q₁)·P₁, the exact two-factor identity every
+    margin-variance report walks (price effect on new volume, volume
+    effect at old price; the residual-free convention). Average
+    prices are rationals, so the price effect is computed from the
+    cleared-numerator integer (R₂Q₁ − R₁Q₂) in DECIMAL(38) rendered
+    through wide_dbl, divided by the exact double product Q₁·Q₂ —
+    a fixed-order chain, bit-identical both engines; the volume
+    effect is three single-rounded casts and one division. Period
+    split by the derived pivot year (integer floor-div midpoint —
+    data-derived, the r4 in-query-parameter rule).
+
+    Scale: one fact join (orders/part broadcast-or-shuffle per
+    stats), one partial-aggregable rollup, O(brands) tail.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _PVM_SQL.format(
+            YEARX="CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)",
+            YEARO="CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)",
+            IDIV="div",
+            WPEN=wide_dbl(
+                "CAST(CAST(r2 AS DECIMAL(38,0)) * q1"
+                " - CAST(r1 AS DECIMAL(38,0)) * q2 AS DECIMAL(38,0))"
+            ),
         )
     )

@@ -1598,6 +1598,40 @@ def multimodal_wav_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def walk_video_container(data: bytes) -> tuple:
+    """VID0 container walk used by multimodal_video_codec's decode
+    kernel: validates magic, per-frame length prefixes and exact
+    container length, decodes every stride-2-sampled frame through the
+    real PNG decoder. Module-level so the corruption negative pin
+    (tests/test_video_codec.py) can seed faults against the SAME code
+    the operator runs. Returns (n_frames, n_sampled, w, h, px_sum)."""
+    import struct as _struct
+
+    from e2e_data_pipeline_spark.operators.png_codec import decode_png_gray
+
+    if data[:4] != b"VID0":
+        raise ValueError("bad container magic")
+    (nf,) = _struct.unpack_from(">I", data, 4)
+    pos = 8
+    w = h = None
+    n_sampled = 0
+    px_sum = 0
+    for f in range(nf):
+        (ln,) = _struct.unpack_from(">I", data, pos)
+        frame = data[pos + 4 : pos + 4 + ln]
+        if len(frame) != ln:
+            raise ValueError("truncated frame")
+        pos += 4 + ln
+        if f % 2 == 0:  # stride-2 frame sampling
+            fw, fh, px = decode_png_gray(frame)
+            w, h = fw, fh
+            n_sampled += 1
+            px_sum += sum(px)
+    if pos != len(data):
+        raise ValueError("trailing bytes in container")
+    return nf, n_sampled, w, h, px_sum
+
+
 @register(
     "multimodal_video_codec",
     oracle="""
@@ -1697,27 +1731,9 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["clip"]):
-                data = bytes(blob)
-                if data[:4] != b"VID0":
-                    raise ValueError("bad container magic")
-                (nf,) = _struct.unpack_from(">I", data, 4)
-                pos = 8
-                w = h = None
-                n_sampled = 0
-                px_sum = 0
-                for f in range(nf):
-                    (ln,) = _struct.unpack_from(">I", data, pos)
-                    frame = data[pos + 4 : pos + 4 + ln]
-                    if len(frame) != ln:
-                        raise ValueError("truncated frame")
-                    pos += 4 + ln
-                    if f % 2 == 0:  # stride-2 frame sampling
-                        fw, fh, px = decode_png_gray(frame)
-                        w, h = fw, fh
-                        n_sampled += 1
-                        px_sum += sum(px)
-                if pos != len(data):
-                    raise ValueError("trailing bytes in container")
+                nf, n_sampled, w, h, px_sum = walk_video_container(
+                    bytes(blob)
+                )
                 rows.append(
                     (
                         int(doc_id),
@@ -1746,4 +1762,423 @@ def multimodal_video_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id long, n_frames long, n_sampled long, width long,"
         " height long, sampled_px_sum long, total_raw_bytes long",
+    )
+
+
+def resize_gray_nn(px: bytes, w: int, h: int, rw: int, rh: int) -> bytes:
+    """Nearest-neighbor grayscale resample (floor index map sx =
+    dx*w // rw, sy = dy*h // rh) — the standard training-data
+    thumbnail step, module-level so tests can fault/replay it against
+    the SAME kernel multimodal_png_resize ships to workers."""
+    return bytes(
+        px[(dy * h // rh) * w + (dx * w // rw)]
+        for dy in range(rh)
+        for dx in range(rw)
+    )
+
+
+@register(
+    "multimodal_png_resize",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 9 AS BIGINT) AS w,
+               CAST(4 + doc_id % 7 AS BIGINT) AS h,
+               CAST(3 + doc_id % 4 AS BIGINT) AS rw,
+               CAST(3 + doc_id % 3 AS BIGINT) AS rh
+        FROM documents WHERE doc_id < 160
+    ),
+    expanded AS (
+        SELECT doc_id, w, h, rw, rh, unnest(range(0, rw * rh)) AS q
+        FROM imgs
+    ),
+    mapped AS (
+        SELECT doc_id, w, h, rw, rh, q,
+               ((q // rw) * h // rh) * w + ((q % rw) * w // rw) AS src
+        FROM expanded
+    ),
+    pix AS (
+        SELECT doc_id, w, h, rw, rh, q,
+               CAST(('0x' || substr(md5('rz:' || CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+        FROM mapped
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS src_w,
+           CAST(MIN(h) AS BIGINT) AS src_h,
+           CAST(MIN(rw) AS BIGINT) AS dst_w,
+           CAST(MIN(rh) AS BIGINT) AS dst_h,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v * (q + 1)) AS BIGINT) AS px_wsum,
+           CAST(MIN(CASE WHEN q = 0 THEN v END) AS BIGINT) AS px_tl,
+           CAST(MIN(CASE WHEN q = rw * rh - 1 THEN v END) AS BIGINT)
+               AS px_br
+    FROM pix GROUP BY doc_id
+    """,
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level image resize through the REAL codec — the
+    training-data thumbnail step made concrete (the pipeline stub
+    `resize_media` only rescales dimensions; this op decodes actual
+    PNG bytes and resamples actual pixels). Per document a grayscale
+    PNG is minted from the md5 generator formula, round-tripped
+    through encode/decode, then NEAREST-NEIGHBOR resampled with the
+    exact floor index map sx = dx·w div rw (the map SQL can replay,
+    so the oracle regenerates every RESIZED pixel directly from the
+    formula). The position-weighted checksum px_wsum pins the output
+    ORDER (a transposed or flipped resample matches px_sum but never
+    the weighted sum); corner pixels pin the index map's ends.
+
+    Scale: mint→decode→resize streams inside one Arrow batch per
+    partition — no shuffle until the final per-doc aggregate, and
+    that aggregate is the mapInPandas output itself (one row per
+    image). The 160-doc cap is fixture sizing only.
+    """
+    import hashlib
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 160)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 9, 4 + i % 7
+                rw, rh = 3 + i % 4, 3 + i % 3
+                px = bytes(
+                    int(
+                        hashlib.md5(f"rz:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                # real encode -> real decode -> real pixel resample
+                dw, dh, decoded = decode_png_gray(encode_png_gray(px, w, h))
+                assert (dw, dh) == (w, h)
+                rz = resize_gray_nn(decoded, w, h, rw, rh)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        rw,
+                        rh,
+                        sum(rz),
+                        sum(v * (q + 1) for q, v in enumerate(rz)),
+                        rz[0],
+                        rz[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_w",
+                    "src_h",
+                    "dst_w",
+                    "dst_h",
+                    "px_sum",
+                    "px_wsum",
+                    "px_tl",
+                    "px_br",
+                ],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, src_w long, src_h long, dst_w long, dst_h long,"
+        " px_sum long, px_wsum long, px_tl long, px_br long",
+    )
+
+
+def sobel_g2_interior(px: bytes, w: int, h: int) -> list:
+    """Sobel gradient-magnitude² at every interior pixel (3×3 Gx/Gy
+    integer kernels) — module-level so the replay/fault tests hit the
+    SAME kernel multimodal_sobel_edges ships to workers. Returns g2
+    values in row-major interior order."""
+    out = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            def v(dx, dy):
+                return px[(y + dy) * w + (x + dx)]
+
+            gx = (
+                v(1, -1) + 2 * v(1, 0) + v(1, 1)
+                - v(-1, -1) - 2 * v(-1, 0) - v(-1, 1)
+            )
+            gy = (
+                v(-1, 1) + 2 * v(0, 1) + v(1, 1)
+                - v(-1, -1) - 2 * v(0, -1) - v(1, -1)
+            )
+            out.append(gx * gx + gy * gy)
+    return out
+
+
+@register(
+    "multimodal_sobel_edges",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 8 AS BIGINT) AS w,
+               CAST(5 + doc_id % 6 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 144
+    ),
+    interior AS (
+        SELECT doc_id, w, h, unnest(range(0, (w - 2) * (h - 2))) AS q
+        FROM imgs
+    ),
+    coords AS (
+        SELECT doc_id, w, h, q,
+               1 + q % (w - 2) AS x,
+               1 + q // (w - 2) AS y
+        FROM interior
+    ),
+    grad AS (
+        SELECT doc_id, w, h, q,
+               ((CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y-1)*w + x+1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                + 2 * (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(y*w + x+1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                + (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y+1)*w + x+1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                - (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y-1)*w + x-1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                - 2 * (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(y*w + x-1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                - (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y+1)*w + x-1 AS VARCHAR)), 1, 2)) AS BIGINT))) AS gx,
+               ((CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y+1)*w + x-1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                + 2 * (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y+1)*w + x AS VARCHAR)), 1, 2)) AS BIGINT))
+                + (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y+1)*w + x+1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                - (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y-1)*w + x-1 AS VARCHAR)), 1, 2)) AS BIGINT))
+                - 2 * (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y-1)*w + x AS VARCHAR)), 1, 2)) AS BIGINT))
+                - (CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST((y-1)*w + x+1 AS VARCHAR)), 1, 2)) AS BIGINT))) AS gy
+        FROM coords
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_interior,
+           CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS g2_sum,
+           CAST(MAX(gx * gx + gy * gy) AS BIGINT) AS g2_max,
+           CAST(SUM(CASE WHEN gx * gx + gy * gy > 65536 THEN 1 ELSE 0 END)
+                AS BIGINT) AS edge_px,
+           CAST(SUM((gx * gx + gy * gy) * (q + 1)) AS BIGINT) AS g2_wsum
+    FROM grad GROUP BY doc_id
+    """,
+)
+def multimodal_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL edge-feature extraction over genuinely decoded pixels —
+    the multimodal family's feature-extract step (brief: decode /
+    feature-extract / resize / frame-sample): a 3×3 integer Sobel
+    convolution over every interior pixel of the md5-minted PNG after
+    a real encode→decode round trip, reporting gradient-energy stats,
+    an edge-pixel count at the g² > 256² threshold, and a
+    position-weighted checksum that pins the convolution's spatial
+    orientation (a transposed kernel matches g2_sum but never
+    g2_wsum). The oracle regenerates all nine taps per interior pixel
+    straight from the generator formula — a hash match proves codec,
+    neighborhood indexing and kernel arithmetic at once.
+
+    Scale: convolution runs inside the Arrow batch per partition
+    (shuffle-free, one output row per image); the 144-doc cap is
+    fixture sizing. Integer-exact: |gx| ≤ 1020 so g² sums stay far
+    inside int64 at any image count.
+    """
+    import hashlib
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 144)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 8, 5 + i % 6
+                px = bytes(
+                    int(
+                        hashlib.md5(f"sb:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                dw, dh, decoded = decode_png_gray(encode_png_gray(px, w, h))
+                assert (dw, dh) == (w, h)
+                g2 = sobel_g2_interior(decoded, w, h)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        len(g2),
+                        sum(g2),
+                        max(g2),
+                        sum(1 for v in g2 if v > 65536),
+                        sum(v * (q + 1) for q, v in enumerate(g2)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "n_interior",
+                    "g2_sum",
+                    "g2_max",
+                    "edge_px",
+                    "g2_wsum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, width long, height long, n_interior long,"
+        " g2_sum long, g2_max long, edge_px long, g2_wsum long",
+    )
+
+
+def histogram_equalize(px: bytes) -> bytes:
+    """Classic histogram equalization (floor variant of the OpenCV
+    formula): new = (cdf(v) − cdf_min) * 255 // (n − cdf_min).
+    Module-level so tests replay the SAME kernel the operator ships."""
+    n = len(px)
+    hist = [0] * 256
+    for v in px:
+        hist[v] += 1
+    cdf = []
+    run = 0
+    for c in hist:
+        run += c
+        cdf.append(run)
+    cdf_min = min(cdf[v] for v in px)
+    if n == cdf_min:  # constant image: equalization is identity-flat
+        return bytes(255 for _ in px)
+    return bytes((cdf[v] - cdf_min) * 255 // (n - cdf_min) for v in px)
+
+
+@register(
+    "multimodal_histogram_eq",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(4 + doc_id % 10 AS BIGINT) AS w,
+               CAST(4 + doc_id % 8 AS BIGINT) AS h
+        FROM documents WHERE doc_id < 144
+    ),
+    pix AS (
+        SELECT doc_id, w * h AS n, unnest(range(0, w * h)) AS p
+        FROM imgs
+    ),
+    vals AS (
+        SELECT doc_id, n, p,
+               CAST(('0x' || substr(md5('he:' || CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(p AS VARCHAR)), 1, 2)) AS BIGINT) AS v
+        FROM pix
+    ),
+    cdf AS (
+        SELECT doc_id, n, p, v,
+               SUM(1) OVER (PARTITION BY doc_id ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cd
+        FROM vals
+    ),
+    eq AS (
+        SELECT doc_id, n, p,
+               (cd - MIN(cd) OVER (PARTITION BY doc_id)) * 255
+                   // (n - MIN(cd) OVER (PARTITION BY doc_id)) AS e
+        FROM cdf
+    )
+    SELECT doc_id,
+           CAST(MIN(n) AS BIGINT) AS n_px,
+           CAST(SUM(e) AS BIGINT) AS eq_sum,
+           CAST(SUM(e * (p + 1)) AS BIGINT) AS eq_wsum,
+           CAST(MIN(e) AS BIGINT) AS eq_min,
+           CAST(MAX(e) AS BIGINT) AS eq_max
+    FROM eq GROUP BY doc_id
+    """,
+)
+def multimodal_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM EQUALIZATION over genuinely decoded pixels — the
+    contrast-normalization preprocessing step (the floor variant of
+    the OpenCV cdf formula, integer-exact so SQL can replay it):
+    per image a real PNG encode→decode round trip, a 256-bin
+    histogram, and the cdf remap new = (cdf(v)−cdf_min)·255 //
+    (n−cdf_min). The oracle rebuilds the cdf RELATIONALLY (a RANGE
+    window counts ties ≤ v — the set-based twin of the kernel's
+    array walk) and regenerates every remapped pixel; the
+    position-weighted checksum pins the per-pixel mapping, min/max
+    pin the contract that equalized output spans [0, 255].
+
+    Scale: per-image kernel inside the Arrow batch, one output row
+    per image, shuffle-free; the oracle's per-image window is bounded
+    by the ≤112-pixel fixture grids (never data-scaled).
+    """
+    import hashlib
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 144)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 10, 4 + i % 8
+                px = bytes(
+                    int(
+                        hashlib.md5(f"he:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                dw, dh, decoded = decode_png_gray(encode_png_gray(px, w, h))
+                assert (dw, dh) == (w, h)
+                eq = histogram_equalize(decoded)
+                rows.append(
+                    (
+                        i,
+                        len(eq),
+                        sum(eq),
+                        sum(v * (p + 1) for p, v in enumerate(eq)),
+                        min(eq),
+                        max(eq),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_px",
+                    "eq_sum",
+                    "eq_wsum",
+                    "eq_min",
+                    "eq_max",
+                ],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, n_px long, eq_sum long, eq_wsum long,"
+        " eq_min long, eq_max long",
     )

@@ -2823,3 +2823,147 @@ def sim_quantize_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.withColumn(
         "rn", F.row_number().over(rw).cast("long")
     ).where(F.col("rn") <= TOP_K)
+
+
+def _kmeanspp_oracle() -> str:
+    """Unrolled farthest-point (deterministic k-means++) seeding: the
+    staged maxmin walk generated from one loop so the Spark driver
+    fold and the oracle text cannot drift in round count."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " i -> (m.q[i] - cq.q[i]) * (m.q[i] - cq.q[i]))) AS BIGINT)"
+    )
+    steps = [
+        """
+    pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ),
+    pick0 AS (SELECT MIN(vec_id) AS c FROM pts),
+    c0q AS (SELECT p.q FROM pts p, pick0 WHERE p.vec_id = pick0.c),
+    m0 AS (
+        SELECT m.vec_id, m.q,
+               """ + dist + """ AS dmin
+        FROM pts m, c0q cq
+    )"""
+    ]
+    for r in range(1, 4):
+        prev = f"m{r - 1}"
+        steps.append(f"""
+    pick{r} AS (
+        SELECT vec_id AS c, dmin AS sel FROM (
+            SELECT vec_id, dmin,
+                   row_number() OVER (ORDER BY dmin DESC, vec_id) AS rn
+            FROM {prev}
+        ) WHERE rn = 1
+    ),
+    c{r}q AS (SELECT p.q FROM pts p, pick{r} WHERE p.vec_id = pick{r}.c),
+    m{r} AS (
+        SELECT m.vec_id, m.q, LEAST(m.dmin, {dist}) AS dmin
+        FROM {prev} m, c{r}q cq
+    )""")
+    return (
+        "WITH " + ",".join(steps) + """
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS seed_rank, c AS vec_id,
+               CAST(0 AS BIGINT) AS sel_dist FROM pick0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), c, CAST(sel AS BIGINT) FROM pick1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), c, CAST(sel AS BIGINT) FROM pick2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), c, CAST(sel AS BIGINT) FROM pick3
+    ) ORDER BY seed_rank
+    """
+    )
+
+
+@register("ml_kmeans_pp_seeding", oracle=_kmeanspp_oracle())
+def ml_kmeans_pp_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means++ SEEDING (greedy farthest-point maxmin
+    traversal) — the index-training step `ml_kmeans_lloyd` skips by
+    seeding with the first K ids: start from the minimum vec_id,
+    then K−1 times pick the point MAXIMIZING its distance to the
+    nearest chosen center (ties to the smaller id). The classic
+    D²-sampling variant replaces the random draw with the argmax —
+    deterministic, hash-exact, and the standard derandomization used
+    when reproducibility matters. Distances are exact int64 over the
+    ppm-quantized embeddings (the lloyd recipe), the per-round argmax
+    is a global MAX(struct(dist, −vec_id)) aggregate — NO
+    single-partition window — and each chosen center is one bounded
+    driver scalar (K−1 = 3 collects).
+
+    Scale: per round one map-only pass against a broadcast O(K·dims)
+    center list + one all-reduce argmax — the exact shape a
+    1000-executor IVF training job wants.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    first = pts.agg(F.min("vec_id").alias("c")).collect()[0]["c"]
+    if first is None:
+        return spark.createDataFrame(
+            [], "seed_rank long, vec_id long, sel_dist long"
+        )
+    chosen = [(0, int(first), 0)]
+    cur = (
+        pts.crossJoin(
+            F.broadcast(
+                pts.where(F.col("vec_id") == first).select(
+                    F.col("q").alias("cent")
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.zip_with("q", "cent", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dmin"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(1, 4):
+        top = cur.agg(
+            F.max(F.struct("dmin", (-F.col("vec_id")).alias("nid")))
+        ).collect()[0][0]
+        sel_id, sel_dist = -top["nid"], int(top["dmin"])
+        chosen.append((r, int(sel_id), sel_dist))
+        if r < 3:
+            cur = (
+                cur.crossJoin(
+                    F.broadcast(
+                        pts.where(F.col("vec_id") == sel_id).select(
+                            F.col("q").alias("cent")
+                        )
+                    )
+                )
+                .select(
+                    "vec_id",
+                    "q",
+                    F.least(
+                        F.col("dmin"),
+                        F.aggregate(
+                            F.zip_with(
+                                "q", "cent", lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ),
+                    ).alias("dmin"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return spark.createDataFrame(
+        chosen, "seed_rank long, vec_id long, sel_dist long"
+    )

@@ -4070,3 +4070,121 @@ def fn_ulid_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ULID_SPARK_SQL)
+
+
+def _hilbert_sql(dialect: str) -> str:
+    """Generate the Hilbert-curve codec SQL (256×256 grid) for one
+    dialect: encode (x, y) -> d via the standard 8-stage rotate/flip
+    walk, then DECODE d back through the 8-stage inverse walk. Both
+    chains are unrolled from this one Python loop so the 16 CTE
+    stages cannot drift between dialects (the fn_ulid_codec
+    generated-text rule). Dialect splits: bitwise xor (Spark `^`,
+    DuckDB `xor()` — DuckDB's `^` is POWER), integer division, and
+    the hex->int hash idiom.
+    """
+    if dialect == "spark":
+        def xor(a, b):
+            return f"({a} ^ {b})"
+
+        idiv = "div"
+        h = (
+            "CAST(conv(substr(md5(concat('hc:', CAST(o_orderkey"
+            " AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+    else:
+        def xor(a, b):
+            return f"xor({a}, {b})"
+
+        idiv = "//"
+        h = (
+            "CAST(('0x' || substr(md5('hc:' || CAST(o_orderkey"
+            " AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+
+    ctes = [
+        f"pts AS (SELECT o_orderkey, ({h}) % 256 AS x,"
+        f" (({h}) {idiv} 256) % 256 AS y"
+        f" FROM orders WHERE o_orderkey < 4096)",
+        "p0 AS (SELECT o_orderkey, x, y, x AS xs, y AS ys,"
+        " CAST(0 AS BIGINT) AS d FROM pts)",
+    ]
+    prev = "p0"
+    s = 128
+    i = 0
+    while s > 0:
+        rx = f"(CASE WHEN (xs & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (ys & {s}) > 0 THEN 1 ELSE 0 END)"
+        cur = f"p{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT o_orderkey, x, y,"
+            f" CASE WHEN {ry} = 1 THEN xs"
+            f" ELSE (CASE WHEN {rx} = 1 THEN {s} - 1 - ys ELSE ys END)"
+            f" END AS xs,"
+            f" CASE WHEN {ry} = 1 THEN ys"
+            f" ELSE (CASE WHEN {rx} = 1 THEN {s} - 1 - xs ELSE xs END)"
+            f" END AS ys,"
+            f" d + {s * s} * {xor(f'(3 * {rx})', ry)} AS d"
+            f" FROM {prev})"
+        )
+        prev = cur
+        s //= 2
+        i += 1
+    ctes.append(
+        f"q0 AS (SELECT o_orderkey, x, y, d, CAST(0 AS BIGINT) AS xd,"
+        f" CAST(0 AS BIGINT) AS yd, d AS t FROM {prev})"
+    )
+    prev = "q0"
+    s = 1
+    i = 0
+    while s < 256:
+        rx = f"(1 & (t {idiv} 2))"
+        ry = f"(1 & {xor('t', rx)})"
+        cur = f"q{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT o_orderkey, x, y, d,"
+            f" (CASE WHEN {ry} = 1 THEN xd"
+            f" ELSE (CASE WHEN {rx} = 1 THEN {s} - 1 - yd ELSE yd END)"
+            f" END) + {s} * {rx} AS xd,"
+            f" (CASE WHEN {ry} = 1 THEN yd"
+            f" ELSE (CASE WHEN {rx} = 1 THEN {s} - 1 - xd ELSE xd END)"
+            f" END) + {s} * {ry} AS yd,"
+            f" t {idiv} 4 AS t"
+            f" FROM {prev})"
+        )
+        prev = cur
+        s *= 2
+        i += 1
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(d AS BIGINT) AS hilbert_d,
+           CAST(xd AS BIGINT) AS x_decoded,
+           CAST(yd AS BIGINT) AS y_decoded,
+           CAST(CASE WHEN xd = x AND yd = y THEN 1 ELSE 0 END AS BIGINT)
+               AS round_trip_ok
+    FROM {prev}"""
+    )
+
+
+@register("fn_hilbert_curve", oracle=_hilbert_sql("duckdb"))
+def fn_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT space-filling-curve codec on a 256×256 grid — the
+    locality-preserving big sibling of the Morton interleave
+    `sink_zorder_clustered` uses (Hilbert keeps ALL curve-adjacent
+    cells spatially adjacent, which is why Iceberg/DataBricks offer
+    it for multi-dim clustering): per key a portable-hash point
+    (x, y) is ENCODED to its curve position d by the standard 8-stage
+    rotate/flip walk and DECODED back by the inverse walk, with the
+    per-row round-trip equality in the hash contract. Both 8-stage
+    chains are GENERATED from one Python loop per dialect (the
+    fn_ulid_codec rule) — only the xor/div/hex tokens differ (DuckDB
+    `^` is POWER, not xor — the r9 dialect trap this op documents).
+
+    Scale: 16 chained narrow projections, no shuffle, no UDF —
+    cluster-key minting at ingest speed; the round-trip column makes
+    the codec self-auditing on every run.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hilbert_sql("spark"))

@@ -3281,14 +3281,19 @@ def scan_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for rg in range(md.num_row_groups):
                         for col, idx in names.items():
                             st = md.row_group(rg).column(idx).statistics
-                            if st is None or not st.has_min_max:
+                            if st is None:
+                                continue
+                            # null_count is valid even when min/max are
+                            # absent (e.g. an all-NULL chunk has
+                            # has_min_max == False) — gate independently
+                            if col == "value" and st.null_count is not None:
+                                nulls += st.null_count
+                            if not st.has_min_max:
                                 continue
                             if col not in mins or st.min < mins[col]:
                                 mins[col] = st.min
                             if col not in maxs or st.max > maxs[col]:
                                 maxs[col] = st.max
-                            if col == "value" and st.null_count is not None:
-                                nulls += st.null_count
                     rows.append(
                         (
                             cls,
@@ -3633,3 +3638,128 @@ def sql_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sink_manifest_skipping",
+    oracle="""
+    WITH mx AS (SELECT MAX(l_orderkey) AS kmax FROM lineitem),
+    cls AS (
+        SELECT (l_orderkey * 8) // (kmax + 1) AS c,
+               l_orderkey,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem, mx
+    ),
+    manifest AS (
+        SELECT c, MIN(l_orderkey) AS f_min, MAX(l_orderkey) AS f_max
+        FROM cls GROUP BY c
+    ),
+    q AS (
+        SELECT kmax // 4 + 1 AS lo, kmax // 4 + kmax // 8 AS hi FROM mx
+    ),
+    hit AS (
+        SELECT m.c FROM manifest m, q
+        WHERE m.f_max >= q.lo AND m.f_min <= q.hi
+    )
+    SELECT CAST(8 AS BIGINT) AS n_files_total,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM cls, q
+    WHERE l_orderkey BETWEEN q.lo AND q.hi
+      AND c IN (SELECT c FROM hit)
+    """,
+)
+def sink_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-SKIPPING manifest — the metadata-pruning mechanism of
+    Iceberg/Delta manifests and Hive-style file indexes, executed for
+    real: lineitem is sunk into 8 range-clustered parquet files, a
+    MANIFEST of per-file (min, max) key stats is built by reading the
+    actual parquet FOOTERS (never the data), and a range query then
+    consults the manifest and opens ONLY the overlapping files. The
+    output row carries the query answer AND the skipping accounting
+    (n_files_scanned out of 8) — the oracle recomputes both from the
+    class formula, so a planner that silently reads extra files (or
+    a manifest that misses a file) hash-fails, not just slows down.
+
+    Scale: this is the 100 TB point-query path — a manifest is KB of
+    footer stats standing in for the table; pruning happens before a
+    single data byte is read. The range-clustered write is what makes
+    min/max ranges disjoint and the skip rate high (same reason
+    sink_zorder_clustered clusters before writing).
+    """
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    out_schema = (
+        "n_files_total long, n_files_scanned long, n_rows long,"
+        " sum_cents long"
+    )
+    row = li.agg(F.max("l_orderkey").alias("kmax")).collect()[0]
+    if row["kmax"] is None:
+        return spark.createDataFrame([], out_schema)
+    kmax = int(row["kmax"])
+    work = tempfile.mkdtemp(prefix="manifest_skip_")
+    try:
+        for c in range(8):
+            (
+                li.where(
+                    F.expr(f"(l_orderkey * 8) div ({kmax} + 1) = {c}")
+                )
+                .coalesce(1)
+                .write.parquet(f"{work}/f{c}")
+            )
+        # manifest = footer stats only (the real mechanism)
+        manifest = []
+        for c in range(8):
+            d = f"{work}/f{c}"
+            parts = [
+                f"{d}/{f}"
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ]
+            f_min = f_max = None
+            for p in parts:
+                md = _pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    continue
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }["l_orderkey"]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    f_min = st.min if f_min is None else min(f_min, st.min)
+                    f_max = st.max if f_max is None else max(f_max, st.max)
+            if f_min is not None:
+                manifest.append((c, f_min, f_max, f"{work}/f{c}"))
+        lo, hi = kmax // 4 + 1, kmax // 4 + kmax // 8
+        hits = [m for m in manifest if m[2] >= lo and m[1] <= hi]
+        if not hits:
+            out = spark.createDataFrame(
+                [(8, 0, 0, None)], out_schema
+            ).localCheckpoint(eager=True)
+        else:
+            pruned = spark.read.parquet(*[m[3] for m in hits])
+            out = (
+                pruned.where(F.col("l_orderkey").between(lo, hi))
+                .agg(
+                    F.lit(8).cast("long").alias("n_files_total"),
+                    F.lit(len(hits)).cast("long").alias("n_files_scanned"),
+                    F.count("*").cast("long").alias("n_rows"),
+                    F.sum("cents").cast("long").alias("sum_cents"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

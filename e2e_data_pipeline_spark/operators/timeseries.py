@@ -6400,3 +6400,113 @@ def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h_ppm").over(wcum).cast("long").alias("cum_hazard_ppm"),
         F.sum("var_pptt").over(wcum).cast("long").alias("cum_var_pptt"),
     )
+
+
+@register(
+    "ts_forecast_accuracy",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS a
+        FROM orders GROUP BY 1
+    ),
+    eval AS (
+        SELECT c.d, c.a,
+               s.a AS f_seasonal,
+               n.a AS f_naive1,
+               c.a - s.a AS e,
+               ABS(c.a - s.a) AS ae,
+               ABS(c.a - n.a) AS ae1
+        FROM daily c
+        JOIN daily s ON s.d = c.d - 7
+        JOIN daily n ON n.d = c.d - 1
+        WHERE c.a > 0
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(a) AS BIGINT) AS sum_actual_cents,
+               CAST(SUM(ae) AS BIGINT) AS sum_abs_err_cents,
+               CAST(SUM(e) AS BIGINT) AS sum_err_cents,
+               CAST(SUM(ae * 1000000 // a) AS BIGINT) AS sum_row_ppm,
+               CAST(SUM(ae1) AS BIGINT) AS sum_abs_err1
+        FROM eval
+    )
+    SELECT n_eval, sum_actual_cents, sum_abs_err_cents,
+           CAST(sum_row_ppm // n_eval AS BIGINT) AS mape_ppm,
+           CAST(CAST(sum_abs_err_cents AS HUGEINT) * 1000000
+                // sum_actual_cents AS BIGINT) AS wape_ppm,
+           CAST(CAST(sum_abs_err_cents AS HUGEINT) * 1000000
+                // sum_abs_err1 AS BIGINT) AS mase_ppm,
+           CAST(sum_err_cents AS DOUBLE)
+               / CAST(sum_abs_err_cents AS DOUBLE) AS tracking_signal
+    FROM agg WHERE n_eval > 0
+    """,
+)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard — the metrics every demand-planning
+    / capacity pipeline reports when grading a model: MAPE (mean
+    per-day absolute percentage error), WAPE (volume-weighted), MASE
+    (scaled by the naive-1 benchmark — Hyndman's scale-free standard:
+    <1e6 ppm means the forecast beats naive), and the cumulative
+    tracking signal (signed bias / absolute error). Graded forecast:
+    SEASONAL-NAIVE with a 7-day season (f(t) = a(t-7), calendar
+    join, not row offset — gaps stay honest). All ratios are exact
+    integer arithmetic: per-day percentage errors as integer ppm
+    (int64-safe at any SF since |e|*1e6 is per-DAY), global ratios
+    through DECIMAL(38) scaled division (Spark decimal `div` ==
+    DuckDB HUGEINT `//` for positive operands, r3 note), and the
+    one signed ratio (tracking signal) as a SINGLE double division
+    over exact int64 sums < 2^53 — bit-identical both engines.
+    Days with zero actuals are excluded (MAPE is undefined there —
+    the standard convention); empty-in, empty-out via n_eval > 0.
+
+    Scale: day-grain rollup first (distributed, partial-aggregable),
+    then O(days) self-joins on the calendar key — no global window,
+    no single-partition exchange anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("d")
+    ).agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+        .alias("a")
+    )
+    c, s, n1 = daily.alias("c"), daily.alias("s"), daily.alias("n1")
+    ev = (
+        c.join(s, F.expr("s.d = c.d - INTERVAL 7 DAYS"))
+        .join(n1, F.expr("n1.d = c.d - INTERVAL 1 DAYS"))
+        .where(F.col("c.a") > 0)
+        .select(
+            F.col("c.a").alias("a"),
+            (F.col("c.a") - F.col("s.a")).alias("e"),
+            F.abs(F.col("c.a") - F.col("s.a")).alias("ae"),
+            F.abs(F.col("c.a") - F.col("n1.a")).alias("ae1"),
+        )
+    )
+    agg = ev.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum("a").cast("long").alias("sum_actual_cents"),
+        F.sum("ae").cast("long").alias("sum_abs_err_cents"),
+        F.sum("e").cast("long").alias("sum_err_cents"),
+        F.sum(F.expr("ae * 1000000 div a")).cast("long").alias("sum_row_ppm"),
+        F.sum("ae1").cast("long").alias("sum_abs_err1"),
+    )
+    return agg.where(F.col("n_eval") > 0).select(
+        "n_eval",
+        "sum_actual_cents",
+        "sum_abs_err_cents",
+        F.expr("sum_row_ppm div n_eval").cast("long").alias("mape_ppm"),
+        F.expr(
+            "CAST(CAST(sum_abs_err_cents AS DECIMAL(38,0)) * 1000000"
+            " div sum_actual_cents AS BIGINT)"
+        ).alias("wape_ppm"),
+        F.expr(
+            "CAST(CAST(sum_abs_err_cents AS DECIMAL(38,0)) * 1000000"
+            " div sum_abs_err1 AS BIGINT)"
+        ).alias("mase_ppm"),
+        (
+            F.col("sum_err_cents").cast("double")
+            / F.col("sum_abs_err_cents").cast("double")
+        ).alias("tracking_signal"),
+    )

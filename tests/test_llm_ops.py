@@ -780,7 +780,7 @@ def test_dedup_minhash_fast_recall(spark):
 
 
 def test_sim_quantize_binary_recall(spark):
-    """1-bit quantization + top-20 Hamming + exact rerank must recover
+    """1-bit quantization + top-50 Hamming + exact rerank must recover
     most of the brute-force cosine top-5. Deterministic (sign packing
     + fixed tie-breaks), so the observed fixture recall is a stable
     pin, floored here at 0.6 — the level below which a binary
