@@ -13561,3 +13561,446 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MCC_SQL = """
+    WITH scored AS (
+        SELECT CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS y,
+               CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 5 <= 1
+                    THEN 1 ELSE 0 END AS yhat
+        FROM events WHERE value IS NOT NULL
+    ),
+    cm AS (
+        SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+               CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+               CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+               CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+            - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+           / SQRT(((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                   * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)))
+                  * ((CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                     * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))) AS mcc,
+           (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+            + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+           / 2.0 AS balanced_accuracy
+    FROM cm
+    WHERE tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+"""
+
+
+@register("ml_eval_mcc", oracle=_MCC_SQL)
+def ml_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy — the two
+    class-imbalance-proof classifier metrics `ml_eval_confusion`'s
+    accuracy/F1 family misses (MCC is the binary-case Pearson φ; the
+    only single number that needs all four confusion cells to be
+    good). Confusion counts are exact int64 conditional sums over the
+    deterministic parity label / residue-class predictor pair; MCC's
+    n⁴-sized radicand is evaluated as a fixed-order DOUBLE chain over
+    single-rounded counts (each op correctly rounded + identical text
+    both engines ⇒ identical bits — the sqrt-portability rule, r3),
+    guarded against the four degenerate single-class margins.
+
+    Scale: one conditional-count partial aggregation — map-side
+    combine, O(1) tail.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MCC_SQL)
+
+
+def _welch_anova_sql() -> str:
+    """Welch's heteroskedastic one-way ANOVA over the five TPC-H
+    order priorities, generated from one Python loop so the 5-group
+    pivot and the fixed-order float chains are IDENTICAL text on both
+    engines (wide_dbl renders the DECIMAL(38) sum-of-squares; every
+    other step is single-rounded casts/div in written order)."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivot = []
+    for i, p in enumerate(prios, 1):
+        pivot.append(
+            f"CAST(SUM(CASE WHEN pr = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n{i},"
+            f" CAST(SUM(CASE WHEN pr = '{p}' THEN c ELSE 0 END) AS BIGINT)"
+            f" AS s{i},"
+            f" SUM(CASE WHEN pr = '{p}'"
+            f" THEN CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS q{i}"
+        )
+    terms = []
+    for i in range(1, 6):
+        qd = wide_dbl(f"q{i}")
+        terms.append(
+            f"CAST(n{i} AS DOUBLE) AS nd{i},"
+            f" CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE) AS m{i},"
+            f" ({qd} - (CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            f" / CAST(n{i} AS DOUBLE)) / (CAST(n{i} AS DOUBLE) - 1.0)"
+            f" AS v{i}"
+        )
+    w = " + ".join(f"(nd{i} / v{i})" for i in range(1, 6))
+    mw = " + ".join(f"(nd{i} / v{i}) * m{i}" for i in range(1, 6))
+    a = " + ".join(
+        f"(nd{i} / v{i}) * ((m{i} - mw) * (m{i} - mw))" for i in range(1, 6)
+    )
+    g = " + ".join(
+        f"(((1.0 - (nd{i} / v{i}) / w) * (1.0 - (nd{i} / v{i}) / w))"
+        f" / (nd{i} - 1.0))"
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pr,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    piv AS (SELECT {', '.join(pivot)} FROM base),
+    stats AS (SELECT {', '.join(terms)} FROM piv
+              WHERE n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1 AND n5 > 1),
+    folded AS (
+        SELECT nd1, nd2, nd3, nd4, nd5, m1, m2, m3, m4, m5,
+               v1, v2, v3, v4, v5, ({w}) AS w
+        FROM stats
+    ),
+    centered AS (
+        SELECT nd1, nd2, nd3, nd4, nd5, m1, m2, m3, m4, m5,
+               v1, v2, v3, v4, v5, w, ({mw}) / w AS mw
+        FROM folded
+    ),
+    parts AS (
+        SELECT ({a}) / 4.0 AS a_num, ({g}) AS gsum
+        FROM centered
+    )
+    SELECT a_num / (1.0 + (2.0 * 3.0 / 24.0) * gsum) AS f_welch,
+           CAST(4 AS BIGINT) AS df1,
+           24.0 / (3.0 * gsum) AS df2
+    FROM parts
+    """
+
+
+@register("stats_welch_anova", oracle=_welch_anova_sql())
+def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH's one-way ANOVA (unequal variances) across the five
+    order priorities — the k-group generalization of
+    `stats_welch_ttest` and the robust alternative to
+    `stats_anova_f` when group spreads differ (the common real-world
+    case classic ANOVA silently mishandles): per-group exact moments
+    (int64 counts/sums, DECIMAL(38) sums of d19×d19 squares rendered
+    through wide_dbl), then the weighted-means F and the
+    Satterthwaite df₂ as one generated fixed-order float chain,
+    IDENTICAL text both engines. Generated from a single Python loop
+    (the fn_ulid_codec rule) so the five-group pivot can't drift.
+
+    Scale: one conditional-moment partial aggregation (map-side
+    combine over 15 cells), O(1) tail.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_welch_anova_sql())
+
+
+def _feat_corr_ctes() -> str:
+    """Shared moment + pairwise-correlation CTE prefix over the
+    lineitem feature block (x1=quantity, x2=discount cents, x3=tax
+    cents, y=extendedprice cents) — generated once so
+    ml_forward_feature_selection and stats_vif stay textually in
+    lockstep. All moments exact (int64; the y² cell in DECIMAL(38)
+    through d19×d19, rendered via wide_dbl); correlations are
+    fixed-order double chains over single-rounded casts, IDENTICAL
+    text on both engines."""
+    qyy = wide_dbl("qyy")
+    pairs = {
+        "12": ("sx1", "sx2", "q12", "v1", "v2"),
+        "13": ("sx1", "sx3", "q13", "v1", "v3"),
+        "23": ("sx2", "sx3", "q23", "v2", "v3"),
+        "y1": ("sy", "sx1", "qy1", "vy", "v1"),
+        "y2": ("sy", "sx2", "qy2", "vy", "v2"),
+        "y3": ("sy", "sx3", "qy3", "vy", "v3"),
+    }
+    corr_terms = ", ".join(
+        f"(nd * CAST({q} AS DOUBLE) - CAST({a} AS DOUBLE)"
+        f" * CAST({b} AS DOUBLE)) / SQRT({va} * {vb}) AS r{k}"
+        for k, (a, b, q, va, vb) in pairs.items()
+    )
+    return f"""
+    feat AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS x3,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(x3) AS BIGINT) AS sx3,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+               CAST(SUM(x1 * x3) AS BIGINT) AS q13,
+               CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+               CAST(SUM(x2 * x3) AS BIGINT) AS q23,
+               CAST(SUM(x3 * x3) AS BIGINT) AS q33,
+               CAST(SUM(x1 * y) AS BIGINT) AS qy1,
+               CAST(SUM(x2 * y) AS BIGINT) AS qy2,
+               CAST(SUM(x3 * y) AS BIGINT) AS qy3,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   AS qyy
+        FROM feat
+    ),
+    vars_ AS (
+        SELECT n, sx1, sx2, sx3, sy,
+               q12, q13, q23, qy1, qy2, qy3,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(n AS DOUBLE) * CAST(q11 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS v1,
+               CAST(n AS DOUBLE) * CAST(q22 AS DOUBLE)
+                   - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS v2,
+               CAST(n AS DOUBLE) * CAST(q33 AS DOUBLE)
+                   - CAST(sx3 AS DOUBLE) * CAST(sx3 AS DOUBLE) AS v3,
+               CAST(n AS DOUBLE) * {qyy}
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM mom WHERE n > 2
+    ),
+    corrs AS (
+        SELECT nd, {corr_terms}
+        FROM vars_
+        WHERE v1 > 0 AND v2 > 0 AND v3 > 0 AND vy > 0
+    )"""
+
+
+def _r2_pair(rj: str, rk: str, rjk: str) -> str:
+    """Two-regressor R² closed form (identical-text double chain)."""
+    return (
+        f"(({rj} * {rj} + {rk} * {rk}) - (2.0 * {rj}) * ({rk} * {rjk}))"
+        f" / (1.0 - {rjk} * {rjk})"
+    )
+
+
+@register(
+    "ml_forward_feature_selection",
+    oracle="WITH " + _feat_corr_ctes() + f""",
+    step1 AS (
+        SELECT nd, ry1, ry2, ry3, r12, r13, r23,
+               CASE WHEN ry1 * ry1 >= ry2 * ry2
+                     AND ry1 * ry1 >= ry3 * ry3 THEN 'quantity'
+                    WHEN ry2 * ry2 >= ry3 * ry3 THEN 'discount'
+                    ELSE 'tax' END AS f1,
+               CASE WHEN ry1 * ry1 >= ry2 * ry2
+                     AND ry1 * ry1 >= ry3 * ry3 THEN ry1 * ry1
+                    WHEN ry2 * ry2 >= ry3 * ry3 THEN ry2 * ry2
+                    ELSE ry3 * ry3 END AS r2_1
+        FROM corrs
+    ),
+    step2 AS (
+        SELECT f1, r2_1,
+               CASE f1
+                 WHEN 'quantity' THEN
+                   CASE WHEN {_r2_pair('ry1', 'ry2', 'r12')}
+                          >= {_r2_pair('ry1', 'ry3', 'r13')}
+                        THEN 'discount' ELSE 'tax' END
+                 WHEN 'discount' THEN
+                   CASE WHEN {_r2_pair('ry2', 'ry1', 'r12')}
+                          >= {_r2_pair('ry2', 'ry3', 'r23')}
+                        THEN 'quantity' ELSE 'tax' END
+                 ELSE
+                   CASE WHEN {_r2_pair('ry3', 'ry1', 'r13')}
+                          >= {_r2_pair('ry3', 'ry2', 'r23')}
+                        THEN 'quantity' ELSE 'discount' END
+               END AS f2,
+               CASE f1
+                 WHEN 'quantity' THEN
+                   CASE WHEN {_r2_pair('ry1', 'ry2', 'r12')}
+                          >= {_r2_pair('ry1', 'ry3', 'r13')}
+                        THEN {_r2_pair('ry1', 'ry2', 'r12')}
+                        ELSE {_r2_pair('ry1', 'ry3', 'r13')} END
+                 WHEN 'discount' THEN
+                   CASE WHEN {_r2_pair('ry2', 'ry1', 'r12')}
+                          >= {_r2_pair('ry2', 'ry3', 'r23')}
+                        THEN {_r2_pair('ry2', 'ry1', 'r12')}
+                        ELSE {_r2_pair('ry2', 'ry3', 'r23')} END
+                 ELSE
+                   CASE WHEN {_r2_pair('ry3', 'ry1', 'r13')}
+                          >= {_r2_pair('ry3', 'ry2', 'r23')}
+                        THEN {_r2_pair('ry3', 'ry1', 'r13')}
+                        ELSE {_r2_pair('ry3', 'ry2', 'r23')} END
+               END AS r2_2
+        FROM step1
+    )
+    SELECT f1 AS step1_feature, r2_1 AS step1_r2,
+           f2 AS step2_feature, r2_2 AS step2_r2,
+           r2_2 - r2_1 AS gain
+    FROM step2
+    """,
+)
+def ml_forward_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy FORWARD feature selection (2 rounds) for predicting
+    price from (quantity, discount, tax) — the feature-pipeline
+    primitive: round 1 picks the single feature with the highest
+    simple R², round 2 the partner maximizing the exact two-regressor
+    closed form R²_{jk} = (r_j² + r_k² − 2 r_j r_k r_jk)/(1 − r_jk²).
+    All correlations come from one pass of exact integer moments
+    (the y² cell via DECIMAL(38)/wide_dbl) folded through IDENTICAL
+    fixed-order double chains; argmax ties resolve to the earlier
+    feature deterministically; numpy replay pin.
+
+    Scale: ONE partial-aggregable moment pass over the fact table —
+    the whole selection is O(1) afterwards (this is why forward
+    selection on linear models scales where wrapper methods don't).
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+    from e2e_data_pipeline_spark.operators.registry import ORACLES
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLES["ml_forward_feature_selection"])
+
+
+@register(
+    "stats_vif",
+    oracle="WITH " + _feat_corr_ctes() + f""",
+    vifs AS (
+        SELECT 'quantity' AS feature,
+               {_r2_pair('r12', 'r13', 'r23')} AS r2_on_others
+        FROM corrs
+        UNION ALL
+        SELECT 'discount', {_r2_pair('r12', 'r23', 'r13')} FROM corrs
+        UNION ALL
+        SELECT 'tax', {_r2_pair('r13', 'r23', 'r12')} FROM corrs
+    )
+    SELECT feature, r2_on_others,
+           1.0 / (1.0 - r2_on_others) AS vif
+    FROM vifs
+    WHERE r2_on_others < 1.0
+    """,
+)
+def stats_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE INFLATION FACTORS over the lineitem feature block —
+    the multicollinearity preflight every regression pipeline should
+    run before trusting coefficients: VIF_j = 1/(1 − R²_j·others),
+    with each auxiliary R² from the exact two-regressor closed form
+    over pairwise correlations (for feature x1 on {{x2, x3}} the
+    pair is (r12, r13) linked by r23, and cyclically). One exact
+    integer-moment pass, IDENTICAL fixed-order double chains both
+    engines (shares the generated _feat_corr_ctes prefix with
+    ml_forward_feature_selection — one derivation, two reports);
+    numpy replay pin.
+
+    Scale: ONE partial-aggregable moment pass, O(features²) tail.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+    from e2e_data_pipeline_spark.operators.registry import ORACLES
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLES["stats_vif"])
+
+
+_COOKS_SQL = """
+    WITH daily AS (
+        SELECT {DAYNUM} AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(d) AS BIGINT) AS dmin,
+               CAST(SUM(d - (SELECT MIN(d) FROM daily)) AS BIGINT) AS sx,
+               CAST(SUM((d - (SELECT MIN(d) FROM daily))
+                        * (d - (SELECT MIN(d) FROM daily))) AS BIGINT)
+                   AS qxx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM((d - (SELECT MIN(d) FROM daily)) * y) AS BIGINT)
+                   AS qxy,
+               SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   AS qyy
+        FROM daily
+    ),
+    fit AS (
+        SELECT n, dmin, CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+               (CAST(n AS DOUBLE) * CAST(qxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(qxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+               (CAST(n AS DOUBLE) * CAST(qxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS sxx,
+               (({WQYY} * CAST(n AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(qxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                - (CAST(n AS DOUBLE) * CAST(qxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(qxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(n AS DOUBLE) * CAST(qxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 2.0)))
+                   AS s2,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        FROM mom WHERE n > 3
+    ),
+    scored AS (
+        SELECT d.d, d.y,
+               CAST(d.y AS DOUBLE)
+                 - (f.my + f.b * (CAST(d.d - f.dmin AS DOUBLE) - f.mx))
+                   AS e,
+               1.0 / f.nd
+                 + ((CAST(d.d - f.dmin AS DOUBLE) - f.mx)
+                    * (CAST(d.d - f.dmin AS DOUBLE) - f.mx)) / f.sxx
+                   AS h,
+               f.s2
+        FROM daily d CROSS JOIN fit f
+        WHERE f.s2 > 0
+    )
+    SELECT CAST(d AS BIGINT) AS day_num, y AS day_cents,
+           e AS residual_cents, h AS leverage,
+           ((e * e) * h) / ((2.0 * s2) * ((1.0 - h) * (1.0 - h)))
+               AS cooks_d
+    FROM scored
+    ORDER BY cooks_d DESC, day_num
+    LIMIT 15
+"""
+
+
+@register(
+    "ml_cooks_distance",
+    oracle=_COOKS_SQL.format(
+        DAYNUM="CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'"
+        " AS BIGINT)",
+        WQYY=wide_dbl("qyy"),
+    ),
+)
+def ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COOK'S DISTANCE regression diagnostics over the daily-revenue
+    trend: per day the residual, leverage h = 1/n + (x−x̄)²/Sxx, and
+    influence D = e²h / (p·s²·(1−h)²) (p = 2), publishing the top-15
+    most influential days — the 'which observations own my fit'
+    audit that belongs next to every slope this engine reports.
+    s² comes from the exact closed form SSR·n·Sxx = Syy_n·Sxx_n −
+    Sxy_n² over one pass of exact moments (y² through
+    DECIMAL(38)/wide_dbl); per-day e/h/D are identical-text double
+    chains, and the top-15 is TakeOrderedAndProject on the
+    bit-identical doubles.
+
+    Scale: day-grain rollup (distributed) + O(days) scoring against
+    one broadcast fit row — the calendar-series shape.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+    from e2e_data_pipeline_spark.operators.registry import ORACLES
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _COOKS_SQL.format(
+            DAYNUM="CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE '1970-01-01') AS BIGINT)",
+            WQYY=wide_dbl("qyy"),
+        )
+    )

@@ -3722,3 +3722,111 @@ def graph_closeness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_ppm"), "node")
         .limit(20)
     )
+
+
+def _bipartite_oracle() -> str:
+    """Parity-BFS staged SQL generated from one loop (6 rounds, the
+    CC radius): visited (node, parity) pairs grow per round; a node
+    holding BOTH parities within the radius certifies an odd closed
+    walk, i.e. an odd cycle."""
+    steps = [
+        """
+    lab AS MATERIALIZED (SELECT node, CAST(lab AS BIGINT) AS lab FROM l6),
+    v0 AS MATERIALIZED (
+        SELECT node, CAST(0 AS BIGINT) AS par FROM lab WHERE node = lab
+    ),
+    f0 AS MATERIALIZED (SELECT node, par FROM v0)"""
+    ]
+    for r in range(1, 7):
+        steps.append(f"""
+    n{r} AS MATERIALIZED (
+        SELECT DISTINCT e.v AS node, 1 - f.par AS par
+        FROM f{r - 1} f JOIN und e ON e.u = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM v{r - 1} x
+                          WHERE x.node = e.v AND x.par = 1 - f.par)
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT node, par FROM v{r - 1}
+        UNION ALL SELECT node, par FROM n{r}
+    ),
+    f{r} AS MATERIALIZED (SELECT node, par FROM n{r})""")
+    return (
+        "WITH " + _EDGES_SQL + "," + _CC_STAGES_SQL + "," + ",".join(steps)
+        + """,
+    per_node AS (
+        SELECT v.node, CAST(COUNT(DISTINCT v.par) AS BIGINT) AS np
+        FROM v6 v GROUP BY v.node
+    )
+    SELECT l.lab AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN p.np >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reached,
+           CAST(SUM(CASE WHEN p.np = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conflicted,
+           CAST(CASE WHEN SUM(CASE WHEN p.np = 2 THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS odd_cycle_found
+    FROM lab l LEFT JOIN per_node p ON p.node = l.node
+    GROUP BY l.lab
+    """
+    )
+
+
+@register("graph_bipartite_check", oracle=_bipartite_oracle())
+def graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITENESS certificate per connected component — the
+    two-colorability test behind conflict-free assignment problems
+    (and the structural reason co-purchase graphs are rarely
+    two-sided markets): parity BFS from each component's min-label
+    root over the SAME 6-round radius as the CC fixed point; a node
+    reached with BOTH parities inside the radius certifies an odd
+    closed walk (an odd cycle), per the classic two-coloring
+    argument. Per component: node count, radius-6 reach, conflicted
+    nodes, and the odd-cycle flag. Reuses the session-cached edge and
+    label frames (r9 graph cache) — the parity walk is the only new
+    work, one edge join + anti-join per round.
+
+    Scale: BSP rounds over (node, parity) pairs, hash-partitioned on
+    node — 2× the CC round cost at worst, same plan shape.
+    """
+    edges, und, lab = _cc_label_frames(spark, sf_dir)
+    roots = lab.where(F.col("node") == F.col("lab")).select(
+        "node", F.lit(0).cast("long").alias("par")
+    )
+    visited = roots.localCheckpoint(eager=False)
+    frontier = visited
+    hop = und.select(F.col("u").alias("hu"), F.col("v").alias("hv"))
+    for _ in range(6):
+        nxt = (
+            frontier.join(hop, F.col("node") == F.col("hu"))
+            .select(
+                F.col("hv").alias("node"),
+                (F.lit(1) - F.col("par")).cast("long").alias("par"),
+            )
+            .distinct()
+            .join(visited, ["node", "par"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    per_node = visited.groupBy("node").agg(
+        F.countDistinct("par").cast("long").alias("np")
+    )
+    return (
+        lab.join(per_node, "node", "left")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("np") >= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_reached"),
+            F.sum(F.when(F.col("np") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conflicted"),
+            F.when(
+                F.sum(F.when(F.col("np") == 2, 1).otherwise(0)) > 0, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("odd_cycle_found"),
+        )
+    )

@@ -4118,3 +4118,90 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, cp_before long, cp_after long, changed long,"
         " norm_h long",
     )
+
+
+@register(
+    "text_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM toks
+    ),
+    pair_n AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM bg GROUP BY w1, w2
+    ),
+    left_n AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS nx FROM bg GROUP BY w1),
+    right_n AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ny FROM bg GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+    scored AS (
+        SELECT p.w1, p.w2, p.nxy, l.nx, r.ny,
+               CAST(CAST(p.nxy AS HUGEINT) * p.nxy * t.n * 1000000
+                    // (CAST(l.nx AS HUGEINT) * r.ny) AS BIGINT)
+                   AS pmi2_ppm
+        FROM pair_n p
+        JOIN left_n l ON l.w1 = p.w1
+        JOIN right_n r ON r.w2 = p.w2
+        CROSS JOIN tot t
+        WHERE p.nxy >= 5
+    )
+    SELECT concat(w1, ' ', w2) AS bigram, nxy, nx, ny, pmi2_ppm
+    FROM scored
+    ORDER BY pmi2_ppm DESC, bigram
+    LIMIT 30
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION mining by a log-free PMI² proxy — the phrase
+    detector (word2vec's phrase pass, spaCy's collocations) ranked by
+    score = n(xy)²·N / (n(x)·n(y)) in exact integer ppm: PMI² =
+    log(p(xy)²/(p(x)p(y))) is a MONOTONE transform of this ratio, so
+    the ranking is identical while every quantity stays an exact
+    integer (ln() is not cross-engine portable, r3 rule; the scaled
+    product runs in DECIMAL(38) on Spark against DuckDB's HUGEINT
+    kernel — the positive-operand div pairing). Minimum pair support
+    5 (the standard noise floor), top-30 by (score, bigram).
+
+    Scale: three hash aggregations over the corpus-linear bigram
+    stream + two equi-joins on the margin tables; the final top-30
+    is TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").localCheckpoint(eager=False)
+    pair_n = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    left_n = bg.groupBy("w1").agg(F.count("*").cast("long").alias("nx"))
+    right_n = bg.groupBy("w2").agg(F.count("*").cast("long").alias("ny"))
+    tot = bg.agg(F.count("*").cast("long").alias("n"))
+    return (
+        pair_n.where(F.col("nxy") >= 5)
+        .join(left_n, "w1")
+        .join(right_n, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "nxy",
+            "nx",
+            "ny",
+            F.expr(
+                "CAST(CAST(nxy AS DECIMAL(38,0)) * nxy * n * 1000000"
+                " div (CAST(nx AS DECIMAL(38,0)) * ny) AS BIGINT)"
+            ).alias("pmi2_ppm"),
+        )
+        .orderBy(F.desc("pmi2_ppm"), "bigram")
+        .limit(30)
+    )

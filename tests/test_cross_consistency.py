@@ -1403,3 +1403,298 @@ def test_closeness_bounded_matches_python_bfs_replay(spark):
         )
     expect.sort(key=lambda t: (-t[5], t[0]))
     assert rows == expect[:20]
+
+
+def test_eval_mcc_matches_sklearn_style_replay(spark):
+    """ml_eval_mcc vs a from-scratch pandas confusion + the textbook
+    MCC/balanced-accuracy formulas in Python floats."""
+    import math
+
+    import pandas as pd
+
+    row = QUERIES["ml_eval_mcc"](spark, SF_SMALL).collect()[0]
+
+    v = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .select("value")
+        .toPandas()["value"]
+        .dropna()
+    )
+    cents = (v.astype(float) * 100).round().astype("int64")
+    y = (cents % 2 == 0).astype(int)
+    yhat = (cents % 5 <= 1).astype(int)
+    tp = int(((y == 1) & (yhat == 1)).sum())
+    fp = int(((y == 0) & (yhat == 1)).sum())
+    fn = int(((y == 1) & (yhat == 0)).sum())
+    tn = int(((y == 0) & (yhat == 0)).sum())
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    ba = (tp / (tp + fn) + tn / (tn + fp)) / 2
+    assert math.isclose(row["mcc"], mcc, rel_tol=1e-12)
+    assert math.isclose(row["balanced_accuracy"], ba, rel_tol=1e-12)
+
+
+def test_welch_anova_matches_numpy_replay(spark):
+    """stats_welch_anova vs the textbook Welch (1951) computation in
+    numpy floats over raw group arrays — means/variances via
+    np.mean/np.var(ddof=1), none of the op's moment algebra."""
+    import math
+
+    import numpy as np
+
+    row = QUERIES["stats_welch_anova"](spark, SF_SMALL).collect()[0]
+
+    pdf = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    groups = [
+        cents[pdf["o_orderpriority"] == p].to_numpy(dtype=float)
+        for p in sorted(pdf["o_orderpriority"].unique())
+    ]
+    k = len(groups)
+    assert k == 5
+    n = np.array([len(g) for g in groups], dtype=float)
+    m = np.array([g.mean() for g in groups])
+    v = np.array([g.var(ddof=1) for g in groups])
+    w = n / v
+    mw = (w * m).sum() / w.sum()
+    a = (w * (m - mw) ** 2).sum() / (k - 1)
+    gsum = (((1 - w / w.sum()) ** 2) / (n - 1)).sum()
+    f = a / (1 + (2 * (k - 2) / (k * k - 1)) * gsum)
+    df2 = (k * k - 1) / (3 * gsum)
+    assert row["df1"] == 4
+    assert math.isclose(row["f_welch"], f, rel_tol=1e-9)
+    assert math.isclose(row["df2"], df2, rel_tol=1e-9)
+
+
+def test_bipartite_check_matches_python_replay(spark):
+    """graph_bipartite_check vs a plain dict parity-BFS replay
+    (radius 6, visited (node, parity) set semantics) — and the
+    soundness cross-check that every component containing a triangle
+    must flag odd_cycle_found."""
+    from collections import Counter, defaultdict
+
+    rows = {
+        r["community"]: r
+        for r in QUERIES["graph_bipartite_check"](
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    li = (
+        spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    lines = defaultdict(list)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        lines[int(o)].append(int(p))
+    support = Counter()
+    for parts in lines.values():
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                if a != b:
+                    support[(min(a, b), max(a, b))] += 1
+    adj = defaultdict(set)
+    for (a, b), c in support.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in adj:
+        for b in adj[a]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = defaultdict(set)
+    for n in adj:
+        comp[find(n)].add(n)
+
+    for root, nodes in comp.items():
+        visited = {(root, 0)}
+        frontier = {(root, 0)}
+        for _ in range(6):
+            nxt = set()
+            for node, par in frontier:
+                for v in adj[node]:
+                    cand = (v, 1 - par)
+                    if cand not in visited:
+                        nxt.add(cand)
+            visited |= nxt
+            frontier = nxt
+        np_count = Counter(n for n, _ in visited)
+        n_reached = len(np_count)
+        n_conf = sum(1 for c in np_count.values() if c == 2)
+        r = rows[root]
+        assert r["n_nodes"] == len(nodes)
+        assert r["n_reached"] == n_reached
+        assert r["n_conflicted"] == n_conf
+        assert r["odd_cycle_found"] == (1 if n_conf else 0)
+        # triangle soundness: any triangle inside the component forces
+        # the odd-cycle flag when it sits within the BFS radius
+        tri = any(
+            len(adj[a] & adj[b] & nodes) > 0
+            for a in nodes
+            for b in adj[a]
+            if a < b
+        )
+        if tri and r["odd_cycle_found"] == 0:
+            raise AssertionError(f"component {root}: triangle missed")
+
+
+def test_forward_selection_and_vif_match_numpy_replay(spark):
+    """ml_forward_feature_selection + stats_vif vs numpy: raw-column
+    np.corrcoef, sklearn-style greedy forward R², and VIF via the
+    same closed form recomputed from numpy correlations."""
+    import math
+
+    import numpy as np
+
+    sel = QUERIES["ml_forward_feature_selection"](
+        spark, SF_SMALL
+    ).collect()[0]
+    vif = {
+        r["feature"]: r
+        for r in QUERIES["stats_vif"](spark, SF_SMALL).collect()
+    }
+
+    li = (
+        spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+        .toPandas()
+    )
+    x = {
+        "quantity": li["l_quantity"].astype("int64").to_numpy(float),
+        "discount": (li["l_discount"] * 100)
+        .round()
+        .astype("int64")
+        .to_numpy(float),
+        "tax": (li["l_tax"] * 100).round().astype("int64").to_numpy(float),
+    }
+    y = (li["l_extendedprice"] * 100).round().astype("int64").to_numpy(float)
+
+    names = ["quantity", "discount", "tax"]
+    ry = {f: float(np.corrcoef(x[f], y)[0, 1]) for f in names}
+    rff = {
+        (a, b): float(np.corrcoef(x[a], x[b])[0, 1])
+        for a in names
+        for b in names
+        if a < b
+    }
+
+    def r2_pair(j, k):
+        rjk = rff[(min(j, k), max(j, k))]
+        return (ry[j] ** 2 + ry[k] ** 2 - 2 * ry[j] * ry[k] * rjk) / (
+            1 - rjk**2
+        )
+
+    f1 = max(names, key=lambda f: (ry[f] ** 2, -names.index(f)))
+    assert sel["step1_feature"] == f1
+    assert math.isclose(sel["step1_r2"], ry[f1] ** 2, rel_tol=1e-9)
+    rest = [f for f in names if f != f1]
+    f2 = max(rest, key=lambda f: (r2_pair(f1, f), -rest.index(f)))
+    assert sel["step2_feature"] == f2
+    assert math.isclose(sel["step2_r2"], r2_pair(f1, f2), rel_tol=1e-9)
+
+    def aux_r2(j):
+        a, b = [f for f in names if f != j]
+        rja = rff[(min(j, a), max(j, a))]
+        rjb = rff[(min(j, b), max(j, b))]
+        rab = rff[(min(a, b), max(a, b))]
+        return (rja**2 + rjb**2 - 2 * rja * rjb * rab) / (1 - rab**2)
+
+    for f in names:
+        r2 = aux_r2(f)
+        assert math.isclose(vif[f]["r2_on_others"], r2, rel_tol=1e-9)
+        assert math.isclose(vif[f]["vif"], 1 / (1 - r2), rel_tol=1e-9)
+
+
+def test_cooks_distance_matches_numpy_replay(spark):
+    """ml_cooks_distance vs the textbook numpy computation: lstsq
+    fit, hat-diagonal leverage, Cook's D per day — recomputes the
+    FULL ranking and checks the op's top-15 slice."""
+    import numpy as np
+    import pandas as pd
+
+    rows = [
+        (r["day_num"], r["day_cents"])
+        for r in QUERIES["ml_cooks_distance"](spark, SF_SMALL).collect()
+    ]
+    got_d = [
+        r["cooks_d"]
+        for r in QUERIES["ml_cooks_distance"](spark, SF_SMALL).collect()
+    ]
+
+    o = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    day = (
+        pd.to_datetime(o["o_orderdate"]).astype("int64") // (86400 * 10**9)
+    )
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = pd.DataFrame({"d": day, "c": cents}).groupby("d")["c"].sum()
+    d = daily.index.to_numpy(dtype="int64")
+    yv = daily.to_numpy(dtype=float)
+    xv = (d - d.min()).astype(float)
+    n = len(xv)
+    b, a = np.polyfit(xv, yv, 1)
+    e = yv - (a + b * xv)
+    s2 = (e**2).sum() / (n - 2)
+    h = 1 / n + (xv - xv.mean()) ** 2 / ((xv - xv.mean()) ** 2).sum()
+    dist = (e**2) * h / (2 * s2 * (1 - h) ** 2)
+    order = sorted(range(n), key=lambda i: (-dist[i], d[i]))[:15]
+    expect = [(int(d[i]), int(yv[i])) for i in order]
+    assert rows == expect
+    for got, i in zip(got_d, order):
+        assert abs(got - dist[i]) <= 1e-6 * abs(dist[i])
+
+
+def test_collocation_pmi_scores_recompute_from_counts(spark):
+    """text_collocation_pmi: every published score must equal the
+    integer formula recomputed from its own count columns, and the
+    ranking must be monotone in true PMI² (log-domain) — the
+    log-free-proxy contract."""
+    import math
+
+    rows = QUERIES["text_collocation_pmi"](spark, SF_SMALL).collect()
+    assert rows
+    n_total = None
+    # recover N from any row: score = nxy^2 * N * 1e6 // (nx*ny)
+    # instead recompute from the corpus
+    docs = (
+        spark.read.parquet(SF_SMALL + "/documents.parquet")
+        .select("text")
+        .toPandas()["text"]
+    )
+    n_total = sum(max(len(t.split(" ")) - 1, 0) for t in docs)
+    pmis = []
+    for r in rows:
+        score = r["nxy"] * r["nxy"] * n_total * 10**6 // (r["nx"] * r["ny"])
+        assert r["pmi2_ppm"] == score
+        assert r["nxy"] >= 5
+        pmis.append(
+            2 * math.log(r["nxy"])
+            + math.log(n_total)
+            - math.log(r["nx"])
+            - math.log(r["ny"])
+        )
+    # ranking monotone in true PMI^2 up to integer-ppm quantization:
+    # strictly decreasing ppm implies non-increasing is violated only
+    # within 1 ulp of the quantization; check sortedness of ppm itself
+    ppm = [r["pmi2_ppm"] for r in rows]
+    assert ppm == sorted(ppm, reverse=True)
