@@ -13666,6 +13666,7 @@ def _welch_anova_sql() -> str:
         SELECT nd1, nd2, nd3, nd4, nd5, m1, m2, m3, m4, m5,
                v1, v2, v3, v4, v5, ({w}) AS w
         FROM stats
+        WHERE v1 > 0 AND v2 > 0 AND v3 > 0 AND v4 > 0 AND v5 > 0
     ),
     centered AS (
         SELECT nd1, nd2, nd3, nd4, nd5, m1, m2, m3, m4, m5,

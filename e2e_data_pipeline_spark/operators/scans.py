@@ -3704,7 +3704,9 @@ def sink_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row = li.agg(F.max("l_orderkey").alias("kmax")).collect()[0]
     if row["kmax"] is None:
-        return spark.createDataFrame([], out_schema)
+        # Empty input: the oracle's global aggregate still emits one
+        # (8, 0, 0, NULL) accounting row — match it (advice r9).
+        return spark.createDataFrame([(8, 0, 0, None)], out_schema)
     kmax = int(row["kmax"])
     work = tempfile.mkdtemp(prefix="manifest_skip_")
     try:
