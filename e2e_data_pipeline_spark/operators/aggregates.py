@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.frame_cache import events_daily
 from e2e_data_pipeline_spark.operators.registry import (
     dec_avg,
     dec_sum,
@@ -2288,15 +2289,7 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces map-side first. This is the sanctioned place for an O(k²)
     kernel: k = days, never rows.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     a, b = daily.alias("a"), daily.alias("b")
     s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
         F.sum(
@@ -3629,15 +3622,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day-grain pre-aggregate map-side combines; both lags ride one
     tiny ordered window over the calendar-bounded daily frame.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     w = Window.orderBy("day")
     diffs = daily.select(
         "day",
@@ -4687,15 +4672,7 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The data-sized work is one day-grain aggregate; the recursion is
     n rows of O(1) arithmetic.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     w = Window.orderBy("day")
     diffs = daily.select(
         F.when(F.col("cents") > F.lag("cents").over(w), 1)
@@ -7182,17 +7159,9 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded (documented: this estimator is O(days²) by
     definition — at scale you'd subsample days first).
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
-            " div 86400"
-        ).alias("di")
-    ).agg(
-        F.expr(
-            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
-            " div 100 AS BIGINT)"
-        ).alias("y")
+    daily = events_daily(spark, sf_dir).select(
+        F.col("day").alias("di"),
+        F.expr("CAST(COALESCE(cents, 0) div 100 AS BIGINT)").alias("y"),
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -7956,23 +7925,25 @@ def stats_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: day-grain partial agg + a 1-row reduce.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
-            " div 86400"
-        ).alias("di")
-    ).agg(
-        F.expr(
-            "CAST(SUM(CASE WHEN event_type = 'click'"
-            " THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)"
-            " ELSE 0 END) div 100 AS BIGINT)"
-        ).alias("a"),
-        F.expr(
-            "CAST(SUM(CASE WHEN event_type = 'purchase'"
-            " THEN CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT)"
-            " ELSE 0 END) div 100 AS BIGINT)"
-        ).alias("b"),
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy(F.col("day").alias("di"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                " THEN COALESCE(cents, 0) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("a"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'purchase'"
+                " THEN COALESCE(cents, 0) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("b"),
+        )
     )
     m = daily.agg(
         F.count("*").alias("n"),
@@ -8407,16 +8378,12 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (map-side partial), ranking partitions by day (30·k cells —
     trivially parallel), and the final statistic is a k-row fold.
     """
-    events = load_table(spark, sf_dir, "events")
-    cells = (
-        events.select(
-            F.expr(
-                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400"
-            ).alias("day"),
-            "event_type",
-        )
-        .groupBy("day", "event_type")
-        .agg(F.count("*").alias("n_events"))
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    cells = events_daily_by_type(spark, sf_dir).select(
+        "day", "event_type", F.col("n").alias("n_events")
     )
     wday = Window.partitionBy("day").orderBy("n_events")
     wtie = Window.partitionBy("day", "n_events")
@@ -9827,12 +9794,9 @@ def ml_eval_pinball(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: day-grain after a partial aggregate; the quantile rank is
     calendar-bounded; the loss pass is a broadcast of one scalar.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
-        F.expr(
-            "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("y"))
+    from e2e_data_pipeline_spark.operators.frame_cache import lineitem_daily
+
+    daily = lineitem_daily(spark, sf_dir).select("d", "y")
     ranked = daily.select(
         "y",
         F.row_number().over(Window.orderBy("y", "d")).cast("long").alias("rnk"),
@@ -10131,13 +10095,21 @@ def stats_pettitt_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ranks/cumsums run on the calendar-bounded daily frame, the
     only full scan is the day-grain pre-aggregate.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("y")
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy(F.col("day").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
     )
     daily.createOrReplaceTempView("pettitt_daily")
     return spark.sql("WITH " + _PETTITT_TAIL.format(daily="pettitt_daily"))
@@ -10179,16 +10151,11 @@ _DUCK_REV_DAILY = """
 
 
 def _rev_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    # session-cached day-grain revenue rollup (frame_cache.py): one
+    # orders pass per session+fixture feeds every daily-revenue consumer
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    return orders_daily(spark, sf_dir).select("d", "y")
 
 
 @register(
@@ -11375,16 +11342,7 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: day-grain pre-aggregate then one ordered window pass.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = _rev_daily(spark, sf_dir)
     daily.createOrReplaceTempView("vr_daily")
     return spark.sql("WITH " + _VR_TAIL.format(daily="vr_daily").lstrip())
 
@@ -11472,16 +11430,7 @@ def stats_chow_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one day-grain pre-aggregate; the two-regime grouping is a
     partial agg and the test itself is O(1).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = _rev_daily(spark, sf_dir)
     daily.createOrReplaceTempView("chow_daily")
     return spark.sql(
         "WITH "
@@ -11812,16 +11761,7 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         _votes_frame_staged,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = _rev_daily(spark, sf_dir)
     _votes_frame_staged(spark, daily, "fleiss")
     return spark.sql(
         "WITH allvotes AS (SELECT * FROM fleiss_votes)," + _FLEISS_TAIL
@@ -14005,3 +13945,236 @@ def ml_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             WQYY=wide_dbl("qyy"),
         )
     )
+
+
+_CLIFFS_DELTA_SQL = """
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    cells AS (
+        SELECT cents,
+               CAST(SUM(grp) AS BIGINT) AS n_a,
+               CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n_b
+        FROM pop GROUP BY cents
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS n1,
+               CAST(SUM(n_b) AS BIGINT) AS n2
+        FROM cells
+    ),
+    cum AS (
+        SELECT cents, n_a, n_b,
+               CAST(SUM(n_b) OVER (ORDER BY cents) - n_b AS BIGINT)
+                   AS b_less,
+               CAST(SUM(n_b) OVER (ORDER BY cents DESC) - n_b AS BIGINT)
+                   AS b_greater
+        FROM cells
+    ),
+    folded AS (
+        SELECT CAST(SUM(n_a * b_less) AS BIGINT) AS wins,
+               CAST(SUM(n_a * b_greater) AS BIGINT) AS losses,
+               CAST(SUM(n_a * n_b) AS BIGINT) AS ties
+        FROM cum
+    )
+    SELECT t.n1, t.n2, f.wins, f.losses, f.ties,
+           CAST(f.wins - f.losses AS DOUBLE)
+               / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS delta,
+           CASE WHEN 1000 * abs(f.wins - f.losses) < 147 * t.n1 * t.n2
+                    THEN 'negligible'
+                WHEN 1000 * abs(f.wins - f.losses) < 330 * t.n1 * t.n2
+                    THEN 'small'
+                WHEN 1000 * abs(f.wins - f.losses) < 474 * t.n1 * t.n2
+                    THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM tot t, folded f
+    WHERE t.n1 > 0 AND t.n2 > 0
+"""
+
+
+@register("stats_cliffs_delta", oracle=_CLIFFS_DELTA_SQL)
+def stats_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA ordinal effect size (purchase vs click values) —
+    the magnitude companion to `stats_mannwhitney`'s significance:
+    delta = (#(a>b) - #(a<b)) / (n1*n2), with Romano's standard
+    negligible/small/medium/large cut points (0.147/0.33/0.474)
+    decided by INTEGER cross-multiplication (1000*|W-L| vs k*n1*n2 —
+    no float thresholds). Distributed like the U statistic: group by
+    integer-cents value, prefix sums over the bounded distinct-value
+    frame give each cell's counts of smaller/greater other-group
+    members, so wins/losses are exact int64 conditional sums and the
+    one division (wins-losses)/(n1*n2) is a single IEEE rounding over
+    exact sub-2^53 ints — bit-identical both engines.
+
+    Scale: one conditional-count partial aggregation onto the distinct
+    value grain (map-side combine), two prefix sums over that bounded
+    frame, O(1) tail. Cross-checked against mannwhitney by the
+    delta = 2*U1/(n1*n2) - 1 identity (replay-pinned).
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CLIFFS_DELTA_SQL)
+
+
+_KUIPER_SQL = """
+    WITH pop AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    steps AS (
+        SELECT v,
+               CAST(SUM(grp) AS BIGINT) AS c1,
+               CAST(COUNT(*) - SUM(grp) AS BIGINT) AS c0
+        FROM pop GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1
+        FROM steps
+    ),
+    ecdf AS (
+        SELECT SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS e0,
+               SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS e1
+        FROM steps
+    ),
+    gaps AS (
+        SELECT CAST(MAX(e0 * t.n1 - e1 * t.n0) AS BIGINT) AS dplus_scaled,
+               CAST(MAX(e1 * t.n0 - e0 * t.n1) AS BIGINT) AS dminus_scaled
+        FROM ecdf, tot t
+        GROUP BY t.n0, t.n1
+    )
+    SELECT t.n0, t.n1,
+           GREATEST(g.dplus_scaled, 0) AS dplus_scaled,
+           GREATEST(g.dminus_scaled, 0) AS dminus_scaled,
+           GREATEST(g.dplus_scaled, 0) + GREATEST(g.dminus_scaled, 0)
+               AS v_scaled,
+           CAST(GREATEST(g.dplus_scaled, 0)
+                + GREATEST(g.dminus_scaled, 0) AS DOUBLE)
+               / (CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+               AS kuiper_v
+    FROM tot t, gaps g
+    WHERE t.n0 > 0 AND t.n1 > 0
+"""
+
+
+@register("stats_kuiper", oracle=_KUIPER_SQL)
+def stats_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KUIPER two-sample statistic V = D+ + D- (purchase vs view
+    values) — the rotation-invariant Kolmogorov-Smirnov variant that
+    weights both tails equally (the standard choice for cyclic or
+    tail-sensitive drift, where KS under-weights whichever tail the
+    supremum misses). Both one-sided suprema are computed ENTIRELY in
+    integers at each pooled distinct value (cross-multiplied
+    e0*n1 - e1*n0, exact int64), clamped at 0 (an empty-side supremum
+    is 0, not negative), and the single division of the integer sum by
+    n0*n1 is one IEEE rounding over exact sub-2^53 ints — bit-stable
+    on both engines.
+
+    Scale: one conditional-count partial aggregation onto the distinct
+    value grain + one ordered prefix sum over that bounded step frame
+    (same distributed-ECDF shape as `stats_ks_test`), O(1) tail.
+    """
+    from e2e_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_KUIPER_SQL)
+
+
+_QUADE_TAIL = """
+full_days AS (
+    SELECT day FROM {cells}
+    GROUP BY day HAVING COUNT(*) = 5
+),
+grid AS (
+    SELECT c.day, c.event_type, c.n
+    FROM {cells} c JOIN full_days fd ON fd.day = c.day
+),
+ranked AS (
+    SELECT day, event_type, n,
+           2 * COUNT(*) OVER (PARTITION BY day ORDER BY n
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - COUNT(*) OVER (PARTITION BY day, n) + 1 AS r2
+    FROM grid
+),
+spans AS (
+    SELECT day, CAST(MAX(n) - MIN(n) AS BIGINT) AS rng
+    FROM grid GROUP BY day
+),
+qranks AS (
+    SELECT day,
+           2 * COUNT(*) OVER (ORDER BY rng
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - COUNT(*) OVER (PARTITION BY rng) + 1 AS q2
+    FROM spans
+),
+scores AS (
+    SELECT r.event_type,
+           CAST(q.q2 * (r.r2 - 6) AS BIGINT) AS s4
+    FROM ranked r JOIN qranks q ON q.day = r.day
+),
+blocks AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM spans),
+a_term AS (
+    SELECT CAST(SUM(s4 * s4) AS BIGINT) AS a16 FROM scores
+),
+t_term AS (
+    SELECT CAST(SUM(sj * sj) AS BIGINT) AS t16
+    FROM (SELECT CAST(SUM(s4) AS BIGINT) AS sj
+          FROM scores GROUP BY event_type) g
+)
+SELECT b.b AS n_blocks, CAST(5 AS BIGINT) AS k,
+       a.a16, t.t16,
+       (CAST(b.b - 1 AS DOUBLE) * CAST(t.t16 AS DOUBLE))
+           / (CAST(b.b AS DOUBLE) * CAST(a.a16 AS DOUBLE)
+              - CAST(t.t16 AS DOUBLE)) AS f_quade,
+       CAST(4 AS BIGINT) AS df1,
+       CAST(4 * (b.b - 1) AS BIGINT) AS df2
+FROM blocks b, a_term a, t_term t
+WHERE b.b > 1 AND b.b * a.a16 > t.t16
+"""
+
+_QUADE_DUCK_CELLS = """
+cells AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)"""
+
+
+@register(
+    "stats_quade",
+    oracle="WITH " + _QUADE_DUCK_CELLS + "," + _QUADE_TAIL.format(
+        cells="cells"
+    ),
+)
+def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADE test over the day x event-type activity grid — the
+    weighted-blocks cousin of `stats_friedman` (blocks with larger
+    within-day spread carry proportionally more evidence, making it
+    the more powerful choice for k <= 5 treatments). All rank
+    machinery is EXACT dyadic arithmetic lifted to integers: within-
+    block midranks and block-range midranks are carried doubled
+    (2r = 2*cnt_le - ties + 1), so the Quade score S_ij = Q_i*(r_ij -
+    (k+1)/2) is carried as the exact int64 s4 = q2*(r2-6) (quarters,
+    k=5), A and T fold as exact int64 sums of squares, and the F
+    statistic is one fixed-order double chain over sub-2^53 ints —
+    bit-identical both engines. Only complete 5-type days form blocks
+    (HAVING COUNT(*)=5), and the degenerate all-tied frame
+    (b*A == T) emits no row rather than dividing by zero.
+
+    Scale: rides the session-cached (day, event_type) rollup
+    (frame_cache.events_daily_by_type) — zero additional fact-table
+    passes; every window is day- or blocks-grain (calendar-bounded).
+    Replay-pinned against a scipy-free numpy Quade implementation.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    events_daily_by_type(spark, sf_dir).select(
+        "day", "event_type", "n"
+    ).createOrReplaceTempView("quade_cells")
+    return spark.sql("WITH " + _QUADE_TAIL.format(cells="quade_cells").lstrip())

@@ -2211,21 +2211,16 @@ def graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir, frame-name) -> localCheckpointed DataFrame(s).
 # The graph family (components / modularity / triangles / ...) shares one
 # edge list and one 6-round label fixed point; before r9 every key rebuilt
 # them from scratch (~9+6+6 s of the sf0.1 sweep tail). At 100 TB this is
-# one BSP pass feeding N reports instead of N passes. Keyed by the Spark
-# application id so a restarted session never sees another context's
-# checkpointed RDDs.
-_GRAPH_FRAME_CACHE: dict = {}
-
-
+# one BSP pass feeding N reports instead of N passes.
 def _graph_cached(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _GRAPH_FRAME_CACHE:
-        _GRAPH_FRAME_CACHE[key] = build()
-    return _GRAPH_FRAME_CACHE[key]
+    # delegates to the shared session cache (frame_cache.py) — the r9
+    # graph memoization generalized with keep-last-N-dirs eviction
+    from e2e_data_pipeline_spark.operators.frame_cache import session_cached
+
+    return session_cached(spark, sf_dir, f"graph:{name}", build)
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2182,3 +2182,182 @@ def multimodal_histogram_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_px long, eq_sum long, eq_wsum long,"
         " eq_min long, eq_max long",
     )
+
+
+def bilinear_resize_gray(
+    px: bytes, w: int, h: int, rw: int, rh: int
+) -> bytes:
+    """Fixed-point BILINEAR grayscale resample (8.8 weights, floor
+    rounding): sx256 = dx*(w-1)*256 // (rw-1), x0 = sx256 div 256,
+    fx = sx256 mod 256, out = (v00*(256-fx)*(256-fy) + v10*fx*(256-fy)
+    + v01*(256-fx)*fy + v11*fx*fy) // 65536 — pure integers, so SQL
+    can replay every output pixel exactly. Module-level so tests
+    replay the SAME kernel multimodal_bilinear_resize ships."""
+    out = bytearray()
+    for dy in range(rh):
+        sy = dy * (h - 1) * 256 // (rh - 1) if rh > 1 else 0
+        y0, fy = sy >> 8, sy & 255
+        y1 = min(y0 + 1, h - 1)
+        for dx in range(rw):
+            sx = dx * (w - 1) * 256 // (rw - 1) if rw > 1 else 0
+            x0, fx = sx >> 8, sx & 255
+            x1 = min(x0 + 1, w - 1)
+            v00, v10 = px[y0 * w + x0], px[y0 * w + x1]
+            v01, v11 = px[y1 * w + x0], px[y1 * w + x1]
+            out.append(
+                (
+                    v00 * (256 - fx) * (256 - fy)
+                    + v10 * fx * (256 - fy)
+                    + v01 * (256 - fx) * fy
+                    + v11 * fx * fy
+                )
+                // 65536
+            )
+    return bytes(out)
+
+
+_BILINEAR_PX = (
+    "CAST(('0x' || substr(md5('bl:' || CAST(doc_id AS VARCHAR) || ':'"
+    " || CAST({pos} AS VARCHAR)), 1, 2)) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_bilinear_resize",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(5 + doc_id % 6 AS BIGINT) AS w,
+               CAST(5 + doc_id % 5 AS BIGINT) AS h,
+               CAST(3 + doc_id % 5 AS BIGINT) AS rw,
+               CAST(3 + doc_id % 4 AS BIGINT) AS rh
+        FROM documents WHERE doc_id < 150
+    ),
+    expanded AS (
+        SELECT doc_id, w, h, rw, rh, unnest(range(0, rw * rh)) AS q
+        FROM imgs
+    ),
+    mapped AS (
+        SELECT doc_id, w, h, rw, rh, q,
+               ((q % rw) * (w - 1) * 256) // (rw - 1) AS sx,
+               ((q // rw) * (h - 1) * 256) // (rh - 1) AS sy
+        FROM expanded
+    ),
+    corners AS (
+        SELECT doc_id, w, h, rw, rh, q,
+               sx // 256 AS x0, sx % 256 AS fx,
+               LEAST(sx // 256 + 1, w - 1) AS x1,
+               sy // 256 AS y0, sy % 256 AS fy,
+               LEAST(sy // 256 + 1, h - 1) AS y1
+        FROM mapped
+    ),
+    pix AS (
+        SELECT doc_id, w, h, rw, rh, q,
+               ("""
+    + _BILINEAR_PX.format(pos="y0 * w + x0")
+    + """ * (256 - fx) * (256 - fy)
+                + """
+    + _BILINEAR_PX.format(pos="y0 * w + x1")
+    + """ * fx * (256 - fy)
+                + """
+    + _BILINEAR_PX.format(pos="y1 * w + x0")
+    + """ * (256 - fx) * fy
+                + """
+    + _BILINEAR_PX.format(pos="y1 * w + x1")
+    + """ * fx * fy) // 65536 AS v
+        FROM corners
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS src_w,
+           CAST(MIN(h) AS BIGINT) AS src_h,
+           CAST(MIN(rw) AS BIGINT) AS dst_w,
+           CAST(MIN(rh) AS BIGINT) AS dst_h,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(SUM(v * (q + 1)) AS BIGINT) AS px_wsum,
+           CAST(MIN(CASE WHEN q = 0 THEN v END) AS BIGINT) AS px_tl,
+           CAST(MIN(CASE WHEN q = rw * rh - 1 THEN v END) AS BIGINT)
+               AS px_br
+    FROM pix GROUP BY doc_id
+    """,
+)
+def multimodal_bilinear_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BILINEAR image resize through the real PNG codec — the
+    quality step up from `multimodal_png_resize`'s nearest-neighbor
+    (the thumbnail path most training-data pipelines actually ship):
+    8.8 fixed-point source coordinates and weights keep every output
+    pixel EXACTLY integer-determined, so the oracle regenerates the
+    full resampled image straight from the md5 generator formula —
+    a hash match proves codec round-trip, coordinate mapping, corner
+    clamping and the 4-tap weight arithmetic at once. Corners map
+    exactly to source corners (fx=fy=0 at both ends of the map),
+    px_wsum pins output ORDER (a transposed resample can't match it).
+
+    Scale: mint->decode->resample streams inside one Arrow batch per
+    partition, one output row per image (shuffle-free until the
+    per-doc aggregate, which IS the mapInPandas output). The 150-doc
+    cap is fixture sizing only. Known-answer pinned (hand-computed
+    2x2->3x3 centers + identity map) in test_cross_consistency.py.
+    """
+    import hashlib
+
+    from e2e_data_pipeline_spark.operators.png_codec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 150)
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 5 + i % 6, 5 + i % 5
+                rw, rh = 3 + i % 5, 3 + i % 4
+                px = bytes(
+                    int(
+                        hashlib.md5(f"bl:{i}:{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(w * h)
+                )
+                dw, dh, decoded = decode_png_gray(encode_png_gray(px, w, h))
+                assert (dw, dh) == (w, h)
+                rz = bilinear_resize_gray(decoded, w, h, rw, rh)
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        rw,
+                        rh,
+                        sum(rz),
+                        sum(v * (q + 1) for q, v in enumerate(rz)),
+                        rz[0],
+                        rz[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_w",
+                    "src_h",
+                    "dst_w",
+                    "dst_h",
+                    "px_sum",
+                    "px_wsum",
+                    "px_tl",
+                    "px_br",
+                ],
+            )
+
+    return docs.mapInPandas(
+        work,
+        "doc_id long, src_w long, src_h long, dst_w long, dst_h long,"
+        " px_sum long, px_wsum long, px_tl long, px_br long",
+    )

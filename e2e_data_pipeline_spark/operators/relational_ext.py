@@ -1732,9 +1732,13 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     category-sized total that broadcasts, and O(k) final arithmetic —
     at 100 TB the shuffle carries k event types per map task.
     """
-    ev = load_table(spark, sf_dir, "events")
-    day = F.expr("CAST(ts AS TIMESTAMP)").cast("long")
-    days = ev.select("event_type", F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"))
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    days = events_daily_by_type(spark, sf_dir).select(
+        "event_type", "day", "n"
+    )
     mid = days.agg(
         ((F.min("day") + F.max("day") + 1) / 2).cast("long").alias("mid")
     )
@@ -1742,8 +1746,12 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.crossJoin(F.broadcast(mid))
         .groupBy("event_type")
         .agg(
-            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias("a_n"),
-            F.sum(F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)).alias("b_n"),
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), F.col("n")).otherwise(0)
+            ).alias("a_n"),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid"), F.col("n")).otherwise(0)
+            ).alias("b_n"),
         )
     )
     tot = counts.agg(F.sum("a_n").alias("na"), F.sum("b_n").alias("nb"))
@@ -3943,16 +3951,9 @@ def dq_outlier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints cost nothing at any scale. The oracle keeps the
     nested single-statement text (DuckDB has no such cliff).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    daily = orders_daily(spark, sf_dir).select("d", "y")
     votes = _votes_frame_staged(spark, daily, "dqov")
     return spark.sql(
         """

@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.frame_cache import (
+    events_daily,
+    events_daily_by_type,
+    orders_daily,
+)
 from e2e_data_pipeline_spark.operators.registry import (
     dec_avg,
     dec_sum,
@@ -1668,15 +1673,7 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     would work too — the join form generalizes to forecasts produced
     by a separate pipeline).
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     a = daily.alias("a")
     f = daily.select(
         (F.col("day") + 7).alias("day"), F.col("cents").alias("forecast")
@@ -1742,15 +1739,7 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     either engine, and the frame is calendar-bounded, so the ±3-day
     join is ~7 rows per day regardless of event volume.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     a, b = daily.alias("a"), daily.alias("b")
     med = (
         a.join(
@@ -2326,15 +2315,7 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day-grain pre-aggregate map-side combines; one ordered window
     over the calendar-bounded daily frame.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     flagged = daily.select(
         "day",
@@ -3212,20 +3193,20 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fact table pays one conditional partial agg; all window
     work is day-grain × 4 lags.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0).cast(
-        "bigint"
-    )
-    daily = ev.groupBy(
-        F.expr(
-            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
-            " div 86400"
-        ).alias("di")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
-        .alias("x"),
-        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
-        .alias("y"),
+    # cached (day, type) rollup: per-type COALESCE(cents, 0) is exactly
+    # the per-row round(coalesce(value,0)*100) conditional sum
+    tc = F.coalesce(F.col("cents"), F.lit(0))
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy(F.col("day").alias("di"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", tc).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", tc).otherwise(0)
+            ).alias("y"),
+        )
     )
     lags = spark.range(4).select(F.col("id").cast("int").alias("lag_d"))
     a = daily.crossJoin(F.broadcast(lags)).select(
@@ -3894,17 +3875,9 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: day-grain; the lag alignments are equi-joins on the day
     index (windows can't take column offsets) — broadcast-sized.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
-            " div 86400"
-        ).alias("di")
-    ).agg(
-        F.expr(
-            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
-            " div 100 AS BIGINT)"
-        ).alias("x")
+    daily = events_daily(spark, sf_dir).select(
+        F.col("day").alias("di"),
+        F.expr("CAST(COALESCE(cents, 0) div 100 AS BIGINT)").alias("x"),
     )
     mu = daily.agg(
         F.count("*").alias("n"),
@@ -4378,17 +4351,9 @@ def ts_viterbi_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: day-grain partial agg; the fold list is calendar-bounded;
     sequential DP is inherently serial in t but O(days), not rows.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS LONG)"
-            " div 86400"
-        ).alias("di")
-    ).agg(
-        F.expr(
-            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT))"
-            " div 100 AS BIGINT)"
-        ).alias("x")
+    daily = events_daily(spark, sf_dir).select(
+        F.col("day").alias("di"),
+        F.expr("CAST(COALESCE(cents, 0) div 100 AS BIGINT)").alias("x"),
     )
     ranked = daily.select(
         "di",
@@ -4527,12 +4492,10 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/ingest_data.py:30-38 is this shape (sequential
     state over arrival order), done declaratively here.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr(
-            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
-        ).alias("day")
-    ).agg(F.count("*").cast("double").alias("z"))
+    daily = events_daily(spark, sf_dir).select(
+        (F.col("day") - 19723).alias("day"),
+        F.col("n").cast("double").alias("z"),
+    )
     daily.createOrReplaceTempView("kf_daily_events")
     return spark.sql(_KALMAN_RECURSION.format(daily="kf_daily_events"))
 
@@ -4694,14 +4657,7 @@ def ts_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: day-grain after one partial aggregate; single-row output.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
-    )
+    daily = orders_daily(spark, sf_dir).select("d", F.col("y").alias("rev"))
     rets = daily.select(
         (F.col("rev") - F.lag("rev").over(Window.orderBy("d"))).alias("chg")
     )
@@ -4780,12 +4736,9 @@ def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: calendar-grain after one partial aggregate.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr(
-            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
-        ).alias("d")
-    ).agg(F.count("*").alias("y"))
+    daily = events_daily(spark, sf_dir).select(
+        (F.col("day") - 19723).alias("d"), F.col("n").alias("y")
+    )
     w = Window.orderBy("d")
     lagged = daily.select(
         "y",
@@ -4891,18 +4844,19 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one calendar-grain aggregate feeds a 10-number moment
     fold; the regression is O(1) after the scan regardless of rows.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr(
-            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
-        ).alias("d")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "y"
-        ),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "x"
-        ),
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy((F.col("day") - 19723).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n"))
+                .otherwise(0)
+            ).alias("y"),
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("n"))
+                .otherwise(0)
+            ).alias("x"),
+        )
     )
     w = Window.orderBy("d")
     rows_ = daily.select(
@@ -5003,18 +4957,19 @@ def ts_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: recursion depth = days in window; the only distributed
     stage is the daily aggregate.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr(
-            "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400 - 19723"
-        ).alias("d")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
-            "x"
-        ),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "y"
-        ),
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy((F.col("day") - 19723).alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("n"))
+                .otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n"))
+                .otherwise(0)
+            ).alias("y"),
+        )
     )
     daily.createOrReplaceTempView("adstock_daily_clicks")
     return spark.sql(_ADSTOCK_RECURSION.format(daily="adstock_daily_clicks"))
@@ -5109,16 +5064,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transition table is days²/12 rows (calendar-bounded, ~500k at
     a 6.5-year span) and the walk is O(12).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = orders_daily(spark, sf_dir).select("d", "y")
     daily.createOrReplaceTempView("lttb_daily")
     # Materialize pts + the transition table ONCE (a recursive CTE
     # re-evaluates referenced CTEs every iteration — 12× the window
@@ -5173,16 +5119,8 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENT_STUDY_TAIL = """
-daily AS (
-    SELECT d,
-           CAST(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-               AS purchases,
-           CAST(SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-               AS errors
-    FROM {base} GROUP BY d
-),
 event_days AS (
-    SELECT d AS e_day FROM daily
+    SELECT d AS e_day FROM {daily}
     ORDER BY errors DESC, d
     LIMIT 5
 ),
@@ -5190,12 +5128,12 @@ offsets AS (
     SELECT e_day, e_day + (k - 7) AS d, k - 7 AS rel_day
     FROM event_days CROSS JOIN (
         SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS k
-        FROM (SELECT DISTINCT d FROM daily ORDER BY d LIMIT 15) t
+        FROM (SELECT DISTINCT d FROM {daily} ORDER BY d LIMIT 15) t
     ) ks
 ),
 aligned AS (
     SELECT o.rel_day, dl.purchases
-    FROM offsets o JOIN daily dl ON dl.d = o.d
+    FROM offsets o JOIN {daily} dl ON dl.d = o.d
 )
 SELECT rel_day,
        CAST(count(*) AS BIGINT) AS n_obs,
@@ -5216,8 +5154,16 @@ _EVENT_STUDY_DUCK_BASE = """
     "agg_event_study",
     oracle="WITH base AS ("
     + _EVENT_STUDY_DUCK_BASE
-    + "),"
-    + _EVENT_STUDY_TAIL.format(base="base"),
+    + """),
+daily AS (
+    SELECT d,
+           CAST(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchases,
+           CAST(SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS errors
+    FROM base GROUP BY d
+),"""
+    + _EVENT_STUDY_TAIL.format(daily="daily"),
 )
 def agg_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-study alignment: take the 5 worst incident days (most
@@ -5232,14 +5178,27 @@ def agg_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: everything after the day-grain pre-aggregate is bounded
     by 5 events × 15 offsets.
     """
-    events = load_table(spark, sf_dir, "events")
-    base = events.select(
-        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d"),
-        F.col("event_type").alias("et"),
+    daily = (
+        events_daily_by_type(spark, sf_dir)
+        .groupBy(F.col("day").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "error", F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("errors"),
+        )
     )
-    base.createOrReplaceTempView("evstudy_base")
+    daily.createOrReplaceTempView("evstudy_daily")
     return spark.sql(
-        "WITH " + _EVENT_STUDY_TAIL.format(base="evstudy_base").lstrip()
+        "WITH " + _EVENT_STUDY_TAIL.format(daily="evstudy_daily").lstrip()
     )
 
 
@@ -5663,14 +5622,9 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only data-sized stage is the day-grain aggregate; the
     fold runs once over the calendar-bounded series.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias("d")
-    ).agg(
-        F.expr(
-            "CAST(CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))"
-            " AS BIGINT) AS DOUBLE) / 100"
-        ).alias("y")
+    daily = events_daily(spark, sf_dir).select(
+        F.col("day").alias("d"),
+        F.expr("CAST(COALESCE(cents, 0) AS DOUBLE) / 100").alias("y"),
     )
     series = daily.agg(
         F.expr(
@@ -5918,18 +5872,8 @@ def ts_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregable day rollup; everything after is
     day-grain (calendar-bounded windows, BOUNDED_GRAIN whitelisted).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d"),
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400 % 7"
-        ).alias("dow"),
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
+    daily = orders_daily(spark, sf_dir).select(
+        "d", (F.col("d") % 7).alias("dow"), "y"
     )
     daily.localCheckpoint(eager=True).createOrReplaceTempView("esd_daily")
     resid = spark.sql(
@@ -6045,12 +5989,9 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     150 rows. For arbitrary-length series the same shape runs per
     (series, frequency) key — still one shuffle.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400").alias(
-            "d"
-        )
-    ).agg(F.count("*").alias("y"))
+    daily = events_daily(spark, sf_dir).select(
+        F.col("day").alias("d"), F.col("n").alias("y")
+    )
     daily.createOrReplaceTempView("periodogram_daily")
     spark.sql(
         "SELECT * FROM " + _dft_angle_values()
@@ -6440,7 +6381,8 @@ def ts_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // sum_abs_err1 AS BIGINT) AS mase_ppm,
            CAST(sum_err_cents AS DOUBLE)
                / CAST(sum_abs_err_cents AS DOUBLE) AS tracking_signal
-    FROM agg WHERE n_eval > 0
+    FROM agg
+    WHERE n_eval > 0 AND sum_abs_err_cents > 0 AND sum_abs_err1 > 0
     """,
 )
 def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6459,7 +6401,10 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one signed ratio (tracking signal) as a SINGLE double division
     over exact int64 sums < 2^53 — bit-identical both engines.
     Days with zero actuals are excluded (MAPE is undefined there —
-    the standard convention); empty-in, empty-out via n_eval > 0.
+    the standard convention); empty-in, empty-out via n_eval > 0,
+    and a degenerate perfect forecast (sum_abs_err_cents or
+    sum_abs_err1 = 0, where MASE/tracking signal are undefined)
+    likewise emits no row instead of raising under Spark ANSI.
 
     Scale: day-grain rollup first (distributed, partial-aggregable),
     then O(days) self-joins on the calendar key — no global window,
@@ -6492,7 +6437,11 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("ae * 1000000 div a")).cast("long").alias("sum_row_ppm"),
         F.sum("ae1").cast("long").alias("sum_abs_err1"),
     )
-    return agg.where(F.col("n_eval") > 0).select(
+    return agg.where(
+        (F.col("n_eval") > 0)
+        & (F.col("sum_abs_err_cents") > 0)
+        & (F.col("sum_abs_err1") > 0)
+    ).select(
         "n_eval",
         "sum_actual_cents",
         "sum_abs_err_cents",
@@ -6509,4 +6458,85 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_err_cents").cast("double")
             / F.col("sum_abs_err_cents").cast("double")
         ).alias("tracking_signal"),
+    )
+
+
+_ORDPAT_TAIL = """
+pts AS (
+    SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+    FROM {daily}
+),
+trips AS (
+    SELECT y AS y2,
+           lag(y, 1) OVER (ORDER BY rn) AS y1,
+           lag(y, 2) OVER (ORDER BY rn) AS y0
+    FROM pts
+),
+coded AS (
+    SELECT CASE
+               WHEN y0 <= y1 AND y1 <= y2 THEN 'rise-rise'
+               WHEN y0 <= y1 AND y1 > y2 AND y0 <= y2 THEN 'rise-dip'
+               WHEN y0 <= y1 AND y1 > y2 AND y0 > y2 THEN 'peak'
+               WHEN y0 > y1 AND y1 <= y2 AND y0 <= y2 THEN 'valley'
+               WHEN y0 > y1 AND y1 <= y2 AND y0 > y2 THEN 'dip-rise'
+               ELSE 'fall-fall' END AS pattern
+    FROM trips WHERE y0 IS NOT NULL
+),
+counts AS (
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n
+    FROM coded GROUP BY pattern
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM counts)
+SELECT c.pattern, c.n,
+       CAST(c.n * 1000000 // t.nt AS BIGINT) AS share_ppm,
+       CAST((SELECT SUM(n * (n - 1)) FROM counts) AS DOUBLE)
+           / (CAST(t.nt AS DOUBLE) * CAST(t.nt - 1 AS DOUBLE))
+           AS simpson_index
+FROM counts c, tot t
+WHERE t.nt > 1
+ORDER BY c.n DESC, c.pattern"""
+
+_ORDPAT_DUCK_DAILY = """
+daily AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM orders GROUP BY 1
+)"""
+
+
+@register(
+    "ts_ordinal_patterns",
+    oracle="WITH "
+    + _ORDPAT_DUCK_DAILY
+    + ","
+    + _ORDPAT_TAIL.format(daily="daily").replace(" div ", " // "),
+)
+def ts_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINAL-PATTERN profile of the daily revenue series (Bandt &
+    Pompe's permutation-entropy machinery at embedding dimension 3,
+    published log-free): every consecutive day triple is classified
+    into one of the 6 order patterns by EXACT integer comparisons
+    (ties resolved by the fixed `<=` time-order rule, so the code is
+    deterministic on both engines), and the distribution is summarized
+    by integer ppm shares plus the SIMPSON concentration index
+    sum n_i(n_i-1) / (N(N-1)) — the entropy-free diversity measure
+    whose single double division over exact ints is bit-identical
+    cross-engine (ln() is not portable, r3 note; Simpson carries the
+    same signal: 1/6 ~ maximally irregular, 1 ~ deterministic trend).
+
+    Scale: rides the session-cached orders day rollup
+    (frame_cache.orders_daily); the lag window runs over the
+    calendar-bounded daily frame (BOUNDED_GRAIN), O(6) tail.
+    Replay-pinned against a direct numpy pattern count.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    orders_daily(spark, sf_dir).select("d", "y").createOrReplaceTempView(
+        "ordpat_daily"
+    )
+    return spark.sql(
+        "WITH "
+        + _ORDPAT_TAIL.format(daily="ordpat_daily").replace(" // ", " div ")
+        .lstrip()
     )

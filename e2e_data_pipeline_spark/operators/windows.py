@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.operators.frame_cache import (
+    events_daily,
+    events_daily_by_type,
+    lineitem_daily,
+    orders_daily,
+)
 from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 
 
@@ -891,15 +897,7 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is 30 rows regardless of event volume; the heavy lifting is
     the day-grain pre-aggregate, which map-side combines.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(
-            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day"),
-            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
-        )
-        .groupBy("day")
-        .agg(F.sum("c").alias("cents"))
-    )
+    daily = events_daily(spark, sf_dir).select("day", "cents")
     w = Window.orderBy("day").rowsBetween(-29, 0)
     win = daily.select(
         "day",
@@ -2197,19 +2195,7 @@ def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one day-grain pre-aggregate carries the scan; the lag and
     14-row frame run on the calendar-bounded daily series.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
-        F.expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) div 86400").alias(
-            "d"
-        )
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("cents"),
-        F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)"))
-        .cast("long")
-        .alias("qty"),
-    )
+    daily = lineitem_daily(spark, sf_dir).select("d", "cents", "qty")
     daily.createOrReplaceTempView("mfi_daily")
     return spark.sql(
         "WITH " + _MFI_TAIL.format(daily="mfi_daily", div="div").lstrip()
@@ -2330,16 +2316,7 @@ def win_stock_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact scan collapses to day grain first; the triangle
     is days²/2 ≈ 2.9M cells at a 6.5-year span, constant in SF.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = orders_daily(spark, sf_dir).select("d", "y")
     daily.createOrReplaceTempView("span_daily")
     return spark.sql("WITH " + _SPAN_TAIL.format(daily="span_daily").lstrip())
 
@@ -2389,16 +2366,7 @@ def win_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: day-grain pre-aggregate then calendar-bounded windows.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.expr(
-            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
-        ).alias("d")
-    ).agg(
-        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .cast("long")
-        .alias("y")
-    )
+    daily = orders_daily(spark, sf_dir).select("d", "y")
     daily.createOrReplaceTempView("ker_daily")
     return spark.sql(
         "WITH " + _KER_TAIL.format(daily="ker_daily", div="div").lstrip()
@@ -2623,18 +2591,10 @@ def win_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(calendar), data-size-independent — same legality argument as
     the r7 recursion, minus the per-iteration plan tax.
     """
-    ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.select(
-            F.expr(
-                "CAST(CAST(ts AS TIMESTAMP) AS BIGINT) div 86400"
-            ).alias("d"),
-            F.expr(
-                "CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)"
-            ).alias("cents"),
-        )
-        .groupBy("d")
-        .agg(F.max("cents").alias("hi"), F.min("cents").alias("lo"))
+        events_daily_by_type(spark, sf_dir)
+        .groupBy(F.col("day").alias("d"))
+        .agg(F.max("max_c").alias("hi"), F.min("min_c").alias("lo"))
         .collect()
     )
     schema = "day long, trend int, sar double, ep double, afs long"
@@ -2666,3 +2626,85 @@ def win_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ep = min(ep, l)
         out.append((i + 1, trend, sar, ep, afs))
     return spark.createDataFrame(out, schema).orderBy("day")
+
+
+_HULL_TAIL = """
+pts AS (
+    SELECT day, cents,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+    FROM {daily}
+),
+sums AS (
+    SELECT day, rn,
+           SUM(cents) OVER (ORDER BY rn
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a8,
+           SUM(rn * cents) OVER (ORDER BY rn
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS p8,
+           SUM(cents) OVER (ORDER BY rn
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS a16,
+           SUM(rn * cents) OVER (ORDER BY rn
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS p16
+    FROM pts
+),
+inner_ AS (
+    SELECT day, rn,
+           CAST(68 * (p8 - (rn - 8) * a8)
+                - 9 * (p16 - (rn - 16) * a16) AS BIGINT) AS inum
+    FROM sums
+    WHERE rn >= 16
+),
+hull AS (
+    SELECT day, rn,
+           SUM(inum) OVER (ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ha,
+           SUM(rn * inum) OVER (ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS hp,
+           CAST(COUNT(*) OVER (ORDER BY rn
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+    FROM inner_
+)
+SELECT day,
+       CAST(hp - (rn - 4) * ha AS BIGINT) AS hma_num_scaled,
+       CAST(CAST(hp - (rn - 4) * ha AS BIGINT) AS DOUBLE) / 12240.0
+           AS hull_ma
+FROM hull
+WHERE m = 4
+ORDER BY day"""
+
+_HULL_DUCK_DAILY = """
+daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+)"""
+
+
+@register(
+    "win_hull_ma",
+    oracle="WITH " + _HULL_DUCK_DAILY + "," + _HULL_TAIL.format(
+        daily="daily"
+    ),
+)
+def win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HULL MOVING AVERAGE over daily event revenue — the low-lag
+    trend line quant desks use in place of the SMA/EMA pair (HMA_16 =
+    WMA_4(2*WMA_8 - WMA_16)): responsive like a short window, smooth
+    like a long one. Every WMA is carried as an EXACT INT64 numerator
+    via the prefix identity N(t) = P(t) - (t-k)*A(t) (P = rolling sum
+    of rn*x, A = rolling sum of x — two frame sums replace the
+    position-weighted dot product a window cannot express directly),
+    the 2*WMA_8 - WMA_16 combination clears denominators through
+    lcm(36,136) = 1224 (inum = 68*N8 - 9*N16), and the published
+    hull_ma is ONE double division of exact sub-2^53 ints by the
+    constant 12240 — bit-identical on both engines.
+
+    Scale: rides the session-cached day-grain rollup
+    (frame_cache.events_daily) — no fact-table pass; all windows run
+    over the calendar-bounded daily frame (BOUNDED_GRAIN). Numpy
+    replay pin recomputes the textbook triangular-weight WMAs
+    directly.
+    """
+    events_daily(spark, sf_dir).select("day", "cents").createOrReplaceTempView(
+        "hull_daily"
+    )
+    return spark.sql("WITH " + _HULL_TAIL.format(daily="hull_daily").lstrip())

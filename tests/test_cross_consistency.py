@@ -1891,3 +1891,284 @@ def test_histogram_eq_kernel_known_answer_and_operator_replay(spark):
         assert r.eq_sum == sum(eq)
         assert r.eq_wsum == sum(v * (p + 1) for p, v in enumerate(eq))
         assert (r.eq_min, r.eq_max) == (min(eq), max(eq))
+
+
+def test_cliffs_delta_matches_brute_force_and_u_identity(spark):
+    """stats_cliffs_delta vs an O(n1*n2) brute force over the raw
+    sf0.001 values, plus the exact identity delta = 2*U1/(n1*n2) - 1
+    against stats_mannwhitney (same purchase-vs-click population)."""
+    row = QUERIES["stats_cliffs_delta"](spark, SF_SMALL).collect()[0]
+
+    ev = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = [
+        int(round(v * 100))
+        for t, v in zip(ev["event_type"], ev["value"])
+        if t == "purchase"
+    ]
+    b = [
+        int(round(v * 100))
+        for t, v in zip(ev["event_type"], ev["value"])
+        if t == "click"
+    ]
+    wins = sum(1 for x in a for y in b if x > y)
+    losses = sum(1 for x in a for y in b if x < y)
+    ties = len(a) * len(b) - wins - losses
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+    assert (row["wins"], row["losses"], row["ties"]) == (wins, losses, ties)
+    assert row["delta"] == (wins - losses) / (len(a) * len(b))
+    thr = abs(wins - losses) * 1000
+    nn = len(a) * len(b)
+    expect = (
+        "negligible" if thr < 147 * nn
+        else "small" if thr < 330 * nn
+        else "medium" if thr < 474 * nn
+        else "large"
+    )
+    assert row["magnitude"] == expect
+
+    mw = QUERIES["stats_mannwhitney"](spark, SF_SMALL).collect()[0]
+    assert (mw.n1, mw.n2) == (len(a), len(b))
+    # identity in EXACT integers (U1 is dyadic, 2*U1 is an int):
+    # wins - losses = 2*U1 - n1*n2
+    assert wins - losses == round(2 * mw.u1) - mw.n1 * mw.n2
+
+
+def test_kuiper_matches_numpy_ecdf_replay(spark):
+    """stats_kuiper vs a direct numpy ECDF scan over the raw sf0.001
+    purchase/view values (both one-sided suprema recomputed from the
+    pooled step function)."""
+    import numpy as np
+
+    row = QUERIES["stats_kuiper"](spark, SF_SMALL).collect()[0]
+
+    ev = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    g1 = np.sort(
+        np.round(
+            ev.loc[ev["event_type"] == "purchase", "value"].to_numpy() * 100
+        ).astype(np.int64)
+    )
+    g0 = np.sort(
+        np.round(
+            ev.loc[ev["event_type"] == "view", "value"].to_numpy() * 100
+        ).astype(np.int64)
+    )
+    n0, n1 = len(g0), len(g1)
+    vs = np.unique(np.concatenate([g0, g1]))
+    e0 = np.searchsorted(g0, vs, side="right")
+    e1 = np.searchsorted(g1, vs, side="right")
+    dplus = max(0, int(np.max(e0 * n1 - e1 * n0)))
+    dminus = max(0, int(np.max(e1 * n0 - e0 * n1)))
+    assert (row["n0"], row["n1"]) == (n0, n1)
+    assert (row["dplus_scaled"], row["dminus_scaled"]) == (dplus, dminus)
+    assert row["v_scaled"] == dplus + dminus
+    assert row["kuiper_v"] == (dplus + dminus) / (float(n0) * float(n1))
+
+
+def test_quade_matches_numpy_replay(spark):
+    """stats_quade vs a from-scratch numpy Quade implementation
+    (midranks within complete 5-type day blocks, blocks weighted by
+    the midrank of their within-day range) over raw sf0.001 events."""
+    import numpy as np
+    import pandas as pd
+
+    row = QUERIES["stats_quade"](spark, SF_SMALL).collect()[0]
+
+    ev = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .select("ts", "event_type")
+        .toPandas()
+    )
+    day = (
+        pd.to_datetime(ev["ts"]).astype("int64") // (86400 * 10**9)
+    ).astype("int64")
+    cells = (
+        pd.DataFrame({"day": day, "et": ev["event_type"]})
+        .groupby(["day", "et"])
+        .size()
+        .unstack()
+    )
+    full = cells.dropna()
+    m = full.to_numpy(dtype=np.float64)  # b x 5 counts
+    b, k = m.shape
+    assert k == 5 and b == row["n_blocks"]
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            r[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return r
+
+    r = np.vstack([midranks(m[i]) for i in range(b)])  # within-block
+    rng = m.max(axis=1) - m.min(axis=1)
+    q = midranks(rng)  # block weights
+    s = q[:, None] * (r - (k + 1) / 2)
+    a_stat = float((s * s).sum())
+    t_stat = float((s.sum(axis=0) ** 2).sum())
+    assert row["a16"] == round(a_stat * 16)
+    assert row["t16"] == round(t_stat * 16)
+    f_expect = (b - 1) * t_stat / (b * a_stat - t_stat)
+    assert abs(row["f_quade"] - f_expect) < 1e-9
+    assert (row["df1"], row["df2"]) == (4, 4 * (b - 1))
+
+
+def test_hull_ma_matches_numpy_triangular_wma_replay(spark):
+    """win_hull_ma vs the textbook definition computed directly in
+    numpy: HMA_16 = WMA_4(2*WMA_8 - WMA_16) with triangular weights
+    1..k (no prefix-identity shortcut — an independent derivation)."""
+    import numpy as np
+
+    rows = QUERIES["win_hull_ma"](spark, SF_SMALL).collect()
+    assert rows
+
+    ev = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .select("ts", "value")
+        .toPandas()
+    )
+    import pandas as pd
+
+    day = (
+        pd.to_datetime(ev["ts"]).astype("int64") // (86400 * 10**9)
+    ).astype("int64")
+    cents = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": day, "c": cents})
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+    )
+    x = daily.to_numpy(dtype=np.float64)
+    days = daily.index.to_numpy()
+
+    def wma(v, k):
+        w = np.arange(1, k + 1, dtype=np.float64)
+        out = np.full(len(v), np.nan)
+        for t in range(k - 1, len(v)):
+            out[t] = np.dot(v[t - k + 1 : t + 1], w) / w.sum()
+        return out
+
+    inner = 2 * wma(x, 8) - wma(x, 16)
+    hull = wma(inner[15:], 4)  # inner defined from index 15 on
+    expect = {}
+    for j in range(3, len(hull)):
+        expect[int(days[15 + j])] = hull[j]
+    for r in rows:
+        assert int(r.day) in expect
+        assert abs(r.hull_ma - expect[int(r.day)]) < 1e-6 * max(
+            1.0, abs(expect[int(r.day)])
+        )
+    assert len(rows) == len(expect)
+
+
+def test_ordinal_patterns_matches_numpy_replay(spark):
+    """ts_ordinal_patterns vs a direct numpy classification of every
+    consecutive day triple of the orders daily-revenue series (same
+    <=-tie rule), including shares and the Simpson index."""
+    import numpy as np
+    import pandas as pd
+
+    rows = {
+        r.pattern: r
+        for r in QUERIES["ts_ordinal_patterns"](spark, SF_SMALL).collect()
+    }
+    assert rows
+
+    o = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .select("o_orderdate", "o_totalprice")
+        .toPandas()
+    )
+    day = (
+        pd.to_datetime(o["o_orderdate"]).astype("int64") // (86400 * 10**9)
+    ).astype("int64")
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    y = (
+        pd.DataFrame({"d": day, "c": cents})
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    from collections import Counter
+
+    cnt = Counter()
+    for i in range(len(y) - 2):
+        y0, y1, y2 = int(y[i]), int(y[i + 1]), int(y[i + 2])
+        if y0 <= y1 and y1 <= y2:
+            p = "rise-rise"
+        elif y0 <= y1 and y1 > y2 and y0 <= y2:
+            p = "rise-dip"
+        elif y0 <= y1 and y1 > y2:
+            p = "peak"
+        elif y0 > y1 and y1 <= y2 and y0 <= y2:
+            p = "valley"
+        elif y0 > y1 and y1 <= y2:
+            p = "dip-rise"
+        else:
+            p = "fall-fall"
+        cnt[p] += 1
+    nt = sum(cnt.values())
+    simpson = sum(n * (n - 1) for n in cnt.values()) / (nt * (nt - 1))
+    assert set(rows) == set(cnt)
+    for p, r in rows.items():
+        assert r.n == cnt[p]
+        assert r.share_ppm == cnt[p] * 10**6 // nt
+        assert r.simpson_index == simpson
+
+
+def test_bilinear_kernel_known_answer_and_operator_replay(spark):
+    """bilinear_resize_gray: identity map returns the input; constant
+    image stays constant; 2x2 [0,255/255,255] -> 3x3 computed by hand
+    ((0+255)*32768//65536 = 127 on edges, 765*16384//65536 = 191 in
+    the center); then multimodal_bilinear_resize rows replayed from
+    the md5 generator formula."""
+    import hashlib
+
+    from e2e_data_pipeline_spark.operators.llm_multimodal import (
+        bilinear_resize_gray,
+    )
+
+    src9 = bytes(range(9))
+    assert bilinear_resize_gray(src9, 3, 3, 3, 3) == src9
+    assert bilinear_resize_gray(bytes([42] * 6), 3, 2, 5, 4) == bytes(
+        [42] * 20
+    )
+    assert bilinear_resize_gray(bytes([0, 255, 255, 255]), 2, 2, 3, 3) == (
+        bytes([0, 127, 255, 127, 191, 255, 255, 255, 255])
+    )
+
+    rows = {
+        int(r.doc_id): r
+        for r in QUERIES["multimodal_bilinear_resize"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert rows, "fixture must produce image rows"
+    for i in sorted(rows)[:3]:
+        w, h = 5 + i % 6, 5 + i % 5
+        rw, rh = 3 + i % 5, 3 + i % 4
+        px = bytes(
+            int(hashlib.md5(f"bl:{i}:{p}".encode()).hexdigest()[:2], 16)
+            for p in range(w * h)
+        )
+        rz = bilinear_resize_gray(px, w, h, rw, rh)
+        r = rows[i]
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, rw, rh)
+        assert r.px_sum == sum(rz)
+        assert r.px_wsum == sum(v * (q + 1) for q, v in enumerate(rz))
+        assert (r.px_tl, r.px_br) == (rz[0], rz[-1])

@@ -796,3 +796,50 @@ def test_sim_quantize_binary_recall(spark):
     assert truth
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_session_frame_cache_evicts_old_sf_dirs(spark):
+    """The shared session frame cache (graph frames + day-grain
+    rollups) must not pin frames for every fixture dir a session ever
+    touched (r9 advice): inserting a key for a fresh sf_dir beyond
+    the keep-last-N bound evicts (and unpersists) the oldest dir's
+    entries, including tuple-valued label frames."""
+    from e2e_data_pipeline_spark.operators import frame_cache as fc
+
+    class FakeFrame:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+            return self
+
+    app = spark.sparkContext.applicationId
+    saved = dict(fc._FRAME_CACHE)
+    fc._FRAME_CACHE.clear()
+    try:
+        frames = {}
+        for i in range(fc._CACHE_MAX_DIRS):
+            f = FakeFrame()
+            frames[f"/tmp/dir{i}"] = f
+            fc.session_cached(spark, f"/tmp/dir{i}", "edges", lambda f=f: f)
+        # tuple-valued entry in the oldest dir must also unpersist
+        pair = (FakeFrame(), FakeFrame())
+        fc._FRAME_CACHE[(app, "/tmp/dir0", "labels")] = pair
+        newest = FakeFrame()
+        fc.session_cached(spark, "/tmp/dirN", "edges", lambda: newest)
+        dirs_left = {k[1] for k in fc._FRAME_CACHE if k[0] == app}
+        assert "/tmp/dir0" not in dirs_left
+        assert "/tmp/dirN" in dirs_left
+        assert len(dirs_left) == fc._CACHE_MAX_DIRS
+        assert frames["/tmp/dir0"].unpersisted
+        assert pair[0].unpersisted and pair[1].unpersisted
+        # surviving dirs untouched, and a cache hit never rebuilds
+        assert not frames["/tmp/dir1"].unpersisted
+        got = fc.session_cached(
+            spark, "/tmp/dirN", "edges", lambda: FakeFrame()
+        )
+        assert got is newest
+    finally:
+        fc._FRAME_CACHE.clear()
+        fc._FRAME_CACHE.update(saved)

@@ -41,6 +41,8 @@ BOUNDED_GRAIN = {
     "ts_burst_detect": "day-grain series",
     "ts_changepoint_cusum": "day-grain series",
     "stats_sprt_sequential": "day-grain series (cumulative LLR walk)",
+    "stats_quade": "blocks-grain (one row per calendar day; the"
+    " global midrank of block ranges runs over <=days rows)",
     "ts_croston": "day-grain demand series",
     "ts_error_budget": "day-grain SLO series",
     "ts_granger_lag1": "day-grain series pair",
@@ -48,6 +50,10 @@ BOUNDED_GRAIN = {
     "ts_periodogram": "day-grain series (dense rank over calendar days)",
     "ts_peak_detect": "day-grain series",
     "ts_record_highs": "day-grain series",
+    "ts_ordinal_patterns": "day-grain series (triple lags over"
+    " calendar days)",
+    "win_hull_ma": "day-grain series (rolling WMA frames over"
+    " calendar days)",
     "ts_seasonal_decompose": "day-grain series",
     "ts_seasonal_index": "month-grain series",
     "ts_sharpe_sortino": "day-grain return series",
@@ -98,6 +104,8 @@ BOUNDED_GRAIN = {
     "stats_ks_test": "distinct-value step function",
     "stats_brunner_munzel": "50-value quantity domain rank frame",
     "stats_mannwhitney": "distinct-cents rank frame",
+    "stats_cliffs_delta": "distinct-cents prefix-sum frame",
+    "stats_kuiper": "distinct-value step function",
     "stats_median_ci": "distinct-cents order stats",
     "ml_eval_auc": "distinct-score-cents rank frame",
     "ml_eval_auc_delong": "distinct-score-cents rank frame",
