@@ -10,14 +10,19 @@ Prints ONE JSON line with the same shape as bench.py:
    "queries": {...}, "sf": ...}
 
 Methodology mirrors bench.py: noop-sink end-to-end execution, one
-untimed warmup pass, then three timed passes keeping the per-query
-minimum (scheduler noise is additive; min-of-N estimates engine cost).
+untimed warmup pass, then four timed passes keeping the per-query
+minimum (scheduler noise is additive; min-of-N estimates engine cost)
+plus per-query median / CV and total_median, so the LLM-side series
+is noise-separable the same way the relational headline became in r9
+(uniform CV + drifting medians = host shift; a single query's min
+moving = a real regression).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,16 +55,22 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for _ in range(3):
+    n_passes = 4
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_passes):
         for name in names:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            samples[name].append(time.time() - t0)
+
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    cvs = {
+        n: round(statistics.pstdev(s) / (statistics.mean(s) or 1.0), 3)
+        for n, s in samples.items()
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -73,6 +84,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_cv": cvs,
+                "passes": n_passes,
+                "total_median": round(sum(medians.values()), 3),
                 "sf": sf_val,
             }
         )
