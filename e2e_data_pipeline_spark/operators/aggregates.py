@@ -14178,3 +14178,513 @@ def stats_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", "n"
     ).createOrReplaceTempView("quade_cells")
     return spark.sql("WITH " + _QUADE_TAIL.format(cells="quade_cells").lstrip())
+
+
+@register(
+    "stats_ad_2sample",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_x
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'A') AND l_orderkey % 8 = 0
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(COALESCE(SUM(is_x), 0) AS BIGINT) AS nx
+        FROM pool
+    ),
+    ranked AS (
+        SELECT is_x,
+               CAST(row_number() OVER
+                    (ORDER BY cents, l_orderkey, l_linenumber, is_x)
+                    AS BIGINT) AS j,
+               CAST(SUM(is_x) OVER
+                    (ORDER BY cents, l_orderkey, l_linenumber, is_x
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mj
+        FROM pool
+    ),
+    terms AS (
+        SELECT CAST(
+                 CAST((mj * nn - j * nx) * 1000 AS DECIMAL(19,0))
+                 * CAST((mj * nn - j * nx) * 1000 AS DECIMAL(19,0))
+                 AS HUGEINT
+               ) // (j * (nn - j)) AS term
+        FROM ranked CROSS JOIN tot
+        WHERE j < nn
+    ),
+    folded AS (
+        SELECT CAST(SUM(CAST(term AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sum_ppm
+        FROM terms
+    )
+    SELECT nx AS n_ret,
+           nn - nx AS m_acc,
+           CAST(CAST(sum_ppm AS HUGEINT)
+                // GREATEST(nx * (nn - nx), 1) AS BIGINT) AS a2_ppm
+    FROM folded CROSS JOIN tot
+    """,
+)
+def stats_ad_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A2 (Pettitt 1976 untied form)
+    comparing RETURNED (R) vs ACCEPTED (A) line-item price distributions, reported as
+    an EXACT integer ppm — no float ever enters the pipeline:
+
+        A2 = 1/(n*m) * SUM_{j=1}^{N-1} (M_j*N - j*n)^2 / (j*(N-j))
+
+    Ranks are deterministically tie-broken by (cents, l_orderkey,
+    l_linenumber, is_x) (remaining ties are full duplicates, so M_j
+    is permutation-invariant); each term rides the blessed truncating
+    integer division (Spark DECIMAL ``div`` == DuckDB HUGEINT ``//``
+    on positive operands, r3/r9 recipe) with the 1e6 ppm factor
+    folded INTO the squared operand ((a*1000)^2 = a^2*1e6) so the
+    d19*d19 product stays inside DECIMAL(38) and forces DuckDB's
+    HUGEINT multiply kernel. Per-term truncation bounds the ppm error
+    of the sum by N/(n*m) — sub-ppm at every fixture scale.
+
+    Overflow envelope: |a| = |M_j*N - j*n| <= N*min(j, N-j), so each
+    term <= N^2*1e6 — int64-safe to N ~ 3e6 pool rows (the %8 fold +
+    two-flag filter keeps the pool at ~lineitem/12, i.e. safe past
+    100x fixture scale); the SUM itself rides DECIMAL(38,0).
+
+    Scale: ONE distributed global_rank pass (range partition +
+    per-partition window, no single-partition sort) and a 1-row fold;
+    n, m embed as literals from the rank pass's bounded collect.
+    Replay-pinned against an integer-exact Python implementation plus
+    a float AD cross-check in tests/test_cross_consistency.py.
+    """
+    pool = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_returnflag").isin("R", "A")
+            & (F.col("l_orderkey") % 8 == 0)
+        )
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_x"),
+        )
+    )
+    ranked, nn, sums = global_rank(
+        pool,
+        [
+            F.col("cents"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("is_x"),
+        ],
+        sum_cols=("is_x",),
+        rn_name="j",
+    )
+    nx = int(sums.get("is_x", 0) or 0)
+    nm = max(nx * (nn - nx), 1)
+    terms = ranked.where(F.col("j") < F.lit(nn)).select(
+        F.expr(
+            f"CAST((cum_is_x * {nn} - j * {nx}) * 1000 AS DECIMAL(19,0))"
+            f" * CAST((cum_is_x * {nn} - j * {nx}) * 1000 AS DECIMAL(19,0))"
+            f" div (j * ({nn} - j))"
+        ).alias("term")
+    )
+    folded = terms.agg(
+        F.sum(F.col("term").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_ppm")
+    )
+    return folded.select(
+        F.lit(nx).cast("long").alias("n_ret"),
+        F.lit(nn - nx).cast("long").alias("m_acc"),
+        F.expr(f"CAST(sum_ppm div {nm} AS BIGINT)").alias("a2_ppm"),
+    )
+
+
+_LOGRANK_TAIL = """g AS (
+    SELECT dur,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 - censored ELSE 0 END)
+                AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 - censored ELSE 0 END)
+                AS BIGINT) AS d2
+    FROM {u} GROUP BY dur
+),
+risk AS (
+    SELECT dur, d1, d2,
+           CAST(SUM(n1) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n1r,
+           CAST(SUM(n2) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n2r
+    FROM g
+),
+evt AS (
+    SELECT d1, d2, d1 + d2 AS dt, n1r, n2r, n1r + n2r AS nt
+    FROM risk WHERE d1 + d2 > 0
+),
+terms AS (
+    SELECT d1,
+           (dt * n1r * 1000000) {div} nt AS e1_term,
+           CASE WHEN nt > 1 THEN CAST(
+               {h}CAST(dt * n1r * 1000 AS DECIMAL(19,0))
+               * CAST(n2r * (nt - dt) * 1000 AS DECIMAL(19,0)){hc}
+               {div} (nt * nt * (nt - 1)) AS BIGINT)
+           ELSE 0 END AS v_term
+    FROM evt
+),
+folded AS (
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           CAST(SUM(e1_term) AS BIGINT) AS e1_ppm,
+           CAST(SUM(v_term) AS BIGINT) AS v_ppm
+    FROM terms
+)
+SELECT o1, e1_ppm, v_ppm,
+       CASE WHEN COALESCE(v_ppm, 0) > 0 THEN
+           CAST(o1 * 1000000 - e1_ppm AS DOUBLE)
+           * CAST(o1 * 1000000 - e1_ppm AS DOUBLE)
+           / CAST(v_ppm AS DOUBLE) / CAST(1000000 AS DOUBLE)
+       END AS logrank_chi2
+FROM folded"""
+
+_LOGRANK_ORACLE = (
+    """
+    WITH u AS (
+        SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS grp,
+               LEAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE),
+                     60) AS dur,
+               CASE WHEN CAST(l.l_shipdate AS DATE)
+                         - CAST(o.o_orderdate AS DATE) > 60
+                    THEN 1 ELSE 0 END AS censored
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+          AND o.o_orderkey % 4 = 0
+    ),
+    """
+    + _LOGRANK_TAIL.format(u="u", div="//", h="CAST(", hc=" AS HUGEINT)")
+)
+
+
+@register("stats_logrank", oracle=_LOGRANK_ORACLE)
+def stats_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test on order fulfillment
+    times — do URGENT orders ship faster than LOW-priority ones?
+    Each line item is a subject, time-to-event = ship lag in days
+    (l_shipdate - o_orderdate), administratively right-censored at 60
+    days (the classic fixed-horizon study design; the fixture's
+    user-lifetime framing is fully censored, so the test would be
+    vacuous there); at every event time the observed group-1 deaths are
+    compared to the hypergeometric expectation E = dt*n1/nt with
+    variance V = dt*(n1/nt)*(n2/nt)*(nt-dt)/(nt-1). E and V ride
+    exact ppm integers (blessed truncating division: Spark DECIMAL
+    ``div`` == DuckDB HUGEINT ``//``, the d19*d19 product forcing
+    DuckDB's HUGEINT multiply kernel with the 1e6 folded into the
+    operands); chi2 = (O-E)^2/V is a fixed-order double chain over
+    sub-2^53 ints (nt=1 rows carry zero variance by the standard
+    convention; a zero-variance frame emits NULL chi2, never a
+    division). Truncation bounds: each E/V term errs < 1 ppm-unit,
+    so chi2 is exact to ~#event-times ppm.
+
+    Scale: one fact join keyed on orderkey (the filtered orders side
+    prunes lineitem via the join), a duration-grain pivot (<= 61
+    rows), suffix-sum risk sets over that tiny frame (the km trick),
+    and a 1-row fold. The shared tail
+    SQL text is IDENTICAL on both engines (only the per-user scan
+    differs); replay-pinned against a from-scratch Python log-rank
+    in tests/test_cross_consistency.py.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+            & (F.col("o_orderkey") % 4 == 0)
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    u = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("grp"),
+            F.least(lag, F.lit(60)).alias("dur"),
+            F.when(lag > 60, 1).otherwise(0).alias("censored"),
+        )
+    )
+    u.createOrReplaceTempView("logrank_users")
+    return spark.sql(
+        "WITH "
+        + _LOGRANK_TAIL.format(u="logrank_users", div="div", h="", hc="")
+    )
+
+
+def _ipf_sql(cells: str, div: str, h: str, hc: str, rounds: int = 3) -> str:
+    """Generated IPF (iterative proportional fitting / raking) CTE
+    chain, IDENTICAL text on both engines modulo the four dialect
+    tokens: seed = first-half-window (event_type x dow) counts,
+    targets = full-window margins, weights held as exact ppm int64
+    (every scale factor is the blessed truncating division over a
+    d19*d19 decimal product, so both engines walk bit-identical
+    integer states)."""
+    f_expr = (
+        "CAST({h}CAST(t.tgt * 1000000 AS DECIMAL(19,0))"
+        " * CAST(1000000 AS DECIMAL(19,0)){hc} {div} m.cur AS BIGINT)"
+    ).format(h=h, hc=hc, div=div)
+    parts = [
+        """full_c AS (
+    SELECT et, dow, CAST(SUM(n) AS BIGINT) AS nf FROM {cells} GROUP BY et, dow
+),
+mid AS (
+    SELECT (MIN(day) + MAX(day) + 1) {div} 2 AS mid FROM {cells}
+),
+seed AS (
+    SELECT et, dow, CAST(SUM(n) AS BIGINT) AS n0
+    FROM {cells} CROSS JOIN mid WHERE day < mid
+    GROUP BY et, dow HAVING SUM(n) > 0
+),
+rowtgt AS (SELECT et, CAST(SUM(nf) AS BIGINT) AS tgt FROM full_c GROUP BY et),
+coltgt AS (SELECT dow, CAST(SUM(nf) AS BIGINT) AS tgt FROM full_c GROUP BY dow),
+state0 AS (
+    SELECT et, dow, n0, CAST(1000000 AS BIGINT) AS w FROM seed
+)""".format(cells=cells, div=div)
+    ]
+    k = 0
+    for _ in range(rounds):
+        for key, tgt in (("et", "rowtgt"), ("dow", "coltgt")):
+            parts.append(
+                """m{k} AS (
+    SELECT {key}, CAST(SUM(n0 * w) AS BIGINT) AS cur
+    FROM state{k} GROUP BY {key}
+),
+state{k1} AS (
+    SELECT s.et, s.dow, s.n0,
+           CAST((s.w * {f}) {div} 1000000 AS BIGINT) AS w
+    FROM state{k} s
+    JOIN {tgt} t ON t.{key} = s.{key}
+    JOIN m{k} m ON m.{key} = s.{key}
+)""".format(k=k, k1=k + 1, key=key, tgt=tgt, f=f_expr, div=div)
+            )
+            k += 1
+    tail = """
+SELECT s.et AS event_type, s.dow, s.n0, s.w AS w_ppm,
+       CAST((s.n0 * s.w) {div} 1000000 AS BIGINT) AS raked
+FROM state{k} s
+ORDER BY s.et, s.dow""".format(k=k, div=div)
+    return "WITH " + ",\n".join(parts) + tail
+
+
+_IPF_ORACLE = _ipf_sql(
+    cells="ev_cells", div="//", h="CAST(", hc=" AS HUGEINT)"
+).replace(
+    "WITH full_c",
+    """WITH ev_cells AS (
+    SELECT event_type AS et,
+           (epoch_us(ts) // 86400000000) % 7 AS dow,
+           epoch_us(ts) // 86400000000 AS day,
+           1 AS n
+    FROM events
+),
+full_c""",
+)
+
+
+@register("agg_ipf_raking", oracle=_IPF_ORACLE)
+def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / iterative proportional fitting: calibrate the
+    first-half-window (event_type x day-of-week) count grid so its
+    margins match the FULL window's margins — the standard weighting
+    step for panels, survey post-stratification, and debiasing a
+    sampled training corpus against known marginal totals. Three
+    row/column rounds (6 scale steps) with weights as exact ppm
+    int64: every scale factor f = target*1e12 div current rides the
+    blessed truncating division (d19*d19 product forces DuckDB's
+    HUGEINT kernel), so both engines walk bit-identical integer
+    weight states; no float ever appears. Margin-fit quality after 3
+    rounds is property-pinned (strict improvement over the seed
+    margins plus a truncation-aware absolute bound) and the full
+    integer walk is replay-pinned in tests/test_cross_consistency.py.
+
+    Overflow envelope: tgt*1e6 stays int64 to ~9e12 events; n0*w
+    int64 to ~1e13 cell-weight products — two orders past the 30x
+    smoke.
+
+    Scale: rides the session-cached (day, event_type) rollup; all
+    IPF stages operate on the 35-cell grid (5 types x 7 dows) —
+    constant-size joins regardless of fact scale.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import (
+        events_daily_by_type,
+    )
+
+    events_daily_by_type(spark, sf_dir).select(
+        F.col("event_type").alias("et"),
+        (F.col("day") % 7).alias("dow"),
+        "day",
+        "n",
+    ).createOrReplaceTempView("ipf_cells")
+    return spark.sql(_ipf_sql(cells="ipf_cells", div="div", h="", hc=""))
+
+
+_HOEFFD_TAIL = """pairsum AS (
+    SELECT a.i,
+           CAST(SUM(CASE WHEN b.x < a.x THEN 2 WHEN b.x = a.x THEN 1
+                    ELSE 0 END) AS BIGINT) AS r2,
+           CAST(SUM(CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1
+                    ELSE 0 END) AS BIGINT) AS s2,
+           CAST(SUM((CASE WHEN b.x < a.x THEN 2 WHEN b.x = a.x THEN 1
+                     ELSE 0 END)
+                  * (CASE WHEN b.y < a.y THEN 2 WHEN b.y = a.y THEN 1
+                     ELSE 0 END)) AS BIGINT) AS q4
+    FROM {pts} a JOIN {pts} b ON b.i <> a.i
+    GROUP BY a.i
+),
+folded AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q4 * (q4 - 4)) AS BIGINT) AS a1,
+           CAST(SUM(r2 * (r2 - 2) * s2 * (s2 - 2)) AS BIGINT) AS a2,
+           CAST(SUM((r2 - 2) * (s2 - 2) * q4) AS BIGINT) AS a3
+    FROM pairsum
+)
+SELECT n, a1, a2, a3,
+       CASE WHEN n >= 5 THEN
+           CAST(30 * ((n - 2) * (n - 3) * a1 + a2 - 2 * (n - 2) * a3)
+                AS DOUBLE)
+           / CAST(16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS DOUBLE)
+       END AS hoeffding_d
+FROM folded"""
+
+_HOEFFD_ORACLE = (
+    """
+    WITH pts AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS i,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    """
+    + _HOEFFD_TAIL.format(pts="pts")
+)
+
+
+@register("stats_hoeffding_d", oracle=_HOEFFD_ORACLE)
+def stats_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D test of (nonlinear) independence between daily
+    revenue and daily order count — the classic rank statistic that
+    catches dependence Pearson/Spearman miss. Tie handling is the
+    phi = 1/(1/2)/0 midrank convention carried in DOUBLED/quadrupled
+    integer units (r2 = 2*(midrank_x - 1), q4 = 4*(bivariate rank
+    - 1)), so D1, D2, D3 clear their dyadic denominators into the
+    exact int64 sums a1, a2, a3 and D is ONE double division of
+    exact int64s (int64 -> double is a single IEEE rounding on both
+    engines at any magnitude — the INT64-immunity rule). Bounds: with
+    n = calendar days (~2.4k, scale-invariant), a2 <= n*(2n)^4 ~
+    1.3e18 — inside int64 forever.
+
+    Scale: rides the session-cached day-grain orders rollup; the
+    pairwise dominance join is day-grain (~2400^2 = 5.8M comparisons,
+    calendar-bounded at ANY fixture scale — never row-count-sized).
+    Replay-pinned against a brute-force O(n^2) Python Hoeffding D in
+    tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    orders_daily(spark, sf_dir).select(
+        F.col("d").alias("i"), F.col("y").alias("x"), F.col("n").alias("y")
+    ).createOrReplaceTempView("hoeffd_pts")
+    return spark.sql("WITH " + _HOEFFD_TAIL.format(pts="hoeffd_pts"))
+
+
+_PKENDALL_TAIL = """pairs AS (
+    SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                    WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS txy,
+           CAST(SUM(CASE WHEN (a.x - b.x) * (a.z - b.z) > 0 THEN 1
+                    WHEN (a.x - b.x) * (a.z - b.z) < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS txz,
+           CAST(SUM(CASE WHEN (a.y - b.y) * (a.z - b.z) > 0 THEN 1
+                    WHEN (a.y - b.y) * (a.z - b.z) < 0 THEN -1
+                    ELSE 0 END) AS BIGINT) AS tyz,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM {pts} a JOIN {pts} b ON a.i < b.i
+)
+SELECT m, txy, txz, tyz,
+       CASE WHEN (m * m - txz * txz) > 0 AND (m * m - tyz * tyz) > 0 THEN
+           CAST(txy * m - txz * tyz AS DOUBLE)
+           / SQRT({wd})
+       END AS partial_tau
+FROM pairs"""
+
+
+def _pkendall_sql(pts: str, h: str, hc: str) -> str:
+    prod = (
+        "{h}CAST(m * m - txz * txz AS DECIMAL(19,0))"
+        " * CAST(m * m - tyz * tyz AS DECIMAL(19,0)){hc}"
+    ).format(h=h, hc=hc)
+    return _PKENDALL_TAIL.format(pts=pts, wd=wide_dbl("(" + prod + ")"))
+
+
+_PKENDALL_ORACLE = (
+    """
+    WITH pts AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS i,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                        ELSE 0 END) AS BIGINT) AS z
+        FROM orders GROUP BY 1
+    ),
+    """
+    + _pkendall_sql(pts="pts", h="CAST(", hc=" AS HUGEINT)")
+)
+
+
+@register("stats_partial_kendall", oracle=_PKENDALL_ORACLE)
+def stats_partial_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial Kendall tau: is daily revenue still associated with
+    daily order count once the urgent-order volume is controlled
+    for?  tau_xy.z = (Txy*M - Txz*Tyz) / sqrt((M^2-Txz^2)(M^2-Tyz^2))
+    over tau-a concordance numerators (ties contribute 0,
+    documented): the T sums and M = n(n-1)/2 are exact int64 from a
+    day-grain pairwise join, the numerator stays int64 (< 2^53 —
+    exactly representable), the radicand rides a d19*d19 decimal
+    product rendered through wide_dbl (bit-identical 3-limb fold),
+    and SQRT is correctly rounded on both engines — one fixed-order
+    chain, bit-equal everywhere. Degenerate perfect correlation
+    (|T| = M) emits NULL instead of dividing by zero.
+
+    Scale: one map-side day rollup (+ the cached orders_daily frame
+    for x, y), then a calendar-bounded ~2400^2 pairwise join — never
+    row-count-sized. Replay-pinned against a brute-force Python
+    partial tau in tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    base = orders_daily(spark, sf_dir).select(
+        F.col("d").alias("i"), F.col("y").alias("x"), F.col("n").alias("y")
+    )
+    urg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"
+            ).alias("i")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("z")
+        )
+    )
+    base.join(urg, "i").createOrReplaceTempView("pkendall_pts")
+    return spark.sql(
+        "WITH " + _pkendall_sql(pts="pkendall_pts", h="", hc="")
+    )

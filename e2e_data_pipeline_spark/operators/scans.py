@@ -3765,3 +3765,165 @@ def sink_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "scan_parquet_page_index",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS BIGINT) - 1 AS rn
+        FROM orders
+    )
+    SELECT rn // 1000 AS page_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(CASE WHEN MIN(cents) <= 2000000 AND MAX(cents) >= 1000000
+                THEN 1 ELSE 0 END AS BIGINT) AS selected,
+           CAST(SUM(CASE WHEN cents BETWEEN 1000000 AND 2000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_in_range
+    FROM ranked GROUP BY rn // 1000
+    """,
+)
+def scan_parquet_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet PAGE-level skipping (ColumnIndex/OffsetIndex, the
+    parquet-mr page-index feature engines use for sub-row-group
+    pruning) — executed, not simulated: orders are written as ONE
+    file sorted by (cents, o_orderkey) with
+    ``parquet.page.row.count.limit=1000`` so every data page covers a
+    deterministic 1000-row rank slice; the op then reads the FOOTER's
+    column index back through the JVM ParquetFileReader (pyarrow does
+    not expose page indexes) and emits, per page: the row count from
+    the OffsetIndex, the min/max cents the index CLAIMS, the
+    range-query selection flag (page overlaps [$10k, $20k]), and the
+    true in-range row count from a physical re-read keyed by
+    ``_metadata.row_index div 1000``. The oracle recomputes every
+    column from rank arithmetic alone, so a hash match proves the
+    page index is sound for pruning: a page the index would skip can
+    contain no qualifying row (any mis-filed row or wrong index bound
+    breaks min/max, n_rows, or rows_in_range).
+
+    Scale: the index walk is O(pages) FOOTER metadata with zero data
+    I/O — the 100 TB point-query path below row-group grain (pages ≈
+    rows/1000; a 150k-row fixture file has 150). The walk runs on the
+    driver via py4j here (bounded metadata, documented); a cluster
+    deployment pushes the same reader calls into executors. Multiple
+    row groups are handled by accumulating block row counts into
+    file-absolute page offsets.
+    """
+    import glob as _glob
+    import shutil
+    import struct
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    work = tempfile.mkdtemp(prefix="e2e_pgidx_")
+    out_schema = (
+        "page_id long, n_rows long, min_cents long, max_cents long,"
+        " selected long, rows_in_range long"
+    )
+    try:
+        (
+            src.coalesce(1)
+            .sortWithinPartitions("cents", "o_orderkey")
+            .write.option("parquet.page.row.count.limit", "1000")
+            .parquet(f"{work}/t")
+        )
+        files = sorted(_glob.glob(f"{work}/t/part-*.parquet"))
+        pages = []
+        total_rows = 0
+        for f in files:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(f), conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+            try:
+                blocks = reader.getFooter().getBlocks()
+                block_start = 0
+                for b in range(blocks.size()):
+                    blk = blocks.get(b)
+                    cols = blk.getColumns()
+                    for i in range(cols.size()):
+                        c = cols.get(i)
+                        if c.getPath().toDotString() != "cents":
+                            continue
+                        oi = reader.readOffsetIndex(c)
+                        ci = reader.readColumnIndex(c)
+                        mins, maxs = ci.getMinValues(), ci.getMaxValues()
+                        np_ = oi.getPageCount()
+
+                        def dec(bb):
+                            try:
+                                raw = bytes(bb.array())[
+                                    bb.arrayOffset() + bb.position():
+                                    bb.arrayOffset() + bb.limit()
+                                ]
+                            except Exception:
+                                raw = bytes(
+                                    [bb.get(j) for j in range(bb.limit())]
+                                )
+                            return struct.unpack("<q", raw)[0]
+
+                        firsts = [
+                            block_start + oi.getFirstRowIndex(p)
+                            for p in range(np_)
+                        ]
+                        firsts.append(block_start + blk.getRowCount())
+                        for p in range(np_):
+                            lo, hi = dec(mins.get(p)), dec(maxs.get(p))
+                            pages.append(
+                                (
+                                    firsts[p] // 1000,
+                                    firsts[p + 1] - firsts[p],
+                                    lo,
+                                    hi,
+                                    1 if (lo <= 2000000 and hi >= 1000000)
+                                    else 0,
+                                )
+                            )
+                    block_start += blk.getRowCount()
+                total_rows += block_start
+            finally:
+                reader.close()
+        if total_rows == 0:
+            return spark.createDataFrame([], out_schema)
+        idx = spark.createDataFrame(
+            pages,
+            "page_id long, n_rows long, min_cents long, max_cents long,"
+            " selected long",
+        )
+        counts = (
+            spark.read.schema("cents long, o_orderkey long")
+            .parquet(f"{work}/t")
+            .select(
+                F.expr("_metadata.row_index div 1000").alias("page_id"),
+                "cents",
+            )
+            .where(F.col("cents").between(1000000, 2000000))
+            .groupBy("page_id")
+            .agg(F.count("*").cast("long").alias("rows_in_range"))
+        )
+        out = (
+            idx.join(counts, "page_id", "left")
+            .select(
+                "page_id",
+                "n_rows",
+                "min_cents",
+                "max_cents",
+                "selected",
+                F.coalesce(F.col("rows_in_range"), F.lit(0))
+                .cast("long")
+                .alias("rows_in_range"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -6540,3 +6540,247 @@ def ts_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _ORDPAT_TAIL.format(daily="ordpat_daily").replace(" // ", " div ")
         .lstrip()
     )
+
+
+_SAMPEN_TAIL = """t AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, y
+    FROM {daily}
+),
+lagd AS (
+    SELECT rn, y AS x0,
+           LEAD(y, 1) OVER (ORDER BY rn) AS x1,
+           LEAD(y, 2) OVER (ORDER BY rn) AS x2
+    FROM t
+),
+tolr AS (
+    SELECT (MAX(y) - MIN(y)) {div} 10 AS tol FROM t
+),
+pairs AS (
+    SELECT CAST(COUNT(CASE WHEN a.x1 IS NOT NULL AND b.x1 IS NOT NULL
+                    AND ABS(a.x0 - b.x0) <= tolr.tol
+                    AND ABS(a.x1 - b.x1) <= tolr.tol THEN 1 END)
+                AS BIGINT) AS b_pairs,
+           CAST(COUNT(CASE WHEN a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+                    AND ABS(a.x0 - b.x0) <= tolr.tol
+                    AND ABS(a.x1 - b.x1) <= tolr.tol
+                    AND ABS(a.x2 - b.x2) <= tolr.tol THEN 1 END)
+                AS BIGINT) AS a_pairs,
+           CAST(MAX(tolr.tol) AS BIGINT) AS tol_cents
+    FROM lagd a JOIN lagd b ON a.rn < b.rn CROSS JOIN tolr
+)
+SELECT b_pairs, a_pairs, tol_cents,
+       CASE WHEN b_pairs > 0
+            THEN (a_pairs * 1000000) {div} b_pairs END AS a2b_ppm
+FROM pairs"""
+
+_SAMPEN_ORACLE = (
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    """
+    + _SAMPEN_TAIL.format(daily="daily", div="//")
+)
+
+
+@register("ts_sample_entropy", oracle=_SAMPEN_ORACLE)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (SampEn, m=2) ingredients for the daily revenue
+    series — the regularity/complexity score used to separate noisy
+    from template-repeating series. Templates are consecutive pairs
+    T_i=(x_i,x_{i+1}) and triples U_i=(x_i,x_{i+1},x_{i+2}) over the
+    rank-ordered day series (documented variant: template sets run to
+    the end of the series rather than both stopping at N-3); B counts
+    template pairs i<j with Chebyshev distance <= tol, A the same over
+    triples, with tol = (max-min) div 10 in integer cents. SampEn
+    would be -ln(A/B); the log-free house form reports the exact
+    integer ratio a2b_ppm = A*1e6 div B (blessed truncating division)
+    plus the raw A, B counts — every number int64-exact on both
+    engines from IDENTICAL tail SQL.
+
+    Scale: rides the session-cached day-grain orders rollup (zero
+    extra fact passes); the self-join is day-grain (~400x400 at any
+    fixture SF — calendar-bounded, never row-count-sized). The
+    single-partition windows are day-grain (plan-sweep whitelisted).
+    Replay-pinned against a from-scratch numpy SampEn in
+    tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    orders_daily(spark, sf_dir).select("d", "y").createOrReplaceTempView(
+        "sampen_daily"
+    )
+    return spark.sql(
+        "WITH " + _SAMPEN_TAIL.format(daily="sampen_daily", div="div")
+    )
+
+
+def _dfa_sql(daily: str, div: str, h: str, hc: str) -> str:
+    """Generated DFA CTE chain (scales 4/8/16/32), IDENTICAL text on
+    both engines modulo dialect tokens. Per box: cleared-denominator
+    least-squares residual sum num = Syy_c*Sxx_c - Sxy_c^2 with
+    Sxx_c = s*sum(x^2) - (sum x)^2 a per-scale integer LITERAL
+    (x = 1..s is the same in every box), so the per-scale fluctuation
+    F^2 = sum(num) / (Sxx_c * s^2 * n_boxes) is ONE blessed
+    truncating division into exact ppm."""
+    ranked = """ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+           y {div} 10000 AS yd
+    FROM {daily}
+)""".format(daily=daily, div=div)
+    parts = [ranked]
+    selects = []
+    for s in (4, 8, 16, 32):
+        sx = s * (s + 1) // 2
+        sx2 = s * (s + 1) * (2 * s + 1) // 6
+        sxx_c = s * sx2 - sx * sx
+        parts.append(
+            """box{s} AS (
+    SELECT (rn - 1) {div} {s} AS b,
+           CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(yd) AS BIGINT) AS sy,
+           CAST(SUM(yd * yd) AS BIGINT) AS syy,
+           CAST(SUM((rn - ((rn - 1) {div} {s}) * {s}) * yd) AS BIGINT)
+               AS sxy
+    FROM ranked GROUP BY (rn - 1) {div} {s}
+    HAVING COUNT(*) = {s}
+),
+num{s} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_boxes,
+           CAST(SUM(
+               {h}CAST({s} * syy - sy * sy AS DECIMAL(19,0))
+               * CAST({sxx_c} AS DECIMAL(19,0)){hc}
+             - {h}CAST({s} * sxy - {sx} * sy AS DECIMAL(19,0))
+               * CAST({s} * sxy - {sx} * sy AS DECIMAL(19,0)){hc}
+           ) AS DECIMAL(38,0)) AS num
+    FROM box{s}
+)""".format(s=s, sx=sx, sxx_c=sxx_c, div=div, h=h, hc=hc)
+        )
+        selects.append(
+            """SELECT CAST({s} AS BIGINT) AS scale, n_boxes,
+       CASE WHEN n_boxes > 0 THEN CAST(
+           {h2}num * 1000000{hc2} {div} ({sxx_c} * {s2} * n_boxes)
+           AS BIGINT) END AS f2_ppm
+FROM num{s}""".format(
+                s=s,
+                s2=s * s,
+                sxx_c=sxx_c,
+                div=div,
+                h2="CAST(" if hc else "",
+                hc2=" AS HUGEINT)" if hc else "",
+            )
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+_DFA_ORACLE = _dfa_sql(
+    daily="daily", div="//", h="CAST(", hc=" AS HUGEINT)"
+).replace(
+    "WITH ranked",
+    """WITH daily AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders GROUP BY 1
+),
+ranked""",
+)
+
+
+@register("ts_dfa", oracle=_DFA_ORACLE)
+def ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis (DFA-1) of daily revenue at
+    scales 4/8/16/32 days — the standard long-range-correlation
+    probe (Peng 1994): per complete box of s consecutive days, fit a
+    line and sum squared residuals; F^2(s) grows ~ s^(2*alpha). The
+    residual sum rides the cleared-denominator identity
+    num = Syy_c*Sxx_c - Sxy_c^2 (exact ints; Sxx_c is a per-scale
+    LITERAL since x = 1..s in every box), summed in DECIMAL(38) and
+    published as exact ppm via ONE blessed truncating division —
+    log-free; a consumer reads the Hurst-like slope from the f2_ppm
+    ratios across scales. Units are hundred-dollar
+    blocks (cents div 10000): keeps every pre-decimal intermediate
+    (s*syy, sy^2) int64-exact to ~3000x the sf0.1 fixture — the 10x
+    smoke caught whole-dollar units overflowing 32*syy at exactly the
+    r4 ANSI-asymmetry class, hence the coarser grain.
+
+    Scale: rides the session-cached day-grain orders rollup; every
+    window/group is calendar-bounded (~2400 days, ~600 boxes at
+    s=4). Replay-pinned against a from-scratch numpy least-squares
+    DFA in tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    orders_daily(spark, sf_dir).select("d", "y").createOrReplaceTempView(
+        "dfa_daily"
+    )
+    return spark.sql(_dfa_sql(daily="dfa_daily", div="div", h="", hc=""))
+
+
+_TURNPT_TAIL = """t AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, y
+    FROM {daily}
+),
+lagd AS (
+    SELECT y,
+           LAG(y, 1) OVER (ORDER BY rn) AS yp,
+           LEAD(y, 1) OVER (ORDER BY rn) AS yn
+    FROM t
+),
+folded AS (
+    SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                    AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp
+    FROM lagd
+)
+SELECT n, tp,
+       CASE WHEN n >= 3 THEN
+           CAST(3 * tp - 2 * (n - 2) AS DOUBLE) / CAST(3 AS DOUBLE)
+           / SQRT(CAST(16 * n - 29 AS DOUBLE) / CAST(90 AS DOUBLE))
+       END AS z
+FROM folded"""
+
+_TURNPT_ORACLE = (
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    """
+    + _TURNPT_TAIL.format(daily="daily")
+)
+
+
+@register("ts_turning_points", oracle=_TURNPT_ORACLE)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallis-Moore turning-points randomness test on the daily
+    revenue series: count STRICT local extrema (y[i-1] < y[i] > y[i+1]
+    or mirrored; ties break a turning point, documented), compare to
+    the i.i.d. expectation 2(n-2)/3 with variance (16n-29)/90. The
+    count is an exact int64; z is a fixed-order chain of correctly
+    rounded double ops over exact ints (one subtraction pre-cleared to
+    integers: 3T - 2(n-2)) — bit-identical both engines; SQRT is
+    IEEE-correct on both.
+
+    Scale: rides the session-cached day-grain orders rollup; the
+    lag/lead window is calendar-bounded (plan-sweep whitelisted).
+    Replay-pinned against a brute-force Python count in
+    tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    orders_daily(spark, sf_dir).select("d", "y").createOrReplaceTempView(
+        "turnpt_daily"
+    )
+    return spark.sql("WITH " + _TURNPT_TAIL.format(daily="turnpt_daily"))

@@ -2708,3 +2708,97 @@ def win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hull_daily"
     )
     return spark.sql("WITH " + _HULL_TAIL.format(daily="hull_daily").lstrip())
+
+
+_ZZ_CONFIRM = (
+    "((z.dir = 1 AND (z.ext_y - s.y) * 20 >= z.ext_y)"
+    " OR (z.dir = -1 AND (s.y - z.ext_y) * 20 >= z.ext_y))"
+)
+
+_ZZ_RECURSION = """
+WITH RECURSIVE zz(rn, dir, ext_rn, ext_y, ext_d,
+                  piv_rn, piv_y, piv_d, piv_kind) AS (
+    SELECT rn, CAST(1 AS BIGINT), rn, y, d,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {t} WHERE rn = 1
+    UNION ALL
+    SELECT s.rn,
+           CASE WHEN {c} THEN -z.dir ELSE z.dir END,
+           CASE WHEN {c} THEN s.rn
+                WHEN (z.dir = 1 AND s.y > z.ext_y)
+                  OR (z.dir = -1 AND s.y < z.ext_y) THEN s.rn
+                ELSE z.ext_rn END,
+           CASE WHEN {c} THEN s.y
+                WHEN (z.dir = 1 AND s.y > z.ext_y)
+                  OR (z.dir = -1 AND s.y < z.ext_y) THEN s.y
+                ELSE z.ext_y END,
+           CASE WHEN {c} THEN s.d
+                WHEN (z.dir = 1 AND s.y > z.ext_y)
+                  OR (z.dir = -1 AND s.y < z.ext_y) THEN s.d
+                ELSE z.ext_d END,
+           CASE WHEN {c} THEN z.ext_rn END,
+           CASE WHEN {c} THEN z.ext_y END,
+           CASE WHEN {c} THEN z.ext_d END,
+           CASE WHEN {c} THEN z.dir END
+    FROM zz z JOIN {t} s ON s.rn = z.rn + 1
+)
+SELECT CAST(piv_d AS BIGINT) AS day,
+       CAST(piv_y AS BIGINT) AS cents,
+       CASE WHEN piv_kind = 1 THEN 'HIGH' ELSE 'LOW' END AS kind
+FROM zz WHERE piv_rn IS NOT NULL
+ORDER BY piv_rn
+"""
+
+_ZZ_ORACLE = _ZZ_RECURSION.format(t="zz_daily", c=_ZZ_CONFIRM).replace(
+    "WITH RECURSIVE zz(",
+    """WITH RECURSIVE zz_daily AS (
+    SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn, d, y
+    FROM (
+        SELECT (epoch_us(o_orderdate) // 86400000000) // 30 AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    )
+),
+zz(""",
+)
+
+
+@register("win_zigzag_swings", oracle=_ZZ_ORACLE)
+def win_zigzag_swings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZigZag swing detection (5% reversal) over the 30-day-bucket
+    revenue series — the classic technical-analysis pivot filter that keeps
+    only moves larger than the threshold, used for swing labeling and
+    support/resistance mining. A genuinely SEQUENTIAL automaton
+    (direction + running extreme since the last confirmed pivot,
+    pivot confirmed when price retraces >= 5% from the extreme),
+    executed as a recursive CTE with IDENTICAL text on both engines:
+    the 5% test is the integer cross-multiplication
+    (ext - y)*20 >= ext (never a float ratio), ties keep the FIRST
+    extreme (strict > / < updates), and the walk starts dir=+1 at the
+    first day (documented convention). All state is int64 cents.
+
+    Scale: the fact scan collapses to the session-cached day-grain
+    rollup (re-aggregated to ~85 30-day buckets) before any
+    recursion; depth = calendar buckets, never row count (the
+    ts_kalman_1d shape, kept under Spark's recursion-level 100
+    default by the bucket grain). Replay-pinned against a
+    from-scratch Python automaton in tests/test_cross_consistency.py.
+    """
+    from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
+
+    daily = (
+        orders_daily(spark, sf_dir)
+        .groupBy(F.expr("d div 30").alias("d"))
+        .agg(F.sum("y").cast("long").alias("y"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = daily.select(
+        F.row_number().over(W.orderBy("d")).cast("long").alias("rn"),
+        "d",
+        "y",
+    )
+    ranked.createOrReplaceTempView("zz_daily_sp")
+    return spark.sql(_ZZ_RECURSION.format(t="zz_daily_sp", c=_ZZ_CONFIRM))

@@ -2172,3 +2172,403 @@ def test_bilinear_kernel_known_answer_and_operator_replay(spark):
         assert r.px_sum == sum(rz)
         assert r.px_wsum == sum(v * (q + 1) for q, v in enumerate(rz))
         assert (r.px_tl, r.px_br) == (rz[0], rz[-1])
+
+
+def test_ad_2sample_matches_integer_replay_and_float_ad(spark):
+    """stats_ad_2sample vs (a) a from-scratch integer-exact Python
+    replay of the ppm pipeline and (b) the textbook float
+    Pettitt/Scholz-Stephens A2, which must agree to ~N/(n*m) ppm
+    (the documented per-term truncation bound)."""
+    row = QUERIES["stats_ad_2sample"](spark, SF_SMALL).collect()[0]
+
+    li = (
+        spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        .select("l_extendedprice", "l_orderkey", "l_linenumber", "l_returnflag")
+        .toPandas()
+    )
+    li = li[li["l_returnflag"].isin(["R", "A"]) & (li["l_orderkey"] % 8 == 0)]
+    cents = (li["l_extendedprice"] * 100).round().astype("int64")
+    is_x = (li["l_returnflag"] == "R").astype("int64")
+    rows = sorted(
+        zip(cents, li["l_orderkey"], li["l_linenumber"], is_x),
+        key=lambda t: (t[0], t[1], t[2], t[3]),
+    )
+    nn = len(rows)
+    nx = sum(t[3] for t in rows)
+    assert row["n_ret"] == nx and row["m_acc"] == nn - nx
+
+    # (a) integer replay of the exact ppm arithmetic
+    sum_ppm = 0
+    mj = 0
+    for j1, t in enumerate(rows, start=1):
+        mj += t[3]
+        if j1 < nn:
+            a = (mj * nn - j1 * nx) * 1000
+            sum_ppm += (a * a) // (j1 * (nn - j1))
+    assert row["a2_ppm"] == sum_ppm // max(nx * (nn - nx), 1)
+
+    # (b) float Anderson-Darling cross-check (independent derivation)
+    ad = 0.0
+    mjf = 0
+    for j1, t in enumerate(rows, start=1):
+        mjf += t[3]
+        if j1 < nn:
+            ad += (mjf * nn - j1 * nx) ** 2 / (j1 * (nn - j1))
+    ad /= nx * (nn - nx)
+    assert abs(row["a2_ppm"] / 1e6 - ad) < 2e-3
+
+
+def test_logrank_matches_python_replay_and_float_logrank(spark):
+    """stats_logrank vs a from-scratch Python Mantel-Cox log-rank
+    (ship-lag durations, administrative censoring at 60 days) —
+    integer-exact on the ppm pipeline, and the float chi2 must agree
+    to the documented ~#event-times ppm truncation bound."""
+    row = QUERIES["stats_logrank"](spark, SF_SMALL).collect()[0]
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderpriority",
+                    "CAST(o_orderdate AS DATE) AS od")
+        .toPandas()
+    )
+    li = (
+        spark.read.parquet(SF_SMALL + "/lineitem.parquet")
+        .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd")
+        .toPandas()
+    )
+    od = od[od["o_orderpriority"].isin(["1-URGENT", "5-LOW"])
+            & (od["o_orderkey"] % 4 == 0)]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    assert len(m) > 0
+    from collections import defaultdict
+
+    cell = defaultdict(lambda: [0, 0, 0, 0])  # dur -> n1, n2, d1, d2
+    n_events = 0
+    for _, r in m.iterrows():
+        lag = (r["sd"] - r["od"]).days
+        dur, cen = min(lag, 60), 1 if lag > 60 else 0
+        grp = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        c = cell[dur]
+        if grp == 1:
+            c[0] += 1
+            c[2] += 1 - cen
+        else:
+            c[1] += 1
+            c[3] += 1 - cen
+        n_events += 1 - cen
+    assert n_events > 0  # non-vacuous: real deaths exist
+    o1 = e1 = v = 0
+    n1r = n2r = 0
+    ef = vf = 0.0
+    for dur in sorted(cell, reverse=True):
+        n1, n2, d1, d2 = cell[dur]
+        n1r += n1
+        n2r += n2
+        dt, nt = d1 + d2, n1r + n2r
+        if dt > 0:
+            o1 += d1
+            e1 += (dt * n1r * 1000000) // nt
+            ef += dt * n1r / nt
+            if nt > 1:
+                v += (dt * n1r * 1000 * n2r * (nt - dt) * 1000) // (
+                    nt * nt * (nt - 1)
+                )
+                vf += dt * n1r * n2r * (nt - dt) / (nt * nt * (nt - 1))
+    assert row["o1"] == o1 and row["e1_ppm"] == e1 and row["v_ppm"] == v
+    chi2_int = (o1 * 1000000 - e1) ** 2 / v / 1000000
+    assert abs(row["logrank_chi2"] - chi2_int) < 1e-9 * max(1.0, chi2_int)
+    chi2_float = (o1 - ef) ** 2 / vf
+    assert abs(row["logrank_chi2"] - chi2_float) < 1e-3 * max(1.0, chi2_float)
+
+
+def test_sample_entropy_matches_numpy_replay(spark):
+    """ts_sample_entropy vs a from-scratch numpy SampEn pair count
+    (same documented template variant) over raw sf0.001 orders."""
+    import numpy as np
+    import pandas as pd
+
+    row = QUERIES["ts_sample_entropy"](spark, SF_SMALL).collect()[0]
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .toPandas()
+    )
+    y = (
+        od.groupby("d")["c"].sum().sort_index().to_numpy(dtype=np.int64)
+    )
+    n = len(y)
+    tol = (int(y.max()) - int(y.min())) // 10
+    assert row["tol_cents"] == tol
+    b = a = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if i + 1 < n and j + 1 < n:
+                if (
+                    abs(int(y[i]) - int(y[j])) <= tol
+                    and abs(int(y[i + 1]) - int(y[j + 1])) <= tol
+                ):
+                    b += 1
+                    if (
+                        i + 2 < n
+                        and j + 2 < n
+                        and abs(int(y[i + 2]) - int(y[j + 2])) <= tol
+                    ):
+                        a += 1
+    assert row["b_pairs"] == b and row["a_pairs"] == a
+    assert b > 0  # non-vacuous fixture
+    assert row["a2b_ppm"] == (a * 1000000) // b
+
+
+def test_ipf_raking_matches_python_replay_and_margin_fit(spark):
+    """agg_ipf_raking vs a from-scratch Python integer IPF walk
+    (same ppm truncating arithmetic), plus the margin-fit property:
+    after 3 rounds every row/col margin is within 0.2% of target."""
+    rows = {
+        (r["event_type"], r["dow"]): r
+        for r in QUERIES["agg_ipf_raking"](spark, SF_SMALL).collect()
+    }
+    assert rows  # non-vacuous
+
+    ev = (
+        spark.read.parquet(SF_SMALL + "/events.parquet")
+        .selectExpr(
+            "event_type AS et",
+            "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400 AS day",
+        )
+        .toPandas()
+    )
+    full = ev.groupby(["et", ev["day"] % 7]).size()
+    mid = (int(ev["day"].min()) + int(ev["day"].max()) + 1) // 2
+    half = ev[ev["day"] < mid]
+    seed = {
+        k: int(v) for k, v in half.groupby(["et", half["day"] % 7]).size().items()
+        if v > 0
+    }
+    rowt = full.groupby(level=0).sum().to_dict()
+    colt = full.groupby(level=1).sum().to_dict()
+    w = {k: 1000000 for k in seed}
+    for _ in range(3):
+        for level, tgt in ((0, rowt), (1, colt)):
+            cur = {}
+            for k in seed:
+                cur[k[level]] = cur.get(k[level], 0) + seed[k] * w[k]
+            for k in seed:
+                f = (int(tgt[k[level]]) * 1000000 * 1000000) // cur[k[level]]
+                w[k] = (w[k] * f) // 1000000
+    for k in seed:
+        r = rows[k]
+        assert r["n0"] == seed[k] and r["w_ppm"] == w[k]
+        assert r["raked"] == (seed[k] * w[k]) // 1000000
+    # margin fit: raking must move every row margin (far) closer to
+    # its full-window target; per-cell ppm truncation floors up to
+    # ~1 count per cell per round, so the absolute bound is
+    # max(8, 2%) rather than exact convergence at sf0.001 counts
+    raked_row, seed_row = {}, {}
+    for k in seed:
+        raked_row[k[0]] = raked_row.get(k[0], 0) + (seed[k] * w[k]) // 1000000
+        seed_row[k[0]] = seed_row.get(k[0], 0) + seed[k]
+    for et, t in rowt.items():
+        if et in raked_row:
+            t = int(t)
+            assert abs(raked_row[et] - t) <= max(8, 0.02 * t)
+            if seed_row[et] != t:
+                assert abs(raked_row[et] - t) < abs(seed_row[et] - t)
+
+
+def test_zigzag_matches_python_automaton_replay(spark):
+    """win_zigzag_swings vs a from-scratch Python ZigZag automaton
+    (5% cross-multiplied reversal, first-extreme tie rule) over the
+    raw sf0.001 orders 30-day-bucket series."""
+    rows = QUERIES["win_zigzag_swings"](spark, SF_SMALL).collect()
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)"
+            " div 86400 div 30 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .toPandas()
+    )
+    series = sorted(
+        (int(d), int(c)) for d, c in od.groupby("d")["c"].sum().items()
+    )
+    pivots = []
+    if series:
+        dirn = 1
+        ext_d, ext_y = series[0]
+        for d, y in series[1:]:
+            if (dirn == 1 and (ext_y - y) * 20 >= ext_y) or (
+                dirn == -1 and (y - ext_y) * 20 >= ext_y
+            ):
+                pivots.append((ext_d, ext_y, "HIGH" if dirn == 1 else "LOW"))
+                dirn = -dirn
+                ext_d, ext_y = d, y
+            elif (dirn == 1 and y > ext_y) or (dirn == -1 and y < ext_y):
+                ext_d, ext_y = d, y
+    got = [(r["day"], r["cents"], r["kind"]) for r in rows]
+    assert got == pivots
+    assert len(pivots) >= 2  # non-vacuous: the fixture has real swings
+
+
+def test_hoeffding_d_matches_brute_force_replay(spark):
+    """stats_hoeffding_d vs a brute-force Python implementation of
+    the midrank phi convention (doubled/quadrupled integer units)
+    over the raw sf0.001 orders day series."""
+    row = QUERIES["stats_hoeffding_d"](spark, SF_SMALL).collect()[0]
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .toPandas()
+    )
+    g = od.groupby("d")["c"].agg(["sum", "count"])
+    pts = [(int(r["sum"]), int(r["count"])) for _, r in g.iterrows()]
+    n = len(pts)
+
+    def phi2(a, b):  # 2*phi
+        return 2 if a < b else (1 if a == b else 0)
+
+    a1 = a2 = a3 = 0
+    for i, (xi, yi) in enumerate(pts):
+        r2 = s2 = q4 = 0
+        for j, (xj, yj) in enumerate(pts):
+            if i == j:
+                continue
+            ux, uy = phi2(xj, xi), phi2(yj, yi)
+            r2 += ux
+            s2 += uy
+            q4 += ux * uy
+        a1 += q4 * (q4 - 4)
+        a2 += r2 * (r2 - 2) * s2 * (s2 - 2)
+        a3 += (r2 - 2) * (s2 - 2) * q4
+    assert row["n"] == n and row["a1"] == a1
+    assert row["a2"] == a2 and row["a3"] == a3
+    d = (
+        30.0
+        * ((n - 2) * (n - 3) * a1 + a2 - 2 * (n - 2) * a3)
+        / (16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    assert abs(row["hoeffding_d"] - d) < 1e-12 * max(1.0, abs(d))
+
+
+def test_dfa_matches_numpy_replay(spark):
+    """ts_dfa vs a from-scratch numpy least-squares DFA (same
+    hundred-dollar units, complete boxes, cleared-denominator
+    arithmetic replayed in exact ints)."""
+    import numpy as np
+
+    rows = {
+        r["scale"]: r for r in QUERIES["ts_dfa"](spark, SF_SMALL).collect()
+    }
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .toPandas()
+    )
+    y = (
+        od.groupby("d")["c"].sum().sort_index().to_numpy(dtype=np.int64)
+        // 10000
+    )
+    n = len(y)
+    for s in (4, 8, 16, 32):
+        n_boxes = n // s
+        sx = s * (s + 1) // 2
+        sx2 = s * (s + 1) * (2 * s + 1) // 6
+        sxx_c = s * sx2 - sx * sx
+        num = 0
+        ssr_float = 0.0
+        x = np.arange(1, s + 1, dtype=np.float64)
+        for b in range(n_boxes):
+            yb = y[b * s:(b + 1) * s]
+            sy, syy = int(yb.sum()), int((yb * yb).sum())
+            sxy = int((np.arange(1, s + 1, dtype=np.int64) * yb).sum())
+            num += (s * syy - sy * sy) * sxx_c - (s * sxy - sx * sy) ** 2
+            # independent float fit
+            coef = np.polyfit(x, yb.astype(np.float64), 1)
+            resid = yb - np.polyval(coef, x)
+            ssr_float += float((resid * resid).sum())
+        r = rows[s]
+        assert r["n_boxes"] == n_boxes
+        assert r["f2_ppm"] == (num * 1000000) // (sxx_c * s * s * n_boxes)
+        f2_float = ssr_float / (n_boxes * s)
+        assert abs(r["f2_ppm"] / 1e6 - f2_float) < max(1.0, 2e-6 * f2_float)
+
+
+def test_partial_kendall_matches_brute_force_replay(spark):
+    """stats_partial_kendall vs a brute-force Python tau-a partial
+    correlation over the raw sf0.001 orders day series."""
+    import math
+
+    row = QUERIES["stats_partial_kendall"](spark, SF_SMALL).collect()[0]
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u",
+        )
+        .toPandas()
+    )
+    g = od.groupby("d").agg(x=("c", "sum"), y=("c", "count"), z=("u", "sum"))
+    pts = [(int(r["x"]), int(r["y"]), int(r["z"])) for _, r in g.iterrows()]
+    n = len(pts)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    txy = txz = tyz = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            dz = pts[i][2] - pts[j][2]
+            txy += sgn(dx) * sgn(dy)
+            txz += sgn(dx) * sgn(dz)
+            tyz += sgn(dy) * sgn(dz)
+    m = n * (n - 1) // 2
+    assert (row["m"], row["txy"], row["txz"], row["tyz"]) == (m, txy, txz, tyz)
+    pt = (txy * m - txz * tyz) / math.sqrt(
+        (m * m - txz * txz) * (m * m - tyz * tyz)
+    )
+    assert abs(row["partial_tau"] - pt) < 1e-12
+
+
+def test_turning_points_matches_brute_force_replay(spark):
+    """ts_turning_points vs a brute-force Python strict-extrema count
+    and the Wallis-Moore z formula."""
+    import math
+
+    row = QUERIES["ts_turning_points"](spark, SF_SMALL).collect()[0]
+
+    od = (
+        spark.read.parquet(SF_SMALL + "/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400 AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c",
+        )
+        .toPandas()
+    )
+    y = [int(v) for _, v in sorted(od.groupby("d")["c"].sum().items())]
+    n = len(y)
+    tp = sum(
+        1
+        for i in range(1, n - 1)
+        if (y[i - 1] < y[i] > y[i + 1]) or (y[i - 1] > y[i] < y[i + 1])
+    )
+    assert row["n"] == n and row["tp"] == tp
+    z = (3 * tp - 2 * (n - 2)) / 3 / math.sqrt((16 * n - 29) / 90)
+    assert abs(row["z"] - z) < 1e-12
+    assert tp > 0

@@ -41,6 +41,14 @@ BOUNDED_GRAIN = {
     "ts_burst_detect": "day-grain series",
     "ts_changepoint_cusum": "day-grain series",
     "stats_sprt_sequential": "day-grain series (cumulative LLR walk)",
+    "stats_logrank": "duration-grain suffix-sum risk sets (<= 61"
+    " administrative-censoring rows)",
+    "ts_sample_entropy": "day-grain series (rank + lead windows over"
+    " calendar days)",
+    "ts_dfa": "day-grain series (rank spine for calendar-bounded"
+    " DFA boxes)",
+    "ts_turning_points": "day-grain series (lag/lead over calendar"
+    " days)",
     "stats_quade": "blocks-grain (one row per calendar day; the"
     " global midrank of block ranges runs over <=days rows)",
     "ts_croston": "day-grain demand series",
