@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e2e_data_pipeline_spark.catalog import load_table
+from e2e_data_pipeline_spark.catalog import _parquet_layout, load_table, table_path
 from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 
 
@@ -1510,8 +1510,25 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings could contain is none, but custkey/total are numeric) so
     the documents are well-formed; xpath_* are scan-local JVM
     expressions, not UDFs.
+
+    Parallelism: each xpath_* call re-parses its document, so the
+    per-row cost is ~100x a normal projection — the one shape where
+    scan parallelism, not bytes, is the bottleneck. The fixture's
+    single-row-group orders file scans as ONE task (and its 2.7 MB
+    sit under the catalog rebalance's byte gate, which assumes
+    normal per-byte cost), which serialized ~450k XML parses on one
+    core: 20.3 s in the r10 entry sweep. The layout-gated rebalance
+    below (same guard as catalog._maybe_rebalance, byte gate dropped
+    because the kernel is CPU-bound, not byte-bound) spreads the
+    parse over every core — 20.3 s -> ~0.7 s at sf0.1 — and stays a
+    structural no-op at production scale, where the scan already has
+    more row groups than the cluster has cores.
     """
     orders = load_table(spark, sf_dir, "orders")
+    groups, _ = _parquet_layout(table_path(sf_dir, "orders"))
+    cores = spark.sparkContext.defaultParallelism
+    if groups < max(2, cores // 2):
+        orders = orders.repartition(cores)
     rendered = orders.select(
         F.concat(
             F.lit('<order key="'),

@@ -93,17 +93,29 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per customer (ROWS frame, exact decimal sum)."""
+    """Running revenue per customer (ROWS frame, exact integer-cent sum).
+
+    The running sum accumulates int64 cents (`ROUND(price*100)` is
+    exact for 2dp prices) instead of overflow-checked decimals; the
+    published double is cents/100.0 — one correctly-rounded division
+    of an exact integer, bit-identical to the oracle's
+    `SUM(DECIMAL(18,2)) :: DOUBLE` for any per-customer total below
+    2^53 cents (per-customer running sums are bounded by the key
+    grain at every scale). r10 interleaved A/B: 0.341 -> 0.311 s
+    median; the win is the cheaper per-row add in the window loop.
+    """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(frame)
-        .cast("double")
-        .alias("running_spent"),
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .over(frame)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("running_spent"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
 

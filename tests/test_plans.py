@@ -1087,3 +1087,45 @@ def test_join_hints_are_obeyed(spark):
     hp = hashed._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in mp and "BroadcastHashJoin" not in mp
     assert "ShuffledHashJoin" in hp and "BroadcastHashJoin" not in hp
+
+
+def test_fact_joins_build_on_smaller_side_not_broadcast_biggest(spark):
+    """r10 optimization pins: the two headline fact joins must stay
+    ShuffledHashJoin with the build on the smaller side — Catalyst's
+    column-ratio size estimate used to put the BIGGEST table
+    (lineitem / orders) under the broadcast threshold and collect +
+    hash it single-threaded on the driver (r10 A/B: join_shuffle
+    1.013 -> 0.595 s, join_multiway 1.056 -> 0.777 s)."""
+    shuffle_plan = plan_of(spark, "join_shuffle")
+    assert "ShuffledHashJoin" in shuffle_plan
+    assert "BuildLeft" in shuffle_plan  # build = orders, stream = lineitem
+
+    mw_plan = plan_of(spark, "join_multiway")
+    assert "ShuffledHashJoin" in mw_plan
+    # lineitem is the stream (left) side: the build side of the SHJ
+    # must be the filtered customer⋈orders subtree, never lineitem.
+    import re
+
+    shj = mw_plan.split("ShuffledHashJoin", 1)[1]
+    assert "BuildRight" in shj.splitlines()[0]
+
+
+def test_asof_probe_filter_propagated_to_event_side(spark):
+    """r10 optimization pin: the o_custkey < 150 probe filter must
+    reach the events scan as a user_id pushdown (the window only
+    reads a probe's own uid partition, so the manual propagation is
+    result-identical and drops the unprobed users before the
+    shuffle)."""
+    plan = plan_of(spark, "join_asof")
+    assert "LessThan(user_id,150)" in plan
+
+
+def test_xpath_kernel_is_rebalanced_at_fixture_layout(spark):
+    """r10 optimization pin: fn_xpath's per-row XML parse must not
+    inherit the fixture's single-task scan — the layout-gated
+    round-robin rebalance has to appear below the parse (20.3 s ->
+    sub-second at sf0.1; structurally absent once the scan has more
+    row groups than cores)."""
+    plan = plan_of(spark, "fn_xpath")
+    assert "RoundRobinPartitioning" in plan
+    assert "XPathStringEvaluator" in plan
