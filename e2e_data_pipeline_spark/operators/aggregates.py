@@ -4669,8 +4669,18 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound), which is exactly the regime where the normal
     approximation is worst.
 
-    The data-sized work is one day-grain aggregate; the recursion is
-    n rows of O(1) arithmetic.
+    The data-sized work is one day-grain aggregate; the Pascal walk is
+    n steps of O(1) arithmetic.
+
+    r10 optimization: the Spark side folds Pascal's row with
+    ``aggregate()`` over ``sequence(1, nn)`` instead of a recursive
+    CTE (one distributed join per coefficient — 5.1 s at sf0.1,
+    ~0.4 s after): same multiplicative identity, same exact integer
+    floor divisions, so every coefficient (and the dyadic ppm tail)
+    is identical. The oracle keeps the recursive text — the hash
+    match cross-checks the rewrite. NULL/zero edges replicated: nn=0
+    (no diffs) keeps tail_paths NULL via the explicit guard, exactly
+    the empty-SUM the recursion produced.
     """
     daily = events_daily(spark, sf_dir).select("day", "cents")
     w = Window.orderBy("day")
@@ -4682,29 +4692,47 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = diffs.where(F.col("up").isNotNull()).agg(
         F.count("up").alias("nn"), F.sum("up").alias("s")
     )
-    m.createOrReplaceTempView("sign_test_m")
-    return spark.sql(
-        """
-        WITH RECURSIVE binom(k, c) AS (
-            SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
-            UNION ALL
-            SELECT b.k + 1, (b.c * (m.nn - b.k)) div (b.k + 1)
-            FROM binom b, sign_test_m m WHERE b.k < m.nn
+    binom = m.select(
+        "nn",
+        "s",
+        F.expr(
+            """
+            CASE WHEN nn = 0 THEN array(CAST(1 AS BIGINT))
+                 ELSE aggregate(
+                   sequence(CAST(1 AS BIGINT), nn),
+                   array(CAST(1 AS BIGINT)),
+                   (acc, k) -> array_append(acc,
+                     (element_at(acc, CAST(k AS INT)) * (nn - k + 1)) div k))
+            END
+            """
+        ).alias("binom"),
+    )
+    tailed = binom.select(
+        "nn",
+        "s",
+        F.expr(
+            """
+            CASE WHEN s IS NULL THEN CAST(NULL AS BIGINT)
+                 ELSE aggregate(
+                   zip_with(binom, sequence(CAST(0 AS BIGINT), nn),
+                     (c, k) -> IF(k >= greatest(s, nn - s), c,
+                                  CAST(0 AS BIGINT))),
+                   CAST(0 AS BIGINT), (a, x) -> a + x)
+            END
+            """
+        ).alias("tail_paths"),
+    )
+    return tailed.select(
+        F.col("nn").alias("n_days"),
+        F.col("s").alias("n_up"),
+        "tail_paths",
+        F.expr("CAST((CAST(1 AS BIGINT) << CAST(nn AS INT)) AS BIGINT)").alias(
+            "total_paths"
         ),
-        tail AS (
-            SELECT CAST(SUM(b.c) AS BIGINT) AS tail_paths
-            FROM binom b, sign_test_m m
-            WHERE b.k >= greatest(m.s, m.nn - m.s)
-        )
-        SELECT m.nn AS n_days, m.s AS n_up,
-               t.tail_paths,
-               CAST((CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
-                   AS total_paths,
-               CAST(t.tail_paths * 1000000
-                    div (CAST(1 AS BIGINT) << CAST(m.nn AS INT)) AS BIGINT)
-                   AS p_one_sided_ppm
-        FROM sign_test_m m CROSS JOIN tail t
-        """
+        F.expr(
+            "CAST(tail_paths * 1000000"
+            " div (CAST(1 AS BIGINT) << CAST(nn AS INT)) AS BIGINT)"
+        ).alias("p_one_sided_ppm"),
     )
 
 

@@ -2793,10 +2793,18 @@ def win_zigzag_swings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact scan collapses to the session-cached day-grain
     rollup (re-aggregated to ~85 30-day buckets) before any
-    recursion; depth = calendar buckets, never row count (the
-    ts_kalman_1d shape, kept under Spark's recursion-level 100
-    default by the bucket grain). Replay-pinned against a
-    from-scratch Python automaton in tests/test_cross_consistency.py.
+    sequential work; state walk depth = calendar buckets, never row
+    count. Replay-pinned against a from-scratch Python automaton in
+    tests/test_cross_consistency.py.
+
+    r10 optimization: the Spark side no longer executes the automaton
+    as a recursive CTE (one distributed join per bucket ≈ 0.15 s/step
+    of pure scheduling: 12.2 s at sf0.1) but as a single
+    ``aggregate()`` fold over the collected bucket array — one job,
+    same int64 transitions in the same order, so the emitted pivots
+    are bit-identical (int arithmetic has no rounding to diverge).
+    The DuckDB oracle keeps the recursive-CTE text, so the hash match
+    doubles as an independent cross-engine proof of the rewrite.
     """
     from e2e_data_pipeline_spark.operators.frame_cache import orders_daily
 
@@ -2805,12 +2813,56 @@ def win_zigzag_swings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("d div 30").alias("d"))
         .agg(F.sum("y").cast("long").alias("y"))
     )
-    from pyspark.sql import Window as W
-
-    ranked = daily.select(
-        F.row_number().over(W.orderBy("d")).cast("long").alias("rn"),
-        "d",
-        "y",
+    packed = daily.agg(
+        F.expr("sort_array(collect_list(struct(d, y)))").alias("arr")
+    ).where(F.size("arr") >= 1)
+    # State: (dir, ext_y, ext_d, pivs). ext_rn/piv_rn order is the
+    # append order of `pivs`, so rn bookkeeping drops out. The 5%
+    # confirm test and the strict extreme updates are copied verbatim
+    # from _ZZ_RECURSION (integer cross-multiplication, first-extreme
+    # ties).
+    conf_up = "(z.dir = CAST(1 AS BIGINT) AND (z.ext_y - s.y) * 20 >= z.ext_y)"
+    conf_dn = "(z.dir = CAST(-1 AS BIGINT) AND (s.y - z.ext_y) * 20 >= z.ext_y)"
+    c = f"({conf_up} OR {conf_dn})"
+    better = (
+        "((z.dir = CAST(1 AS BIGINT) AND s.y > z.ext_y)"
+        " OR (z.dir = CAST(-1 AS BIGINT) AND s.y < z.ext_y))"
     )
-    ranked.createOrReplaceTempView("zz_daily_sp")
-    return spark.sql(_ZZ_RECURSION.format(t="zz_daily_sp", c=_ZZ_CONFIRM))
+    piv_t = "array<struct<piv_y:bigint,piv_d:bigint,piv_kind:bigint>>"
+    # CASE guard keeps slice/arr[0] unevaluated on the zero-row agg
+    # row (lazily-evaluated branch; the r6 ANSI empty-array hazard).
+    folded = packed.select(
+        F.expr(
+            f"""
+            CASE WHEN size(arr) >= 1 THEN
+            aggregate(
+              slice(arr, 2, size(arr) - 1),
+              named_struct(
+                'dir', CAST(1 AS BIGINT),
+                'ext_y', arr[0].y, 'ext_d', arr[0].d,
+                'pivs', CAST(array() AS {piv_t})),
+              (z, s) -> CASE
+                WHEN {c} THEN named_struct(
+                  'dir', -z.dir, 'ext_y', s.y, 'ext_d', s.d,
+                  'pivs', array_append(z.pivs, named_struct(
+                    'piv_y', z.ext_y, 'piv_d', z.ext_d, 'piv_kind', z.dir)))
+                WHEN {better} THEN named_struct(
+                  'dir', z.dir, 'ext_y', s.y, 'ext_d', s.d,
+                  'pivs', z.pivs)
+                ELSE z END,
+              z -> z.pivs)
+            ELSE CAST(array() AS {piv_t}) END
+            """
+        ).alias("pivs")
+    )
+    return (
+        folded.select(F.posexplode("pivs").alias("pos", "p"))
+        .orderBy("pos")
+        .select(
+            F.col("p.piv_d").alias("day"),
+            F.col("p.piv_y").alias("cents"),
+            F.expr(
+                "CASE WHEN p.piv_kind = 1 THEN 'HIGH' ELSE 'LOW' END"
+            ).alias("kind"),
+        )
+    )
