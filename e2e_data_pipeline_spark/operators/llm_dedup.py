@@ -63,21 +63,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token k-shingles per doc via posexplode + window lead —
-    the same construction the oracle SQL uses, so sets match exactly."""
+    """Distinct token k-shingles per doc, built with array ops.
+
+    r10 optimization: the original posexplode + window-lead + global
+    DISTINCT construction (the shape the oracle SQL still uses) paid
+    a shuffle + per-token sort plus a distinct shuffle — in EVERY
+    consumer (dedup_near / dedup_near_lsh / dedup_minhash_det /
+    dedup_simhash_det). ``arrays_zip`` of the three slice-shifted
+    views of the split array emits the identical shingle strings
+    scan-locally (zip over slices, NOT ``element_at(split(...), i)``
+    inside the lambda — higher-order lambda bodies get no common-
+    subexpression elimination, so that form re-splits the text per
+    element and goes quadratic per doc; measured 2-4x slower), and
+    ``array_distinct`` equals the global distinct since a shingle row
+    only carries its own doc_id. The windowed version's shuffle was
+    also accidentally load-bearing: it re-spread the single-row-group
+    fixture scan before the 16-seed md5 work, so the shuffle-free
+    form needs the layout-gated rebalance below (a structural no-op
+    once the scan has more row groups than cores). greatest(…, 0)
+    keeps slice lengths legal on < k tokens; NULL texts propagate to
+    NULL arrays and explode to nothing, as before."""
+    from e2e_data_pipeline_spark.catalog import _parquet_layout, table_path
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    groups, _ = _parquet_layout(table_path(sf_dir, "documents"))
+    cores = spark.sparkContext.defaultParallelism
+    if groups < max(2, cores // 2):
+        docs = docs.repartition(cores)
+    zipped = (
+        "arrays_zip("
+        " slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+        " slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),"
+        " slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
+    return docs.select(
         "doc_id",
-        F.concat_ws(
-            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({zipped},"
+                " s -> concat_ws(' ', s.`0`, s.`1`, s.`2`)))"
+            )
         ).alias("shingle"),
-        F.lead("tok", SHINGLE_K - 1).over(w).alias("_tail"),
-    ).where(F.col("_tail").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    )
 
 
 @register(
@@ -3421,28 +3448,40 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram string would be swapped for its xxhash64 (same plan; the
     md5-style portability trade documented on dedup_minhash_det).
     """
+    from e2e_data_pipeline_spark.catalog import _parquet_layout, table_path
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # r10 optimization: the gram table and per-doc token counts come
+    # straight from the split array (zip of slice-shifted views —
+    # never element_at(split(...), i) inside the lambda, which
+    # re-splits per element) instead of posexplode + window-lead +
+    # groupBy — two shuffles and a per-token sort removed; the gram
+    # strings, 1-based positions, and NULL-text absence are
+    # identical. Layout-gated rebalance replaces the parallelism the
+    # removed shuffle used to provide on the single-row-group
+    # fixture (no-op at production layouts).
+    groups, _ = _parquet_layout(table_path(sf_dir, "documents"))
+    cores = spark.sparkContext.defaultParallelism
+    if groups < max(2, cores // 2):
+        docs = docs.repartition(cores)
+    nt = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    nt = toks.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens")
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.select(
+    zipped5 = "arrays_zip(" + ", ".join(
+        f"slice(split(text, ' '), {j},"
+        " greatest(size(split(text, ' ')) - 4, 0))"
+        for j in range(1, 6)
+    ) + ")"
+    grams = docs.select(
         "doc_id",
-        "pos",
-        F.concat_ws(
-            " ",
-            "tok",
-            F.lead("tok", 1).over(w),
-            F.lead("tok", 2).over(w),
-            F.lead("tok", 3).over(w),
-            F.lead("tok", 4).over(w),
-        ).alias("g"),
-        F.lead("tok", 4).over(w).alias("_tail"),
-    ).where(F.col("_tail").isNotNull())
+        F.posexplode(
+            F.expr(
+                f"transform({zipped5},"
+                " s -> concat_ws(' ', s.`0`, s.`1`, s.`2`, s.`3`, s.`4`))"
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
     firstdoc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
     dup = (
         grams.join(firstdoc, "g")

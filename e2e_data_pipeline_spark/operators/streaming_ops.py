@@ -796,21 +796,31 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batch_bands(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        # r10: array-native shingles (the _shingles rewrite: zip of
+        # slice-shifted views, never element_at(split, i) in the
+        # lambda) — the windowed formulation paid a shuffle + sort
+        # per micro-batch. Each micro-batch is ONE coalesced chunk
+        # file (= one scan task), so the 16-seed md5 signature work
+        # must be re-spread explicitly or it runs single-threaded
+        # per batch.
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        zipped = (
+            "arrays_zip("
+            " slice(split(text, ' '), 1,"
+            "       greatest(size(split(text, ' ')) - 2, 0)),"
+            " slice(split(text, ' '), 2,"
+            "       greatest(size(split(text, ' ')) - 2, 0)),"
+            " slice(split(text, ' '), 3,"
+            "       greatest(size(split(text, ' ')) - 2, 0)))"
         )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        sh = (
-            toks.select(
-                "doc_id",
-                F.concat_ws(
-                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-                ).alias("shingle"),
-                F.lead("tok", 2).over(w).alias("_tail"),
-            )
-            .where(F.col("_tail").isNotNull())
-            .select("doc_id", "shingle")
-            .distinct()
+        sh = df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform({zipped},"
+                    " s -> concat_ws(' ', s.`0`, s.`1`, s.`2`)))"
+                )
+            ).alias("shingle"),
         )
         hashed = (
             sh.select(
@@ -2292,3 +2302,70 @@ def stream_state_partition_pinning(
         spark.conf.set("spark.sql.shuffle.partitions", old_conf)
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10 optimization: scoped state-partition sizing for the in-body
+# streaming runs. ``spark.sql.shuffle.partitions`` decides how many
+# state-store instances every stateful micro-batch creates and
+# commits; the session default (= core count) is sized for the batch
+# engine, so the fixture-scale streams were paying 32 store
+# open/commit cycles per micro-batch on kilobytes of state — pure
+# constant overhead (stream_state_join_reader 9.5 s -> 3.4 s,
+# stream_state_rocksdb 4.6 -> 2.2, stream_state_session_window
+# 5.5 -> 2.9 at sf0.1; interleaved A/B, 3 passes). The value is
+# derived from the events table's size (one state partition per
+# 64 MB, floor 4) so it scales with the data instead of the host,
+# and SPARK_GRAFT_STREAM_PARTITIONS overrides it for deployments
+# that size state explicitly. The conf is scoped to the op body
+# (set/restore in finally): each op checkpoints into a fresh tempdir,
+# so the frozen-at-first-batch rule never meets a stale checkpoint,
+# and every wrapped op's OUTPUT is partition-count independent
+# (order-independent aggregates / state contents keyed by data).
+# Excluded by design: stream_state_metadata (its oracle pins the
+# session default 32) and stream_state_partition_pinning (the op IS
+# about pinning a specific partition count).
+# ---------------------------------------------------------------------------
+
+
+def _stream_partitions(spark: SparkSession, sf_dir: str) -> str:
+    env = _os_env.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return env
+    try:
+        from e2e_data_pipeline_spark.catalog import _parquet_layout, table_path
+
+        _, nbytes = _parquet_layout(table_path(sf_dir, "events"))
+    except Exception:  # pragma: no cover - missing fixture table
+        return str(spark.sparkContext.defaultParallelism)
+    return str(max(4, min(32768, nbytes // (64 << 20))))
+
+
+def _stream_scoped(fn):
+    @_functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", _stream_partitions(spark, sf_dir)
+        )
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return run
+
+
+_STREAM_SCOPE_EXCLUDED = {
+    "stream_state_metadata",
+    "stream_state_partition_pinning",
+}
+
+import functools as _functools  # noqa: E402
+import os as _os_env  # noqa: E402
+
+from e2e_data_pipeline_spark.operators.registry import QUERIES as _Q  # noqa: E402
+
+for _key in list(_Q):
+    if _key.startswith("stream_") and _key not in _STREAM_SCOPE_EXCLUDED:
+        _Q[_key] = _stream_scoped(_Q[_key])
