@@ -73,6 +73,23 @@ def _maybe_rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame
     return df
 
 
+def rebalance_cpu(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Layout-gated round-robin rebalance for CPU-BOUND per-row
+    kernels (xpath parse, N-seed md5 sketches, 100x permutation
+    explodes): same guard as :func:`_maybe_rebalance` but WITHOUT the
+    byte gate — when the per-row cost is ~100x a normal projection,
+    even a sub-4MB single-row-group fixture file is worth spreading
+    over the cluster. Structural no-op at production layouts (the
+    scan already has more row groups than cores). r10 optimization
+    helper; see fn_xpath for the measured motivation (20.3 s -> 0.7 s
+    single-threaded XML parse at sf0.1)."""
+    groups, _ = _parquet_layout(table_path(sf_dir, name))
+    cores = spark.sparkContext.defaultParallelism
+    if groups < max(2, cores // 2):
+        return df.repartition(cores)
+    return df
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, parallelize_scan: bool = False
 ) -> DataFrame:

@@ -2161,8 +2161,16 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 is the portability tax; swap for xxhash64 when the oracle
     twin isn't needed.
     """
+    from e2e_data_pipeline_spark.catalog import rebalance_cpu
+
+    # r10: the 100-replicate explode does ~100 md5 hashes per input
+    # row before its partial aggregate — CPU-bound, so the
+    # single-row-group fixture scan must be re-spread (layout-gated;
+    # no-op at production layouts). 3.5 s -> sub-second at sf0.1.
     base = (
-        load_table(spark, sf_dir, "events")
+        rebalance_cpu(
+            spark, load_table(spark, sf_dir, "events"), sf_dir, "events"
+        )
         .where(F.col("event_type").isin("click", "purchase"))
         .select(
             "event_id",

@@ -83,13 +83,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the scan has more row groups than cores). greatest(…, 0)
     keeps slice lengths legal on < k tokens; NULL texts propagate to
     NULL arrays and explode to nothing, as before."""
-    from e2e_data_pipeline_spark.catalog import _parquet_layout, table_path
+    from e2e_data_pipeline_spark.catalog import rebalance_cpu
 
-    docs = load_table(spark, sf_dir, "documents")
-    groups, _ = _parquet_layout(table_path(sf_dir, "documents"))
-    cores = spark.sparkContext.defaultParallelism
-    if groups < max(2, cores // 2):
-        docs = docs.repartition(cores)
+    docs = rebalance_cpu(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
     zipped = (
         "arrays_zip("
         " slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
@@ -866,24 +864,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed iteration count (unbounded iteration would want
     localCheckpoint, as dedup_cluster does).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-    )
+    # r10: the trading-pair derivation (fact join + distinct) comes
+    # from the session frame cache; the symmetrized edge view over the
+    # checkpointed pairs is cheap and keeps every iteration joining
+    # against materialized blocks (the pre-r10 comment's rationale,
+    # now shared with graph_label_propagation).
+    pairs = _trading_pairs(spark, sf_dir)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # Materialize the edge list ONCE (dedup_cluster's localCheckpoint
-    # pattern): every iteration joins against it, and without this the
-    # lineitem⋈orders+distinct derivation re-executes per iteration —
-    # 4x the scan cost and a plan that deepens linearly.
-    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     r = deg.crossJoin(F.broadcast(n_nodes)).select(
@@ -2250,6 +2239,35 @@ def _graph_cached(spark: SparkSession, sf_dir: str, name: str, build):
     return session_cached(spark, sf_dir, f"graph:{name}", build)
 
 
+def _trading_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier trading pairs ('c<custkey>',
+    's<suppkey>') from lineitem⋈orders — the bipartite graph behind
+    graph_pagerank and graph_label_propagation. r10: memoized in the
+    session frame cache (the r9 graph-cache pattern) so the fact-
+    table join + distinct runs once per (app, fixture dir) instead of
+    once per key; each consumer keeps deriving its own symmetrized
+    edge view from the cached pairs."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "a"
+                ),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "b"
+                ),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return _graph_cached(spark, sf_dir, "trading_pairs", build)
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase part graph (p1 < p2, support >= 2) —
     the shared edge set of graph_triangles and the round-4 graph ops.
@@ -3080,7 +3098,7 @@ def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     variants = names.select(
         "name",
-        F.explode(
+        F.posexplode(
             F.concat(
                 F.array(F.col("name")),
                 F.expr(
@@ -3089,12 +3107,29 @@ def dedup_editdist_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "substring(name, i+1, length(name)-i)))"
                 ),
             )
-        ).alias("v"),
+        ).alias("i", "v"),
     )
+    # r10 optimization: position-refined FastSS join. Two strings are
+    # within Levenshtein 1 iff they share a deletion variant where
+    # the deletion positions are EQUAL (substitution: same length,
+    # one differing char) or one side is undeleted, i = 0 (pure
+    # insertion/deletion) — so the (i_a = i_b OR i_a = 0 OR i_b = 0)
+    # residual provably keeps every true pair while dropping the
+    # cross-position collisions that zero-padded name ids generate in
+    # bulk (measured at sf0.1: 1.46M candidate pairs -> the ~true
+    # set; the candidate DISTINCT alone was 3.3 s). The unchanged
+    # levenshtein verify and oracle pin the output.
     cand = (
         variants.alias("a")
         .join(variants.alias("b"), F.col("a.v") == F.col("b.v"))
-        .where(F.col("a.name") < F.col("b.name"))
+        .where(
+            (F.col("a.name") < F.col("b.name"))
+            & (
+                (F.col("a.i") == F.col("b.i"))
+                | (F.col("a.i") == 0)
+                | (F.col("b.i") == 0)
+            )
+        )
         .select(
             F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
         )
@@ -3195,24 +3230,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape), edge list localCheckpointed once. Output: label
     histogram after round 3 with seed counts.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # r10: trading pairs come from the session frame cache (shared
+    # with graph_pagerank); the symmetrized view over checkpointed
+    # pairs stays cheap per iteration.
+    pairs = _trading_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     cnodes = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .select(
@@ -3448,7 +3476,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram string would be swapped for its xxhash64 (same plan; the
     md5-style portability trade documented on dedup_minhash_det).
     """
-    from e2e_data_pipeline_spark.catalog import _parquet_layout, table_path
+    from e2e_data_pipeline_spark.catalog import rebalance_cpu
 
     docs = load_table(spark, sf_dir, "documents")
     # r10 optimization: the gram table and per-doc token counts come
@@ -3460,10 +3488,7 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical. Layout-gated rebalance replaces the parallelism the
     # removed shuffle used to provide on the single-row-group
     # fixture (no-op at production layouts).
-    groups, _ = _parquet_layout(table_path(sf_dir, "documents"))
-    cores = spark.sparkContext.defaultParallelism
-    if groups < max(2, cores // 2):
-        docs = docs.repartition(cores)
+    docs = rebalance_cpu(spark, docs, sf_dir, "documents")
     nt = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e2e_data_pipeline_spark.catalog import _parquet_layout, load_table, table_path
+from e2e_data_pipeline_spark.catalog import load_table, rebalance_cpu
 from e2e_data_pipeline_spark.operators.registry import dec_sum, register
 
 
@@ -1524,11 +1524,9 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural no-op at production scale, where the scan already has
     more row groups than the cluster has cores.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    groups, _ = _parquet_layout(table_path(sf_dir, "orders"))
-    cores = spark.sparkContext.defaultParallelism
-    if groups < max(2, cores // 2):
-        orders = orders.repartition(cores)
+    orders = rebalance_cpu(
+        spark, load_table(spark, sf_dir, "orders"), sf_dir, "orders"
+    )
     rendered = orders.select(
         F.concat(
             F.lit('<order key="'),
