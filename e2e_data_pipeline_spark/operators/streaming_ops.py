@@ -803,7 +803,12 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # file (= one scan task), so the 16-seed md5 signature work
         # must be re-spread explicitly or it runs single-threaded
         # per batch.
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # (deterministic hash key, not round-robin — skips the local
+        # sort-before-repartition; catalog._spread rationale)
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.xxhash64("doc_id"),
+        )
         zipped = (
             "arrays_zip("
             " slice(split(text, ' '), 1,"

@@ -1127,5 +1127,8 @@ def test_xpath_kernel_is_rebalanced_at_fixture_layout(spark):
     sub-second at sf0.1; structurally absent once the scan has more
     row groups than cores)."""
     plan = plan_of(spark, "fn_xpath")
-    assert "RoundRobinPartitioning" in plan
+    # deterministic-key hash rebalance (catalog._spread), never the
+    # sorting round-robin form
+    assert "hashpartitioning(xxhash64(" in plan
+    assert "RoundRobinPartitioning" not in plan
     assert "XPathStringEvaluator" in plan
