@@ -14551,19 +14551,95 @@ def agg_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: rides the session-cached (day, event_type) rollup; all
     IPF stages operate on the 35-cell grid (5 types x 7 dows) —
-    constant-size joins regardless of fact scale.
+    constant-size regardless of fact scale.
+
+    r10 optimization: the Spark side no longer executes the
+    generated 13-stage CTE chain (each scale step = a GROUP-BY plus
+    two joins over the 35-cell grid at full shuffle width — ~20 tiny
+    stages of pure scheduling, 4.0 s at sf0.1) but folds the SAME
+    integer weight walk over the collected grid as 6 chained
+    ``transform`` projections on one row: margins via in-lambda
+    aggregate/filter (O(35²) per step), scale factors as the
+    IDENTICAL d19×d19 decimal-div expressions, so the walked weights
+    are bit-identical. The DuckDB oracle keeps the CTE chain — the
+    hash match cross-proves the rewrite, and the replay pin walks
+    the integers from scratch.
     """
     from e2e_data_pipeline_spark.operators.frame_cache import (
         events_daily_by_type,
     )
 
-    events_daily_by_type(spark, sf_dir).select(
+    cells = events_daily_by_type(spark, sf_dir).select(
         F.col("event_type").alias("et"),
         (F.col("day") % 7).alias("dow"),
         "day",
         "n",
-    ).createOrReplaceTempView("ipf_cells")
-    return spark.sql(_ipf_sql(cells="ipf_cells", div="div", h="", hc=""))
+    )
+    mid = cells.agg(F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("mid"))
+    seed = (
+        cells.crossJoin(F.broadcast(mid))
+        .where(F.col("day") < F.col("mid"))
+        .groupBy("et", "dow")
+        .agg(F.sum("n").cast("long").alias("n0"))
+        .where(F.col("n0") > 0)
+    )
+    rowt = cells.groupBy("et").agg(F.sum("n").cast("long").alias("tgt")).agg(
+        F.expr("map_from_entries(collect_list(struct(et, tgt)))").alias("rowt")
+    )
+    colt = cells.groupBy("dow").agg(F.sum("n").cast("long").alias("tgt")).agg(
+        F.expr("map_from_entries(collect_list(struct(dow, tgt)))").alias("colt")
+    )
+    packed = (
+        seed.agg(
+            F.expr(
+                "collect_list(struct(et, dow, n0,"
+                " CAST(1000000 AS BIGINT) AS w))"
+            ).alias("state")
+        )
+        .crossJoin(F.broadcast(rowt))
+        .crossJoin(F.broadcast(colt))
+    )
+    # The 6 scale steps run inside ONE aggregate() fold over the step
+    # ids: the evolving grid flows through the fold ACCUMULATOR (a
+    # lambda variable), never through chained projections — a first
+    # attempt chained 6 transform() selects and Catalyst's project
+    # collapse substituted each step's expression into the next,
+    # blowing the tree up exponentially (the query never finished
+    # planning). `st` is the PRE-step grid, so margins match the CTE
+    # stage's m{k} GROUP BY snapshot; even steps scale rows (et),
+    # odd steps columns (dow).
+    cur = (
+        "aggregate(filter(st, x -> CASE WHEN k % 2 = 0"
+        " THEN x.et = s.et ELSE x.dow = s.dow END),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x.n0 * x.w)"
+    )
+    tgt = (
+        "CASE WHEN k % 2 = 0 THEN element_at(rowt, s.et)"
+        " ELSE element_at(colt, s.dow) END"
+    )
+    f_expr = (
+        f"CAST(CAST({tgt} * 1000000 AS DECIMAL(19,0))"
+        f" * CAST(1000000 AS DECIMAL(19,0)) div {cur} AS BIGINT)"
+    )
+    folded = packed.select(
+        F.expr(
+            "aggregate(sequence(0, 5), state,"
+            " (st, k) -> transform(st, s -> struct(s.et AS et,"
+            " s.dow AS dow, s.n0 AS n0,"
+            f" CAST((s.w * {f_expr}) div 1000000 AS BIGINT) AS w)))"
+        ).alias("state")
+    )
+    return (
+        folded.select(F.explode("state").alias("s"))
+        .select(
+            F.col("s.et").alias("event_type"),
+            F.col("s.dow").alias("dow"),
+            F.col("s.n0").alias("n0"),
+            F.col("s.w").alias("w_ppm"),
+            F.expr("CAST((s.n0 * s.w) div 1000000 AS BIGINT)").alias("raked"),
+        )
+        .orderBy("event_type", "dow")
+    )
 
 
 _HOEFFD_TAIL = """pairsum AS (

@@ -1591,21 +1591,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (Spark's div-by-zero NULL is a silent semantic
     difference from DuckDB's error otherwise).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= 2)
-        .drop("co")
-    )
+    # r10: the shared support-pruned co-purchase edge set (p1 < p2,
+    # support >= 2) comes from the session frame cache instead of an
+    # inline fact self-join per key -- the identical frame
+    # graph_triangles' cache siblings already consume.
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("p1").alias("p"))
         .unionAll(edges.select(F.col("p2").alias("p")))
@@ -1861,21 +1851,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard cap at real scale is degree-ordered orientation plus a
     max-degree cutoff (hub removal), both one-line filters here.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= 2)
-        .drop("co")
-    )
+    # r10: the shared support-pruned co-purchase edge set (p1 < p2,
+    # support >= 2) comes from the session frame cache instead of an
+    # inline fact self-join per key -- the identical frame
+    # graph_triangles' cache siblings already consume.
+    edges = _copurchase_edges(spark, sf_dir)
     adj = edges.select(F.col("p1").alias("v"), F.col("p2").alias("n")).unionAll(
         edges.select(F.col("p2").alias("v"), F.col("p1").alias("n"))
     )
@@ -2027,21 +2007,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same pruned edge list as graph_triangles; two broadcast degree
     joins and a 1-row moment reduce.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= 2)
-        .drop("co")
-    )
+    # r10: the shared support-pruned co-purchase edge set (p1 < p2,
+    # support >= 2) comes from the session frame cache instead of an
+    # inline fact self-join per key -- the identical frame
+    # graph_triangles' cache siblings already consume.
+    edges = _copurchase_edges(spark, sf_dir)
     adj = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
@@ -2184,21 +2154,11 @@ def graph_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget as graph_triangles/jaccard) with a distinct-count rollup;
     top-20 is a TakeOrderedAndProject.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= 2)
-        .drop("co")
-    )
+    # r10: the shared support-pruned co-purchase edge set (p1 < p2,
+    # support >= 2) comes from the session frame cache instead of an
+    # inline fact self-join per key -- the identical frame
+    # graph_triangles' cache siblings already consume.
+    edges = _copurchase_edges(spark, sf_dir)
     adj = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
