@@ -639,8 +639,19 @@ def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     this perturbation; n_candidates - n_linked counts the block
     collisions the scorer rejected.
     """
+    from e2e_data_pipeline_spark.catalog import rebalance_cpu
+
     cust = load_table(spark, sf_dir, "customer")
-    clean = cust.select("c_custkey", "c_nationkey", "c_name")
+    # r10: the levenshtein kernel runs on the probe side of the block
+    # join; the single-row-group fixture scan would run it on ONE
+    # core (layout-gated spread, no-op at production layouts, and the
+    # block-pair set — hence n_candidates — is unchanged).
+    clean = rebalance_cpu(
+        spark,
+        cust.select("c_custkey", "c_nationkey", "c_name"),
+        sf_dir,
+        "customer",
+    )
     nm = F.col("c_name")
     ln = F.length(nm)
     dirty = (
