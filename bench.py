@@ -82,6 +82,35 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Scaling-probe diagnostics (round-11): the driver re-runs this
+    # bench at a lower core count to measure scaling, and the round-10
+    # artifact could not show whether $SPARK_GRAFT_CPUS was honored.
+    # Emit the *effective* master and defaultParallelism so the
+    # artifact itself proves the env is applied, and the physical scan
+    # layout of the fixture tables so a flat low-core/high-core ratio
+    # is attributable: every fixture file is a single parquet row
+    # group (one file, one row group => at most ONE scan task per
+    # table regardless of cores — parquet cannot split a row group),
+    # so at this SF the scan stages are structurally serial and only
+    # post-shuffle stages (sized by spark.sql.shuffle.partitions,
+    # which scales with $SPARK_GRAFT_CPUS) can parallelize.
+    scan_layout: dict[str, dict[str, int]] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for tbl in ("lineitem", "orders", "customer", "part", "events"):
+            path = os.path.join(sf_dir, f"{tbl}.parquet")
+            if os.path.isfile(path):
+                md = pq.ParquetFile(path).metadata
+                scan_layout[tbl] = {
+                    "files": 1,
+                    "row_groups": md.num_row_groups,
+                    "rows": md.num_rows,
+                }
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -94,6 +123,13 @@ def main() -> None:
                 "passes": n_passes,
                 "total_median": round(sum(medians.values()), 3),
                 "sf": sf_val,
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+                "scan_layout": scan_layout,
             }
         )
     )

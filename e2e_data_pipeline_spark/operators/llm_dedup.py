@@ -3204,14 +3204,33 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     # r10: trading pairs come from the session frame cache (shared
-    # with graph_pagerank); the symmetrized view over checkpointed
-    # pairs stays cheap per iteration.
+    # with graph_pagerank). r11: the BSP rounds are CO-PARTITIONED —
+    # the symmetrized edge list is hash-partitioned by src once and
+    # localCheckpointed (LogicalRDD preserves outputPartitioning), and
+    # every round's label frame is checkpointed hash-partitioned by
+    # node with the same partition count, so the per-round message
+    # join and the label-update join both run exchange-free; the only
+    # shuffle left per round is the unavoidable src→dst message move
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). The majority pick is min(struct(-cnt, label)) — a
+    # partial-aggregable argmax replacing the window rank (and its
+    # per-partition sort); hashpartitioning(node) satisfies the
+    # (node, label) grouping, so both aggregation levels run inside
+    # the one post-message exchange.
+    n_part = spark.sparkContext.defaultParallelism
     pairs = _trading_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+
+    def _lpa_edges() -> DataFrame:
+        return (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .repartition(n_part, "src")
+            .localCheckpoint(eager=True)
+        )
+
+    edges = _graph_cached(spark, sf_dir, "lpa_edges", _lpa_edges)
     cnodes = (
         cust.join(nation, cust.c_nationkey == nation.n_nationkey)
         .select(
@@ -3227,9 +3246,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     snodes = pairs.select(F.col("b").alias("node")).distinct().select(
         "node", F.lit(None).cast("string").alias("seed")
     )
-    lab = cnodes.select("node", F.col("seed").alias("label"), "seed").unionByName(
-        snodes.select("node", F.col("seed").alias("label"), "seed")
-    ).localCheckpoint(eager=True)
+    lab = (
+        cnodes.select("node", F.col("seed").alias("label"), "seed")
+        .unionByName(snodes.select("node", F.col("seed").alias("label"), "seed"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(3):
         msg = (
             edges.join(
@@ -3240,13 +3262,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), "label")
         )
-        w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
         pick = (
-            msg.groupBy("node", "label")
+            msg.repartition(n_part, "node")
+            .groupBy("node", "label")
             .agg(F.count("*").alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            .groupBy("node")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))[
+                    "label"
+                ].alias("new_label")
+            )
         )
         lab = (
             lab.join(pick, "node", "left")

@@ -173,24 +173,54 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes = max(4, min(20, round(math.log2(max(n_vecs, 32) / 16.0))))
     n_tables = 8
 
+    # r11 (guide §1.2/§4): the hyperplane SIGNS depend only on
+    # (dim, table, plane) — constants — yet they used to be recomputed
+    # per ROW as n_tables x n_planes x dims xxhash64 calls inside the
+    # zip_with lambda (~3.6k hash evals + branches per vector). Hoist:
+    # evaluate the IDENTICAL sign expression once on a dims-long
+    # spark.range (collect of ~64 x 56 literals), and bucket rows
+    # against literal ±1.0 arrays. The per-row slice keeps semantics
+    # bit-identical for any row length (same products, same fold
+    # order => same projection bits => same buckets). At 100 TB the
+    # sign table is still O(dims x planes) — a constant — while the
+    # per-row work drops to one multiply-add per (dim, plane).
+    # max(dims, 1): a zero-row frame still needs non-empty literal
+    # arrays for the expression tree to build (zero-row sweep).
+    dims = max(
+        emb.select(F.max(F.size("embedding")).alias("d")).first()["d"] or 0, 1
+    )
+    sign_cols = [
+        F.when(
+            F.xxhash64(
+                F.col("id").cast("int") * F.lit(1000003) + F.lit(t * 64 + p)
+            ).bitwiseAND(1)
+            == 1,
+            1.0,
+        )
+        .otherwise(-1.0)
+        .alias(f"s_{t}_{p}")
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    sign_rows = sorted(
+        spark.range(dims).select(F.col("id"), *sign_cols).collect(),
+        key=lambda r: r["id"],
+    )
+    signs = {
+        (t, p): [r[f"s_{t}_{p}"] for r in sign_rows]
+        for t in range(n_tables)
+        for p in range(n_planes)
+    }
+
     def bucket(col: Column, table: int) -> Column:
-        # plane p of table t, weight for dim i = sign bit of
-        # xxhash64(i*1000003 + t*64 + p) → deterministic, identical
-        # on every executor, independent across (table, plane).
         bits = []
         for p in range(n_planes):
+            lit_signs = F.array(*[F.lit(s) for s in signs[(table, p)]])
             proj = F.aggregate(
                 F.zip_with(
                     col,
-                    F.sequence(F.lit(0), F.size(col) - 1),
-                    lambda x, i: x.cast("double")
-                    * F.when(
-                        F.xxhash64(
-                            i * F.lit(1000003) + F.lit(table * 64 + p)
-                        ).bitwiseAND(1)
-                        == 1,
-                        1.0,
-                    ).otherwise(-1.0),
+                    F.slice(lit_signs, 1, F.size(col)),
+                    lambda x, s: x.cast("double") * s,
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,

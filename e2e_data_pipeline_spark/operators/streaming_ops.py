@@ -1181,23 +1181,39 @@ def stream_changelog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _write_four_chunks(df, chunks: str) -> int:
+def _write_four_chunks(df, chunks: str, key: str = "event_id") -> int:
     """Write df as EXACTLY four single-file parquet chunk dirs keyed
-    by ``event_id % 4`` (``repartition(4, pmod(...))`` hashes the mod
-    class again and routinely collides two classes into one partition,
-    leaving 3 files — observed, not hypothetical). Returns the number
-    of non-empty data files actually written (0 for zero-row input:
-    Spark skips empty partitions, leaving only _SUCCESS markers)."""
+    by ``key % 4``, in ONE Spark job (r11, guide §1.2: the previous
+    four `.where(pmod == i).coalesce(1)` writes each re-scanned and
+    re-filtered the source — 4 full passes for one chunking).
+
+    ``partitionBy`` on the mod class guarantees one FILE per class
+    per task holding it, and the ``repartition(4, class)`` before it
+    clusters each class into a single task — so every non-empty class
+    yields exactly one file even when two classes hash-collide into
+    one partition (the collision leaves one task writing two dirs,
+    one file each; the r6 "repartition alone leaves 3 files" hazard
+    does not apply to partitioned writes). The ``__chunk=i`` dirs are
+    renamed to the historical ``c{i}`` layout so downstream globs,
+    stream paths and explicit read schemas are untouched (plain dirs,
+    no partition-column discovery). Returns the number of data files
+    actually written (0 for zero-row input: a partitioned write of an
+    empty frame emits no directories)."""
     import glob as _glob
+    import os as _os
 
     from pyspark.sql import functions as F
 
+    (
+        df.withColumn("__chunk", F.pmod(key, F.lit(4)))
+        .repartition(4, "__chunk")
+        .write.partitionBy("__chunk")
+        .parquet(chunks)
+    )
     for i in range(4):
-        (
-            df.where(F.pmod("event_id", F.lit(4)) == i)
-            .coalesce(1)
-            .write.parquet(f"{chunks}/c{i}")
-        )
+        src = f"{chunks}/__chunk={i}"
+        if _os.path.isdir(src):
+            _os.rename(src, f"{chunks}/c{i}")
     return len(_glob.glob(f"{chunks}/c*/part-*"))
 
 
@@ -1599,16 +1615,34 @@ def stream_state_join_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
         )
         sides = {"L": "click", "R": "purchase"}
+        # r11: one partitioned write replaces 4 scan+filter+write jobs
+        # (the _write_four_chunks pattern, keyed by side+half); the
+        # __t=L0.. dirs are renamed to the historical L0/L1/R0/R1
+        # layout so the stream globs and schemas are untouched.
+        import os as _os
+
+        tagged = ev.where(
+            F.col("event_type").isin(*sides.values())
+        ).withColumn(
+            "__t",
+            F.concat(
+                F.when(F.col("event_type") == "click", F.lit("L")).otherwise(
+                    F.lit("R")
+                ),
+                F.pmod("event_id", F.lit(2)).cast("string"),
+            ),
+        )
+        (
+            tagged.repartition(4, "__t")
+            .write.partitionBy("__t")
+            .parquet(f"{work}/sides")
+        )
         n_files = 0
-        for tag, etype in sides.items():
-            side = ev.where(F.col("event_type") == etype)
-            for i in range(2):
-                (
-                    side.where(F.pmod("event_id", F.lit(2)) == i)
-                    .coalesce(1)
-                    .write.parquet(f"{work}/{tag}{i}")
-                )
-            n_files += len(_glob.glob(f"{work}/{tag}*/part-*"))
+        for tag in ("L0", "L1", "R0", "R1"):
+            src = f"{work}/sides/__t={tag}"
+            if _os.path.isdir(src):
+                _os.rename(src, f"{work}/{tag}")
+        n_files = len(_glob.glob(f"{work}/[LR]*/part-*"))
         if n_files < 4:  # an empty side/chunk: batches won't line up
             return spark.createDataFrame(
                 [],
@@ -1739,13 +1773,7 @@ def stream_state_watermark_eviction(
                 "cents"
             ),
         )
-        for i in range(4):
-            (
-                ev.where(F.pmod("event_id", F.lit(4)) == i)
-                .coalesce(1)
-                .write.parquet(f"{work}/chunks/c{i}")
-            )
-        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        n_files = _write_four_chunks(ev, f"{work}/chunks")
         if n_files == 0:
             return spark.createDataFrame(
                 [], "window_start_sec long, sum_cents long, n_events long"
@@ -1862,13 +1890,7 @@ def stream_state_session_window(
                 "cents"
             ),
         )
-        for i in range(4):
-            (
-                ev.where(F.pmod("event_id", F.lit(4)) == i)
-                .coalesce(1)
-                .write.parquet(f"{work}/chunks/c{i}")
-            )
-        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        n_files = _write_four_chunks(ev, f"{work}/chunks")
         if n_files == 0:
             return spark.createDataFrame(
                 [],
@@ -1978,13 +2000,7 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type"
         )
-        for i in range(4):
-            (
-                ev.where(F.pmod("event_id", F.lit(4)) == i)
-                .coalesce(1)
-                .write.parquet(f"{work}/chunks/c{i}")
-            )
-        n_files = len(_glob.glob(f"{work}/chunks/c*/part-*"))
+        n_files = _write_four_chunks(ev, f"{work}/chunks")
         if n_files == 0:
             return spark.createDataFrame(
                 [], "batch_seq long, n_input long, state_rows long"
@@ -2045,12 +2061,7 @@ def _state_evolution_run(spark: SparkSession, sf_dir: str, work: str):
         "event_type",
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
     )
-    for i in range(4):
-        (
-            ev.where(F.pmod("event_id", F.lit(4)) == i)
-            .coalesce(1)
-            .write.parquet(f"{chunks}/c{i}")
-        )
+    _write_four_chunks(ev, chunks)
     if len(_glob.glob(f"{chunks}/c[01]/part-*")) == 0:
         return ckpt, 0, schema
     # hide the v2 chunks from the v1 run (the file source tracks SEEN
@@ -2060,7 +2071,8 @@ def _state_evolution_run(spark: SparkSession, sf_dir: str, work: str):
     staged = f"{work}/staged"
     _os.makedirs(staged, exist_ok=True)
     for i in (2, 3):
-        _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
+        if _os.path.isdir(f"{chunks}/c{i}"):
+            _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
 
     def run(q_builder):
         q = q_builder()
@@ -2089,7 +2101,8 @@ def _state_evolution_run(spark: SparkSession, sf_dir: str, work: str):
 
     run(v1)
     for i in (2, 3):
-        _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
+        if _os.path.isdir(f"{staged}/c{i}"):
+            _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
 
     def v2():
         stream = (
@@ -2242,13 +2255,7 @@ def stream_state_partition_pinning(
             "event_type",
             F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
         )
-        for i in range(4):
-            (
-                ev.where(F.pmod("event_id", F.lit(4)) == i)
-                .coalesce(1)
-                .write.parquet(f"{chunks}/c{i}")
-            )
-        if len(_glob.glob(f"{chunks}/c*/part-*")) == 0:
+        if _write_four_chunks(ev, chunks) == 0:
             return spark.createDataFrame(
                 [],
                 "event_type string, sum_cents long, n_events long,"
@@ -2257,7 +2264,8 @@ def stream_state_partition_pinning(
         staged = f"{work}/staged"
         _os.makedirs(staged, exist_ok=True)
         for i in (2, 3):
-            _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
+            if _os.path.isdir(f"{chunks}/c{i}"):
+                _os.rename(f"{chunks}/c{i}", f"{staged}/c{i}")
 
         def run_round():
             stream = (
@@ -2286,7 +2294,8 @@ def stream_state_partition_pinning(
         # restart under a DIFFERENT session conf — must be ignored
         spark.conf.set("spark.sql.shuffle.partitions", old_conf)
         for i in (2, 3):
-            _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
+            if _os.path.isdir(f"{staged}/c{i}"):
+                _os.rename(f"{staged}/c{i}", f"{chunks}/c{i}")
         run_round()
 
         n_parts = (
